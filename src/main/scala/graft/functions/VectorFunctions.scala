@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Scalar vector math as native Catalyst expressions (with codegen) so
+  * they inline into whole-stage codegen instead of going through a
+  * Scala UDF. Semantics mirror the reference kernels
+  * (/root/reference/src/metrics.rs:258-311): cosine guards zero norms
+  * (≤1e-10 → score 0.0), euclidean is plain L2 distance. All math in
+  * double regardless of input element type (f32 inputs are promoted),
+  * matching the reference's f64 default path.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  protected def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => elemType(e) == FloatType || elemType(e) == DoubleType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  @inline protected final def get(a: ArrayData, et: DataType, i: Int): Double =
+    if (et == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Java accessor snippet for codegen. */
+  protected final def getter(et: DataType, arr: String, i: String): String =
+    if (et == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  protected final def checkDims(n: Int, m: Int): Unit =
+    if (n != m) throw new IllegalArgumentException(
+      s"Dimension mismatch: left has $n elements, right has $m")
+}
+
+/** dot(a, b) = Σ aᵢ·bᵢ */
+case class ArrayDot(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "array_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = a.numElements(); checkDims(n, b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += get(a, lt, i) * get(b, rt, i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n, s) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"))
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) throw new IllegalArgumentException(
+         |  "Dimension mismatch: left has " + $n + " elements, right has " + $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${getter(elemType(left), a, i)} * ${getter(elemType(right), b, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) = dot/(‖a‖·‖b‖), 0.0 when either norm ≤ 1e-10. */
+case class ArrayCosine(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "array_cosine"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = a.numElements(); checkDims(n, b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = get(a, lt, i); val y = get(b, rt, i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val (qn, cn) = (math.sqrt(na), math.sqrt(nb))
+    if (qn <= 1e-10 || cn <= 1e-10) 0.0 else dot / (qn * cn)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val Seq(i, n, dot, na, nb, x, y, qn, cn) =
+        Seq("i", "n", "dot", "na", "nb", "x", "y", "qn", "cn").map(ctx.freshName)
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) throw new IllegalArgumentException(
+         |  "Dimension mismatch: left has " + $n + " elements, right has " + $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getter(elemType(left), a, i)};
+         |  double $y = ${getter(elemType(right), b, i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $qn = Math.sqrt($na), $cn = Math.sqrt($nb);
+         |${ev.value} = ($qn <= 1e-10 || $cn <= 1e-10) ? 0.0 : $dot / ($qn * $cn);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** euclidean(a, b) = ‖a − b‖₂ (lower = more similar). */
+case class ArrayEuclidean(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "array_euclidean"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = a.numElements(); checkDims(n, b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { val d = get(a, lt, i) - get(b, rt, i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val Seq(i, n, s, d) = Seq("i", "n", "s", "d").map(ctx.freshName)
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) throw new IllegalArgumentException(
+         |  "Dimension mismatch: left has " + $n + " elements, right has " + $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${getter(elemType(left), a, i)} - ${getter(elemType(right), b, i)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+  import ColumnBridge.{column => C, expression => E}
+
+  def array_dot(a: Column, b: Column): Column = C(ArrayDot(E(a), E(b)))
+  def array_cosine(a: Column, b: Column): Column = C(ArrayCosine(E(a), E(b)))
+  def array_euclidean(a: Column, b: Column): Column = C(ArrayEuclidean(E(a), E(b)))
+
+  /** Register for SQL use: `SELECT array_cosine(a.embedding, b.embedding) ...`. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("array_dot", es => ArrayDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("array_cosine", es => ArrayCosine(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("array_euclidean", es => ArrayEuclidean(es.head, es(1)), "built-in")
+  }
+}

@@ -1,0 +1,342 @@
+package graft.operators
+
+import dev.ludovic.netlib.blas.BLAS
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed similarity search — the Spark-native re-expression of
+  * the reference's two kernels (`pmm.topk`, `pmm.matmul`;
+  * /root/reference/src/metrics.rs, /root/reference/src/topk.rs).
+  *
+  * Shape: the corpus (the small "index" side) is collected once,
+  * packed into a flat primitive matrix with precomputed norms, and
+  * **broadcast**; queries stay distributed and each partition runs a
+  * blocked BLAS GEMM (`dev.ludovic.netlib` — the same BLAS MLlib
+  * uses) against the corpus block, fusing normalize → multiply →
+  * select exactly like the reference's single Rust pass — but
+  * scaled out over executors. No |Q|×|C| cross join ever exists.
+  *
+  * For corpora too big to broadcast (>~1-2 GB) use [[Similarity.topkBlocked]]:
+  * corpus is split into broadcastable blocks, each block contributes
+  * per-query partial top-k, and a single shuffle on query id merges
+  * B·k candidates per query — shuffle volume |Q|·B·k, never |Q|·|C|.
+  */
+sealed trait Metric { def higherIsBetter: Boolean }
+object Metric {
+  case object Cosine extends Metric { val higherIsBetter = true }
+  case object Dot extends Metric { val higherIsBetter = true }
+  case object Euclidean extends Metric { val higherIsBetter = false }
+
+  /** Mirrors reference metric parsing (src/metrics.rs:20-27). */
+  def fromString(s: String): Metric = s.toLowerCase match {
+    case "cosine" => Cosine
+    case "dot" => Dot
+    case "euclidean" | "l2" => Euclidean
+    case other => throw new IllegalArgumentException(
+      s"Unknown metric: '$other'. Supported: cosine, dot, euclidean")
+  }
+}
+
+/** Corpus packed for broadcast: row-major `data` (n × dim), ids sorted
+  * ascending (position j ↔ ids(j)), plus norms for cosine/euclidean.
+  * `dataF` is populated only when the source column was array<float>
+  * (the reference's f32 fast path).
+  */
+final case class CorpusIndex(
+    ids: Array[Long],
+    data: Array[Double],
+    dataF: Array[Float],
+    n: Int,
+    dim: Int,
+    norms: Array[Double],
+    sqNorms: Array[Double]) extends Serializable {
+  def isF32: Boolean = dataF != null
+}
+
+object Similarity {
+
+  /** Collect + pack a corpus DataFrame column. Ids are sorted so that
+    * output `index` values are deterministic and block splits are
+    * range-based. Throws on empty corpus / ragged dims (reference:
+    * "Empty corpus", "Dimension mismatch").
+    */
+  def collectCorpus(corpus: DataFrame, idCol: String, embCol: String): CorpusIndex = {
+    val isF32 = corpus.schema(embCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case dt => throw new IllegalArgumentException(
+        s"Corpus column $embCol must be array<float>/array<double>, got ${dt.simpleString}")
+    }
+    val rows = corpus.select(col(idCol).cast(LongType), col(embCol)).collect()
+    if (rows.isEmpty) throw new IllegalArgumentException("Empty corpus")
+    val sorted = rows.sortBy(_.getLong(0))
+    val n = sorted.length
+    val dim = sorted.head.getSeq[Any](1).length
+    val ids = new Array[Long](n)
+    val data = new Array[Double](n * dim)
+    val dataF = if (isF32) new Array[Float](n * dim) else null
+    val norms = new Array[Double](n)
+    val sqNorms = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val row = sorted(j)
+      ids(j) = row.getLong(0)
+      val emb = row.getSeq[Any](1)
+      if (emb.length != dim) throw new IllegalArgumentException(
+        s"Dimension mismatch: corpus rows have $dim and ${emb.length} elements")
+      var d = 0; var sq = 0.0
+      val it = emb.iterator
+      while (d < dim) {
+        val v = it.next() match {
+          case f: java.lang.Float => f.toDouble
+          case x: java.lang.Double => x.doubleValue
+          case x: Number => x.doubleValue
+        }
+        data(j * dim + d) = v
+        if (isF32) dataF(j * dim + d) = v.toFloat
+        sq += v * v
+        d += 1
+      }
+      sqNorms(j) = sq
+      norms(j) = math.sqrt(sq)
+      j += 1
+    }
+    CorpusIndex(ids, data, dataF, n, dim, norms, sqNorms)
+  }
+
+  /** Per-query top-k against a broadcast corpus. Adds `outputCol`:
+    * array<struct<index:long, score:double>> sorted best-first, ties
+    * broken by lower index (reference leaves ties arbitrary —
+    * src/topk.rs:19-30 — we pin them for determinism). k > |corpus|
+    * returns all corpus entries, like the reference.
+    */
+  def topk(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndex,
+      k: Int,
+      metric: Metric,
+      outputCol: String = "matches"): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(corpus)
+    val schema = queries.schema
+    val embIdx = schema.fieldIndex(embCol)
+    val outSchema = StructType(schema.fields :+ StructField(outputCol,
+      ArrayType(StructType(Seq(
+        StructField("index", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))), containsNull = false)))
+    val kk = math.min(k, corpus.n)
+    val higher = metric.higherIsBetter
+    val m = metric
+
+    val outRdd = queries.rdd.mapPartitions { it =>
+      val cx = bc.value
+      val blas = BLAS.getInstance()
+      it.grouped(512).flatMap { batch =>
+        val mRows = batch.length
+        val q = new Array[Double](mRows * cx.dim)
+        val qNorms = new Array[Double](mRows)
+        val qSq = new Array[Double](mRows)
+        var i = 0
+        batch.foreach { row =>
+          val emb = row.getSeq[Any](embIdx)
+          if (emb.length != cx.dim) throw new IllegalArgumentException(
+            s"Dimension mismatch: query has ${emb.length} elements, corpus has ${cx.dim}")
+          var d = 0; var sq = 0.0
+          val eit = emb.iterator
+          while (d < cx.dim) {
+            val v = eit.next().asInstanceOf[Number].doubleValue
+            q(i * cx.dim + d) = v; sq += v * v; d += 1
+          }
+          qSq(i) = sq; qNorms(i) = math.sqrt(sq); i += 1
+        }
+        // scores = Q (m×dim) · C^T (dim×n), row-major out (see SURVEY §3)
+        val scores = new Array[Double](mRows * cx.n)
+        blas.dgemm("T", "N", cx.n, mRows, cx.dim, 1.0, cx.data, cx.dim,
+          q, cx.dim, 0.0, scores, cx.n)
+        batch.iterator.zipWithIndex.map { case (row, qi) =>
+          val base = qi * cx.n
+          // metric post-processing fused into selection
+          val selIdx = new Array[Int](kk)
+          val selScore = new Array[Double](kk)
+          var size = 0
+          var j = 0
+          while (j < cx.n) {
+            val s = m match {
+              case Metric.Dot => scores(base + j)
+              case Metric.Cosine =>
+                if (qNorms(qi) <= 1e-10 || cx.norms(j) <= 1e-10) 0.0
+                else scores(base + j) / (qNorms(qi) * cx.norms(j))
+              case Metric.Euclidean =>
+                math.sqrt(math.max(0.0, qSq(qi) + cx.sqNorms(j) - 2.0 * scores(base + j)))
+            }
+            // keep selIdx/selScore sorted best-first; insert if beats worst
+            val beatsWorst = size < kk || {
+              val w = selScore(size - 1)
+              if (higher) s > w || (s == w && cx.ids(j) < cx.ids(selIdx(size - 1)))
+              else s < w || (s == w && cx.ids(j) < cx.ids(selIdx(size - 1)))
+            }
+            if (beatsWorst) {
+              var pos = if (size < kk) size else kk - 1
+              while (pos > 0 && {
+                val ps = selScore(pos - 1)
+                if (higher) s > ps || (s == ps && cx.ids(j) < cx.ids(selIdx(pos - 1)))
+                else s < ps || (s == ps && cx.ids(j) < cx.ids(selIdx(pos - 1)))
+              }) {
+                selScore(pos) = selScore(pos - 1); selIdx(pos) = selIdx(pos - 1); pos -= 1
+              }
+              selScore(pos) = s; selIdx(pos) = j
+              if (size < kk) size += 1
+            }
+            j += 1
+          }
+          val matches = (0 until size).map(r => Row(cx.ids(selIdx(r)), selScore(r)))
+          Row.fromSeq(row.toSeq :+ matches)
+        }
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
+  /** topk then explode+unnest (the reference's documented consumption
+    * pattern — README.md:114-124): one row per (query, match) with
+    * `index`, `score`, `rank` columns.
+    */
+  def topkFlat(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndex,
+      k: Int,
+      metric: Metric): DataFrame = {
+    val withMatches = topk(queries, embCol, corpus, k, metric, "matches")
+    withMatches
+      .select((withMatches.columns.filter(_ != "matches").map(col).toSeq :+
+        posexplode(col("matches")).as(Seq("rank0", "m"))): _*)
+      .withColumn("rank", col("rank0") + 1)
+      .withColumn("index", col("m.index"))
+      .withColumn("score", col("m.score"))
+      .drop("rank0", "m", embCol)
+  }
+
+  /** All pairwise dot products — `pmm.matmul`. Adds `outputCol` =
+    * array of |corpus| doubles (or floats when both sides are f32,
+    * the reference's dtype rule), position j ↔ sorted corpus id j.
+    */
+  def matmul(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndex,
+      outputCol: String = "scores"): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(corpus)
+    val schema = queries.schema
+    val embIdx = schema.fieldIndex(embCol)
+    val queryIsF32 = schema(embCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val useF32 = queryIsF32 && corpus.isF32
+    val elemT: DataType = if (useF32) FloatType else DoubleType
+    val outSchema = StructType(schema.fields :+
+      StructField(outputCol, ArrayType(elemT, containsNull = false)))
+
+    val outRdd = queries.rdd.mapPartitions { it =>
+      val cx = bc.value
+      val blas = BLAS.getInstance()
+      it.grouped(512).flatMap { batch =>
+        val mRows = batch.length
+        if (useF32) {
+          val q = new Array[Float](mRows * cx.dim)
+          var i = 0
+          batch.foreach { row =>
+            val emb = row.getSeq[Any](embIdx)
+            if (emb.length != cx.dim) throw new IllegalArgumentException(
+              s"Dimension mismatch: query has ${emb.length} elements, corpus has ${cx.dim}")
+            var d = 0
+            val eit = emb.iterator
+            while (d < cx.dim) { q(i * cx.dim + d) = eit.next().asInstanceOf[Number].floatValue; d += 1 }
+            i += 1
+          }
+          val scores = new Array[Float](mRows * cx.n)
+          blas.sgemm("T", "N", cx.n, mRows, cx.dim, 1.0f, cx.dataF, cx.dim,
+            q, cx.dim, 0.0f, scores, cx.n)
+          batch.iterator.zipWithIndex.map { case (row, qi) =>
+            Row.fromSeq(row.toSeq :+ scores.slice(qi * cx.n, (qi + 1) * cx.n).toSeq)
+          }
+        } else {
+          val q = new Array[Double](mRows * cx.dim)
+          var i = 0
+          batch.foreach { row =>
+            val emb = row.getSeq[Any](embIdx)
+            if (emb.length != cx.dim) throw new IllegalArgumentException(
+              s"Dimension mismatch: query has ${emb.length} elements, corpus has ${cx.dim}")
+            var d = 0
+            val eit = emb.iterator
+            while (d < cx.dim) { q(i * cx.dim + d) = eit.next().asInstanceOf[Number].doubleValue; d += 1 }
+            i += 1
+          }
+          val scores = new Array[Double](mRows * cx.n)
+          blas.dgemm("T", "N", cx.n, mRows, cx.dim, 1.0, cx.data, cx.dim,
+            q, cx.dim, 0.0, scores, cx.n)
+          batch.iterator.zipWithIndex.map { case (row, qi) =>
+            Row.fromSeq(row.toSeq :+ scores.slice(qi * cx.n, (qi + 1) * cx.n).toSeq)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
+  /** matmul then flatten (the reference's `flatten=True`): one row per
+    * (query, corpus) pair with the corpus position mapped back to its
+    * id via a broadcast join — `index` + `score` columns.
+    */
+  def matmulFlat(queries: DataFrame, embCol: String, corpus: CorpusIndex): DataFrame = {
+    val spark = queries.sparkSession
+    val withScores = matmul(queries, embCol, corpus, "scores")
+    val posToId = spark.createDataFrame(
+      corpus.ids.toIndexedSeq.zipWithIndex.map { case (id, pos) => (pos, id) })
+      .toDF("pos", "index")
+    withScores
+      .select((withScores.columns.filter(_ != "scores").map(col).toSeq :+
+        posexplode(col("scores").cast(ArrayType(DoubleType))).as(Seq("pos", "score"))): _*)
+      .join(broadcast(posToId), Seq("pos"))
+      .drop("pos", embCol)
+  }
+
+  /** Scale path for corpora too large for one broadcast: split the
+    * corpus into `numBlocks` id-range blocks, run the broadcast kernel
+    * per block (each yields ≤ k candidates per query), union, then one
+    * shuffle on the query id merges candidates to a global top-k.
+    * Returns the flat (query cols, rank, index, score) shape.
+    */
+  def topkBlocked(
+      queries: DataFrame,
+      embCol: String,
+      qIdCol: String,
+      corpus: DataFrame,
+      cIdCol: String,
+      cEmbCol: String,
+      k: Int,
+      metric: Metric,
+      numBlocks: Int): DataFrame = {
+    val ids = corpus.select(col(cIdCol).cast(LongType)).orderBy(cIdCol).collect().map(_.getLong(0))
+    require(ids.nonEmpty, "Empty corpus")
+    val blockSize = math.max(1, math.ceil(ids.length.toDouble / numBlocks).toInt)
+    val partials = ids.grouped(blockSize).map { blockIds =>
+      val (lo, hi) = (blockIds.head, blockIds.last)
+      val block = collectCorpus(
+        corpus.filter(col(cIdCol).cast(LongType).between(lo, hi)), cIdCol, cEmbCol)
+      topkFlat(queries, embCol, block, k, metric).drop("rank")
+    }.reduce(_ unionAll _)
+    val order = if (metric.higherIsBetter)
+      Seq(col("score").desc, col("index").asc) else Seq(col("score").asc, col("index").asc)
+    val w = Window.partitionBy(col(qIdCol)).orderBy(order: _*)
+    partials
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

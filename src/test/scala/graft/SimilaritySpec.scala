@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators.{Metric, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's test coverage
+  * (/root/reference/tests/test_polars_matmul.py): basic metrics,
+  * explode pattern, k>|corpus|, numpy-equivalence (here: vs a naive
+  * Scala computation), f32 dtype rules, error handling.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.create("local[4]", 4)
+  import spark.implicits._
+
+  private def queriesDf(rows: Seq[(Long, Seq[Double])]) =
+    rows.toDF("qid", "embedding")
+  private def corpusOf(rows: Seq[(Long, Seq[Double])]) =
+    Similarity.collectCorpus(rows.toDF("cid", "embedding"), "cid", "embedding")
+
+  test("basic cosine topk: exact matches rank first") {
+    val q = queriesDf(Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0))))
+    val c = corpusOf(Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)), (2L, Seq(0.0, 0.0, 1.0))))
+    val out = Similarity.topk(q, "embedding", c, 2, Metric.Cosine)
+      .select($"qid", $"matches").collect().map(r => r.getLong(0) -> r.getSeq[Row](1)).toMap
+    assert(out(0L).head.getLong(0) == 0L)
+    assert(math.abs(out(0L).head.getDouble(1) - 1.0) < 1e-9)
+    assert(out(1L).head.getLong(0) == 1L)
+    assert(out(0L).length == 2)
+  }
+
+  test("dot metric: top match is largest dot product") {
+    val q = queriesDf(Seq((0L, Seq(2.0, 0.0))))
+    val c = corpusOf(Seq((0L, Seq(1.0, 0.0)), (1L, Seq(3.0, 0.0))))
+    val flat = Similarity.topkFlat(q, "embedding", c, 2, Metric.Dot).collect()
+    val top = flat.find(_.getAs[Int]("rank") == 1).get
+    assert(top.getAs[Long]("index") == 1L)
+    assert(math.abs(top.getAs[Double]("score") - 6.0) < 1e-9)
+  }
+
+  test("euclidean metric: lower distance ranks first") {
+    val q = queriesDf(Seq((0L, Seq(0.0, 0.0))))
+    val c = corpusOf(Seq((0L, Seq(3.0, 4.0)), (1L, Seq(1.0, 0.0))))
+    val flat = Similarity.topkFlat(q, "embedding", c, 2, Metric.Euclidean).collect()
+    val top = flat.find(_.getAs[Int]("rank") == 1).get
+    assert(top.getAs[Long]("index") == 1L)
+    assert(math.abs(top.getAs[Double]("score") - 1.0) < 1e-9)
+  }
+
+  test("k larger than corpus returns all corpus items") {
+    val q = queriesDf(Seq((0L, Seq(1.0, 0.0))))
+    val c = corpusOf(Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))))
+    assert(Similarity.topkFlat(q, "embedding", c, 10, Metric.Cosine).count() == 2)
+  }
+
+  test("zero-norm vectors score 0.0 under cosine (reference guard)") {
+    val q = queriesDf(Seq((0L, Seq(0.0, 0.0))))
+    val c = corpusOf(Seq((5L, Seq(1.0, 0.0)), (6L, Seq(0.0, 0.0))))
+    val flat = Similarity.topkFlat(q, "embedding", c, 2, Metric.Cosine).collect()
+    assert(flat.forall(_.getAs[Double]("score") == 0.0))
+    // ties broken by lower index
+    assert(flat.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("index") == 5L)
+  }
+
+  test("matmul matches naive dot products (numpy-equivalence analogue)") {
+    val rnd = new scala.util.Random(42)
+    val qRows = (0L until 10L).map(i => (i, Seq.fill(32)(rnd.nextGaussian())))
+    val cRows = (0L until 20L).map(i => (i, Seq.fill(32)(rnd.nextGaussian())))
+    val c = corpusOf(cRows)
+    val got = Similarity.matmul(queriesDf(qRows), "embedding", c)
+      .select($"qid", $"scores").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((qid, emb) <- qRows; j <- cRows.indices) {
+      val expected = emb.zip(cRows(j)._2).map { case (a, b) => a * b }.sum
+      assert(math.abs(got(qid)(j) - expected) < 1e-9, s"q=$qid j=$j")
+    }
+  }
+
+  test("matmulFlat yields |Q|*|C| rows in (index, score) form") {
+    val q = queriesDf(Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 1.0))))
+    val c = corpusOf(Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))))
+    val flat = Similarity.matmulFlat(q, "embedding", c)
+    assert(flat.count() == 6)
+    val m = flat.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("index")) -> r.getAs[Double]("score")).toMap
+    assert(m((0L, 0L)) == 1.0 && m((0L, 1L)) == 0.0 && m((2L, 1L)) == 1.0)
+  }
+
+  test("f32 inputs take the f32 path; f64 output otherwise (dtype rule)") {
+    val qf = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f))).toDF("qid", "embedding")
+    val cf = Similarity.collectCorpus(
+      Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("cid", "embedding"), "cid", "embedding")
+    assert(cf.isF32)
+    val out = Similarity.matmul(qf, "embedding", cf)
+    assert(out.schema("scores").dataType == ArrayType(FloatType, containsNull = false))
+    val row0 = out.filter($"qid" === 0).select($"scores").head.getSeq[Float](0)
+    assert(row0 == Seq(1.0f, 2.0f))
+    // mixed f32 corpus + f64 queries → f64 output
+    val qd = queriesDf(Seq((0L, Seq(1.0, 2.0))))
+    assert(Similarity.matmul(qd, "embedding", cf).schema("scores").dataType ==
+      ArrayType(DoubleType, containsNull = false))
+  }
+
+  test("dimension mismatch and empty corpus raise reference-style errors") {
+    val q = queriesDf(Seq((0L, Seq(1.0, 2.0))))
+    val c3 = corpusOf(Seq((0L, Seq(1.0, 2.0, 3.0))))
+    val e = intercept[Exception] {
+      Similarity.topkFlat(q, "embedding", c3, 1, Metric.Cosine).collect()
+    }
+    assert(e.getMessage.contains("Dimension mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("Dimension mismatch"))
+    intercept[IllegalArgumentException] {
+      Similarity.collectCorpus(
+        Seq.empty[(Long, Seq[Double])].toDF("cid", "embedding"), "cid", "embedding")
+    }
+    intercept[IllegalArgumentException](Metric.fromString("invalid_metric"))
+  }
+
+  test("empty query frame returns empty result, not an error") {
+    val q = Seq.empty[(Long, Seq[Double])].toDF("qid", "embedding")
+    val c = corpusOf(Seq((0L, Seq(1.0, 0.0))))
+    assert(Similarity.topk(q, "embedding", c, 1, Metric.Cosine).count() == 0)
+  }
+
+  test("topkBlocked == topk on the full embeddings table") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val c = Similarity.collectCorpus(emb, "vec_id", "embedding")
+    val q = emb.limit(50)
+    val full = Similarity.topkFlat(q, "embedding", c, 5, Metric.Cosine)
+      .select($"vec_id", $"rank", $"index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val blocked = Similarity.topkBlocked(q, "embedding", "vec_id", emb, "vec_id", "embedding",
+        5, Metric.Cosine, numBlocks = 4)
+      .select($"vec_id", $"rank", $"index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(blocked == full)
+  }
+}
