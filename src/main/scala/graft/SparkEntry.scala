@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Metric, Similarity}
+import graft.operators.{Metric, Relational, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,6 +84,21 @@ object SparkEntry {
           transform(col("scores"), x => round(x, 4) + lit(0.0)).as("scores"))
         .orderBy("vec_id")
     }),
+
+    // ---- host-DataFrame surface (SURVEY §2.2) ---------------------------
+    "q_filter_project" -> (Relational.filterProject _),
+    "q1_agg" -> (Relational.q1Agg _),
+    "q3_join_topn" -> (Relational.q3JoinTopN _),
+    "q_sort_limit" -> (Relational.sortLimit _),
+    "q_window" -> (Relational.windowRunning _),
+    "q_distinct" -> (Relational.distinctCounts _),
+    "q_anti_join" -> (Relational.antiJoin _),
+    "q_semi_join" -> (Relational.semiJoin _),
+    "q_union" -> (Relational.unionCase _),
+    "q_case_agg" -> (Relational.caseAgg _),
+    "q_events_window" -> (Relational.eventsWindow _),
+    "q_json_extract" -> (Relational.jsonExtract _),
+    "q_sessionize" -> (Relational.sessionize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -116,5 +131,109 @@ object SparkEntry {
         |            ORDER BY c.vec_id) AS scores
         |FROM embeddings q CROSS JOIN embeddings c
         |WHERE q.vec_id < 100 GROUP BY q.vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-02-01'
+        |  AND l_discount > 0.08
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) + 0.0 AS sum_qty,
+        |       round(sum(l_extendedprice), 2) + 0.0 AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS sum_disc_price,
+        |       round(avg(l_quantity), 4) + 0.0 AS avg_qty,
+        |       round(avg(l_discount), 4) + 0.0 AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_join_topn" ->
+      """SELECT o_orderkey, o_orderdate,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_window" ->
+      """WITH b AS (
+        |  SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |         l_quantity, l_shipdate
+        |  FROM lineitem WHERE l_suppkey <= 3
+        |)
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       CAST(row_number() OVER w AS BIGINT) AS rn,
+        |       round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS UNBOUNDED PRECEDING), 2) + 0.0 AS run_qty
+        |FROM b WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows FROM lineitem""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_union" ->
+      """SELECT status, count(*) AS cnt FROM (
+        |  SELECT o_orderstatus AS status FROM orders
+        |  UNION ALL SELECT l_linestatus AS status FROM lineitem
+        |) GROUP BY status ORDER BY status""".stripMargin,
+
+    "q_case_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS hi_disc,
+        |       CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS hi_qty,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w, event_type,
+        |       count(*) AS cnt, round(sum(value), 4) + 0.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, ts, event_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL THEN 1
+        |              WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The host-DataFrame surface (SURVEY §2.2): the relational operators
+  * a reference user composes around the kernels, expressed so Catalyst
+  * gets full pushdown/pruning. Every query is deterministic (total
+  * orderings, id tie-breaks) and float outputs are rounded with the
+  * `+ 0.0` negative-zero normalization (see .claude/skills/verify).
+  *
+  * Scale notes per query are in SURVEY §4: joins broadcast their dim
+  * side, aggregations are partial before shuffle (Spark default), and
+  * window partitions key on high-cardinality ids.
+  */
+object Relational {
+
+  private def r2(c: org.apache.spark.sql.Column) = round(c, 2) + lit(0.0)
+  private def r4(c: org.apache.spark.sql.Column) = round(c, 4) + lit(0.0)
+
+  /** Filter + projection — predicate and column pruning reach the scan. */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1995-02-01")
+        && col("l_discount") > 0.08)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q1 shape: wide aggregate over lineitem. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r4(avg(col("l_quantity"))).as("avg_qty"),
+        r4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 shape: 3-way join (dims broadcast) + agg + top-N. */
+  def q3JoinTopN(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1995-03-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1995-03-15"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Global sort + limit. */
+  def sortLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** Window functions: rank + running sum per supplier (total order
+    * within partition via (shipdate, orderkey, linenumber)).
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 3)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_shipdate"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("run_qty", r2(sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0))))
+      .drop("l_quantity", "l_shipdate")
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** distinct + count-distinct (exact) + approx sketch counterpart is
+    * benched separately; oracle checks the exact one.
+    */
+  def distinctCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      count(lit(1)).as("n_rows"))
+
+  /** Anti join: customers with no large order (plain "never ordered"
+    * is empty in the synthetic data at every SF).
+    */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+    c.join(bigOrders, c("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join: parts that appear in some lineitem. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    p.join(Tables.lineitem(s, dir), p("p_partkey") === col("l_partkey"), "left_semi")
+      .select("p_partkey", "p_brand")
+      .orderBy("p_partkey")
+  }
+
+  /** Union + conditional aggregation. */
+  def unionCase(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderstatus").as("status"))
+    val l = Tables.lineitem(s, dir).select(col("l_linestatus").as("status"))
+    o.unionAll(l).groupBy("status")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("status")
+  }
+
+  /** Conditional aggregation with case-when. */
+  def caseAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("hi_disc"),
+        sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("hi_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** Tumbling 1-hour window over the event stream (batch form; the
+    * streaming variant in graft.streaming computes the same thing).
+    */
+  def eventsWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), r4(sum(col("value"))).as("sum_value"))
+      .orderBy("w", "event_type")
+
+  /** JSON extraction from the props column. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") > 90)
+      .orderBy("event_id")
+
+  /** Sessionization: 30-min-gap sessions per user (gaps-and-islands,
+    * integer micros math for engine parity). One shuffle on user_id.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1L).otherwise(
+          when(lag(col("us"), 1).over(byUser).isNull, 1L).otherwise(0L)))
+      .withColumn("session_id", sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+}

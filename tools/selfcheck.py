@@ -15,7 +15,7 @@ for name, sql in sorted(oracles.items()):
     status = []
     if list(got.columns) != list(exp.columns): status.append(f"COLS {list(got.columns)} vs {list(exp.columns)}")
     if len(got) != len(exp): status.append(f"ROWS {len(got)} vs {len(exp)}")
-    if not status:
+    if not status and len(got) > 0:
         gs = got.astype(str).apply(lambda r: '|'.join(r), axis=1).sort_values().reset_index(drop=True)
         es = exp.astype(str).apply(lambda r: '|'.join(r), axis=1).sort_values().reset_index(drop=True)
         n_mismatch = (gs != es).sum()
