@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Metric, Relational, Similarity}
+import graft.operators.{Ann, Dedup, Metric, Multimodal, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -99,6 +99,42 @@ object SparkEntry {
     "q_events_window" -> (Relational.eventsWindow _),
     "q_json_extract" -> (Relational.jsonExtract _),
     "q_sessionize" -> (Relational.sessionize _),
+
+    // ---- LLM-pipeline operators (SURVEY §2.3) ---------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+
+    // doc_id < 500 on both sides keeps the inverted-index fan-out flat
+    // across SFs (all docs at sf0.01); at scale the df-cut variant runs
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 500), "doc_id", "text",
+        n = 3, threshold = 0.7)),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 500), "doc_id", "text",
+        threshold = 0.7, shingleN = 5)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairsExact(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.3)),
+
+    "ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.lshCosineTopK(emb, "vec_id", emb, "vec_id", "embedding", k = 10)
+    }),
+
+    "text_langid" -> (TextAnalysis.langId _),
+    "text_quality" -> (TextAnalysis.quality _),
+    "text_tokens" -> (TextAnalysis.tokenCounts _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.features(s, dir).select("doc_id", "byte_len", "content_md5")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -235,5 +271,89 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 500
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([t[i : i + 2] FOR i IN
+        |    range(1, greatest(length(t) - 2, 1) + 1)])) AS s
+        |  FROM docs
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id1, id2, round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 AS jaccard
+        |FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+        |WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.7
+        |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |             CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 4) + 0.0 >= 0.3
+        |ORDER BY id1, id2""".stripMargin,
+
+    "text_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS tk
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, unnest([
+        |    {'lang': 'en', 'pos': 1, 'score': len(list_filter(tk, x -> list_contains(['the','a','and','of','to'], x))) },
+        |    {'lang': 'fr', 'pos': 2, 'score': len(list_filter(tk, x -> list_contains(['le','la','les','et','de'], x))) },
+        |    {'lang': 'de', 'pos': 3, 'score': len(list_filter(tk, x -> list_contains(['der','die','und','das','ein'], x))) },
+        |    {'lang': 'es', 'pos': 4, 'score': len(list_filter(tk, x -> list_contains(['el','los','las','y','en'], x))) }
+        |  ], recursive := true)
+        |  FROM toks
+        |), ranked AS (
+        |  SELECT doc_id, lang, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pos ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, lang AS pred_lang, CAST(score AS BIGINT) AS score
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  round(len(regexp_extract_all(text, '[^\w\s]')) * 1.0 / length(text), 4) + 0.0 AS punct_ratio,
+        |  round(len(list_filter(
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'),
+        |          x -> list_contains(['the','a','and','of','to'], x))) * 1.0
+        |        / len(regexp_split_to_array(trim(text), '\s+')), 4) + 0.0 AS stop_ratio,
+        |  round(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |          x -> length(x))) * 1.0
+        |        / len(regexp_split_to_array(trim(text), '\s+')), 4) + 0.0 AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5,
+        |  CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

