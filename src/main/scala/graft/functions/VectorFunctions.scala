@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -150,10 +150,92 @@ case class ArrayEuclidean(left: Expression, right: Expression) extends VectorBin
     copy(left = l, right = r)
 }
 
+/** All LSH bucket ids for one embedding in a single pass:
+  * `planes` is tables × bits × dim flattened row-major; output is
+  * array<long>(tables) where bit j of entry t = sign of the dot with
+  * plane (t, j). One expression with one plane literal instead of a
+  * tables×bits tree of ArrayDot nodes — planning stays O(1) and the
+  * generated code is one tight loop reading the plane array from a
+  * per-partition reference object.
+  */
+case class LshBuckets(child: Expression, planes: Array[Double], tables: Int, bits: Int)
+    extends UnaryExpression {
+  require(tables > 0 && bits > 0 && bits < 63 && planes.length % (tables * bits) == 0,
+    "planes length must be tables*bits*dim")
+  private val dim = planes.length / (tables * bits)
+
+  override def prettyName: String = "lsh_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def elemT: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemT == FloatType || elemT == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) throw new IllegalArgumentException(
+      s"Dimension mismatch: embedding has ${a.numElements()} elements, planes have $dim")
+    val isF = elemT == FloatType
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val base = (t * bits + j) * dim
+        var s = 0.0; var d = 0
+        while (d < dim) {
+          s += (if (isF) a.getFloat(d).toDouble else a.getDouble(d)) * planes(base + d)
+          d += 1
+        }
+        if (s >= 0) bucket |= 1L << j
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+      val getter = if (elemT == FloatType) s"(double) $a.getFloat" else s"$a.getDouble"
+      val Seq(out, t, j, d, s, bucket, base) =
+        Seq("out", "t", "j", "d", "s", "bucket", "base").map(ctx.freshName)
+      s"""
+         |if ($a.numElements() != $dim) throw new IllegalArgumentException(
+         |  "Dimension mismatch: embedding has " + $a.numElements() + " elements, planes have $dim");
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    int $base = ($t * $bits + $j) * $dim;
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) $s += $getter($d) * $p[$base + $d];
+         |    if ($s >= 0) $bucket |= 1L << $j;
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   import ColumnBridge.{column => C, expression => E}
 
   def array_dot(a: Column, b: Column): Column = C(ArrayDot(E(a), E(b)))
+  def lsh_buckets(emb: Column, planes: Array[Double], tables: Int, bits: Int): Column =
+    C(LshBuckets(E(emb), planes, tables, bits))
   def array_cosine(a: Column, b: Column): Column = C(ArrayCosine(E(a), E(b)))
   def array_euclidean(a: Column, b: Column): Column = C(ArrayEuclidean(E(a), E(b)))
 

@@ -25,20 +25,28 @@ object Ann {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
-  /** Bucket id per table: sign-bit signature of the hyperplane dots.
-    * Pure column expressions — no UDF; the dot products inline into
-    * codegen via ArrayDot.
+  /** Bucket ids for all tables in ONE codegen'd expression
+    * ([[graft.functions.LshBuckets]]): a tables×bits tree of ArrayDot
+    * nodes with per-plane literals made Catalyst planning itself the
+    * bottleneck (~3 s per analysis of a 576-node tree); one expression
+    * holding the flattened plane matrix plans in O(1) and runs as a
+    * single tight loop.
     */
-  private def bucketCols(embCol: Column, planes: Array[Array[Array[Double]]]): Seq[Column] =
-    planes.toIndexedSeq.map { table =>
-      table.toIndexedSeq.zipWithIndex.map { case (plane, j) =>
-        shiftleft(when(array_dot(embCol, lit(plane)) >= 0, 1L).otherwise(0L), j)
-      }.reduce((a, b) => a.bitwiseOR(b))
-    }
+  private def bucketArray(embCol: Column, planes: Array[Array[Array[Double]]]): Column =
+    lsh_buckets(embCol, planes.flatten.flatten, planes.length, planes.head.length)
 
   /** LSH cosine top-k: per query, the k most-cosine-similar corpus
     * rows among LSH candidates. Output: (qid, rank, index, score) —
     * same shape as Similarity.topkFlat for recall comparison.
+    *
+    * Plan shape (the part that matters at 100 TB): the bucket
+    * equi-join and the candidate-pair distinct carry ONLY ids — the
+    * embedding vectors never ride through the high-fan-out stages.
+    * Embeddings are attached once per unique pair afterwards: the
+    * corpus side by broadcast (it is the small "index" side), the
+    * query side by a hash join on the query id whose partitioning the
+    * ranking window then reuses. Shuffle volume is O(unique pairs) ×
+    * 16 bytes instead of × 2·dim·8 bytes.
     */
   def lshCosineTopK(
       queries: DataFrame,
@@ -52,17 +60,22 @@ object Ann {
       seed: Long = 42L): DataFrame = {
     val dim = queries.select(size(col(embCol))).head.getInt(0)
     val planes = hyperplanes(tables, bits, dim, seed)
-    def withBuckets(df: DataFrame, idOut: String, embOut: String) = {
-      val e = col(embCol).cast("array<double>")
-      df.select(col(idOut), e.as(embOut),
-        posexplode(array(bucketCols(e, planes): _*)).as(Seq("table", "bucket")))
-    }
-    val qb = withBuckets(queries.select(col(qIdCol), col(embCol)), qIdCol, "qe")
-    val cb = withBuckets(
-      corpus.select(col(cIdCol).as("index"), col(embCol)), "index", "ce")
-    val cand = qb.join(cb, Seq("table", "bucket"))
-      .select(col(qIdCol), col("index"), col("qe"), col("ce"))
-      .dropDuplicates(qIdCol, "index")
+    val e = col(embCol).cast("array<double>")
+    // (id, table, bucket) signature rows — ids only past this point
+    def signatures(df: DataFrame, idOut: String) =
+      df.select(col(idOut),
+        posexplode(bucketArray(col(embCol), planes)).as(Seq("table", "bucket")))
+    val qb = signatures(queries.select(col(qIdCol), col(embCol)), qIdCol)
+    val cb = signatures(
+      corpus.select(col(cIdCol).as("index"), col(embCol)), "index")
+    val pairs = qb.join(cb, Seq("table", "bucket"))
+      .select(col(qIdCol), col("index"))
+      .distinct()
+    val ce = corpus.select(col(cIdCol).as("index"), e.as("ce"))
+    val qe = queries.select(col(qIdCol), e.as("qe"))
+    val cand = pairs
+      .join(broadcast(ce), Seq("index"))
+      .join(qe, Seq(qIdCol))
       .withColumn("score", array_cosine(col("qe"), col("ce")))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("score").desc, col("index").asc)
     cand.withColumn("rank", row_number().over(w).cast("long"))
