@@ -1,0 +1,299 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Document-sketch signatures as single-pass Catalyst expressions.
+  *
+  * Both sketches are pure per-row projections, so at scale they run in
+  * the parquet scan stage: NO shuffle ever carries shingle or token
+  * rows (SURVEY §4). The earlier formulation (explode + groupBy(id))
+  * shuffled every (doc, shingle) pair; at 100 TB that shuffle would
+  * dwarf the actual dedup joins.
+  *
+  * Hash seeds deliberately match Spark's built-ins (`hash()` = murmur3
+  * seed 42, `xxhash64()` = xxh64 seed 42L) so signatures are
+  * bit-identical to the composed-builtin formulation.
+  */
+object Sketch {
+  /** uint32 murmur3 of a UTF8String — same value as Spark `hash(s)`
+    * masked to 32 bits.
+    */
+  def murmurU32(s: UTF8String): Long =
+    Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42).toLong & 0xFFFFFFFFL
+
+  /** xxh64 of a UTF8String — same value as Spark `xxhash64(s)`. */
+  def xxh64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+}
+
+abstract class StringArraySketch extends UnaryExpression {
+  protected def elemT: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemT == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${child.dataType.simpleString}")
+}
+
+/** MinHash signature over a shingle set: `sig[p] = min over shingles of
+  * (a_p · murmur32(s) + b_p) mod prime`. Output array<long>(numPerms);
+  * an empty input yields the identity (all `prime`), which no
+  * non-empty set produces. Multipliers < 2^30 keep a·h below 2^62 —
+  * no overflow under ANSI semantics.
+  */
+case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long])
+    extends StringArraySketch {
+  require(as.length == bs.length && as.nonEmpty)
+  private val numPerms = as.length
+  final val prime = 4294967311L
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numPerms)(prime)
+    var i = 0
+    while (i < n) {
+      val h = Sketch.murmurU32(arr.getUTF8String(i))
+      var p = 0
+      while (p < numPerms) {
+        val x = (as(p) * h + bs(p)) % prime
+        if (x < sig(p)) sig(p) = x
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val aRef = ctx.addReferenceObj("mhA", as, "long[]")
+      val bRef = ctx.addReferenceObj("mhB", bs, "long[]")
+      val Seq(sig, i, n, h, p, x) = Seq("sig", "i", "n", "h", "p", "x").map(ctx.freshName)
+      s"""
+         |int $n = $a.numElements();
+         |long[] $sig = new long[$numPerms];
+         |java.util.Arrays.fill($sig, ${prime}L);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = graft.functions.Sketch.murmurU32($a.getUTF8String($i));
+         |  for (int $p = 0; $p < $numPerms; $p++) {
+         |    long $x = ($aRef[$p] * $h + $bRef[$p]) % ${prime}L;
+         |    if ($x < $sig[$p]) $sig[$p] = $x;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash banded-LSH hashes in one pass: the signature of
+  * [[MinHashSignature]] chopped into `bands` equal blocks, each block
+  * folded to one 64-bit hash (xxh64 chain, seed 42). Exists because
+  * `posexplode` (GenerateExec) and lambda bodies re-evaluate their
+  * input expression per produced row — referencing a sig column from
+  * a collapsed projection recomputed normalize+shingle+minhash up to
+  * `bands` times per document. One opaque expression is evaluated
+  * exactly once per row.
+  */
+case class MinHashBandHashes(child: Expression, as: Array[Long], bs: Array[Long], bands: Int)
+    extends StringArraySketch {
+  require(as.length == bs.length && bands > 0 && as.length % bands == 0,
+    "bands must divide numPerms")
+  private val numPerms = as.length
+  private val rpb = numPerms / bands
+  final val prime = 4294967311L
+
+  override def prettyName: String = "minhash_band_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numPerms)(prime)
+    var i = 0
+    while (i < n) {
+      val h = Sketch.murmurU32(arr.getUTF8String(i))
+      var p = 0
+      while (p < numPerms) {
+        val x = (as(p) * h + bs(p)) % prime
+        if (x < sig(p)) sig(p) = x
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var bd = 0
+    while (bd < bands) {
+      var hh = 42L
+      var r = 0
+      while (r < rpb) {
+        hh = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(sig(bd * rpb + r), hh)
+        r += 1
+      }
+      out(bd) = hh
+      bd += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val aRef = ctx.addReferenceObj("mhA", as, "long[]")
+      val bRef = ctx.addReferenceObj("mhB", bs, "long[]")
+      val Seq(sig, i, n, h, p, x, out, bd, r, hh) =
+        Seq("sig", "i", "n", "h", "p", "x", "out", "bd", "r", "hh").map(ctx.freshName)
+      s"""
+         |int $n = $a.numElements();
+         |long[] $sig = new long[$numPerms];
+         |java.util.Arrays.fill($sig, ${prime}L);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = graft.functions.Sketch.murmurU32($a.getUTF8String($i));
+         |  for (int $p = 0; $p < $numPerms; $p++) {
+         |    long $x = ($aRef[$p] * $h + $bRef[$p]) % ${prime}L;
+         |    if ($x < $sig[$p]) $sig[$p] = $x;
+         |  }
+         |}
+         |long[] $out = new long[$bands];
+         |for (int $bd = 0; $bd < $bands; $bd++) {
+         |  long $hh = 42L;
+         |  for (int $r = 0; $r < $rpb; $r++)
+         |    $hh = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($sig[$bd * $rpb + $r], $hh);
+         |  $out[$bd] = $hh;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over a token multiset (duplicates count): bit j of
+  * the output is set iff tokens whose xxh64 has bit j set outnumber
+  * those that don't (ties → set, matching `sum(±1) >= 0`).
+  */
+case class SimHash64(child: Expression) extends StringArraySketch {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = Sketch.xxh64(arr.getUTF8String(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) >= 0) out |= 1L << j; j += 1 }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val Seq(counts, i, n, h, j, out) =
+        Seq("counts", "i", "n", "h", "j", "out").map(ctx.freshName)
+      s"""
+         |int $n = $a.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = graft.functions.Sketch.xxh64($a.getUTF8String($i));
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) if ($counts[$j] >= 0) $out |= 1L << $j;
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** |A ∩ B| for two SORTED, distinct array<string> columns via a linear
+  * merge — replaces `size(array_intersect(...))`, whose per-row hash
+  * set dominated the dedup verify stages. Sort once at set-build time
+  * (`array_sort`), merge per candidate pair.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "sorted_intersect_count"
+  override def dataType: DataType = IntegerType
+
+  private def elemT(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemT(left) == StringType && elemT(right) == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (n, m) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val Seq(n, m, i, j, c, cmp) = Seq("n", "m", "i", "j", "c", "cmp").map(ctx.freshName)
+      s"""
+         |int $n = $a.numElements(), $m = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SketchFunctions {
+  import ColumnBridge.{column => C, expression => E}
+
+  def minhash_signature(shingles: Column, as: Array[Long], bs: Array[Long]): Column =
+    C(MinHashSignature(E(shingles), as, bs))
+  def minhash_band_hashes(shingles: Column, as: Array[Long], bs: Array[Long], bands: Int): Column =
+    C(MinHashBandHashes(E(shingles), as, bs, bands))
+  def simhash64(tokens: Column): Column = C(SimHash64(E(tokens)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    C(SortedIntersectCount(E(a), E(b)))
+}

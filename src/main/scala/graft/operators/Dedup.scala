@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.SketchFunctions._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -34,10 +35,22 @@ object Dedup {
     docs.select(col(idCol).as("id"),
         explode(charShingles(normalize(col(textCol)), n)).as("s"))
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
+  /** Exact n-gram Jaccard near-dup pairs via PREFIX-FILTERED
+    * inverted-index join (the classic all-pairs similarity-join
+    * optimization — Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08,
+    * both public literature). Under a global shingle order (ascending
+    * document frequency, then shingle), any pair with J ≥ τ must share
+    * one of each side's first `|s| − ⌈τ·|s|⌉ + 1` shingles, so only
+    * those RAREST shingles are indexed — fan-out is Σ df² over rare
+    * shingles instead of all shingles. A size filter
+    * (`min ≥ τ·max`) prunes further; survivors are verified with an
+    * exact `array_intersect` Jaccard. Lossless: output is identical to
+    * the full inverted-index join.
+    *
     * Output: (id1, id2, jaccard) with jaccard ≥ threshold.
     * `maxDocFreq`: drop shingles occurring in more than that many docs
-    * (0 = keep all; required 0 for oracle parity, >0 at scale).
+    * from the universe (0 = keep all; required 0 for oracle parity,
+    * >0 as the extra safety valve at scale).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -47,21 +60,34 @@ object Dedup {
       threshold: Double,
       maxDocFreq: Long = 0L): DataFrame = {
     val sh0 = shingleRows(docs, idCol, textCol, n)
-    val sh = if (maxDocFreq > 0) {
-      val df = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
-      sh0.join(df.select("s"), Seq("s"))
-    } else sh0
-    // sizes over the same (possibly df-cut) universe as the intersection
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("id").as("id1"), col("s"))
-    val b = sh.select(col("id").as("id2"), col("s"))
-    val inter = a.join(b, Seq("s")).filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
-      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
+    val dfAll = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+    val dfKeep = if (maxDocFreq > 0) dfAll.filter(col("df") <= maxDocFreq) else dfAll
+    val sh = sh0.join(dfKeep, Seq("s"))
+    // doc → (sorted distinct-shingle set, size) over the (possibly
+    // df-cut) universe; sorted once here so verification is a linear
+    // merge per pair instead of a per-pair hash set
+    val sets = sh.groupBy("id")
+      .agg(array_sort(collect_list(col("s"))).as("sset"), count(lit(1)).as("n"))
+    // prefix index: each doc's (|s| − ceil(τ·|s|) + 1) rarest shingles
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("s").asc)
+    val prefix = sh
+      .withColumn("rn", row_number().over(w))
+      .join(sets.select(col("id"), col("n")), Seq("id"))
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("s"), col("n"))
+    val cand = prefix.select(col("id").as("id1"), col("s"), col("n").as("n1"))
+      .join(prefix.select(col("id").as("id2"), col("s"), col("n").as("n2")), Seq("s"))
+      .filter(col("id1") < col("id2") &&
+        least(col("n1"), col("n2")) >= ceil(greatest(col("n1"), col("n2")) * threshold))
+      .select("id1", "id2").distinct()
+    val full = sets.select(col("id"), col("sset"))
+    cand
+      .join(full.select(col("id").as("id1"), col("sset").as("s1")), Seq("id1"))
+      .join(full.select(col("id").as("id2"), col("sset").as("s2")), Seq("id2"))
+      .withColumn("c", sorted_intersect_count(col("s1"), col("s2")))
       .withColumn("jaccard",
-        round(col("c") / (col("n1") + col("n2") - col("c")), 4) + lit(0.0))
+        round(col("c") / (size(col("s1")) + size(col("s2")) - col("c")), 4) + lit(0.0))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
       .orderBy("id1", "id2")
@@ -78,8 +104,12 @@ object Dedup {
   }
 
   /** MinHash signatures: one row per doc, sig = array<long>(numPerms).
-    * Shingle → 32-bit murmur (Spark `hash`) → per-permutation
-    * universal-hash min. Computed with one shuffle (groupBy id).
+    * Shingle → 32-bit murmur (same seed as Spark `hash`) →
+    * per-permutation universal-hash min, all inside one codegen'd
+    * expression ([[graft.functions.MinHashSignature]]) — a pure
+    * scan-stage projection with NO shuffle (SURVEY §4); the earlier
+    * explode + groupBy(id) formulation shuffled every (doc, shingle)
+    * row and produced bit-identical signatures.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -88,14 +118,10 @@ object Dedup {
       shingleN: Int = 5,
       numPerms: Int = 128,
       seed: Long = 42L): DataFrame = {
-    val prime = 4294967311L
-    val sh = shingleRows(docs, idCol, textCol, shingleN)
-      .withColumn("h", hash(col("s")).cast("long").bitwiseAND(0xFFFFFFFFL))
-    val minCols = perms(numPerms, seed).zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % prime).as(s"m$i")
-    }
-    sh.groupBy("id").agg(minCols.head, minCols.tail.toIndexedSeq: _*)
-      .select(col("id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+    val ps = perms(numPerms, seed)
+    docs.select(col(idCol).as("id"),
+      minhash_signature(charShingles(normalize(col(textCol)), shingleN),
+        ps.map(_._1), ps.map(_._2)).as("sig"))
   }
 
   /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
@@ -112,12 +138,18 @@ object Dedup {
       bands: Int = 32,
       seed: Long = 42L): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
-    val rpb = numPerms / bands
-    val sig = minhashSignatures(docs, idCol, textCol, shingleN, numPerms, seed)
-    val banded = sig.select(col("id"),
-        posexplode(array((0 until bands).map(bd =>
-          hash((0 until rpb).map(r => col("sig")(bd * rpb + r)): _*)): _*))
-          .as(Seq("band", "bh")))
+    val ps = perms(numPerms, seed)
+    // Signature + band hashes fused in ONE expression
+    // ([[graft.functions.MinHashBandHashes]]): posexplode/lambdas
+    // re-evaluate their input per produced row, so referencing a sig
+    // column here recomputed normalize+shingle+minhash `bands` times
+    // per document. Two docs share a band iff their sig block is
+    // equal, so any deterministic block hash yields the same
+    // candidates; verification is exact either way.
+    val banded = docs.select(col(idCol).as("id"),
+        posexplode(minhash_band_hashes(
+          charShingles(normalize(col(textCol)), shingleN),
+          ps.map(_._1), ps.map(_._2), bands)).as(Seq("band", "bh")))
     val cand = banded.select(col("band"), col("bh"), col("id").as("id1"))
       .join(banded.select(col("band"), col("bh"), col("id").as("id2")), Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
@@ -134,11 +166,11 @@ object Dedup {
       shingleN: Int,
       threshold: Double): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
-      charShingles(normalize(col(textCol)), shingleN).as("sset"))
+      array_sort(charShingles(normalize(col(textCol)), shingleN)).as("sset"))
     candidates
       .join(sets.select(col("id").as("id1"), col("sset").as("s1")), Seq("id1"))
       .join(sets.select(col("id").as("id2"), col("sset").as("s2")), Seq("id2"))
-      .withColumn("c", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("c", sorted_intersect_count(col("s1"), col("s2")))
       .withColumn("jaccard",
         round(col("c") / (size(col("s1")) + size(col("s2")) - col("c")), 4) + lit(0.0))
       .filter(col("jaccard") >= threshold)
@@ -147,22 +179,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprints over whitespace tokens: per bit,
-    * majority vote of token-hash bits. One shuffle (groupBy id).
-    * Output: (id, simhash).
+    * majority vote of token-hash bits (xxh64, same seed as Spark
+    * `xxhash64`), in one codegen'd expression
+    * ([[graft.functions.SimHash64]]) — scan-stage projection, no
+    * shuffle. Output: (id, simhash).
     */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-        explode(tokens(normalize(col(textCol)))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$j")
-    }
-    val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail.toIndexedSeq: _*)
-    val simhash = (0 until 64).map { j =>
-      shiftleft(when(col(s"b$j") >= 0, 1L).otherwise(0L), j)
-    }.reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("id"), simhash.as("simhash"))
-  }
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      simhash64(tokens(normalize(col(textCol)))).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist (≤ 3 by
     * default). Pigeonhole: split 64 bits into 4 chunks; any pair at
