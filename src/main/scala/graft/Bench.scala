@@ -41,7 +41,46 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val kernel = kernelHeadline(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"kernel":$kernel,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Kernel headlines. First: the reference's README benchmark shape —
+    * topk over 1000 queries × 10000 corpus × 256 dims, cosine, k=10
+    * (reference README.md:160-168 reports ≈45 ms single-node). At that
+    * size a Spark job's fixed scheduling cost (~40 ms for 32 tasks) is
+    * a large fraction of the wall time, so a second, 16× larger query
+    * batch shows the amortized throughput — the regime that matters at
+    * scale. Seeded synthetic data; corpus index built once (the
+    * reference also pre-holds both frames); best of 3 timed runs.
+    */
+  private def kernelHeadline(spark: SparkSession): String = {
+    import graft.operators.{Metric, Similarity}
+    val (nC, dim, k) = (10000, 256, 10)
+    val rnd = new scala.util.Random(7)
+    def mat(n: Int) =
+      (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    val corpusDF = spark.createDataFrame(mat(nC)).toDF("id", "emb")
+    val cx = Similarity.collectCorpus(corpusDF, "id", "emb")
+    def bestOf3(nQ: Int): Double = {
+      val queriesDF = spark.createDataFrame(mat(nQ)).toDF("id", "emb")
+        .repartition(spark.sparkContext.defaultParallelism).cache()
+      queriesDF.count()
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        Similarity.topkFlat(queriesDF, "emb", cx, k, Metric.Cosine).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // warm
+      val best = (1 to 3).map(_ => run()).min
+      queriesDF.unpersist()
+      best
+    }
+    val ref = bestOf3(1000)
+    val big = bestOf3(16000)
+    s"""{"shape":"1000x${nC}x$dim","k":$k,"metric":"cosine","sec":$ref,""" +
+      s""""big_shape":"16000x${nC}x$dim","big_sec":$big,""" +
+      s""""big_qps":${16000.0 / big}}"""
   }
 }

@@ -53,6 +53,19 @@ object SparkEntry {
     "topk_dot" -> ((s, dir) => topkQuery(s, dir, Metric.Dot)),
     "topk_euclidean" -> ((s, dir) => topkQuery(s, dir, Metric.Euclidean)),
 
+    // the >broadcast-limit scale path (SURVEY §4): corpus in 4 id-range
+    // blocks, per-block partial top-k, one qid-shuffle merge — must
+    // produce exactly the single-broadcast result (same oracle as
+    // topk_cosine)
+    "topk_blocked" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topkBlocked(emb.select("vec_id", "embedding"), "embedding", "vec_id",
+          emb, "vec_id", "embedding", k = 5, Metric.Cosine, numBlocks = 4)
+        .select(col("vec_id"), col("rank").cast("long").as("rank"), col("index"),
+          (round(col("score"), 4) + lit(0.0)).as("score"))
+        .orderBy("vec_id", "rank")
+    }),
+
     "topk_join_meta" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val meta = emb.select(col("vec_id").as("index"), col("label"))
@@ -141,6 +154,7 @@ object SparkEntry {
     "topk_cosine" -> topkOracle("list_cosine_similarity", desc = true),
     "topk_dot" -> topkOracle("list_inner_product", desc = true),
     "topk_euclidean" -> topkOracle("list_distance", desc = false),
+    "topk_blocked" -> topkOracle("list_cosine_similarity", desc = true),
 
     "topk_join_meta" ->
       s"""WITH scores AS (

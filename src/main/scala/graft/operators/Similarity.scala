@@ -3,8 +3,12 @@ package graft.operators
 import dev.ludovic.netlib.blas.BLAS
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.InternalRowBridge
 import org.apache.spark.sql.types._
 
 /** Distributed similarity search — the Spark-native re-expression of
@@ -124,6 +128,11 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(corpus)
     val schema = queries.schema
     val embIdx = schema.fieldIndex(embCol)
+    val embIsF32 = schema(embCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val fieldTypes = schema.fields.map(_.dataType)
     val outSchema = StructType(schema.fields :+ StructField(outputCol,
       ArrayType(StructType(Seq(
         StructField("index", LongType, nullable = false),
@@ -132,24 +141,34 @@ object Similarity {
     val higher = metric.higherIsBetter
     val m = metric
 
-    val outRdd = queries.rdd.mapPartitions { it =>
+    // InternalRow path (no per-element boxing): the scan's UnsafeRows
+    // are reused by the iterator, so each is copy()d into the batch.
+    val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
       val cx = bc.value
       val blas = BLAS.getInstance()
-      it.grouped(512).flatMap { batch =>
+      it.map(_.copy()).grouped(512).flatMap { batch =>
         val mRows = batch.length
         val q = new Array[Double](mRows * cx.dim)
         val qNorms = new Array[Double](mRows)
         val qSq = new Array[Double](mRows)
         var i = 0
         batch.foreach { row =>
-          val emb = row.getSeq[Any](embIdx)
-          if (emb.length != cx.dim) throw new IllegalArgumentException(
-            s"Dimension mismatch: query has ${emb.length} elements, corpus has ${cx.dim}")
+          val emb = row.getArray(embIdx)
+          if (emb.numElements() != cx.dim) throw new IllegalArgumentException(
+            s"Dimension mismatch: query has ${emb.numElements()} elements, corpus has ${cx.dim}")
           var d = 0; var sq = 0.0
-          val eit = emb.iterator
-          while (d < cx.dim) {
-            val v = eit.next().asInstanceOf[Number].doubleValue
-            q(i * cx.dim + d) = v; sq += v * v; d += 1
+          if (embIsF32) {
+            val fa = emb.toFloatArray()
+            while (d < cx.dim) {
+              val v = fa(d).toDouble
+              q(i * cx.dim + d) = v; sq += v * v; d += 1
+            }
+          } else {
+            val da = emb.toDoubleArray()
+            while (d < cx.dim) {
+              val v = da(d)
+              q(i * cx.dim + d) = v; sq += v * v; d += 1
+            }
           }
           qSq(i) = sq; qNorms(i) = math.sqrt(sq); i += 1
         }
@@ -157,22 +176,48 @@ object Similarity {
         val scores = new Array[Double](mRows * cx.n)
         blas.dgemm("T", "N", cx.n, mRows, cx.dim, 1.0, cx.data, cx.dim,
           q, cx.dim, 0.0, scores, cx.n)
+        // metric post-processing fused into the GEMM output buffer in
+        // one specialized pass (the per-candidate virtual dispatch a
+        // `match` inside the selection loop costs is measurable at
+        // 10M+ candidates per batch)
+        m match {
+          case Metric.Dot => ()
+          case Metric.Cosine =>
+            var qi = 0
+            while (qi < mRows) {
+              val base = qi * cx.n
+              val qn = qNorms(qi)
+              var j = 0
+              while (j < cx.n) {
+                scores(base + j) =
+                  if (qn <= 1e-10 || cx.norms(j) <= 1e-10) 0.0
+                  else scores(base + j) / (qn * cx.norms(j))
+                j += 1
+              }
+              qi += 1
+            }
+          case Metric.Euclidean =>
+            var qi = 0
+            while (qi < mRows) {
+              val base = qi * cx.n
+              val qs = qSq(qi)
+              var j = 0
+              while (j < cx.n) {
+                scores(base + j) =
+                  math.sqrt(math.max(0.0, qs + cx.sqNorms(j) - 2.0 * scores(base + j)))
+                j += 1
+              }
+              qi += 1
+            }
+        }
         batch.iterator.zipWithIndex.map { case (row, qi) =>
           val base = qi * cx.n
-          // metric post-processing fused into selection
           val selIdx = new Array[Int](kk)
           val selScore = new Array[Double](kk)
           var size = 0
           var j = 0
           while (j < cx.n) {
-            val s = m match {
-              case Metric.Dot => scores(base + j)
-              case Metric.Cosine =>
-                if (qNorms(qi) <= 1e-10 || cx.norms(j) <= 1e-10) 0.0
-                else scores(base + j) / (qNorms(qi) * cx.norms(j))
-              case Metric.Euclidean =>
-                math.sqrt(math.max(0.0, qSq(qi) + cx.sqNorms(j) - 2.0 * scores(base + j)))
-            }
+            val s = scores(base + j)
             // keep selIdx/selScore sorted best-first; insert if beats worst
             val beatsWorst = size < kk || {
               val w = selScore(size - 1)
@@ -193,12 +238,18 @@ object Similarity {
             }
             j += 1
           }
-          val matches = (0 until size).map(r => Row(cx.ids(selIdx(r)), selScore(r)))
-          Row.fromSeq(row.toSeq :+ matches)
+          val structs = new Array[Any](size)
+          var r = 0
+          while (r < size) { structs(r) = InternalRow(cx.ids(selIdx(r)), selScore(r)); r += 1 }
+          val vals = new Array[Any](fieldTypes.length + 1)
+          var f = 0
+          while (f < fieldTypes.length) { vals(f) = row.get(f, fieldTypes(f)); f += 1 }
+          vals(fieldTypes.length) = new GenericArrayData(structs)
+          new GenericInternalRow(vals): InternalRow
         }
       }
     }
-    spark.createDataFrame(outRdd, outSchema)
+    InternalRowBridge.fromInternalRdd(spark, outRdd, outSchema)
   }
 
   /** topk then explode+unnest (the reference's documented consumption
@@ -243,51 +294,61 @@ object Similarity {
     val outSchema = StructType(schema.fields :+
       StructField(outputCol, ArrayType(elemT, containsNull = false)))
 
-    val outRdd = queries.rdd.mapPartitions { it =>
+    val fieldTypes = schema.fields.map(_.dataType)
+    def appendScores(row: InternalRow, scores: Any): InternalRow = {
+      val vals = new Array[Any](fieldTypes.length + 1)
+      var f = 0
+      while (f < fieldTypes.length) { vals(f) = row.get(f, fieldTypes(f)); f += 1 }
+      vals(fieldTypes.length) = new GenericArrayData(scores)
+      new GenericInternalRow(vals)
+    }
+    val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
       val cx = bc.value
       val blas = BLAS.getInstance()
-      it.grouped(512).flatMap { batch =>
+      it.map(_.copy()).grouped(512).flatMap { batch =>
         val mRows = batch.length
         if (useF32) {
           val q = new Array[Float](mRows * cx.dim)
           var i = 0
           batch.foreach { row =>
-            val emb = row.getSeq[Any](embIdx)
-            if (emb.length != cx.dim) throw new IllegalArgumentException(
-              s"Dimension mismatch: query has ${emb.length} elements, corpus has ${cx.dim}")
-            var d = 0
-            val eit = emb.iterator
-            while (d < cx.dim) { q(i * cx.dim + d) = eit.next().asInstanceOf[Number].floatValue; d += 1 }
+            val emb = row.getArray(embIdx)
+            if (emb.numElements() != cx.dim) throw new IllegalArgumentException(
+              s"Dimension mismatch: query has ${emb.numElements()} elements, corpus has ${cx.dim}")
+            System.arraycopy(emb.toFloatArray(), 0, q, i * cx.dim, cx.dim)
             i += 1
           }
           val scores = new Array[Float](mRows * cx.n)
           blas.sgemm("T", "N", cx.n, mRows, cx.dim, 1.0f, cx.dataF, cx.dim,
             q, cx.dim, 0.0f, scores, cx.n)
           batch.iterator.zipWithIndex.map { case (row, qi) =>
-            Row.fromSeq(row.toSeq :+ scores.slice(qi * cx.n, (qi + 1) * cx.n).toSeq)
+            appendScores(row, java.util.Arrays.copyOfRange(scores, qi * cx.n, (qi + 1) * cx.n))
           }
         } else {
           val q = new Array[Double](mRows * cx.dim)
           var i = 0
           batch.foreach { row =>
-            val emb = row.getSeq[Any](embIdx)
-            if (emb.length != cx.dim) throw new IllegalArgumentException(
-              s"Dimension mismatch: query has ${emb.length} elements, corpus has ${cx.dim}")
-            var d = 0
-            val eit = emb.iterator
-            while (d < cx.dim) { q(i * cx.dim + d) = eit.next().asInstanceOf[Number].doubleValue; d += 1 }
+            val emb = row.getArray(embIdx)
+            if (emb.numElements() != cx.dim) throw new IllegalArgumentException(
+              s"Dimension mismatch: query has ${emb.numElements()} elements, corpus has ${cx.dim}")
+            if (queryIsF32) {
+              val fa = emb.toFloatArray()
+              var d = 0
+              while (d < cx.dim) { q(i * cx.dim + d) = fa(d).toDouble; d += 1 }
+            } else {
+              System.arraycopy(emb.toDoubleArray(), 0, q, i * cx.dim, cx.dim)
+            }
             i += 1
           }
           val scores = new Array[Double](mRows * cx.n)
           blas.dgemm("T", "N", cx.n, mRows, cx.dim, 1.0, cx.data, cx.dim,
             q, cx.dim, 0.0, scores, cx.n)
           batch.iterator.zipWithIndex.map { case (row, qi) =>
-            Row.fromSeq(row.toSeq :+ scores.slice(qi * cx.n, (qi + 1) * cx.n).toSeq)
+            appendScores(row, java.util.Arrays.copyOfRange(scores, qi * cx.n, (qi + 1) * cx.n))
           }
         }
       }
     }
-    spark.createDataFrame(outRdd, outSchema)
+    InternalRowBridge.fromInternalRdd(spark, outRdd, outSchema)
   }
 
   /** matmul then flatten (the reference's `flatten=True`): one row per

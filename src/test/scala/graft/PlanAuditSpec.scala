@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit (SURVEY §4): the scale properties are asserted,
+  * not assumed. Each test inspects the formatted explain of a driver
+  * query and checks the plan shape that must survive a 100 TB
+  * scale-up — filters and projections reaching the parquet scan,
+  * small dimensions broadcast, partial aggregation before exchanges,
+  * and no accidental cross products anywhere.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.create("local[4]", 4)
+  val dir = "/root/testdata/sf0.01"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_filter_project: predicate + projection pushed to parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    assert(p.contains("GreaterThan(l_discount"), "discount filter not pushed")
+    // projection pruning: untouched wide columns never leave the scan
+    assert(!p.contains("l_comment") && !p.contains("l_tax"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q1_agg: scan-stage filter pushdown + partial aggregation before the shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    // simple-mode explain marks whole-stage-codegen stages with *(n);
+    // under AQE those exist only in the final (post-execution) plan
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "aggregation fell out of whole-stage codegen")
+  }
+
+  test("q3_join_topn: dimension joins broadcast, no cartesian product") {
+    val p = plan("q3_join_topn")
+    assert(p.contains("BroadcastHashJoin"), "dimension join not broadcast")
+    assert(!p.contains("CartesianProduct"), "cartesian product in join plan")
+  }
+
+  test("similarity kernel: no |Q|x|C| join anywhere in the plan") {
+    for (q <- Seq("topk_cosine", "matmul_flat", "topk_blocked")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("dedup_exact: only (hash, id) reaches the shuffle, with map-side combine") {
+    val p = plan("dedup_exact")
+    assert(p.contains("hashpartitioning(content_hash"),
+      "shuffle is not keyed on the content hash")
+    assert(p.contains("partial_min"), "no map-side partial aggregation")
+    assert(!p.contains("hashpartitioning(text"), "raw text in shuffle key")
+  }
+
+  test("ann_lsh: corpus embeddings broadcast; candidate stages carry ids only") {
+    val p = plan("ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), "corpus-embedding join not broadcast")
+    assert(!p.contains("CartesianProduct"), "cartesian product in LSH plan")
+  }
+
+  test("topk_join_meta: metadata attach is a broadcast join") {
+    val p = plan("topk_join_meta")
+    assert(p.contains("BroadcastHashJoin"), "metadata join not broadcast")
+  }
+}
