@@ -112,6 +112,7 @@ object SparkEntry {
     "q_events_window" -> (Relational.eventsWindow _),
     "q_json_extract" -> (Relational.jsonExtract _),
     "q_sessionize" -> (Relational.sessionize _),
+    "q_sessionize_sw" -> (Relational.sessionizeWindow _),
 
     // ---- LLM-pipeline operators (SURVEY §2.3) ---------------------------
     "dedup_exact" -> ((s, dir) =>
@@ -285,6 +286,25 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize_sw" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, ts, event_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL THEN 1
+        |              WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -161,4 +161,18 @@ object Relational {
         max(col("ts")).as("session_end"))
       .orderBy("user_id", "session_id")
   }
+
+  /** Sessionization via the built-in `session_window` (Spark's native
+    * session assignment — one shuffle on (user_id, merged windows), no
+    * window-function pass). Same 30-minute-gap semantics as
+    * [[sessionize]]; the streaming form is
+    * graft.streaming.EventStream.sessionize.
+    */
+  def sessionizeWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
 }

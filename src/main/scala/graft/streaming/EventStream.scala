@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY §2.2 #20): the event stream
@@ -43,4 +44,82 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), (round(sum(col("value")), 4) + lit(0.0)).as("sum_value"))
       .select(col("window.start").as("w"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Streaming exact dedup on the content hash — the built-in stateful
+    * `dropDuplicates` with a watermark bounding the dedup state (at
+    * scale, state stores one (hash, ts) per distinct document inside
+    * the watermark horizon). First arrival wins, like the batch
+    * `Dedup.exact` keep-min-id rule under an id-ordered replay.
+    */
+  def dedupDocs(docs: DataFrame, tsCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** One closed session per (user, ≥`gapMinutes` silence) — custom
+    * state via `flatMapGroupsWithState` (SURVEY §2.2 #20): the state
+    * is the user's open session; an event inside the gap extends it,
+    * an event beyond the gap closes+emits it, and the event-time
+    * timeout (watermark passing session_end + gap) closes+emits the
+    * final one. Batch equivalent: Relational.sessionize.
+    */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
+  case class ClosedSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  def sessionize(events: DataFrame, gapMinutes: Int): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // java.sql.Timestamp splits time into millis + nanos-of-second;
+    // getTime alone drops the microsecond component the events carry
+    def toUs(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    def toTs(us: Long) = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    events.select(col("user_id"), col("ts")).as[SessionEvent]
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's horizon: flush it
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, toTs(s.startUs), toTs(s.endUs), s.n))
+          } else {
+            // merge this micro-batch's events (sorted; late events
+            // inside the gap fold into the open session); emit
+            // sessions a later event already closed
+            val evs = batch.map(e => toUs(e.ts)).toArray.sorted
+            var open = state.getOption
+            val closed = List.newBuilder[ClosedSession]
+            evs.foreach { us =>
+              open = open match {
+                case Some(cur) if us - cur.endUs <= gapUs =>
+                  Some(OpenSession(math.min(cur.startUs, us), math.max(cur.endUs, us), cur.n + 1))
+                case Some(cur) =>
+                  closed += ClosedSession(userId, toTs(cur.startUs), toTs(cur.endUs), cur.n)
+                  Some(OpenSession(us, us, 1))
+                case None =>
+                  Some(OpenSession(us, us, 1))
+              }
+            }
+            open.foreach { cur =>
+              state.update(cur)
+              // flush once the watermark passes session_end + gap
+              state.setTimeoutTimestamp(cur.endUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

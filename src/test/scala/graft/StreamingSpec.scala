@@ -1,8 +1,11 @@
 package graft
 
-import graft.operators.Relational
+import graft.operators.{Dedup, Relational}
 import graft.streaming.EventStream
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 class StreamingSpec extends AnyFunSuite {
@@ -22,5 +25,67 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming dedup keeps exactly the batch-exact distinct set") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val raw = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val q = EventStream.dedupDocs(raw, "ts", "text")
+      .select("content_hash")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out").collect().map(_.getString(0)).toSet
+    val batch = Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+      .collect().map(_.getString(0)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful streaming sessionization equals the batch gaps-and-islands result") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = EventStream.sessionize(mem.toDF.toDF("user_id", "ts"), gapMinutes = 30)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      val evs = Tables.events(spark, dir)
+        .select("user_id", "ts").filter(col("user_id") <= 3)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+        .sortBy(_._2.getTime)
+      val users = evs.map(_._1).distinct
+      mem.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      // two sentinel rounds: the first advances the watermark past
+      // every real session's (end + gap); the second triggers the
+      // event-time timeouts that flush still-open sessions
+      val maxMs = evs.map(_._2.getTime).max
+      for (h <- Seq(1000L, 2000L)) {
+        mem.addData(users.map(u => (u, new java.sql.Timestamp(maxMs + h * 3600 * 1000))).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // maxMs is millis-truncated; +1s of slack keeps the session at
+      // exactly max event time while excluding the hours-later sentinels
+      val streamed = spark.table("sess_out")
+        .filter(col("session_start") <= new java.sql.Timestamp(maxMs + 1000))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      val batch = Relational.sessionize(spark, dir)
+        .filter(col("user_id") <= 3)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
   }
 }
