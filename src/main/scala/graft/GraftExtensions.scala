@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.{ArrayCosine, ArrayDot, ArrayEuclidean, SimHash64}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension — the standard way to enable graft's SQL surface
+  * on any cluster without code changes:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * then `SELECT array_cosine(a.embedding, b.embedding) ...` works in
+  * plain SQL (Thrift server, notebooks, `spark.sql`). The injected
+  * functions are native codegen expressions, not UDFs, so they inline
+  * into whole-stage codegen like built-ins.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("array_dot", "array_dot(a, b) - dot product of two float/double arrays") {
+      es => ArrayDot(es.head, es(1))
+    }
+    inject("array_cosine",
+      "array_cosine(a, b) - cosine similarity; 0.0 when either norm <= 1e-10") {
+      es => ArrayCosine(es.head, es(1))
+    }
+    inject("array_euclidean", "array_euclidean(a, b) - L2 distance (lower = more similar)") {
+      es => ArrayEuclidean(es.head, es(1))
+    }
+    inject("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string> token multiset") {
+      es => SimHash64(es.head)
+    }
+  }
+}
