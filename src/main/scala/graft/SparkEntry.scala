@@ -142,6 +142,11 @@ object SparkEntry {
       Ann.lshCosineTopK(emb, "vec_id", emb, "vec_id", "embedding", k = 10)
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfCosineTopK(emb, "vec_id", emb, "vec_id", "embedding", k = 10)
+    }),
+
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
     "text_tokens" -> (TextAnalysis.tokenCounts _),

@@ -84,4 +84,102 @@ object Ann {
         (round(col("score"), 4) + lit(0.0)).as("score"))
       .orderBy(qIdCol, "rank")
   }
+
+  /** IVF (inverted-file) cosine top-k — the second ANN scale path.
+    *
+    * Train: spherical k-means on a driver-side corpus sample (bounded
+    * at `maxTrain` rows — standard IVF practice; the sample is taken
+    * by ascending id, so training is deterministic). Assign: both
+    * corpus and queries are scored against the centroid index with the
+    * SAME broadcast+GEMM kernel used for search ([[Similarity.topk]]),
+    * so assignment is fully distributed — corpus rows land in their
+    * top-1 cell, queries probe their `nProbe` nearest cells. Search:
+    * candidates come from a (cell)-equi-join carrying ids only;
+    * embeddings are attached once per unique pair (corpus by
+    * broadcast, queries by a qid hash join the ranking window
+    * reuses), then exact cosine reranks.
+    *
+    * Output: (qid, rank, index, score) — same shape as
+    * [[lshCosineTopK]] / Similarity.topkFlat.
+    */
+  def ivfCosineTopK(
+      queries: DataFrame,
+      qIdCol: String,
+      corpus: DataFrame,
+      cIdCol: String,
+      embCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 5,
+      maxTrain: Int = 4096): DataFrame = {
+    val spark = queries.sparkSession
+    // --- train (driver, bounded sample, deterministic) ---------------
+    val sample = corpus.select(col(cIdCol), col(embCol).cast("array<double>"))
+      .orderBy(col(cIdCol)).limit(maxTrain)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "Empty corpus")
+    val dim = sample.head.length
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n <= 1e-10) v else v.map(_ / n)
+    }
+    val unit = sample.map(normalized)
+    var centroids = unit.take(math.min(nCells, unit.length)).map(_.clone())
+    for (_ <- 1 to lloydIters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      unit.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          var dot = 0.0; var d = 0
+          while (d < dim) { dot += v(d) * centroids(c)(d); d += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) else normalized(sums(c))
+      }.toArray
+    }
+    // --- assign with the GEMM kernel (distributed) -------------------
+    val centroidCx = {
+      val n = centroids.length
+      val data = new Array[Double](n * dim)
+      val norms = new Array[Double](n)
+      val sqNorms = new Array[Double](n)
+      centroids.zipWithIndex.foreach { case (cvec, i) =>
+        System.arraycopy(cvec, 0, data, i * dim, dim)
+        val sq = cvec.map(x => x * x).sum
+        sqNorms(i) = sq; norms(i) = math.sqrt(sq)
+      }
+      CorpusIndex(Array.tabulate(n)(_.toLong), data, null, n, dim, norms, sqNorms)
+    }
+    def cells(df: DataFrame, idOut: String, probes: Int) =
+      Similarity.topkFlat(df, embCol, centroidCx, probes, Metric.Cosine)
+        .select(col(idOut), col("index").as("cell"))
+    // corpus id aliased away from "index", which topkFlat uses for the match
+    val cb = cells(corpus.select(col(cIdCol).as("__cid"), col(embCol)), "__cid", 1)
+      .select(col("__cid").as("index"), col("cell"))
+    val qb = cells(queries.select(col(qIdCol), col(embCol)), qIdCol, nProbe)
+    // --- search: id-only candidate join, broadcast rerank ------------
+    val e = col(embCol).cast("array<double>")
+    val pairs = qb.join(cb, Seq("cell")).select(col(qIdCol), col("index")).distinct()
+    val ce = corpus.select(col(cIdCol).as("index"), e.as("ce"))
+    val qe = queries.select(col(qIdCol), e.as("qe"))
+    val cand = pairs
+      .join(broadcast(ce), Seq("index"))
+      .join(qe, Seq(qIdCol))
+      .withColumn("score", array_cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("score").desc, col("index").asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col("index"),
+        (round(col("score"), 4) + lit(0.0)).as("score"))
+      .orderBy(qIdCol, "rank")
+  }
 }

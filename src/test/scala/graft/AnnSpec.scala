@@ -31,4 +31,27 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(run() == run())
   }
+
+  test("IVF topk recall ≥ 0.5 vs brute force at k=10; every query finds itself") {
+    val emb = Tables.embeddings(spark, dir)
+    val cx = Similarity.collectCorpus(emb, "vec_id", "embedding")
+    val exact = Similarity.topkFlat(emb.select("vec_id", "embedding"), "embedding", cx, 10, Metric.Cosine)
+      .select("vec_id", "index").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.ivfCosineTopK(emb, "vec_id", emb, "vec_id", "embedding", k = 10)
+      .select("vec_id", "index").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+    // a query's own cell is always its first probe → it finds itself
+    val self = exact.filter { case (q, i) => q == i }
+    assert(self.subsetOf(approx))
+  }
+
+  test("IVF is deterministic across runs (seeded sample + training)") {
+    val emb = Tables.embeddings(spark, dir).limit(200)
+    def run() = Ann.ivfCosineTopK(emb, "vec_id", emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run() == run())
+  }
 }
