@@ -50,6 +50,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("topk kernel serves a query stream via foreachBatch") {
+    import graft.operators.{Metric, Similarity}
+    val emb = Tables.embeddings(spark, dir)
+    val cx = Similarity.collectCorpus(emb, "vec_id", "embedding")
+    val expected = Similarity.topkFlat(emb.select("vec_id", "embedding"), "embedding", cx, 5, Metric.Cosine)
+      .select("vec_id", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val results = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val q = spark.readStream
+      .schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the kernel needs a batch plan (InternalRow RDD); foreachBatch
+        // provides exactly that per micro-batch of arriving queries
+        val out = Similarity.topkFlat(batch.select("vec_id", "embedding"), "embedding", cx, 5, Metric.Cosine)
+          .select("vec_id", "rank", "index").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        results.synchronized { results ++= out }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(results.toSet == expected)
+    assert(results.nonEmpty)
+  }
+
   test("stateful streaming sessionization equals the batch gaps-and-islands result") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
