@@ -63,11 +63,18 @@ object Dedup {
     val dfAll = sh0.groupBy("s").agg(count(lit(1)).as("df"))
     val dfKeep = if (maxDocFreq > 0) dfAll.filter(col("df") <= maxDocFreq) else dfAll
     val sh = sh0.join(dfKeep, Seq("s"))
-    // doc → (sorted distinct-shingle set, size) over the (possibly
-    // df-cut) universe; sorted once here so verification is a linear
-    // merge per pair instead of a per-pair hash set
-    val sets = sh.groupBy("id")
-      .agg(array_sort(collect_list(col("s"))).as("sset"), count(lit(1)).as("n"))
+    // doc → (sorted distinct-shingle set, size); sorted once here so
+    // verification is a linear merge per pair instead of a per-pair
+    // hash set. Without a df-cut the set is a pure scan-stage
+    // projection; with one it must be rebuilt from the cut universe.
+    val sets =
+      if (maxDocFreq > 0)
+        sh.groupBy("id")
+          .agg(array_sort(collect_list(col("s"))).as("sset"), count(lit(1)).as("n"))
+      else {
+        val sset = array_sort(charShingles(normalize(col(textCol)), n))
+        docs.select(col(idCol).as("id"), sset.as("sset"), size(sset).cast("long").as("n"))
+      }
     // prefix index: each doc's (|s| − ceil(τ·|s|) + 1) rarest shingles
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("s").asc)
