@@ -56,4 +56,74 @@ object Multimodal {
     }
     s.createDataFrame(rdd, featureSchema).orderBy("doc_id")
   }
+
+  // ---- media metadata + frame sampling (decode STUBBED) -----------------
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** STUB header parse: a real implementation reads the container
+    * header (PNG IHDR, MP4 moov, …). Deterministic fake derived from
+    * payload bytes so tests are stable.
+    */
+  private def parseHeaderStub(payload: Array[Byte]): (String, Int, Int, Int) = {
+    val b0 = if (payload.isEmpty) 0 else payload(0) & 0xFF
+    val kind = if (b0 % 2 == 0) "image" else "video"
+    val w = 64 + (b0 % 8) * 32
+    val h = 64 + ((payload.length / 7) % 8) * 32
+    val frames = if (kind == "image") 1 else 8 + b0 % 24
+    (kind, w, h, frames)
+  }
+
+  /** Typed media metadata per blob — the schema a catalog/filter stage
+    * works on without ever decoding pixels. The parse is per-partition
+    * batched like [[features]].
+    */
+  def mediaMeta(docs: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val s = docs.sparkSession
+    val src = docs.select(col(idCol).cast("long"), col(payloadCol))
+    val rdd = src.rdd.mapPartitions(_.grouped(256).flatMap(_.iterator.map { row =>
+      val (kind, w, h, f) = parseHeaderStub(row.getAs[Array[Byte]](1))
+      Row(row.getLong(0), kind, w, h, f)
+    }))
+    s.createDataFrame(rdd, mediaMetaSchema)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** Uniform frame sampling: `nSample` evenly spaced frames per video
+    * blob, one output row per frame — the explode-shaped stage a
+    * video-training pipeline runs before per-frame featurization.
+    * Decode is STUBBED (frames are deterministic byte slices); the
+    * row-explosion shape, schema, and partition behavior are real.
+    */
+  def sampleFrames(docs: DataFrame, idCol: String, payloadCol: String, nSample: Int): DataFrame = {
+    require(nSample > 0)
+    val s = docs.sparkSession
+    val src = docs.select(col(idCol).cast("long"), col(payloadCol))
+    val rdd = src.rdd.mapPartitions(_.grouped(64).flatMap(_.iterator.flatMap { row =>
+      val payload = row.getAs[Array[Byte]](1)
+      val (kind, _, _, nFrames) = parseHeaderStub(payload)
+      if (kind != "video") Iterator.empty
+      else {
+        val take = math.min(nSample, nFrames)
+        (0 until take).iterator.map { i =>
+          val frameIdx = (i.toLong * nFrames / take).toInt
+          // STUB decode: a deterministic slice stands in for the frame
+          val chunk = math.max(1, payload.length / nFrames)
+          val from = math.min(frameIdx * chunk, math.max(payload.length - 1, 0))
+          val until = math.min(from + chunk, payload.length)
+          Row(row.getLong(0), frameIdx, java.util.Arrays.copyOfRange(payload, from, until))
+        }
+      }
+    }))
+    s.createDataFrame(rdd, frameSchema)
+  }
 }

@@ -24,4 +24,44 @@ class MultimodalSpec extends AnyFunSuite {
     // byte_len consistent with the first feature component
     rows.foreach(r => assert(r.getSeq[Double](3).head == r.getLong(1).toDouble))
   }
+
+  test("media metadata: typed schema, deterministic, joins back to features") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val meta = Multimodal.mediaMeta(docs, "doc_id", "payload")
+    assert(meta.schema == Multimodal.mediaMetaSchema)
+    val rows = meta.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      assert(Set("image", "video")(r.getString(1)))
+      assert(r.getInt(2) > 0 && r.getInt(3) > 0)
+      assert(if (r.getString(1) == "image") r.getInt(4) == 1 else r.getInt(4) > 1)
+    }
+    // deterministic across runs
+    assert(meta.collect().toSeq == rows.toSeq)
+    // composes with the feature pipeline through a plain join
+    val joined = meta.join(Multimodal.features(spark, dir), "doc_id")
+    assert(joined.count() == rows.length)
+  }
+
+  test("frame sampling: video-only explosion, evenly spaced, bounded by n_frames") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val meta = Multimodal.mediaMeta(docs, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(4))).toMap
+    val frames = Multimodal.sampleFrames(docs, "doc_id", "payload", nSample = 4)
+    assert(frames.schema == Multimodal.frameSchema)
+    val byDoc = frames.collect().groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, fs) =>
+      val (kind, nFrames) = meta(id)
+      assert(kind == "video", "image rows must not emit frames")
+      assert(fs.length == math.min(4, nFrames))
+      val idxs = fs.map(_.getInt(1)).sorted
+      assert(idxs.distinct.length == idxs.length && idxs.forall(i => i >= 0 && i < nFrames))
+      fs.foreach(f => assert(f.getAs[Array[Byte]](2).nonEmpty))
+    }
+    // every video doc is represented
+    assert(byDoc.keySet == meta.collect { case (id, ("video", _)) => id }.toSet)
+  }
 }
