@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Dedup, Metric, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Ann, Curate, Dedup, Metric, Multimodal, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -154,6 +154,12 @@ object SparkEntry {
 
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, dir).select("doc_id", "byte_len", "content_md5")),
+
+    // composed curation job: dedup representative + langid + quality
+    // gates in one pass (SURVEY §2.3 capstone)
+    "curate" -> (Curate.curate(_, _)),
+
+    "q_split" -> ((s, dir) => Curate.splitSummary(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -394,5 +400,47 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |       md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "curate" ->
+      """WITH reps AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |    round(len(list_filter(
+        |        regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'),
+        |        x -> list_contains(['the','a','and','of','to'], x))) * 1.0
+        |      / len(regexp_split_to_array(trim(text), '\s+')), 4) + 0.0 AS stop_ratio,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS tk
+        |  FROM reps WHERE rn = 1
+        |), langed AS (
+        |  SELECT doc_id, n_words, stop_ratio, lang AS pred_lang,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pos ASC) AS lrn
+        |  FROM (
+        |    SELECT doc_id, n_words, stop_ratio, unnest([
+        |      {'lang': 'en', 'pos': 1, 'score': len(list_filter(tk, x -> list_contains(['the','a','and','of','to'], x))) },
+        |      {'lang': 'fr', 'pos': 2, 'score': len(list_filter(tk, x -> list_contains(['le','la','les','et','de'], x))) },
+        |      {'lang': 'de', 'pos': 3, 'score': len(list_filter(tk, x -> list_contains(['der','die','und','das','ein'], x))) },
+        |      {'lang': 'es', 'pos': 4, 'score': len(list_filter(tk, x -> list_contains(['el','los','las','y','en'], x))) }
+        |    ], recursive := true)
+        |    FROM scored
+        |  )
+        |)
+        |SELECT doc_id, pred_lang, CAST(n_words AS BIGINT) AS n_words, stop_ratio
+        |FROM langed
+        |WHERE lrn = 1 AND pred_lang = 'en' AND n_words >= 30 AND stop_ratio >= 0.04
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |             + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80
+        |         THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents
+        |)
+        |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -24,16 +24,22 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ein"),
     "es" -> Seq("el", "los", "las", "y", "en"))
 
-  /** (doc_id, pred_lang, score): winning marker count per doc. */
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(normalize(col("text")))
+  /** struct(score, lang) of the winning language for a text column —
+    * argmax of marker counts, earlier entry wins ties.
+    */
+  def bestLang(textCol: Column): Column = {
+    val toks = tokens(normalize(textCol))
     val counts = langMarkers.map { case (lang, ws) =>
       struct(tokenListCount(toks, ws).cast("long").as("score"), lit(lang).as("lang"))
     }
-    // argmax with earlier-entry tie-break: compare (score, reverse position)
-    val best = counts.zipWithIndex.map { case (c, i) =>
+    counts.zipWithIndex.map { case (c, i) =>
       struct(c.getField("score").as("score"), lit(-i).as("negpos"), c.getField("lang").as("lang"))
     }.reduce((x, y) => when(y.getField("score") > x.getField("score"), y).otherwise(x))
+  }
+
+  /** (doc_id, pred_lang, score): winning marker count per doc. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val best = bestLang(col("text"))
     Tables.documents(s, dir)
       .select(col("doc_id"), best.getField("lang").as("pred_lang"),
         best.getField("score").as("score"))
