@@ -79,8 +79,26 @@ object Bench {
     }
     val ref = bestOf3(1000)
     val big = bestOf3(16000)
+    // f32 variant of the big batch (the reference's memory-efficiency
+    // case; both sides f32 → sgemm fast path)
+    val corpusF = spark.createDataFrame(
+      (0 until nC).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))).toDF("id", "emb")
+    val cxF = Similarity.collectCorpus(corpusF, "id", "emb")
+    val qF = spark.createDataFrame(
+      (0 until 16000).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))).toDF("id", "emb")
+      .repartition(spark.sparkContext.defaultParallelism).cache()
+    qF.count()
+    def runF(): Double = {
+      val t0 = System.nanoTime()
+      Similarity.topkFlat(qF, "emb", cxF, k, Metric.Cosine).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    runF()
+    val bigF = (1 to 3).map(_ => runF()).min
+    qF.unpersist()
     s"""{"shape":"1000x${nC}x$dim","k":$k,"metric":"cosine","sec":$ref,""" +
       s""""big_shape":"16000x${nC}x$dim","big_sec":$big,""" +
-      s""""big_qps":${16000.0 / big}}"""
+      s""""big_qps":${16000.0 / big},""" +
+      s""""big_f32_sec":$bigF,"big_f32_qps":${16000.0 / bigF}}"""
   }
 }

@@ -27,7 +27,12 @@ object SparkEntry {
 
   private def topkQuery(s: SparkSession, dir: String, metric: Metric, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.topkFlat(emb.select("vec_id", "embedding"), "embedding", corpus(s, dir), k, metric)
+    // cast queries to f64 so the f64 GEMM path runs (the oracle
+    // computes in DOUBLE; both-f32 inputs would take the f32 fast
+    // path, which SimilaritySpec covers)
+    val q = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    Similarity.topkFlat(q, "embedding", corpus(s, dir), k, metric)
       .select(col("vec_id"), col("rank").cast("long").as("rank"), col("index"),
         (round(col("score"), 4) + lit(0.0)).as("score"))
       .orderBy("vec_id", "rank")
@@ -59,6 +64,7 @@ object SparkEntry {
     // topk_cosine)
     "topk_blocked" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       Similarity.topkBlocked(emb.select("vec_id", "embedding"), "embedding", "vec_id",
           emb, "vec_id", "embedding", k = 5, Metric.Cosine, numBlocks = 4)
         .select(col("vec_id"), col("rank").cast("long").as("rank"), col("index"),

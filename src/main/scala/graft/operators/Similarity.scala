@@ -140,6 +140,9 @@ object Similarity {
     val kk = math.min(k, corpus.n)
     val higher = metric.higherIsBetter
     val m = metric
+    // reference dtype rule: both sides f32 → f32 GEMM (2× throughput,
+    // scores widened to f64 at the output boundary); any f64 → f64
+    val useF32 = embIsF32 && corpus.isF32
 
     // InternalRow path (no per-element boxing): the scan's UnsafeRows
     // are reused by the iterator, so each is copy()d into the batch.
@@ -148,34 +151,53 @@ object Similarity {
       val blas = BLAS.getInstance()
       it.map(_.copy()).grouped(512).flatMap { batch =>
         val mRows = batch.length
-        val q = new Array[Double](mRows * cx.dim)
         val qNorms = new Array[Double](mRows)
         val qSq = new Array[Double](mRows)
-        var i = 0
-        batch.foreach { row =>
-          val emb = row.getArray(embIdx)
-          if (emb.numElements() != cx.dim) throw new IllegalArgumentException(
-            s"Dimension mismatch: query has ${emb.numElements()} elements, corpus has ${cx.dim}")
-          var d = 0; var sq = 0.0
-          if (embIsF32) {
-            val fa = emb.toFloatArray()
-            while (d < cx.dim) {
-              val v = fa(d).toDouble
-              q(i * cx.dim + d) = v; sq += v * v; d += 1
-            }
-          } else {
-            val da = emb.toDoubleArray()
-            while (d < cx.dim) {
-              val v = da(d)
-              q(i * cx.dim + d) = v; sq += v * v; d += 1
-            }
-          }
-          qSq(i) = sq; qNorms(i) = math.sqrt(sq); i += 1
-        }
-        // scores = Q (m×dim) · C^T (dim×n), row-major out (see SURVEY §3)
         val scores = new Array[Double](mRows * cx.n)
-        blas.dgemm("T", "N", cx.n, mRows, cx.dim, 1.0, cx.data, cx.dim,
-          q, cx.dim, 0.0, scores, cx.n)
+        if (useF32) {
+          val q = new Array[Float](mRows * cx.dim)
+          var i = 0
+          batch.foreach { row =>
+            val emb = row.getArray(embIdx)
+            if (emb.numElements() != cx.dim) throw new IllegalArgumentException(
+              s"Dimension mismatch: query has ${emb.numElements()} elements, corpus has ${cx.dim}")
+            val fa = emb.toFloatArray()
+            var d = 0; var sq = 0.0f
+            while (d < cx.dim) { val v = fa(d); q(i * cx.dim + d) = v; sq += v * v; d += 1 }
+            qSq(i) = sq.toDouble; qNorms(i) = math.sqrt(sq.toDouble); i += 1
+          }
+          val scoresF = new Array[Float](mRows * cx.n)
+          blas.sgemm("T", "N", cx.n, mRows, cx.dim, 1.0f, cx.dataF, cx.dim,
+            q, cx.dim, 0.0f, scoresF, cx.n)
+          var j = 0
+          while (j < scores.length) { scores(j) = scoresF(j).toDouble; j += 1 }
+        } else {
+          val q = new Array[Double](mRows * cx.dim)
+          var i = 0
+          batch.foreach { row =>
+            val emb = row.getArray(embIdx)
+            if (emb.numElements() != cx.dim) throw new IllegalArgumentException(
+              s"Dimension mismatch: query has ${emb.numElements()} elements, corpus has ${cx.dim}")
+            var d = 0; var sq = 0.0
+            if (embIsF32) {
+              val fa = emb.toFloatArray()
+              while (d < cx.dim) {
+                val v = fa(d).toDouble
+                q(i * cx.dim + d) = v; sq += v * v; d += 1
+              }
+            } else {
+              val da = emb.toDoubleArray()
+              while (d < cx.dim) {
+                val v = da(d)
+                q(i * cx.dim + d) = v; sq += v * v; d += 1
+              }
+            }
+            qSq(i) = sq; qNorms(i) = math.sqrt(sq); i += 1
+          }
+          // scores = Q (m×dim) · C^T (dim×n), row-major out (see SURVEY §3)
+          blas.dgemm("T", "N", cx.n, mRows, cx.dim, 1.0, cx.data, cx.dim,
+            q, cx.dim, 0.0, scores, cx.n)
+        }
         // metric post-processing fused into the GEMM output buffer in
         // one specialized pass (the per-candidate virtual dispatch a
         // `match` inside the selection loop costs is measurable at

@@ -103,6 +103,29 @@ class SimilaritySpec extends AnyFunSuite {
       ArrayType(DoubleType, containsNull = false))
   }
 
+  test("topk f32 fast path: same ranking as the f64 path, scores within f32 precision") {
+    val rnd = new scala.util.Random(99)
+    val dim = 8
+    val corpusF = (0 until 20).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val queriesF = (0 until 10).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val cDF = corpusF.toDF("id", "embedding")
+    val qDF = queriesF.toDF("id", "embedding")
+    val cx = Similarity.collectCorpus(cDF, "id", "embedding")
+    assert(cx.isF32)
+    val f32 = Similarity.topkFlat(qDF, "embedding", cx, 3, Metric.Cosine)
+      .select("id", "rank", "index", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val f64 = Similarity.topkFlat(
+        qDF.select($"id", $"embedding".cast("array<double>").as("embedding")),
+        "embedding", cx, 3, Metric.Cosine)
+      .select("id", "rank", "index", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(f32.map(t => (t._1, t._2, t._3)).toSet == f64.map(t => (t._1, t._2, t._3)).toSet)
+    f32.sortBy(t => (t._1, t._2)).zip(f64.sortBy(t => (t._1, t._2))).foreach { case (a, b) =>
+      assert(math.abs(a._4 - b._4) < 1e-4, s"f32 score ${a._4} vs f64 ${b._4}")
+    }
+  }
+
   test("dimension mismatch and empty corpus raise reference-style errors") {
     val q = queriesDf(Seq((0L, Seq(1.0, 2.0))))
     val c3 = corpusOf(Seq((0L, Seq(1.0, 2.0, 3.0))))
