@@ -111,6 +111,7 @@ object SparkEntry {
     "q_sort_limit" -> (Relational.sortLimit _),
     "q_window" -> (Relational.windowRunning _),
     "q_distinct" -> (Relational.distinctCounts _),
+    "q_distinct_approx" -> (Relational.approxDistinctCounts _),
     "q_anti_join" -> (Relational.antiJoin _),
     "q_semi_join" -> (Relational.semiJoin _),
     "q_union" -> (Relational.unionCase _),

@@ -82,13 +82,25 @@ object Relational {
       .orderBy("l_suppkey", "rn")
   }
 
-  /** distinct + count-distinct (exact) + approx sketch counterpart is
-    * benched separately; oracle checks the exact one.
+  /** distinct + count-distinct (exact); [[approxDistinctCounts]] is
+    * the sketch counterpart. Oracle checks the exact one.
     */
   def distinctCounts(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(
       countDistinct(col("l_partkey")).as("n_parts"),
       countDistinct(col("l_suppkey")).as("n_supps"),
+      count(lit(1)).as("n_rows"))
+
+  /** HyperLogLog++ approximate count-distinct — the 100 TB path: the
+    * exact form shuffles every distinct value; the sketch shuffles one
+    * fixed-size buffer per partition. rsd 1% here; rows-only in the
+    * driver gate (engines' HLL estimates differ), with the error
+    * bound asserted in ScalaTest against the exact counts.
+    */
+  def approxDistinctCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n_parts_approx"),
+      approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("n_supps_approx"),
       count(lit(1)).as("n_rows"))
 
   /** Anti join: customers with no large order (plain "never ordered"
