@@ -112,6 +112,7 @@ object SparkEntry {
     "q_window" -> (Relational.windowRunning _),
     "q_distinct" -> (Relational.distinctCounts _),
     "q_distinct_approx" -> (Relational.approxDistinctCounts _),
+    "q_quantiles" -> (Relational.quantiles _),
     "q_anti_join" -> (Relational.antiJoin _),
     "q_semi_join" -> (Relational.semiJoin _),
     "q_union" -> (Relational.unionCase _),
@@ -261,6 +262,14 @@ object SparkEntry {
       """SELECT p_partkey, p_brand FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) + 0.0 AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 2) + 0.0 AS p90,
+        |       round(quantile_cont(o_totalprice, 0.99), 2) + 0.0 AS p99,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_union" ->
       """SELECT status, count(*) AS cnt FROM (

@@ -91,6 +91,21 @@ object Relational {
       countDistinct(col("l_suppkey")).as("n_supps"),
       count(lit(1)).as("n_rows"))
 
+  /** Exact interpolated percentiles of order value per status — Spark
+    * `percentile` matches DuckDB `quantile_cont` semantics, so this is
+    * oracle-checkable; at 100 TB the same query swaps in
+    * `approx_percentile` (t-digest) for a fixed-size-sketch shuffle.
+    */
+  def quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        r2(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r2(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+        r2(expr("percentile(o_totalprice, 0.99)")).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** HyperLogLog++ approximate count-distinct — the 100 TB path: the
     * exact form shuffles every distinct value; the sketch shuffles one
     * fixed-size buffer per partition. rsd 1% here; rows-only in the
