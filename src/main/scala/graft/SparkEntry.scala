@@ -113,6 +113,7 @@ object SparkEntry {
     "q_distinct" -> (Relational.distinctCounts _),
     "q_distinct_approx" -> (Relational.approxDistinctCounts _),
     "q_quantiles" -> (Relational.quantiles _),
+    "q_rollup" -> (Relational.rollupAgg _),
     "q_anti_join" -> (Relational.antiJoin _),
     "q_semi_join" -> (Relational.semiJoin _),
     "q_union" -> (Relational.unionCase _),
@@ -262,6 +263,13 @@ object SparkEntry {
       """SELECT p_partkey, p_brand FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) + 0.0 AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_quantiles" ->
       """SELECT o_orderstatus,

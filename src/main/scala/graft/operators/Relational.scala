@@ -91,6 +91,16 @@ object Relational {
       countDistinct(col("l_suppkey")).as("n_supps"),
       count(lit(1)).as("n_rows"))
 
+  /** Hierarchical rollup: (returnflag, linestatus) → (returnflag) →
+    * grand total in one pass — Spark expands grouping sets before the
+    * shuffle, so it stays a single aggregation exchange.
+    */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(r2(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Exact interpolated percentiles of order value per status — Spark
     * `percentile` matches DuckDB `quantile_cont` semantics, so this is
     * oracle-checkable; at 100 TB the same query swaps in
