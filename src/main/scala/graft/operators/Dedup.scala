@@ -220,6 +220,40 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Connected components over a near-dup pair graph: every doc gets
+    * `cluster` = the smallest doc id reachable through pairs — the
+    * step that turns pairwise matches into "keep one per group".
+    * Iterative min-label propagation (each round: labels flow across
+    * edges both ways, keep the min), run to fixpoint. Rounds needed =
+    * graph diameter ≈ log(n) for near-dup clusters, which are tiny and
+    * star-shaped in practice; each round is one shuffle-join + one
+    * groupBy. At cluster scale, checkpoint every few rounds to cut
+    * lineage (noted, not needed at these sizes).
+    */
+  def clusterPairs(ids: DataFrame, idCol: String, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // materialize the (usually expensive) pair graph once, and
+    // truncate label lineage each round — otherwise round i replays
+    // every previous round's join on top of the pair generation
+    val edges = pairs.select(col("id1"), col("id2"))
+      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster")).localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIters) {
+      val viaEdges = edges.join(labels, edges("id2") === labels("id"))
+        .select(edges("id1").as("id"), col("cluster"))
+      val next = labels.select(col("id"), col("cluster")).unionAll(viaEdges)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels.orderBy("id")
+  }
+
   /** Embedding-cosine near-dup pairs — exact all-pairs form (oracle
     * parity; Ann.lshCosine* is the scale path). Broadcast self-join.
     * Output: (id1, id2, cosine ≥ threshold).
