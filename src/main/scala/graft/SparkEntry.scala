@@ -98,9 +98,14 @@ object SparkEntry {
       // cast queries to f64 so the f64 GEMM path runs (oracle casts too)
       val q = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding")).filter(col("vec_id") < 100)
+      // The API keeps the reference's array shape; the GATE serializes
+      // it to a driver-sortable string (pandas can't hash ndarray
+      // cells). Scaled integers, not float repr — integer→string
+      // formatting is identical across engines.
       Similarity.matmul(q, "embedding", corpus(s, dir), "scores")
         .select(col("vec_id"),
-          transform(col("scores"), x => round(x, 4) + lit(0.0)).as("scores"))
+          array_join(transform(col("scores"),
+            x => round(x * 10000, 0).cast("long").cast("string")), ",").as("scores"))
         .orderBy("vec_id")
     }),
 
@@ -154,9 +159,16 @@ object SparkEntry {
       Dedup.embeddingPairsExact(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.3)),
 
+    // the scale path for embedding near-dup: hyperplane LSH buckets →
+    // id-only candidate pairs → exact-cosine verify (rows-only gate;
+    // DedupSpec asserts recall vs the exact form)
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.3, dim = 64)),
+
     "ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Ann.lshCosineTopK(emb, "vec_id", emb, "vec_id", "embedding", k = 10)
+      Ann.lshCosineTopK(emb, "vec_id", emb, "vec_id", "embedding", k = 10, dim = 64)
     }),
 
     "ann_ivf" -> ((s, dir) => {
@@ -206,8 +218,9 @@ object SparkEntry {
 
     "matmul_rows" ->
       """SELECT q.vec_id AS vec_id,
-        |       list(round(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) + 0.0
-        |            ORDER BY c.vec_id) AS scores
+        |       string_agg(CAST(CAST(round(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+        |                  CAST(c.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) AS VARCHAR),
+        |                  ',' ORDER BY c.vec_id) AS scores
         |FROM embeddings q CROSS JOIN embeddings c
         |WHERE q.vec_id < 100 GROUP BY q.vec_id ORDER BY vec_id""".stripMargin,
 

@@ -152,16 +152,27 @@ case class ArrayEuclidean(left: Expression, right: Expression) extends VectorBin
 
 /** All LSH bucket ids for one embedding in a single pass:
   * `planes` is tables × bits × dim flattened row-major; output is
-  * array<long>(tables) where bit j of entry t = sign of the dot with
-  * plane (t, j). One expression with one plane literal instead of a
-  * tables×bits tree of ArrayDot nodes — planning stays O(1) and the
-  * generated code is one tight loop reading the plane array from a
-  * per-partition reference object.
+  * array<long>(tables × probes). Entry t·probes is the table-t bucket
+  * (bit j = sign of the dot with plane (t, j)); entries t·probes+p for
+  * p ≥ 1 are MULTI-PROBE buckets — the main bucket with the p-th
+  * smallest-|margin| bit flipped (Lv et al., VLDB'07: a near neighbour
+  * that misses the query's bucket most likely sits across the
+  * hyperplane the query is closest to). Probing p buckets per table
+  * multiplies recall like extra tables but costs no extra signature
+  * work and no extra corpus rows.
+  *
+  * One expression with one plane literal instead of a tables×bits tree
+  * of ArrayDot nodes — planning stays O(1) and the generated code is
+  * one tight loop reading the plane array from a per-partition
+  * reference object.
   */
-case class LshBuckets(child: Expression, planes: Array[Double], tables: Int, bits: Int)
+case class LshBuckets(child: Expression, planes: Array[Double], tables: Int, bits: Int,
+    probes: Int = 1)
     extends UnaryExpression {
   require(tables > 0 && bits > 0 && bits < 63 && planes.length % (tables * bits) == 0,
     "planes length must be tables*bits*dim")
+  require(probes >= 1 && probes <= bits + 1,
+    s"probes must be in [1, bits + 1], got $probes for $bits bits")
   private val dim = planes.length / (tables * bits)
 
   override def prettyName: String = "lsh_buckets"
@@ -182,7 +193,9 @@ case class LshBuckets(child: Expression, planes: Array[Double], tables: Int, bit
     if (a.numElements() != dim) throw new IllegalArgumentException(
       s"Dimension mismatch: embedding has ${a.numElements()} elements, planes have $dim")
     val isF = elemT == FloatType
-    val out = new Array[Long](tables)
+    val out = new Array[Long](tables * probes)
+    val dots = new Array[Double](bits)
+    val used = new Array[Boolean](bits)
     var t = 0
     while (t < tables) {
       var bucket = 0L
@@ -194,10 +207,25 @@ case class LshBuckets(child: Expression, planes: Array[Double], tables: Int, bit
           s += (if (isF) a.getFloat(d).toDouble else a.getDouble(d)) * planes(base + d)
           d += 1
         }
+        dots(j) = s
         if (s >= 0) bucket |= 1L << j
         j += 1
       }
-      out(t) = bucket
+      out(t * probes) = bucket
+      java.util.Arrays.fill(used, false)
+      var pr = 1
+      while (pr < probes) {
+        var bestJ = 0; var best = Double.MaxValue
+        var jj = 0
+        while (jj < bits) {
+          val m = math.abs(dots(jj))
+          if (!used(jj) && m < best) { best = m; bestJ = jj }
+          jj += 1
+        }
+        used(bestJ) = true
+        out(t * probes + pr) = bucket ^ (1L << bestJ)
+        pr += 1
+      }
       t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -207,21 +235,35 @@ case class LshBuckets(child: Expression, planes: Array[Double], tables: Int, bit
     nullSafeCodeGen(ctx, ev, a => {
       val p = ctx.addReferenceObj("lshPlanes", planes, "double[]")
       val getter = if (elemT == FloatType) s"(double) $a.getFloat" else s"$a.getDouble"
-      val Seq(out, t, j, d, s, bucket, base) =
-        Seq("out", "t", "j", "d", "s", "bucket", "base").map(ctx.freshName)
+      val Seq(out, t, j, d, s, bucket, base, dots, used, pr, bestJ, best, jj, m) =
+        Seq("out", "t", "j", "d", "s", "bucket", "base", "dots", "used", "pr",
+          "bestJ", "best", "jj", "m").map(ctx.freshName)
       s"""
          |if ($a.numElements() != $dim) throw new IllegalArgumentException(
          |  "Dimension mismatch: embedding has " + $a.numElements() + " elements, planes have $dim");
-         |long[] $out = new long[$tables];
+         |long[] $out = new long[${tables * probes}];
+         |double[] $dots = new double[$bits];
+         |boolean[] $used = new boolean[$bits];
          |for (int $t = 0; $t < $tables; $t++) {
          |  long $bucket = 0L;
          |  for (int $j = 0; $j < $bits; $j++) {
          |    int $base = ($t * $bits + $j) * $dim;
          |    double $s = 0.0;
          |    for (int $d = 0; $d < $dim; $d++) $s += $getter($d) * $p[$base + $d];
+         |    $dots[$j] = $s;
          |    if ($s >= 0) $bucket |= 1L << $j;
          |  }
-         |  $out[$t] = $bucket;
+         |  $out[$t * $probes] = $bucket;
+         |  java.util.Arrays.fill($used, false);
+         |  for (int $pr = 1; $pr < $probes; $pr++) {
+         |    int $bestJ = 0; double $best = Double.MAX_VALUE;
+         |    for (int $jj = 0; $jj < $bits; $jj++) {
+         |      double $m = Math.abs($dots[$jj]);
+         |      if (!$used[$jj] && $m < $best) { $best = $m; $bestJ = $jj; }
+         |    }
+         |    $used[$bestJ] = true;
+         |    $out[$t * $probes + $pr] = $bucket ^ (1L << $bestJ);
+         |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
@@ -236,6 +278,9 @@ object VectorFunctions {
   def array_dot(a: Column, b: Column): Column = C(ArrayDot(E(a), E(b)))
   def lsh_buckets(emb: Column, planes: Array[Double], tables: Int, bits: Int): Column =
     C(LshBuckets(E(emb), planes, tables, bits))
+  def lsh_probe_buckets(emb: Column, planes: Array[Double], tables: Int, bits: Int,
+      probes: Int): Column =
+    C(LshBuckets(E(emb), planes, tables, bits, probes))
   def array_cosine(a: Column, b: Column): Column = C(ArrayCosine(E(a), E(b)))
   def array_euclidean(a: Column, b: Column): Column = C(ArrayEuclidean(E(a), E(b)))
 

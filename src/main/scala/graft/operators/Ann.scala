@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * sign-bit signatures per table bucket queries and corpus together,
   * so candidate generation is a plain equi-join on (table, bucket)
   * with no all-pairs stage; exact cosine re-ranks candidates only.
-  * Recall grows with `tables`; bucket width with `bits`. Defaults
-  * (16 tables × 6 bits) give ~0.56 recall@10 on the synthetic corpus —
-  * unclustered gaussian vectors are LSH's worst case; on real
-  * (clustered) embedding corpora raise `bits` for tighter buckets.
+  * Recall grows with `tables` and (cheaply) with `probes` — queries
+  * additionally probe the buckets reached by flipping their
+  * lowest-margin sign bits (multi-probe LSH, Lv et al. VLDB'07).
+  * Defaults (16 tables × 8 bits × 8 probes) target ≥0.8 recall@10 on
+  * the synthetic gaussian corpus — LSH's worst case (no cluster
+  * structure); round-1 single-probe at 16×6 gave 0.56.
   */
 object Ann {
 
@@ -24,16 +26,6 @@ object Ann {
     val rnd = new scala.util.Random(seed)
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
-
-  /** Bucket ids for all tables in ONE codegen'd expression
-    * ([[graft.functions.LshBuckets]]): a tables×bits tree of ArrayDot
-    * nodes with per-plane literals made Catalyst planning itself the
-    * bottleneck (~3 s per analysis of a 576-node tree); one expression
-    * holding the flattened plane matrix plans in O(1) and runs as a
-    * single tight loop.
-    */
-  private def bucketArray(embCol: Column, planes: Array[Array[Array[Double]]]): Column =
-    lsh_buckets(embCol, planes.flatten.flatten, planes.length, planes.head.length)
 
   /** LSH cosine top-k: per query, the k most-cosine-similar corpus
     * rows among LSH candidates. Output: (qid, rank, index, score) —
@@ -48,6 +40,17 @@ object Ann {
     * ranking window then reuses. Shuffle volume is O(unique pairs) ×
     * 16 bytes instead of × 2·dim·8 bytes.
     */
+  /** `dim`: embedding dimensionality. Pass it when known (a `head()`
+    * probe on a 100 TB query table triggers a scan stage); ≤ 0 falls
+    * back to probing the first query row.
+    *
+    * `maxBucketSize` caps the CORPUS side of every (table, bucket): a
+    * degenerate bucket (e.g. a mass of zero/identical vectors) would
+    * otherwise fan out |bucket| candidates per query landing in it.
+    * Oversized buckets keep a deterministic hash-ordered sample —
+    * an uninformative bucket contributes a bounded, unbiased slice
+    * instead of O(|bucket|) rows per probing query.
+    */
   def lshCosineTopK(
       queries: DataFrame,
       qIdCol: String,
@@ -56,18 +59,29 @@ object Ann {
       embCol: String,
       k: Int,
       tables: Int = 16,
-      bits: Int = 6,
+      bits: Int = 8,
+      probes: Int = 8,
+      dim: Int = 0,
+      maxBucketSize: Int = 4096,
       seed: Long = 42L): DataFrame = {
-    val dim = queries.select(size(col(embCol))).head.getInt(0)
-    val planes = hyperplanes(tables, bits, dim, seed)
+    val d = if (dim > 0) dim else queries.select(size(col(embCol))).head.getInt(0)
+    val planes = hyperplanes(tables, bits, d, seed)
     val e = col(embCol).cast("array<double>")
-    // (id, table, bucket) signature rows — ids only past this point
-    def signatures(df: DataFrame, idOut: String) =
+    // (id, table, bucket) signature rows — ids only past this point.
+    // Queries probe `probes` buckets per table (pos → table = pos/probes);
+    // the corpus contributes exactly its own bucket per table.
+    def signatures(df: DataFrame, idOut: String, nProbes: Int) =
       df.select(col(idOut),
-        posexplode(bucketArray(col(embCol), planes)).as(Seq("table", "bucket")))
-    val qb = signatures(queries.select(col(qIdCol), col(embCol)), qIdCol)
-    val cb = signatures(
-      corpus.select(col(cIdCol).as("index"), col(embCol)), "index")
+          posexplode(lsh_probe_buckets(col(embCol), planes.flatten.flatten,
+            tables, bits, nProbes)).as(Seq("pos", "bucket")))
+        .select(col(idOut), (col("pos") / nProbes).cast("int").as("table"), col("bucket"))
+    val qb = signatures(queries.select(col(qIdCol), col(embCol)), qIdCol, probes)
+    val cbAll = signatures(
+      corpus.select(col(cIdCol).as("index"), col(embCol)), "index", 1)
+    val bw = Window.partitionBy("table", "bucket")
+      .orderBy(xxhash64(col("index")), col("index"))
+    val cb = cbAll.withColumn("brn", row_number().over(bw))
+      .filter(col("brn") <= maxBucketSize).drop("brn")
     val pairs = qb.join(cb, Seq("table", "bucket"))
       .select(col(qIdCol), col("index"))
       .distinct()

@@ -106,8 +106,10 @@ object Dedup {
     */
   private def perms(numPerms: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(numPerms)((math.abs(rnd.nextLong()) % 1073741823L + 1L,
-      math.abs(rnd.nextLong()) % 2147483647L))
+    // >>> 1 (not math.abs, which returns Long.MinValue for Long.MinValue)
+    // guarantees a strictly positive multiplier
+    Array.fill(numPerms)(((rnd.nextLong() >>> 1) % 1073741823L + 1L,
+      (rnd.nextLong() >>> 1) % 2147483647L))
   }
 
   /** MinHash signatures: one row per doc, sig = array<long>(numPerms).
@@ -134,6 +136,16 @@ object Dedup {
   /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
     * Output: (id1, id2, jaccard) for verified pairs ≥ threshold.
     * bands × rowsPerBand must equal numPerms.
+    *
+    * `maxBucketSize` is the skew valve (SURVEY §4): a degenerate
+    * (band, hash) bucket — e.g. every empty/boilerplate doc in the
+    * corpus — would otherwise generate O(|bucket|²) candidate pairs
+    * inside one task. Buckets above the cap degrade to STAR pairs
+    * (every member against the bucket's min id): O(|bucket|) pairs
+    * that still verify each member against a true near-dup and keep
+    * the pair graph connected for [[clusterPairs]]; buckets at or
+    * under the cap generate all pairs as usual, so recall on
+    * non-degenerate corpora is unchanged.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -143,8 +155,10 @@ object Dedup {
       shingleN: Int = 5,
       numPerms: Int = 128,
       bands: Int = 32,
+      maxBucketSize: Int = 1000,
       seed: Long = 42L): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val ps = perms(numPerms, seed)
     // Signature + band hashes fused in ONE expression
     // ([[graft.functions.MinHashBandHashes]]): posexplode/lambdas
@@ -157,10 +171,21 @@ object Dedup {
         posexplode(minhash_band_hashes(
           charShingles(normalize(col(textCol)), shingleN),
           ps.map(_._1), ps.map(_._2), bands)).as(Seq("band", "bh")))
-    val cand = banded.select(col("band"), col("bh"), col("id").as("id1"))
-      .join(banded.select(col("band"), col("bh"), col("id").as("id2")), Seq("band", "bh"))
+    // one shuffle on (band, bh): the window computes bucket size/min
+    // and leaves the data partitioned on exactly the self-join key
+    val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    val withStats = banded
+      .withColumn("bsize", count(lit(1)).over(bw))
+      .withColumn("bmin", min("id").over(bw))
+    val small = withStats.filter(col("bsize") <= maxBucketSize)
+    val candSmall = small.select(col("band"), col("bh"), col("id").as("id1"))
+      .join(small.select(col("band"), col("bh"), col("id").as("id2")), Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      .select("id1", "id2")
+    val candLarge = withStats
+      .filter(col("bsize") > maxBucketSize && col("id") =!= col("bmin"))
+      .select(col("bmin").as("id1"), col("id").as("id2"))
+    val cand = candSmall.unionAll(candLarge).distinct()
     verifyJaccard(docs, idCol, textCol, cand, shingleN, threshold)
   }
 
@@ -195,20 +220,30 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       simhash64(tokens(normalize(col(textCol)))).as("simhash"))
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxDist (≤ 3 by
-    * default). Pigeonhole: split 64 bits into 4 chunks; any pair at
-    * distance ≤ 3 shares a chunk, so a join per chunk finds all of
-    * them — no all-pairs comparison.
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist. Pigeonhole:
+    * split 64 bits into maxDist + 1 chunks — any pair at distance ≤
+    * maxDist must agree on at least one chunk, so a join per chunk finds
+    * all of them with no all-pairs comparison. The chunk count is
+    * DERIVED from maxDist (4×16 bits at the default 3), so completeness
+    * holds for every maxDist, not just ≤ 3.
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 16,
+      s"maxDist must be in [0, 16], got $maxDist (chunks of < 4 bits bucket everything together)")
+    val nChunks = maxDist + 1
     val sig = simhashSignatures(docs, idCol, textCol)
+    val chunkCols = (0 until nChunks).map { c =>
+      val start = c * 64 / nChunks
+      val width = (c + 1) * 64 / nChunks - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftright(col("simhash"), start).bitwiseAND(mask)
+    }
     val chunks = sig.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "cv")))
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "cv")))
     val cand = chunks.select(col("chunk"), col("cv"), col("id").as("id1"), col("simhash").as("sh1"))
       .join(chunks.select(col("chunk"), col("cv"), col("id").as("id2"), col("simhash").as("sh2")),
         Seq("chunk", "cv"))
@@ -255,17 +290,81 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs — exact all-pairs form (oracle
-    * parity; Ann.lshCosine* is the scale path). Broadcast self-join.
+    * parity; [[embeddingPairsLsh]] is the scale path). Broadcast
+    * self-join → O(n²) cosine by construction, so it GUARDS on corpus
+    * size: above `maxRows` it refuses and points at the LSH path —
+    * nothing in the public API should silently run O(n²) on 1B rows.
     * Output: (id1, id2, cosine ≥ threshold).
     */
   def embeddingPairsExact(
       emb: DataFrame,
       idCol: String,
       embCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxRows: Long = 100000L): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"embeddingPairsExact is O(n²) (all-pairs cosine): corpus has $n rows > maxRows=$maxRows. " +
+        "Use Dedup.embeddingPairsLsh (hyperplane-bucketed, verified) for large corpora, " +
+        "or raise maxRows explicitly if the quadratic cost is intended.")
     val a = emb.select(col(idCol).as("id1"), col(embCol).cast("array<double>").as("e1"))
     val b = emb.select(col(idCol).as("id2"), col(embCol).cast("array<double>").as("e2"))
     a.join(broadcast(b), col("id1") < col("id2"))
+      .withColumn("cosine", round(array_cosine(col("e1"), col("e2")), 4) + lit(0.0))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+      .orderBy("id1", "id2")
+  }
+
+  /** Embedding-cosine near-dup pairs at scale: random-hyperplane LSH
+    * buckets (multi-probe, same machinery as [[Ann.lshCosineTopK]])
+    * generate id-only candidate pairs, exact cosine verifies each —
+    * the SURVEY §4 shape: hyperplane sign bits → bucket shuffle →
+    * local pairs, never an O(n²) self-join. Approximate in the same
+    * sense as [[minhashPairs]]: a true pair is missed only if it
+    * disagrees in all `tables` probed signatures.
+    * Output: (id1, id2, cosine ≥ threshold).
+    */
+  def embeddingPairsLsh(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      dim: Int = 0,
+      tables: Int = 16,
+      bits: Int = 8,
+      probes: Int = 4,
+      maxBucketSize: Int = 1000,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions.lsh_probe_buckets
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    val d = if (dim > 0) dim
+      else emb.select(size(col(embCol))).head.getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(tables * bits * d)(rnd.nextGaussian())
+    val sigs = emb.select(col(idCol).as("id"),
+        posexplode(lsh_probe_buckets(col(embCol), planes, tables, bits, probes))
+          .as(Seq("pos", "bucket")))
+      .select(col("id"), (col("pos") / probes).cast("int").as("table"), col("bucket"))
+    // same skew valve as minhashPairs: oversized buckets → star pairs
+    val bw = org.apache.spark.sql.expressions.Window.partitionBy("table", "bucket")
+    val withStats = sigs
+      .withColumn("bsize", count(lit(1)).over(bw))
+      .withColumn("bmin", min("id").over(bw))
+    val small = withStats.filter(col("bsize") <= maxBucketSize)
+    val candSmall = small.select(col("table"), col("bucket"), col("id").as("id1"))
+      .join(small.select(col("table"), col("bucket"), col("id").as("id2")),
+        Seq("table", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+    val candLarge = withStats
+      .filter(col("bsize") > maxBucketSize && col("id") =!= col("bmin"))
+      .select(col("bmin").as("id1"), col("id").as("id2"))
+    val cand = candSmall.unionAll(candLarge).distinct()
+    val e = emb.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("e"))
+    cand
+      .join(e.select(col("id").as("id1"), col("e").as("e1")), Seq("id1"))
+      .join(e.select(col("id").as("id2"), col("e").as("e2")), Seq("id2"))
       .withColumn("cosine", round(array_cosine(col("e1"), col("e2")), 4) + lit(0.0))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * a reference user composes around the kernels, expressed so Catalyst
   * gets full pushdown/pruning. Every query is deterministic (total
   * orderings, id tie-breaks) and float outputs are rounded with the
-  * `+ 0.0` negative-zero normalization (see .claude/skills/verify).
+  * `+ 0.0` negative-zero normalization so -0.0 hashes like 0.0 in the
+  * cross-engine compare.
   *
   * Scale notes per query are in SURVEY §4: joins broadcast their dim
   * side, aggregations are partial before shuffle (Spark default), and

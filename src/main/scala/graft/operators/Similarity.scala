@@ -67,7 +67,15 @@ object Similarity {
     * range-based. Throws on empty corpus / ragged dims (reference:
     * "Empty corpus", "Dimension mismatch").
     */
-  def collectCorpus(corpus: DataFrame, idCol: String, embCol: String): CorpusIndex = {
+  def collectCorpus(corpus: DataFrame, idCol: String, embCol: String): CorpusIndex =
+    collectCorpusOpt(corpus, idCol, embCol)
+      .getOrElse(throw new IllegalArgumentException("Empty corpus"))
+
+  /** As [[collectCorpus]] but `None` for an empty corpus — used by
+    * [[topkBlocked]], whose hash-mod blocks may legitimately be empty.
+    */
+  private def collectCorpusOpt(
+      corpus: DataFrame, idCol: String, embCol: String): Option[CorpusIndex] = {
     val isF32 = corpus.schema(embCol).dataType match {
       case ArrayType(FloatType, _) => true
       case ArrayType(DoubleType, _) => false
@@ -75,7 +83,7 @@ object Similarity {
         s"Corpus column $embCol must be array<float>/array<double>, got ${dt.simpleString}")
     }
     val rows = corpus.select(col(idCol).cast(LongType), col(embCol)).collect()
-    if (rows.isEmpty) throw new IllegalArgumentException("Empty corpus")
+    if (rows.isEmpty) return None
     val sorted = rows.sortBy(_.getLong(0))
     val n = sorted.length
     val dim = sorted.head.getSeq[Any](1).length
@@ -108,7 +116,7 @@ object Similarity {
       norms(j) = math.sqrt(sq)
       j += 1
     }
-    CorpusIndex(ids, data, dataF, n, dim, norms, sqNorms)
+    Some(CorpusIndex(ids, data, dataF, n, dim, norms, sqNorms))
   }
 
   /** Per-query top-k against a broadcast corpus. Adds `outputCol`:
@@ -137,7 +145,9 @@ object Similarity {
       ArrayType(StructType(Seq(
         StructField("index", LongType, nullable = false),
         StructField("score", DoubleType, nullable = false))), containsNull = false)))
-    val kk = math.min(k, corpus.n)
+    // k ≤ 0 → empty matches arrays (the reference clamps k instead of
+    // crashing — src/matmul.rs:443); k > |corpus| → all corpus entries
+    val kk = math.min(math.max(k, 0), corpus.n)
     val higher = metric.higherIsBetter
     val m = metric
     // reference dtype rule: both sides f32 → f32 GEMM (2× throughput,
@@ -237,7 +247,7 @@ object Similarity {
           val selIdx = new Array[Int](kk)
           val selScore = new Array[Double](kk)
           var size = 0
-          var j = 0
+          var j = if (kk == 0) cx.n else 0
           while (j < cx.n) {
             val s = scores(base + j)
             // keep selIdx/selScore sorted best-first; insert if beats worst
@@ -391,10 +401,20 @@ object Similarity {
   }
 
   /** Scale path for corpora too large for one broadcast: split the
-    * corpus into `numBlocks` id-range blocks, run the broadcast kernel
-    * per block (each yields ≤ k candidates per query), union, then one
-    * shuffle on the query id merges candidates to a global top-k.
-    * Returns the flat (query cols, rank, index, score) shape.
+    * corpus into `numBlocks` HASH-MOD blocks (`xxhash64(id) % B`), run
+    * the broadcast kernel per block (each yields ≤ k candidates per
+    * query), union, then one shuffle on the query id merges candidates
+    * to a global top-k. Returns the flat (query cols, rank, index,
+    * score) shape.
+    *
+    * Block membership is a pure filter predicate pushed to the corpus
+    * scan — the driver NEVER materializes the corpus id universe (at
+    * 100 TB that id array alone is billions of longs); each block's
+    * rows are collected only to build its broadcast index, exactly the
+    * memory the single-broadcast path would need for the whole corpus.
+    * Hash-mod (vs id ranges) also sends every row of a duplicated id
+    * to the SAME block, so duplicate ids can't straddle a boundary and
+    * double-enter the merge.
     */
   def topkBlocked(
       queries: DataFrame,
@@ -406,19 +426,18 @@ object Similarity {
       k: Int,
       metric: Metric,
       numBlocks: Int): DataFrame = {
-    val ids = corpus.select(col(cIdCol).cast(LongType)).orderBy(cIdCol).collect().map(_.getLong(0))
-    require(ids.nonEmpty, "Empty corpus")
-    val blockSize = math.max(1, math.ceil(ids.length.toDouble / numBlocks).toInt)
-    val partials = ids.grouped(blockSize).map { blockIds =>
-      val (lo, hi) = (blockIds.head, blockIds.last)
-      val block = collectCorpus(
-        corpus.filter(col(cIdCol).cast(LongType).between(lo, hi)), cIdCol, cEmbCol)
-      topkFlat(queries, embCol, block, k, metric).drop("rank")
-    }.reduce(_ unionAll _)
+    require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
+    val blockOf = pmod(xxhash64(col(cIdCol).cast(LongType)), lit(numBlocks))
+    val partials = (0 until numBlocks).flatMap { b =>
+      collectCorpusOpt(corpus.filter(blockOf === b), cIdCol, cEmbCol)
+        .map(block => topkFlat(queries, embCol, block, k, metric).drop("rank"))
+    }
+    require(partials.nonEmpty, "Empty corpus")
+    val unioned = partials.reduce(_ unionAll _)
     val order = if (metric.higherIsBetter)
       Seq(col("score").desc, col("index").asc) else Seq(col("score").asc, col("index").asc)
     val w = Window.partitionBy(col(qIdCol)).orderBy(order: _*)
-    partials
+    unioned
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -9,20 +9,36 @@ class AnnSpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.001"
 
-  test("LSH topk recall ≥ 0.5 vs brute force at k=10") {
+  test("LSH topk recall ≥ 0.8 vs brute force at k=10 (multi-probe defaults)") {
     val emb = Tables.embeddings(spark, dir)
     val cx = Similarity.collectCorpus(emb, "vec_id", "embedding")
     val exact = Similarity.topkFlat(emb.select("vec_id", "embedding"), "embedding", cx, 10, Metric.Cosine)
       .select("vec_id", "index").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Ann.lshCosineTopK(emb, "vec_id", emb, "vec_id", "embedding", k = 10)
+    val approx = Ann.lshCosineTopK(emb, "vec_id", emb, "vec_id", "embedding", k = 10, dim = 64)
       .select("vec_id", "index").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (approx & exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall")
+    assert(recall >= 0.8, s"recall $recall")
     // every query must at least find itself (cosine 1.0 in its own bucket)
     val self = exact.filter { case (q, i) => q == i }
     assert(self.subsetOf(approx))
+  }
+
+  test("LSH multi-probe recall strictly improves on single-probe") {
+    val emb = Tables.embeddings(spark, dir)
+    val cx = Similarity.collectCorpus(emb, "vec_id", "embedding")
+    val exact = Similarity.topkFlat(emb.select("vec_id", "embedding"), "embedding", cx, 10, Metric.Cosine)
+      .select("vec_id", "index").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(probes: Int): Double = {
+      val approx = Ann.lshCosineTopK(emb, "vec_id", emb, "vec_id", "embedding",
+          k = 10, probes = probes, dim = 64)
+        .select("vec_id", "index").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx & exact).size.toDouble / exact.size
+    }
+    assert(recallAt(8) > recallAt(1))
   }
 
   test("LSH is deterministic across runs (seeded hyperplanes)") {

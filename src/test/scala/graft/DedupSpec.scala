@@ -58,6 +58,81 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Double]("cosine") >= 0.3))
   }
 
+  test("embeddingPairsExact guards its O(n²) form above maxRows") {
+    val emb = Tables.embeddings(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairsExact(emb, "vec_id", "embedding", 0.3, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("O(n²)") && e.getMessage.contains("embeddingPairsLsh"))
+  }
+
+  test("embeddingPairsLsh: precision 1.0 vs exact; recall ≥ 0.8 on high-sim pairs") {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus must contain embedding near-dups")
+    // verify stage is exact cosine → every reported pair is real
+    assert(lsh.subsetOf(exact.keySet), s"false positives: ${lsh -- exact.keySet}")
+    // recall target is the near-dup regime (cos ≥ 0.8), where sign-LSH
+    // collision probability is high; moderate-sim pairs are allowed to slip
+    val hi = exact.filter(_._2 >= 0.8).keySet
+    if (hi.nonEmpty) {
+      val recall = (lsh & hi).size.toDouble / hi.size
+      assert(recall >= 0.8, s"high-sim recall $recall over ${hi.size} pairs")
+    }
+  }
+
+  test("LSH bucket cap bounds a degenerate bucket at O(n) star pairs") {
+    val boiler = "lorem ipsum dolor sit amet the same boilerplate text in every copy"
+    val degenerate = (1000L until 1300L).map(i => (i, boiler))
+    val nearDupA = (1L, "the quick brown fox jumps over the lazy dog in the sunny park today")
+    val nearDupB = (2L, "the quick brown fox jumps over the lazy dog in the sunny yard today")
+    val distinctC = (3L, "completely unrelated writing about distributed query engines and io")
+    val df = (degenerate ++ Seq(nearDupA, nearDupB, distinctC)).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.7,
+        maxBucketSize = 50)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // degenerate bucket degrades to star pairs: exactly n-1 pairs, all
+    // anchored at the bucket min — not C(300, 2) = 44 850
+    val degeneratePairs = capped.filter { case (a, b) => a >= 1000L && b >= 1000L }
+    assert(degeneratePairs.size == 299, s"got ${degeneratePairs.size}")
+    assert(degeneratePairs.forall(_._1 == 1000L))
+    // pairs outside the degenerate bucket are unaffected by the cap
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists { case (a, b) => a == 3L || b == 3L })
+    // connectivity for clusterPairs survives: one cluster over the 300
+    val ids = df.select("doc_id")
+    val clusters = Dedup.clusterPairs(ids, "doc_id",
+        Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.7, maxBucketSize = 50))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1000L until 1300L).forall(clusters(_) == 1000L))
+  }
+
+  test("simhash pigeonhole chunks derive from maxDist (complete at maxDist 7)") {
+    val rnd = new scala.util.Random(5)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu")
+    val corpus = (0L until 60L).map { i =>
+      (i, Seq.fill(12)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val maxDist = 7
+    val got = Dedup.simhashPairs(df, "doc_id", "text", maxDist = maxDist)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force oracle over the signatures
+    val sigs = Dedup.simhashSignatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxDist
+    } yield (a, b)).toSet
+    assert(got == want, s"missing: ${want -- got}; extra: ${got -- want}")
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(df, "doc_id", "text", maxDist = 17))
+  }
+
   test("ngram jaccard with df-cut still finds the high-sim pairs") {
     val noCut = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.9)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -56,6 +56,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("topkBlocked: construction runs exactly one job per block — no id-universe collect") {
+    import graft.operators.{Metric, Similarity}
+    val emb = Tables.embeddings(spark, dir)
+    val numBlocks = 4
+    val group = "topk-blocked-audit"
+    spark.sparkContext.setJobGroup(group, "audit", interruptOnCancel = false)
+    try {
+      // constructing the plan collects each hash-mod block once to build
+      // its broadcast index; a driver-side collect of the corpus id
+      // universe (the round-1 defect) would show up as an extra job
+      Similarity.topkBlocked(emb.limit(10), "embedding", "vec_id",
+        emb, "vec_id", "embedding", 5, Metric.Cosine, numBlocks)
+    } finally spark.sparkContext.clearJobGroup()
+    // the listener bus is async; poll briefly for the job events
+    def jobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    val deadline = System.currentTimeMillis() + 10000
+    while (jobs() < numBlocks && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(jobs() == numBlocks,
+      s"expected exactly $numBlocks per-block collect jobs, saw ${jobs()}")
+  }
+
   test("dedup_exact: only (hash, id) reaches the shuffle, with map-side combine") {
     val p = plan("dedup_exact")
     assert(p.contains("hashpartitioning(content_hash"),

@@ -147,6 +147,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.topk(q, "embedding", c, 1, Metric.Cosine).count() == 0)
   }
 
+  test("k <= 0 returns empty matches, not a crash (reference clamps k)") {
+    val q = queriesDf(Seq((0L, Seq(1.0, 0.0))))
+    val c = corpusOf(Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))))
+    for (k <- Seq(0, -3)) {
+      val rows = Similarity.topk(q, "embedding", c, k, Metric.Cosine)
+        .select($"matches").collect()
+      assert(rows.length == 1 && rows.head.getSeq[Row](0).isEmpty, s"k=$k")
+      assert(Similarity.topkFlat(q, "embedding", c, k, Metric.Cosine).count() == 0, s"k=$k")
+    }
+  }
+
+  test("topkBlocked with duplicate corpus ids == single-broadcast result") {
+    // hash-mod blocks send every row of a duplicated id to the SAME
+    // block, so a dup can't straddle a boundary and double-enter the
+    // merge (the failure mode of id-range blocks)
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val dups = base.filter(_._1 % 7 == 0) // several ids appear twice
+    val corpusRows = base ++ dups
+    val corpusDF = corpusRows.toDF("cid", "embedding")
+    val q = queriesDf((0L until 10L).map(i => (i, base(i.toInt)._2)))
+    val full = Similarity.topkFlat(q, "embedding",
+        Similarity.collectCorpus(corpusDF, "cid", "embedding"), 5, Metric.Cosine)
+      .select($"qid", $"rank", $"index", $"score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), math.rint(r.getDouble(3) * 1e9)))
+      .toSet
+    val blocked = Similarity.topkBlocked(q, "embedding", "qid", corpusDF, "cid", "embedding",
+        5, Metric.Cosine, numBlocks = 3)
+      .select($"qid", $"rank", $"index", $"score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), math.rint(r.getDouble(3) * 1e9)))
+      .toSet
+    assert(blocked == full)
+  }
+
   test("topkBlocked == topk on the full embeddings table") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val c = Similarity.collectCorpus(emb, "vec_id", "embedding")
