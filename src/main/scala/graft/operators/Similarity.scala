@@ -62,6 +62,26 @@ final case class CorpusIndex(
 
 object Similarity {
 
+  /** One Broadcast per CorpusIndex instance (weak keys — dropping the
+    * index frees the broadcast). The reference's usage pattern is many
+    * `topk`/`matmul` calls against one held corpus; re-broadcasting a
+    * multi-MB packed matrix on every call made the per-call fixed cost
+    * scale with |corpus| instead of being a one-time index build.
+    */
+  private val bcCache =
+    new java.util.WeakHashMap[CorpusIndex, Broadcast[CorpusIndex]]()
+  private def broadcastOf(
+      spark: org.apache.spark.sql.SparkSession, cx: CorpusIndex): Broadcast[CorpusIndex] =
+    bcCache.synchronized {
+      val cached = bcCache.get(cx)
+      if (cached != null) cached
+      else {
+        val b = spark.sparkContext.broadcast(cx)
+        bcCache.put(cx, b)
+        b
+      }
+    }
+
   /** Collect + pack a corpus DataFrame column. Ids are sorted so that
     * output `index` values are deterministic and block splits are
     * range-based. Throws on empty corpus / ragged dims (reference:
@@ -133,7 +153,7 @@ object Similarity {
       metric: Metric,
       outputCol: String = "matches"): DataFrame = {
     val spark = queries.sparkSession
-    val bc = spark.sparkContext.broadcast(corpus)
+    val bc = broadcastOf(spark, corpus)
     val schema = queries.schema
     val embIdx = schema.fieldIndex(embCol)
     val embIsF32 = schema(embCol).dataType match {
@@ -314,7 +334,7 @@ object Similarity {
       corpus: CorpusIndex,
       outputCol: String = "scores"): DataFrame = {
     val spark = queries.sparkSession
-    val bc = spark.sparkContext.broadcast(corpus)
+    val bc = broadcastOf(spark, corpus)
     val schema = queries.schema
     val embIdx = schema.fieldIndex(embCol)
     val queryIsF32 = schema(embCol).dataType match {
