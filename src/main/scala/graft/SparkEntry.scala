@@ -147,6 +147,14 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7))
     }),
 
+    // same clustering via alternating large-star/small-star — the
+    // diameter-independent 100 TB path; must equal the same oracle
+    "dedup_clusters_stars" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      Dedup.clusterPairsStars(docs.select("doc_id"), "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7))
+    }),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 500), "doc_id", "text",
@@ -386,6 +394,35 @@ object SparkEntry {
         |ORDER BY id1, id2""".stripMargin,
 
     "dedup_clusters" ->
+      """WITH docs AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 500
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([t[i : i + 2] FOR i IN
+        |    range(1, greatest(length(t) - 2, 1) + 1)])) AS s
+        |  FROM docs
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), edges AS (
+        |  SELECT id1, id2
+        |  FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+        |  WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.7
+        |), bidir AS (
+        |  SELECT id1, id2 FROM edges UNION ALL SELECT id2, id1 FROM edges
+        |), reach AS (
+        |  WITH RECURSIVE walk(id, r) AS (
+        |    SELECT doc_id, doc_id FROM docs
+        |    UNION
+        |    SELECT b.id2, w.r FROM walk w JOIN bidir b ON b.id1 = w.id
+        |  )
+        |  SELECT * FROM walk
+        |)
+        |SELECT id AS id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "dedup_clusters_stars" ->
       """WITH docs AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
         |  FROM documents WHERE doc_id < 500

@@ -295,6 +295,77 @@ object Dedup {
     labels.orderBy("id")
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public literature): each round rewires every node's
+    * neighbors to its neighborhood minimum, which provably converges
+    * in O(log² n) rounds REGARDLESS of graph diameter — the scale
+    * path where [[clusterPairs]]' min-label propagation needs
+    * diameter rounds (a 10 000-long chain of near-dups would need
+    * 10 000 propagation rounds but ~15 star rounds). Each half-round
+    * is one groupBy(min) + one join, all shuffles on node id; no
+    * driver-side state beyond the convergence counter.
+    *
+    * Same contract as [[clusterPairs]]: every id in `ids` gets
+    * `cluster` = smallest reachable id.
+    */
+  def clusterPairsStars(
+      ids: DataFrame, idCol: String, pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val p = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
+    var edges = p
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // one half-round over the BIDIRECTED neighborhood, per the paper:
+    // large-star(u) connects every neighbor v > u to m(u) =
+    // min(N(u) ∪ {u}); small-star(u) connects every neighbor v < u,
+    // and u itself, to m(u). Output edges are canonical (u > v).
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val b = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val minN = b.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val withM = b.join(minN, "u")
+      val out =
+        if (large) withM.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else withM.filter(col("v") < col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionAll(minN.select(col("u"), col("m").as("v")))
+      out.filter(col("u") =!= col("v")).distinct()
+    }
+
+    // order-independent edge-set digest (bit_xor can't overflow under
+    // ANSI arithmetic, unlike a sum of hashes); distinct edges make
+    // xor-cancellation of duplicates a non-issue
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    if (!edges.isEmpty) {
+      var prev = fingerprint(edges)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        edges = star(star(edges, large = true), large = false).localCheckpoint()
+        val cur = fingerprint(edges)
+        converged = cur == prev
+        prev = cur
+        iter += 1
+      }
+    }
+    // converged graph is a star per component; read labels off the
+    // bidirected neighborhood minimum
+    val bi = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val lab = bi.groupBy("u").agg(min("v").as("mv"))
+    ids.select(col(idCol).cast("long").as("id"))
+      .join(lab, col("id") === col("u"), "left")
+      .select(col("id"), least(coalesce(col("mv"), col("id")), col("id")).as("cluster"))
+      .orderBy("id")
+  }
+
   /** Embedding-cosine near-dup pairs — exact all-pairs form (oracle
     * parity; [[embeddingPairsLsh]] is the scale path). Broadcast
     * self-join → O(n²) cosine by construction, so it GUARDS on corpus

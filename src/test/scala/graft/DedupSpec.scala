@@ -133,6 +133,43 @@ class DedupSpec extends AnyFunSuite {
       Dedup.simhashPairs(df, "doc_id", "text", maxDist = 17))
   }
 
+  test("large-star/small-star CC equals min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val n = 300
+    val pairList = (1 to 220).map { _ =>
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val ids = (0L until n.toLong).toDF("doc_id")
+    val pdf = pairList.toDF("id1", "id2")
+    val stars = Dedup.clusterPairsStars(ids, "doc_id", pdf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // propagation needs diameter rounds — this sparse random graph has
+    // >20-hop paths, which is precisely why the stars form exists
+    val prop = Dedup.clusterPairs(ids, "doc_id", pdf, maxIters = 300)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == prop)
+  }
+
+  test("stars CC converges on a long chain (diameter >> round count)") {
+    // a 120-node path needs 120 rounds of min-label propagation but
+    // O(log² n) star rounds — this is why it's the 100 TB path
+    val n = 120L
+    val ids = (0L until n).toDF("doc_id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id1", "id2")
+    val stars = Dedup.clusterPairsStars(ids, "doc_id", chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(stars.length == n && stars.forall(_._2 == 0L))
+  }
+
+  test("stars CC: empty pair set → every id its own cluster") {
+    val ids = (0L until 10L).toDF("doc_id")
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val out = Dedup.clusterPairsStars(ids, "doc_id", empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.forall { case (id, c) => id == c } && out.length == 10)
+  }
+
   test("ngram jaccard with df-cut still finds the high-sim pairs") {
     val noCut = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.9)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
