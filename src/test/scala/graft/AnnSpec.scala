@@ -48,20 +48,31 @@ class AnnSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
-  test("IVF topk recall ≥ 0.5 vs brute force at k=10; every query finds itself") {
+  test("IVF topk recall vs brute force at k=10: ≥ 0.5 at defaults, ≥ 0.8 at nProbe=8") {
     val emb = Tables.embeddings(spark, dir)
     val cx = Similarity.collectCorpus(emb, "vec_id", "embedding")
     val exact = Similarity.topkFlat(emb.select("vec_id", "embedding"), "embedding", cx, 10, Metric.Cosine)
       .select("vec_id", "index").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Ann.ivfCosineTopK(emb, "vec_id", emb, "vec_id", "embedding", k = 10)
-      .select("vec_id", "index").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (approx & exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall")
+    def recallAt(nProbe: Int): (Double, Set[(Long, Long)]) = {
+      val approx = Ann.ivfCosineTopK(emb, "vec_id", emb, "vec_id", "embedding",
+          k = 10, nProbe = nProbe)
+        .select("vec_id", "index").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ((approx & exact).size.toDouble / exact.size, approx)
+    }
+    // the recall/probes curve on the worst-case (unclustered gaussian)
+    // corpus: defaults probe 4/16 cells, ≥0.6 measured; 8/16 reaches
+    // ≥0.83 — on clustered real-world embeddings the same recall needs
+    // a far smaller nProbe fraction
+    val (rDefault, approxDefault) = recallAt(4)
+    assert(rDefault >= 0.5, s"default recall $rDefault")
+    val (rHigh, _) = recallAt(8)
+    assert(rHigh >= 0.8, s"nProbe=8 recall $rHigh")
+    assert(rHigh > rDefault)
     // a query's own cell is always its first probe → it finds itself
     val self = exact.filter { case (q, i) => q == i }
-    assert(self.subsetOf(approx))
+    assert(self.subsetOf(approxDefault))
   }
 
   test("IVF is deterministic across runs (seeded sample + training)") {

@@ -91,6 +91,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "cartesian product in LSH plan")
   }
 
+  test("dedup LSH paths: candidate generation is equi-join only — no cartesian/NLJ") {
+    for (q <- Seq("dedup_embedding_lsh", "dedup_minhash", "dedup_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
   test("topk_join_meta: metadata attach is a broadcast join") {
     val p = plan("topk_join_meta")
     assert(p.contains("BroadcastHashJoin"), "metadata join not broadcast")
