@@ -66,7 +66,6 @@ object Ann {
       seed: Long = 42L): DataFrame = {
     val d = if (dim > 0) dim else queries.select(size(col(embCol))).head.getInt(0)
     val planes = hyperplanes(tables, bits, d, seed)
-    val e = col(embCol).cast("array<double>")
     // (id, table, bucket) signature rows — ids only past this point.
     // Queries probe `probes` buckets per table (pos → table = pos/probes);
     // the corpus contributes exactly its own bucket per table.
@@ -85,6 +84,25 @@ object Ann {
     val pairs = qb.join(cb, Seq("table", "bucket"))
       .select(col(qIdCol), col("index"))
       .distinct()
+    rerank(pairs, queries, qIdCol, corpus, cIdCol, embCol, k)
+  }
+
+  /** Exact-cosine rerank of id-only candidate pairs — the shared tail
+    * of both ANN paths: corpus embeddings attach by broadcast (the
+    * small index side), query embeddings by a qid hash join whose
+    * partitioning the ranking window then reuses. Shuffle volume stays
+    * O(unique pairs) × 16 bytes; vectors never ride the high-fan-out
+    * candidate stages.
+    */
+  private def rerank(
+      pairs: DataFrame,
+      queries: DataFrame,
+      qIdCol: String,
+      corpus: DataFrame,
+      cIdCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    val e = col(embCol).cast("array<double>")
     val ce = corpus.select(col(cIdCol).as("index"), e.as("ce"))
     val qe = queries.select(col(qIdCol), e.as("qe"))
     val cand = pairs
@@ -181,19 +199,7 @@ object Ann {
       .select(col("__cid").as("index"), col("cell"))
     val qb = cells(queries.select(col(qIdCol), col(embCol)), qIdCol, nProbe)
     // --- search: id-only candidate join, broadcast rerank ------------
-    val e = col(embCol).cast("array<double>")
     val pairs = qb.join(cb, Seq("cell")).select(col(qIdCol), col("index")).distinct()
-    val ce = corpus.select(col(cIdCol).as("index"), e.as("ce"))
-    val qe = queries.select(col(qIdCol), e.as("qe"))
-    val cand = pairs
-      .join(broadcast(ce), Seq("index"))
-      .join(qe, Seq(qIdCol))
-      .withColumn("score", array_cosine(col("qe"), col("ce")))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("score").desc, col("index").asc)
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col("rank"), col("index"),
-        (round(col("score"), 4) + lit(0.0)).as("score"))
-      .orderBy(qIdCol, "rank")
+    rerank(pairs, queries, qIdCol, corpus, cIdCol, embCol, k)
   }
 }

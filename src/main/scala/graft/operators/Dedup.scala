@@ -171,22 +171,33 @@ object Dedup {
         posexplode(minhash_band_hashes(
           charShingles(normalize(col(textCol)), shingleN),
           ps.map(_._1), ps.map(_._2), bands)).as(Seq("band", "bh")))
-    // one shuffle on (band, bh): the window computes bucket size/min
-    // and leaves the data partitioned on exactly the self-join key
-    val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-    val withStats = banded
+    val cand = cappedBucketPairs(banded, Seq("band", "bh"), maxBucketSize)
+    verifyJaccard(docs, idCol, textCol, cand, shingleN, threshold)
+  }
+
+  /** Within-bucket candidate pairs with the skew valve shared by every
+    * LSH path: `sigs` is (id, bucket-key...) rows; buckets at or under
+    * `cap` produce all (id1 < id2) pairs, larger buckets degrade to
+    * O(|bucket|) STAR pairs anchored at the bucket min — bounded
+    * fan-out, verify coverage for every member, and a connected pair
+    * graph for clustering. One shuffle on the bucket key: the window
+    * computing size/min leaves the data partitioned on exactly the
+    * self-join key.
+    */
+  private def cappedBucketPairs(sigs: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val bw = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val withStats = sigs
       .withColumn("bsize", count(lit(1)).over(bw))
       .withColumn("bmin", min("id").over(bw))
-    val small = withStats.filter(col("bsize") <= maxBucketSize)
-    val candSmall = small.select(col("band"), col("bh"), col("id").as("id1"))
-      .join(small.select(col("band"), col("bh"), col("id").as("id2")), Seq("band", "bh"))
+    val small = withStats.filter(col("bsize") <= cap)
+    val candSmall = small.select(keys.map(col) :+ col("id").as("id1"): _*)
+      .join(small.select(keys.map(col) :+ col("id").as("id2"): _*), keys)
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
     val candLarge = withStats
-      .filter(col("bsize") > maxBucketSize && col("id") =!= col("bmin"))
+      .filter(col("bsize") > cap && col("id") =!= col("bmin"))
       .select(col("bmin").as("id1"), col("id").as("id2"))
-    val cand = candSmall.unionAll(candLarge).distinct()
-    verifyJaccard(docs, idCol, textCol, cand, shingleN, threshold)
+    candSmall.unionAll(candLarge).distinct()
   }
 
   /** Exact Jaccard for a candidate-pair set only (the verify stage). */
@@ -424,20 +435,7 @@ object Dedup {
           .as(Seq("pos", "bucket")))
       .select(col("id"), (col("pos") / probes).cast("int").as("table"), col("bucket"))
     // same skew valve as minhashPairs: oversized buckets → star pairs
-    val bw = org.apache.spark.sql.expressions.Window.partitionBy("table", "bucket")
-    val withStats = sigs
-      .withColumn("bsize", count(lit(1)).over(bw))
-      .withColumn("bmin", min("id").over(bw))
-    val small = withStats.filter(col("bsize") <= maxBucketSize)
-    val candSmall = small.select(col("table"), col("bucket"), col("id").as("id1"))
-      .join(small.select(col("table"), col("bucket"), col("id").as("id2")),
-        Seq("table", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-    val candLarge = withStats
-      .filter(col("bsize") > maxBucketSize && col("id") =!= col("bmin"))
-      .select(col("bmin").as("id1"), col("id").as("id2"))
-    val cand = candSmall.unionAll(candLarge).distinct()
+    val cand = cappedBucketPairs(sigs, Seq("table", "bucket"), maxBucketSize)
     val e = emb.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("e"))
     cand
       .join(e.select(col("id").as("id1"), col("e").as("e1")), Seq("id1"))
