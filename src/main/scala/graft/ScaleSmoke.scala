@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manual scale smoke for the dedup family — NOT a driver gate.
+  * Synthesizes a corpus orders of magnitude past the test SFs
+  * entirely ON THE EXECUTORS (spark.range + hash expressions; the
+  * driver never holds a row) and measures the operators whose 100 TB
+  * claims SURVEY §4 makes: exact dedup (one digest shuffle), MinHash
+  * signatures (scan-stage projection), and banded-LSH pair generation
+  * with the bucket cap. Numbers land in BENCH_NOTES.md.
+  *
+  *   SPARK_GRAFT_SMOKE_DOCS=1000000 sbt "runMain graft.ScaleSmoke"
+  *
+  * Corpus shape: ~30 6-char pseudo-random words per doc; 1 % of docs
+  * are EXACT copies of another doc, and a further 1 % are NEAR copies
+  * (same text, one word replaced) — so both dedup forms have real
+  * work and a known expected hit-rate to sanity-check against.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DOCS", "1000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = synth(spark, nDocs).cache()
+    val n = docs.count() // materialize generation outside the timings
+    println(s"corpus: $n docs")
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = body
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($out rows)")
+    }
+
+    timed("exact dedup (md5 groupBy)") {
+      Dedup.exact(docs, "doc_id", "text").count()
+    }
+    timed("minhash signatures (scan-stage, 128 perms)") {
+      Dedup.minhashSignatures(docs, "doc_id", "text").agg(max(hash(col("sig")))).head
+      n
+    }
+    timed("minhash+LSH near-dup pairs (banded, capped, verified)") {
+      Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8).count()
+    }
+    timed("simhash pairs (pigeonhole, hamming <= 3)") {
+      Dedup.simhashPairs(docs, "doc_id", "text").count()
+    }
+    docs.unpersist()
+    spark.stop()
+  }
+
+  /** Executor-side synthetic corpus. Word w of doc d is the md5-hex
+    * prefix of (seed(d), w); seed(d) redirects 1 % of docs to an
+    * exact-copy source and 1 % to a near-copy source (one word of 30
+    * replaced → shingle Jaccard ≈ 0.85 at 5-gram).
+    */
+  private def synth(spark: SparkSession, nDocs: Long): DataFrame = {
+    val seed = when(col("id") % 100 === 7, col("id") - lit(7))   // exact copy of id-7
+      .when(col("id") % 100 === 13, col("id") - lit(13))         // near copy of id-13
+      .otherwise(col("id"))
+    val mutate = col("id") % 100 === 13
+    spark.range(nDocs).toDF("id")
+      .withColumn("__seed", seed)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(30)), w =>
+          when(mutate && w === 15, lit("mutated"))
+            .otherwise(substring(md5(concat(col("__seed"), lit("-"), w)), 1, 6))))
+          .as("text"))
+  }
+}

@@ -33,6 +33,67 @@ object Sketch {
   def xxh64(s: UTF8String): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  /** Distinct character n-gram shingles of `t` in ONE pass — the
+    * engine room of every text-dedup operator. Semantics identical to
+    * `array_distinct(transform(sequence(1, max(len-n+1, 1)),
+    * i -> substr(t, i, n)))` (first-occurrence order; a text shorter
+    * than n, including "", shingles to [t] itself) — but O(bytes)
+    * instead of O(chars²): the composed form rescans from the string
+    * start on every `substr` to find the code-point offset, which
+    * dominated the 200k-doc scale smoke. Code-point boundaries are
+    * walked once; each shingle is one bounded byte copy.
+    */
+  def charShingles(t: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = t.getBytes
+    val len = bytes.length
+    // code-point start offsets (ASCII fast path: starts(i) = i)
+    val starts = new Array[Int](len + 1)
+    var nChars = 0
+    var i = 0
+    while (i < len) {
+      starts(nChars) = i
+      val b = bytes(i) & 0xFF
+      i += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      nChars += 1
+    }
+    starts(nChars) = len
+    val m = nChars - n + 1
+    if (m < 1) return new GenericArrayData(Array[Any](t.clone()))
+    val seen = new java.util.HashSet[UTF8String](m * 2)
+    val out = new java.util.ArrayList[UTF8String](m)
+    var k = 0
+    while (k < m) {
+      val from = starts(k)
+      val s = UTF8String.fromBytes(bytes, from, starts(k + n) - from)
+      if (seen.add(s)) out.add(s)
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Column form of [[Sketch.charShingles]] — the per-row work is heavy
+  * enough that codegen simply calls the shared helper.
+  */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle length must be >= 1, got $n")
+  override def prettyName: String = "char_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any =
+    Sketch.charShingles(v.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Sketch.charShingles($t, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 abstract class StringArraySketch extends UnaryExpression {
@@ -50,13 +111,27 @@ abstract class StringArraySketch extends UnaryExpression {
   * (a_p · murmur32(s) + b_p) mod prime`. Output array<long>(numPerms);
   * an empty input yields the identity (all `prime`), which no
   * non-empty set produces. Multipliers < 2^30 keep a·h below 2^62 —
-  * no overflow under ANSI semantics.
+  * no overflow.
+  *
+  * The modulus MUST stay near 2^32 (it is 2^32 + 15): the universal
+  * hash only mixes because a·h wraps the modulus many (up to a) times.
+  * A "faster" large modulus (tried: Mersenne 2^61−1 with shift-add
+  * fold) makes a·h+b wrap at most once for 32-bit h, so every
+  * permutation's min degenerates to a monotone function of the doc's
+  * minimum murmur value — unrelated docs collide into the same LSH
+  * buckets at birthday rate (measured: 49k docs → 14k distinct sig
+  * components, 3M false candidate pairs at 200k docs). The division
+  * is NOT the hot path — shingle construction is ([[CharShingles]]).
   */
+object MinHashPrime {
+  final val prime = 4294967311L
+}
+
 case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long])
     extends StringArraySketch {
   require(as.length == bs.length && as.nonEmpty)
   private val numPerms = as.length
-  final val prime = 4294967311L
+  final val prime = MinHashPrime.prime
 
   override def prettyName: String = "minhash_signature"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -83,7 +158,7 @@ case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long])
     nullSafeCodeGen(ctx, ev, a => {
       val aRef = ctx.addReferenceObj("mhA", as, "long[]")
       val bRef = ctx.addReferenceObj("mhB", bs, "long[]")
-      val Seq(sig, i, n, h, p, x) = Seq("sig", "i", "n", "h", "p", "x").map(ctx.freshName)
+      val Seq(sig, i, n, h, p, x, r) = Seq("sig", "i", "n", "h", "p", "x", "r").map(ctx.freshName)
       s"""
          |int $n = $a.numElements();
          |long[] $sig = new long[$numPerms];
@@ -117,7 +192,7 @@ case class MinHashBandHashes(child: Expression, as: Array[Long], bs: Array[Long]
     "bands must divide numPerms")
   private val numPerms = as.length
   private val rpb = numPerms / bands
-  final val prime = 4294967311L
+  final val prime = MinHashPrime.prime
 
   override def prettyName: String = "minhash_band_hashes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -156,8 +231,8 @@ case class MinHashBandHashes(child: Expression, as: Array[Long], bs: Array[Long]
     nullSafeCodeGen(ctx, ev, a => {
       val aRef = ctx.addReferenceObj("mhA", as, "long[]")
       val bRef = ctx.addReferenceObj("mhB", bs, "long[]")
-      val Seq(sig, i, n, h, p, x, out, bd, r, hh) =
-        Seq("sig", "i", "n", "h", "p", "x", "out", "bd", "r", "hh").map(ctx.freshName)
+      val Seq(sig, i, n, h, p, x, fx, out, bd, r, hh) =
+        Seq("sig", "i", "n", "h", "p", "x", "fx", "out", "bd", "r", "hh").map(ctx.freshName)
       s"""
          |int $n = $a.numElements();
          |long[] $sig = new long[$numPerms];
@@ -289,6 +364,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 object SketchFunctions {
   import ColumnBridge.{column => C, expression => E}
 
+  def char_shingles(t: Column, n: Int): Column = C(CharShingles(E(t), n))
   def minhash_signature(shingles: Column, as: Array[Long], bs: Array[Long]): Column =
     C(MinHashSignature(E(shingles), as, bs))
   def minhash_band_hashes(shingles: Column, as: Array[Long], bs: Array[Long], bands: Int): Column =

@@ -27,11 +27,15 @@ object TextFunctions {
     * (texts shorter than n shingle to [t] itself).
     * DuckDB: list_distinct([t[i : i + n - 1] FOR i IN
     *           range(1, greatest(length(t) - n + 1, 1) + 1)])
+    *
+    * One single-pass codegen expression ([[graft.functions.CharShingles]]);
+    * the composed-builtin form (`array_distinct(transform(sequence,
+    * substr))`) computes the same set but rescans the string per
+    * shingle for code-point offsets — O(chars²) per doc, which
+    * dominated text dedup at the 200k-doc scale smoke.
     */
   def charShingles(t: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
-      i => t.substr(i, lit(n))))
+    graft.functions.SketchFunctions.char_shingles(t, n)
 
   /** count of tokens from `list` present in `toks`.
     * DuckDB: len(list_filter(toks, x -> list_contains([...], x)))

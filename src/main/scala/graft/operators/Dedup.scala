@@ -200,7 +200,13 @@ object Dedup {
     candSmall.unionAll(candLarge).distinct()
   }
 
-  /** Exact Jaccard for a candidate-pair set only (the verify stage). */
+  /** Exact Jaccard for a candidate-pair set only (the verify stage).
+    * Docs are semi-joined to the candidate id universe BEFORE the
+    * shingle sets are built, so set construction, sorting, and both
+    * verify shuffles are proportional to |candidates| — at scale the
+    * candidate universe is a sliver of the corpus, and shipping every
+    * doc's sorted shingle set through two joins dominated the stage.
+    */
   private def verifyJaccard(
       docs: DataFrame,
       idCol: String,
@@ -208,9 +214,18 @@ object Dedup {
       candidates: DataFrame,
       shingleN: Int,
       threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
-      array_sort(charShingles(normalize(col(textCol)), shingleN)).as("sset"))
-    candidates
+    // materialize the (expensive) candidate pipeline once: it feeds
+    // three subtrees below (two join sides + the semi-filter id
+    // universe), which would otherwise re-run LSH banding three times
+    val cand = candidates.localCheckpoint()
+    val candIds = cand.select(col("id1").as("id"))
+      .unionAll(cand.select(col("id2").as("id")))
+      .distinct()
+    val sets = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(candIds, Seq("id"), "leftsemi")
+      .select(col("id"),
+        array_sort(charShingles(normalize(col("__text")), shingleN)).as("sset"))
+    cand
       .join(sets.select(col("id").as("id1"), col("sset").as("s1")), Seq("id1"))
       .join(sets.select(col("id").as("id2"), col("sset").as("s2")), Seq("id2"))
       .withColumn("c", sorted_intersect_count(col("s1"), col("s2")))

@@ -170,6 +170,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall { case (id, c) => id == c } && out.length == 10)
   }
 
+  test("char_shingles == composed-builtin form (property, incl. multibyte)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    // single-codepoint pieces spanning 1-, 2-, 3-, and 4-byte UTF-8
+    val pieces = Seq("a", "b", " ", "0", "é", "ß", "€", "日", "😀")
+    val strs = (0 until 300).map(i => (i.toLong,
+      (0 until rnd.nextInt(14)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString))
+    val df = strs.toDF("id", "t")
+    for (n <- Seq(1, 3, 5)) {
+      val fast = df.select(col("id"),
+          graft.functions.SketchFunctions.char_shingles(col("t"), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val slow = df.select(col("id"), array_distinct(transform(
+          sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))),
+          i => col("t").substr(i, lit(n)))).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(fast == slow, s"n=$n")
+    }
+  }
+
   test("ngram jaccard with df-cut still finds the high-sim pairs") {
     val noCut = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.9)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
