@@ -55,7 +55,36 @@ object ScaleSmoke {
       Dedup.simhashPairs(docs, "doc_id", "text").count()
     }
     docs.unpersist()
+
+    // embedding near-dup at the same corpus size: 64-dim vectors with
+    // the same planted 1 % exact + 1 % near (one nudged coordinate →
+    // cos ≈ 0.9999) dup structure. bits sized so buckets stay tiny at
+    // 1M rows (2^18 buckets/table); single-probe is plenty at
+    // near-dup similarity.
+    val emb = synthEmb(spark, nDocs).cache()
+    emb.count()
+    timed(s"embedding LSH near-dup pairs (${nDocs} x 64d, verified cos >= 0.95)") {
+      Dedup.embeddingPairsLsh(emb, "doc_id", "vec", threshold = 0.95, dim = 64,
+        tables = 4, bits = 18, probes = 1, maxBucketSize = 1000).count()
+    }
+    emb.unpersist()
     spark.stop()
+  }
+
+  /** Executor-side synthetic embeddings: deterministic uniform [-1, 1)
+    * coordinates from xxhash64(seed·64 + i); same dup plan as [[synth]]
+    * (1 % exact copies, 1 % near copies with coordinate 7 nudged).
+    */
+  private def synthEmb(spark: SparkSession, nDocs: Long): DataFrame = {
+    val seed = when(col("id") % 100 === 7, col("id") - lit(7))
+      .when(col("id") % 100 === 13, col("id") - lit(13))
+      .otherwise(col("id"))
+    val nudge = col("id") % 100 === 13
+    spark.range(nDocs).toDF("id").withColumn("__seed", seed)
+      .select(col("id").as("doc_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("__seed") * 64 + i), lit(10000)).cast("double") / 5000.0 - 1.0)
+            + when(nudge && i === 7, lit(0.05)).otherwise(lit(0.0))).as("vec"))
   }
 
   /** Executor-side synthetic corpus. Word w of doc d is the md5-hex
