@@ -118,6 +118,7 @@ object SparkEntry {
     "q_distinct" -> (Relational.distinctCounts _),
     "q_distinct_approx" -> (Relational.approxDistinctCounts _),
     "q_quantiles" -> (Relational.quantiles _),
+    "q_quantiles_approx" -> (Relational.approxQuantiles _),
     "q_rollup" -> (Relational.rollupAgg _),
     "q_anti_join" -> (Relational.antiJoin _),
     "q_semi_join" -> (Relational.semiJoin _),

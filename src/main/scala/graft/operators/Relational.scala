@@ -117,6 +117,23 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** Approximate percentiles — the 100 TB companion of [[quantiles]]:
+    * `approx_percentile` aggregates a bounded sketch per partition
+    * (accuracy 10000 ⇒ rank error ≤ 1/10000) instead of shuffling and
+    * sorting every value. Rows-only in the driver gate (engines'
+    * sketches differ); RelationalSpec bounds the error against the
+    * exact interpolated percentiles.
+    */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        r2(expr("approx_percentile(o_totalprice, 0.5, 10000)")).as("p50_approx"),
+        r2(expr("approx_percentile(o_totalprice, 0.9, 10000)")).as("p90_approx"),
+        r2(expr("approx_percentile(o_totalprice, 0.99, 10000)")).as("p99_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** HyperLogLog++ approximate count-distinct — the 100 TB path: the
     * exact form shuffles every distinct value; the sketch shuffles one
     * fixed-size buffer per partition. rsd 1% here; rows-only in the

@@ -19,6 +19,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(exact.getLong(2) == approx.getLong(2)) // plain count is exact
   }
 
+  test("approx percentiles land within 1% of the exact interpolated percentiles") {
+    val exact = Relational.quantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Relational.approxQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet && exact.nonEmpty)
+    for ((k, (e50, e90, e99)) <- exact) {
+      val (a50, a90, a99) = approx(k)
+      // approx_percentile returns an actual data value at rank error
+      // ≤ 1/accuracy; 1% relative tolerance is generous at sf0.01
+      for (((a, e), tag) <- Seq((a50, e50), (a90, e90), (a99, e99)).zip(Seq("p50", "p90", "p99")))
+        assert(math.abs(a - e) / e <= 0.01, s"$k $tag: approx $a vs exact $e")
+    }
+  }
+
   test("sessionize and sessionizeWindow agree on (user, start, end, count)") {
     val a = Relational.sessionize(spark, dir)
       .select("user_id", "session_start", "session_end", "n_events").collect()
