@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
   * FIRST, before the 40-query suite fills the JVM heap / code cache /
   * OS page cache — the round-1 driver run recorded a 10× worse kernel
   * number purely from that contention. Each headline is the MEDIAN of
-  * 5 timed runs with the min–max spread reported; a spread over 2×
+  * 7 timed runs; the JSON carries true per-shape min/max plus a
+  * TRIMMED spread (drops the single best and worst run). A trimmed
+  * spread over 2×
   * flags the whole run as noisy (stderr + `"noisy"` in the JSON) so a
   * contended machine is visible instead of silently recorded.
   *
@@ -69,7 +71,7 @@ object Bench {
   /** One timed shape: (median, min, max, trimmed spread) of `n` runs
     * after one warm run. The spread drops the single best and worst
     * run — one GC pause or stray process shouldn't flag a run whose
-    * median is perfectly reproducible; two slow runs of five still do.
+    * median is perfectly reproducible; two slow runs of seven still do.
     */
   private def timed(n: Int)(body: => Unit): (Double, Double, Double, Double) = {
     body // warm
@@ -133,7 +135,7 @@ object Bench {
     val spread = Seq(refSp, bigSp, bigFSp).max
     val noisy = spread > 2.0
     if (noisy) System.err.println(
-      f"[bench] NOISY RUN: kernel min-max spread $spread%.2fx > 2x — machine is contended, " +
+      f"[bench] NOISY RUN: kernel trimmed spread $spread%.2fx > 2x — machine is contended, " +
         "kernel numbers are not trustworthy")
     f"""{"shape":"1000x${nC}x$dim","k":$k,"metric":"cosine","sec":$ref%.6f,""" +
       f""""sec_min":$refLo%.6f,"sec_max":$refHi%.6f,""" +

@@ -200,6 +200,39 @@ object SparkEntry {
     "q_split" -> ((s, dir) => Curate.splitSummary(s, dir)),
   )
 
+  /** dedup_clusters and dedup_clusters_stars are SPECIFIED to produce
+    * the same clustering, so they share one oracle — structurally, not
+    * by copy, so an edit can't drift one gate from the other.
+    */
+  private val clustersOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      |  FROM documents WHERE doc_id < 500
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct([t[i : i + 2] FOR i IN
+      |    range(1, greatest(length(t) - 2, 1) + 1)])) AS s
+      |  FROM docs
+      |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), edges AS (
+      |  SELECT id1, id2
+      |  FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+      |  WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.7
+      |), bidir AS (
+      |  SELECT id1, id2 FROM edges UNION ALL SELECT id2, id1 FROM edges
+      |), reach AS (
+      |  WITH RECURSIVE walk(id, r) AS (
+      |    SELECT doc_id, doc_id FROM docs
+      |    UNION
+      |    SELECT b.id2, w.r FROM walk w JOIN bidir b ON b.id1 = w.id
+      |  )
+      |  SELECT * FROM walk
+      |)
+      |SELECT id AS id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "topk_cosine" -> topkOracle("list_cosine_similarity", desc = true),
     "topk_dot" -> topkOracle("list_inner_product", desc = true),
@@ -394,63 +427,9 @@ object SparkEntry {
         |WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.7
         |ORDER BY id1, id2""".stripMargin,
 
-    "dedup_clusters" ->
-      """WITH docs AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
-        |  FROM documents WHERE doc_id < 500
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct([t[i : i + 2] FOR i IN
-        |    range(1, greatest(length(t) - 2, 1) + 1)])) AS s
-        |  FROM docs
-        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), edges AS (
-        |  SELECT id1, id2
-        |  FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
-        |  WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.7
-        |), bidir AS (
-        |  SELECT id1, id2 FROM edges UNION ALL SELECT id2, id1 FROM edges
-        |), reach AS (
-        |  WITH RECURSIVE walk(id, r) AS (
-        |    SELECT doc_id, doc_id FROM docs
-        |    UNION
-        |    SELECT b.id2, w.r FROM walk w JOIN bidir b ON b.id1 = w.id
-        |  )
-        |  SELECT * FROM walk
-        |)
-        |SELECT id AS id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "dedup_clusters" -> clustersOracle,
 
-    "dedup_clusters_stars" ->
-      """WITH docs AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
-        |  FROM documents WHERE doc_id < 500
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct([t[i : i + 2] FOR i IN
-        |    range(1, greatest(length(t) - 2, 1) + 1)])) AS s
-        |  FROM docs
-        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), edges AS (
-        |  SELECT id1, id2
-        |  FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
-        |  WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.7
-        |), bidir AS (
-        |  SELECT id1, id2 FROM edges UNION ALL SELECT id2, id1 FROM edges
-        |), reach AS (
-        |  WITH RECURSIVE walk(id, r) AS (
-        |    SELECT doc_id, doc_id FROM docs
-        |    UNION
-        |    SELECT b.id2, w.r FROM walk w JOIN bidir b ON b.id1 = w.id
-        |  )
-        |  SELECT * FROM walk
-        |)
-        |SELECT id AS id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "dedup_clusters_stars" -> clustersOracle,
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -53,8 +53,12 @@ object Sketch {
     var i = 0
     while (i < len) {
       starts(nChars) = i
-      val b = bytes(i) & 0xFF
-      i += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      // delegate to UTF8String's own lead-byte table so boundaries —
+      // including its treatment of INVALID lead bytes (continuation
+      // bytes advance 1) — match `substr` exactly; a hand-rolled
+      // 2/3/4-byte ladder diverged from the composed-builtin form on
+      // malformed UTF-8
+      i += UTF8String.numBytesForFirstByte(bytes(i))
       nChars += 1
     }
     starts(nChars) = len

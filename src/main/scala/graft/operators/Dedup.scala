@@ -298,18 +298,18 @@ object Dedup {
     val edges = pairs.select(col("id1"), col("id2"))
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .localCheckpoint()
-    var labels = ids.select(col(idCol).cast("long").as("id"),
-      col(idCol).cast("long").as("cluster")).localCheckpoint()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster")).localCheckpoint()
     var changed = true
     var iter = 0
     while (changed && iter < maxIters) {
       // the self branch carries each id's PREVIOUS label through the
-      // min-aggregation (edge contributions carry a +inf sentinel), so
-      // the convergence check is a filter over the freshly
+      // min-aggregation (edge contributions carry a null sentinel,
+      // which min() ignores — works for ANY id type, numeric or not),
+      // so the convergence check is a filter over the freshly
       // checkpointed frame — no second join against the old labels,
       // which halved the per-round cost at toy scale
       val viaEdges = edges.join(labels, edges("id2") === labels("id"))
-        .select(edges("id1").as("id"), col("cluster"), lit(Long.MaxValue).as("old"))
+        .select(edges("id1").as("id"), col("cluster"), lit(null).as("old"))
       val next = labels.select(col("id"), col("cluster"), col("cluster").as("old"))
         .unionAll(viaEdges)
         .groupBy("id").agg(min("cluster").as("cluster"), min("old").as("old"))
@@ -337,7 +337,7 @@ object Dedup {
     */
   def clusterPairsStars(
       ids: DataFrame, idCol: String, pairs: DataFrame, maxIters: Int = 30): DataFrame = {
-    val p = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
+    val p = pairs.select(col("id1").as("a"), col("id2").as("b"))
     var edges = p
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -386,7 +386,7 @@ object Dedup {
     // bidirected neighborhood minimum
     val bi = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
     val lab = bi.groupBy("u").agg(min("v").as("mv"))
-    ids.select(col(idCol).cast("long").as("id"))
+    ids.select(col(idCol).as("id"))
       .join(lab, col("id") === col("u"), "left")
       .select(col("id"), least(coalesce(col("mv"), col("id")), col("id")).as("cluster"))
       .orderBy("id")
@@ -405,9 +405,13 @@ object Dedup {
       embCol: String,
       threshold: Double,
       maxRows: Long = 100000L): DataFrame = {
-    val n = emb.count()
-    require(n <= maxRows,
-      s"embeddingPairsExact is O(n²) (all-pairs cosine): corpus has $n rows > maxRows=$maxRows. " +
+    // guard scan is itself bounded: limit(maxRows + 1) stops the scan
+    // as soon as the bound is provably exceeded — a count() here would
+    // read the whole (possibly enormous) corpus just to refuse it
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val over = emb.select(col(idCol)).limit(probe).count() > maxRows
+    require(!over,
+      s"embeddingPairsExact is O(n²) (all-pairs cosine): corpus has > maxRows=$maxRows rows. " +
         "Use Dedup.embeddingPairsLsh (hyperplane-bucketed, verified) for large corpora, " +
         "or raise maxRows explicitly if the quadratic cost is intended.")
     val a = emb.select(col(idCol).as("id1"), col(embCol).cast("array<double>").as("e1"))

@@ -62,25 +62,20 @@ final case class CorpusIndex(
 
 object Similarity {
 
-  /** One Broadcast per CorpusIndex instance (weak keys — dropping the
-    * index frees the broadcast). The reference's usage pattern is many
-    * `topk`/`matmul` calls against one held corpus; re-broadcasting a
-    * multi-MB packed matrix on every call made the per-call fixed cost
-    * scale with |corpus| instead of being a one-time index build.
+  /** Broadcast per call, NOT cached: a cache keyed on the CorpusIndex
+    * can never evict — `sparkContext.broadcast` stores the value
+    * itself in the driver block manager (a strong reference), so a
+    * weak-keyed entry is immortal and every index ever broadcast
+    * (including topkBlocked's per-block indexes, fresh each call)
+    * would pin its memory for the application lifetime. Per-call
+    * broadcasts become unreachable after the action and Spark's
+    * ContextCleaner reclaims their blocks. Callers that re-search the
+    * same index repeatedly amortize by REUSING THE RETURNED DATAFRAME
+    * (the plan holds its broadcast), not by re-calling topk.
     */
-  private val bcCache =
-    new java.util.WeakHashMap[CorpusIndex, Broadcast[CorpusIndex]]()
   private def broadcastOf(
       spark: org.apache.spark.sql.SparkSession, cx: CorpusIndex): Broadcast[CorpusIndex] =
-    bcCache.synchronized {
-      val cached = bcCache.get(cx)
-      if (cached != null) cached
-      else {
-        val b = spark.sparkContext.broadcast(cx)
-        bcCache.put(cx, b)
-        b
-      }
-    }
+    spark.sparkContext.broadcast(cx)
 
   /** Collect + pack a corpus DataFrame column. Ids are sorted so that
     * output `index` values are deterministic and block splits are

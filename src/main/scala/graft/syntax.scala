@@ -42,12 +42,16 @@ object syntax {
         metric: String = "cosine"): DataFrame =
       Similarity.topkFlat(df, embCol, corpus, k, Metric.fromString(metric))
 
-    /** `pmm.matmul`: all pairwise dot products — per-row score array
-      * by default, exploded (index, score) rows with `flatten = true`.
+    /** `pmm.matmul`: all pairwise dot products — per-row `scores`
+      * array by default, exploded (index, score) rows with
+      * `flatten = true`. Same two-parameter surface as the reference;
+      * use `Similarity.matmul(..., outputCol = ...)` directly to name
+      * the array column (an outputCol here would be silently
+      * meaningless in the flattened form, which has no array column).
       */
     def pmmMatmul(embCol: String, corpus: CorpusIndex,
-        flatten: Boolean = false, outputCol: String = "scores"): DataFrame =
+        flatten: Boolean = false): DataFrame =
       if (flatten) Similarity.matmulFlat(df, embCol, corpus)
-      else Similarity.matmul(df, embCol, corpus, outputCol)
+      else Similarity.matmul(df, embCol, corpus)
   }
 }
