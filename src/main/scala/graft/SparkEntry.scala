@@ -190,6 +190,11 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
 
+    // substring-level fingerprints (rolling-hash winnowing) — rows-only
+    // gate; WinnowSpec asserts the shared-substring guarantee
+    "text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(Tables.documents(s, dir), "doc_id", "text")),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, dir).select("doc_id", "byte_len", "content_md5")),
 

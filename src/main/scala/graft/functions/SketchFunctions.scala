@@ -77,6 +77,101 @@ object Sketch {
   }
 }
 
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * SIGMOD'03 — the MOSS algorithm; public literature): Rabin-Karp
+  * ROLLING hash over character k-grams (base-B polynomial in 64-bit
+  * wraparound arithmetic, each step O(1) — not a re-hash per gram),
+  * then the minimum hash of every window of `w` consecutive k-gram
+  * hashes is selected (rightmost minimum on ties), consecutive
+  * duplicates collapsed. Guarantee: any shared substring of length ≥
+  * w + k − 1 between two documents yields at least one shared
+  * fingerprint; no substring shorter than k is ever detected.
+  * Output: array<long> of selected fingerprint hashes, in document
+  * order. Operates on code points so multibyte text fingerprints
+  * consistently.
+  */
+object Winnow {
+  final val B = 1000003L // polynomial base (odd, large — 64-bit wraparound)
+
+  def fingerprints(t: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val bytes = t.getBytes
+    val len = bytes.length
+    val starts = new Array[Int](len + 1)
+    var nChars = 0
+    var i = 0
+    while (i < len) {
+      starts(nChars) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      nChars += 1
+    }
+    starts(nChars) = len
+    val m = nChars - k + 1
+    if (m < 1) { // too short for one k-gram: fingerprint = hash of whole text
+      return new GenericArrayData(Array[Any](Sketch.xxh64(t)))
+    }
+    // code point value at char index c (the polynomial symbol)
+    def cp(c: Int): Long = {
+      var v = 0L
+      var j = starts(c)
+      while (j < starts(c + 1)) { v = (v << 8) | (bytes(j) & 0xFF); j += 1 }
+      v
+    }
+    // rolling k-gram hashes
+    val hs = new Array[Long](m)
+    var pow = 1L // B^(k-1)
+    var j = 1
+    while (j < k) { pow *= B; j += 1 }
+    var h = 0L
+    var c = 0
+    while (c < k) { h = h * B + cp(c); c += 1 }
+    hs(0) = h
+    var g = 1
+    while (g < m) {
+      h = (h - cp(g - 1) * pow) * B + cp(g + k - 1)
+      hs(g) = h
+      g += 1
+    }
+    // winnow: rightmost minimum of each window of w hashes
+    val out = new java.util.ArrayList[Any]()
+    var lastSel = -1
+    var win = 0
+    val nWin = math.max(m - w + 1, 1)
+    val ww = math.min(w, m)
+    while (win < nWin) {
+      var best = win
+      var x = win
+      while (x < win + ww) {
+        if (hs(x) <= hs(best)) best = x
+        x += 1
+      }
+      if (best != lastSel) { out.add(hs(best)); lastSel = best }
+      win += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Column form of [[Winnow.fingerprints]]. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+  override def prettyName: String = "winnow_fingerprints"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any =
+    Winnow.fingerprints(v.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Winnow.fingerprints($t, $k, $w);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column form of [[Sketch.charShingles]] — the per-row work is heavy
   * enough that codegen simply calls the shared helper.
   */
@@ -369,6 +464,8 @@ object SketchFunctions {
   import ColumnBridge.{column => C, expression => E}
 
   def char_shingles(t: Column, n: Int): Column = C(CharShingles(E(t), n))
+  def winnow_fingerprints(t: Column, k: Int, w: Int): Column =
+    C(WinnowFingerprints(E(t), k, w))
   def minhash_signature(shingles: Column, as: Array[Long], bs: Array[Long]): Column =
     C(MinHashSignature(E(shingles), as, bs))
   def minhash_band_hashes(shingles: Column, as: Array[Long], bs: Array[Long], bands: Int): Column =

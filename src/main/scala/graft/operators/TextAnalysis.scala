@@ -85,4 +85,19 @@ object TextAnalysis {
         md5(normalize(col("text"))).as("fp_md5"),
         length(normalize(col("text"))).cast("long").as("norm_len"))
       .orderBy("doc_id")
+
+  /** Winnowing fingerprints ([[graft.functions.WinnowFingerprints]]:
+    * rolling-hash k-grams, window minima) exploded to one row per
+    * selected fingerprint — the substring-level identity used for
+    * overlap/plagiarism-style matching, where [[fingerprint]] is
+    * whole-document identity. Scan-stage projection; matching
+    * documents is then a plain equi-join on `fp`.
+    */
+  def winnow(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(graft.functions.SketchFunctions.winnow_fingerprints(
+          normalize(col(textCol)), k, w)).as(Seq("pos", "fp")))
+      .select(col("id"), col("pos"), col("fp"))
 }
