@@ -156,6 +156,11 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7))
     }),
 
+    // substring-overlap (copy-detection) pairs via winnow fingerprints
+    // — rows-only; DedupSpec asserts passage detection + df-cut
+    "dedup_overlap" -> ((s, dir) =>
+      Dedup.overlapPairs(Tables.documents(s, dir), "doc_id", "text")),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 500), "doc_id", "text",

@@ -321,6 +321,45 @@ object Dedup {
     labels.orderBy("id")
   }
 
+  /** Substring-overlap near-dup pairs via winnowing fingerprints —
+    * COPY detection, a different paradigm from whole-document Jaccard:
+    * two documents match if they share ≥ `minShared` winnow
+    * fingerprints, i.e. they share verbatim passages (any common
+    * substring of length ≥ w + k − 1 is guaranteed to contribute a
+    * shared fingerprint), regardless of how different the rest of the
+    * documents are. Plan shape: fingerprints are a scan-stage
+    * projection; the join carries (fp, id) only; `maxDocFreq` drops
+    * boilerplate fingerprints appearing in more than that many docs
+    * (the df-cut valve — a site-wide footer should not pair every doc
+    * with every other).
+    * Output: (id1, id2, shared_fps) with shared_fps ≥ minShared.
+    */
+  def overlapPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Int = 2,
+      k: Int = 8,
+      w: Int = 4,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    import graft.functions.SketchFunctions.winnow_fingerprints
+    val fps = docs.select(col(idCol).as("id"),
+        explode(array_distinct(winnow_fingerprints(normalize(col(textCol)), k, w))).as("fp"))
+    val kept =
+      if (maxDocFreq > 0) {
+        val df = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq)
+        fps.join(df.select("fp"), Seq("fp"))
+      } else fps
+    kept.select(col("fp"), col("id").as("id1"))
+      .join(kept.select(col("fp"), col("id").as("id2")), Seq("fp"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .orderBy("id1", "id2")
+  }
+
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14 — public literature): each round rewires every node's

@@ -170,6 +170,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall { case (id, c) => id == c } && out.length == 10)
   }
 
+  test("overlapPairs finds docs sharing a passage; boilerplate df-cut suppresses mass pairs") {
+    val rnd = new scala.util.Random(31)
+    def rt(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val passage = rt(80)
+    val a = (10L, rt(100) + " " + passage + " " + rt(100))
+    val b = (20L, rt(150) + " " + passage + " " + rt(50))
+    val unrelated = (30L, rt(300))
+    // 40 docs all ending in the same boilerplate footer
+    val footer = rt(60)
+    val boiler = (100L until 140L).map(i => (i, rt(120) + " " + footer))
+    val df = (Seq(a, b, unrelated) ++ boiler).toDF("doc_id", "text")
+    val pairs = Dedup.overlapPairs(df, "doc_id", "text", minShared = 2, maxDocFreq = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 20L)), "shared-passage pair missed")
+    assert(!pairs.exists { case (x, y) => x == 30L || y == 30L }, "unrelated doc paired")
+    // footer fingerprints appear in 40 docs > maxDocFreq=10 → cut; the
+    // boilerplate docs' random bodies share nothing else
+    assert(!pairs.exists { case (x, y) => x >= 100L && y >= 100L },
+      "boilerplate footer paired the whole corpus")
+  }
+
   test("char_shingles == composed-builtin form (property, incl. multibyte)") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(3)
