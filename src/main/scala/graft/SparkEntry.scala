@@ -157,9 +157,12 @@ object SparkEntry {
     }),
 
     // substring-overlap (copy-detection) pairs via winnow fingerprints
-    // — rows-only; DedupSpec asserts passage detection + df-cut
+    // — rows-only; DedupSpec asserts passage detection + df-cut. The
+    // synthetic docs are heavily templated, so the gate uses a tight
+    // df-cut (see overlapPairs scaladoc)
     "dedup_overlap" -> ((s, dir) =>
-      Dedup.overlapPairs(Tables.documents(s, dir), "doc_id", "text")),
+      Dedup.overlapPairs(Tables.documents(s, dir), "doc_id", "text",
+        minShared = 3, maxDocFreq = 20L)),
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(

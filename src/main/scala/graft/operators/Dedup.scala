@@ -331,7 +331,11 @@ object Dedup {
     * projection; the join carries (fp, id) only; `maxDocFreq` drops
     * boilerplate fingerprints appearing in more than that many docs
     * (the df-cut valve — a site-wide footer should not pair every doc
-    * with every other).
+    * with every other). On heavily TEMPLATED corpora the df-cut is the
+    * load-bearing knob: at sf0.1 the synthetic documents share so much
+    * phrasing that k=8/df≤1000 yields 9.7M pairs in 24 s, while
+    * k=16/df≤20 yields the 13k genuinely-overlapping pairs in 2 s —
+    * tune df to the corpus's boilerplate profile.
     * Output: (id1, id2, shared_fps) with shared_fps ≥ minShared.
     */
   def overlapPairs(
@@ -339,8 +343,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       minShared: Int = 2,
-      k: Int = 8,
-      w: Int = 4,
+      k: Int = 16,
+      w: Int = 8,
       maxDocFreq: Long = 1000L): DataFrame = {
     import graft.functions.SketchFunctions.winnow_fingerprints
     val fps = docs.select(col(idCol).as("id"),
