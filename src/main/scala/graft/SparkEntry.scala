@@ -58,7 +58,7 @@ object SparkEntry {
     "topk_dot" -> ((s, dir) => topkQuery(s, dir, Metric.Dot)),
     "topk_euclidean" -> ((s, dir) => topkQuery(s, dir, Metric.Euclidean)),
 
-    // the >broadcast-limit scale path (SURVEY §4): corpus in 4 id-range
+    // the >broadcast-limit scale path (SURVEY §4): corpus in 4 hash-mod
     // blocks, per-block partial top-k, one qid-shuffle merge — must
     // produce exactly the single-broadcast result (same oracle as
     // topk_cosine)
