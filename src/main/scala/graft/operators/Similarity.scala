@@ -156,10 +156,14 @@ object Similarity {
       case _ => false
     }
     val fieldTypes = schema.fields.map(_.dataType)
+    // nullable output: a NULL query embedding yields NULL matches (SQL
+    // null-propagation; real corpora have null rows — the kernel must
+    // not crash on them)
     val outSchema = StructType(schema.fields :+ StructField(outputCol,
       ArrayType(StructType(Seq(
         StructField("index", LongType, nullable = false),
-        StructField("score", DoubleType, nullable = false))), containsNull = false)))
+        StructField("score", DoubleType, nullable = false))), containsNull = false),
+      nullable = true))
     // k ≤ 0 → empty matches arrays (the reference clamps k instead of
     // crashing — src/matmul.rs:443); k > |corpus| → all corpus entries
     val kk = math.min(math.max(k, 0), corpus.n)
@@ -174,12 +178,18 @@ object Similarity {
     val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
       val cx = bc.value
       val blas = BLAS.getInstance()
-      it.map(_.copy()).grouped(512).flatMap { batch =>
+      it.map(_.copy()).grouped(512).flatMap { batch0 =>
+        // null embeddings sit out of the GEMM and emit null matches
+        val nullFlags = batch0.map(_.isNullAt(embIdx))
+        val batch = batch0.iterator.zip(nullFlags.iterator)
+          .collect { case (r, false) => r }.toSeq
         val mRows = batch.length
         val qNorms = new Array[Double](mRows)
         val qSq = new Array[Double](mRows)
         val scores = new Array[Double](mRows * cx.n)
-        if (useF32) {
+        if (mRows == 0) {
+          // fall through: no GEMM, every row emits null matches
+        } else if (useF32) {
           val q = new Array[Float](mRows * cx.dim)
           var i = 0
           batch.foreach { row =>
@@ -257,7 +267,9 @@ object Similarity {
               qi += 1
             }
         }
-        batch.iterator.zipWithIndex.map { case (row, qi) =>
+        val results = new Array[AnyRef](mRows)
+        var qi = 0
+        while (qi < mRows) {
           val base = qi * cx.n
           val selIdx = new Array[Int](kk)
           val selScore = new Array[Double](kk)
@@ -288,10 +300,16 @@ object Similarity {
           val structs = new Array[Any](size)
           var r = 0
           while (r < size) { structs(r) = InternalRow(cx.ids(selIdx(r)), selScore(r)); r += 1 }
+          results(qi) = new GenericArrayData(structs)
+          qi += 1
+        }
+        var vi = 0
+        batch0.iterator.zip(nullFlags.iterator).map { case (row, isNull) =>
           val vals = new Array[Any](fieldTypes.length + 1)
           var f = 0
           while (f < fieldTypes.length) { vals(f) = row.get(f, fieldTypes(f)); f += 1 }
-          vals(fieldTypes.length) = new GenericArrayData(structs)
+          vals(fieldTypes.length) =
+            if (isNull) null else { val r = results(vi); vi += 1; r }
           new GenericInternalRow(vals): InternalRow
         }
       }
@@ -338,22 +356,32 @@ object Similarity {
     }
     val useF32 = queryIsF32 && corpus.isF32
     val elemT: DataType = if (useF32) FloatType else DoubleType
+    // nullable output: NULL query embedding → NULL scores (matches topk)
     val outSchema = StructType(schema.fields :+
-      StructField(outputCol, ArrayType(elemT, containsNull = false)))
+      StructField(outputCol, ArrayType(elemT, containsNull = false), nullable = true))
 
     val fieldTypes = schema.fields.map(_.dataType)
-    def appendScores(row: InternalRow, scores: Any): InternalRow = {
-      val vals = new Array[Any](fieldTypes.length + 1)
-      var f = 0
-      while (f < fieldTypes.length) { vals(f) = row.get(f, fieldTypes(f)); f += 1 }
-      vals(fieldTypes.length) = new GenericArrayData(scores)
-      new GenericInternalRow(vals)
-    }
     val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
       val cx = bc.value
       val blas = BLAS.getInstance()
-      it.map(_.copy()).grouped(512).flatMap { batch =>
+      it.map(_.copy()).grouped(512).flatMap { batch0 =>
+        // null embeddings sit out of the GEMM and emit null scores
+        val nullFlags = batch0.map(_.isNullAt(embIdx))
+        val batch = batch0.iterator.zip(nullFlags.iterator)
+          .collect { case (r, false) => r }.toSeq
         val mRows = batch.length
+        def emit(slice: Int => Any): Iterator[InternalRow] = {
+          var vi = 0
+          batch0.iterator.zip(nullFlags.iterator).map { case (row, isNull) =>
+            val vals = new Array[Any](fieldTypes.length + 1)
+            var f = 0
+            while (f < fieldTypes.length) { vals(f) = row.get(f, fieldTypes(f)); f += 1 }
+            vals(fieldTypes.length) =
+              if (isNull) null
+              else { val s = new GenericArrayData(slice(vi)); vi += 1; s }
+            new GenericInternalRow(vals): InternalRow
+          }
+        }
         if (useF32) {
           val q = new Array[Float](mRows * cx.dim)
           var i = 0
@@ -365,11 +393,9 @@ object Similarity {
             i += 1
           }
           val scores = new Array[Float](mRows * cx.n)
-          blas.sgemm("T", "N", cx.n, mRows, cx.dim, 1.0f, cx.dataF, cx.dim,
+          if (mRows > 0) blas.sgemm("T", "N", cx.n, mRows, cx.dim, 1.0f, cx.dataF, cx.dim,
             q, cx.dim, 0.0f, scores, cx.n)
-          batch.iterator.zipWithIndex.map { case (row, qi) =>
-            appendScores(row, java.util.Arrays.copyOfRange(scores, qi * cx.n, (qi + 1) * cx.n))
-          }
+          emit(qi => java.util.Arrays.copyOfRange(scores, qi * cx.n, (qi + 1) * cx.n))
         } else {
           val q = new Array[Double](mRows * cx.dim)
           var i = 0
@@ -387,11 +413,9 @@ object Similarity {
             i += 1
           }
           val scores = new Array[Double](mRows * cx.n)
-          blas.dgemm("T", "N", cx.n, mRows, cx.dim, 1.0, cx.data, cx.dim,
+          if (mRows > 0) blas.dgemm("T", "N", cx.n, mRows, cx.dim, 1.0, cx.data, cx.dim,
             q, cx.dim, 0.0, scores, cx.n)
-          batch.iterator.zipWithIndex.map { case (row, qi) =>
-            appendScores(row, java.util.Arrays.copyOfRange(scores, qi * cx.n, (qi + 1) * cx.n))
-          }
+          emit(qi => java.util.Arrays.copyOfRange(scores, qi * cx.n, (qi + 1) * cx.n))
         }
       }
     }

@@ -141,6 +141,23 @@ class SimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Metric.fromString("invalid_metric"))
   }
 
+  test("null query embeddings propagate to null matches/scores, not a crash") {
+    val q = Seq((0L, Seq(1.0, 0.0)), (1L, null.asInstanceOf[Seq[Double]]),
+      (2L, Seq(0.0, 1.0))).toDF("qid", "embedding")
+    val c = corpusOf(Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))))
+    val topk = Similarity.topk(q, "embedding", c, 2, Metric.Cosine)
+      .select($"qid", $"matches").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(topk == Map(0L -> false, 1L -> true, 2L -> false))
+    // flat form naturally omits the null query (explode of null)
+    assert(Similarity.topkFlat(q, "embedding", c, 2, Metric.Cosine)
+      .select("qid").collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+    val mm = Similarity.matmul(q, "embedding", c)
+      .select($"qid", $"scores").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(mm == Map(0L -> false, 1L -> true, 2L -> false))
+  }
+
   test("empty query frame returns empty result, not an error") {
     val q = Seq.empty[(Long, Seq[Double])].toDF("qid", "embedding")
     val c = corpusOf(Seq((0L, Seq(1.0, 0.0))))
