@@ -44,24 +44,32 @@ object Sketch {
     * dominated the 200k-doc scale smoke. Code-point boundaries are
     * walked once; each shingle is one bounded byte copy.
     */
-  def charShingles(t: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val bytes = t.getBytes
+  /** Code-point start offsets of `bytes` (plus a final sentinel at
+    * `bytes.length`); returns (starts, count). Boundaries delegate to
+    * UTF8String's own lead-byte table so they — including its
+    * treatment of INVALID lead bytes (continuation bytes advance 1) —
+    * match `substr` exactly; a hand-rolled 2/3/4-byte ladder diverged
+    * from the composed-builtin form on malformed UTF-8. Shared by
+    * [[charShingles]] and [[Winnow.fingerprints]] so the two can never
+    * disagree on where characters begin.
+    */
+  def codePointStarts(bytes: Array[Byte]): (Array[Int], Int) = {
     val len = bytes.length
-    // code-point start offsets (ASCII fast path: starts(i) = i)
     val starts = new Array[Int](len + 1)
     var nChars = 0
     var i = 0
     while (i < len) {
       starts(nChars) = i
-      // delegate to UTF8String's own lead-byte table so boundaries —
-      // including its treatment of INVALID lead bytes (continuation
-      // bytes advance 1) — match `substr` exactly; a hand-rolled
-      // 2/3/4-byte ladder diverged from the composed-builtin form on
-      // malformed UTF-8
       i += UTF8String.numBytesForFirstByte(bytes(i))
       nChars += 1
     }
     starts(nChars) = len
+    (starts, nChars)
+  }
+
+  def charShingles(t: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = t.getBytes
+    val (starts, nChars) = codePointStarts(bytes)
     val m = nChars - n + 1
     if (m < 1) return new GenericArrayData(Array[Any](t.clone()))
     val seen = new java.util.HashSet[UTF8String](m * 2)
@@ -83,31 +91,28 @@ object Sketch {
   * wraparound arithmetic, each step O(1) — not a re-hash per gram),
   * then the minimum hash of every window of `w` consecutive k-gram
   * hashes is selected (rightmost minimum on ties), consecutive
-  * duplicates collapsed. Guarantee: any shared substring of length ≥
-  * w + k − 1 between two documents yields at least one shared
-  * fingerprint; no substring shorter than k is ever detected.
+  * duplicates collapsed. Guarantee (for texts of length ≥ k): any
+  * shared substring of length ≥ w + k − 1 between two documents
+  * yields at least one shared fingerprint, and no substring shorter
+  * than k is detected. Texts SHORTER than k fall back to a single
+  * whole-text fingerprint (tagged into a disjoint hash family so it
+  * cannot collide with a k-gram hash) — identical short docs match,
+  * nothing else about them does.
   * Output: array<long> of selected fingerprint hashes, in document
   * order. Operates on code points so multibyte text fingerprints
   * consistently.
   */
 object Winnow {
   final val B = 1000003L // polynomial base (odd, large — 64-bit wraparound)
+  /** xor-tag separating whole-short-text hashes from k-gram hashes. */
+  final val ShortTextTag = 0x9E3779B97F4A7C15L
 
   def fingerprints(t: UTF8String, k: Int, w: Int): GenericArrayData = {
     val bytes = t.getBytes
-    val len = bytes.length
-    val starts = new Array[Int](len + 1)
-    var nChars = 0
-    var i = 0
-    while (i < len) {
-      starts(nChars) = i
-      i += UTF8String.numBytesForFirstByte(bytes(i))
-      nChars += 1
-    }
-    starts(nChars) = len
+    val (starts, nChars) = Sketch.codePointStarts(bytes)
     val m = nChars - k + 1
     if (m < 1) { // too short for one k-gram: fingerprint = hash of whole text
-      return new GenericArrayData(Array[Any](Sketch.xxh64(t)))
+      return new GenericArrayData(Array[Any](Sketch.xxh64(t) ^ ShortTextTag))
     }
     // code point value at char index c (the polynomial symbol)
     def cp(c: Int): Long = {

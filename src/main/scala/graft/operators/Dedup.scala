@@ -347,8 +347,12 @@ object Dedup {
       w: Int = 8,
       maxDocFreq: Long = 1000L): DataFrame = {
     import graft.functions.SketchFunctions.winnow_fingerprints
+    // materialized once: the frame feeds the df aggregation AND both
+    // self-join sides — without the checkpoint every document would be
+    // fingerprinted three times
     val fps = docs.select(col(idCol).as("id"),
         explode(array_distinct(winnow_fingerprints(normalize(col(textCol)), k, w))).as("fp"))
+      .localCheckpoint()
     val kept =
       if (maxDocFreq > 0) {
         val df = fps.groupBy("fp").agg(count(lit(1)).as("df"))

@@ -100,4 +100,5 @@ object TextAnalysis {
         posexplode(graft.functions.SketchFunctions.winnow_fingerprints(
           normalize(col(textCol)), k, w)).as(Seq("pos", "fp")))
       .select(col("id"), col("pos"), col("fp"))
+      .orderBy("id", "pos")
 }

@@ -156,6 +156,21 @@ class SimilaritySpec extends AnyFunSuite {
       .select($"qid", $"scores").collect()
       .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(mm == Map(0L -> false, 1L -> true, 2L -> false))
+    // the f32 fast path has its own batching code — exercise its null
+    // handling too (both sides f32 → sgemm branch)
+    val qf = Seq((0L, Seq(1.0f, 0.0f)), (1L, null.asInstanceOf[Seq[Float]]),
+      (2L, Seq(0.0f, 1.0f))).toDF("qid", "embedding")
+    val cf = Similarity.collectCorpus(
+      Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("cid", "embedding"),
+      "cid", "embedding")
+    val topkF = Similarity.topk(qf, "embedding", cf, 2, Metric.Cosine)
+      .select($"qid", $"matches").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(topkF == Map(0L -> false, 1L -> true, 2L -> false))
+    val mmF = Similarity.matmul(qf, "embedding", cf)
+      .select($"qid", $"scores").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(mmF == Map(0L -> false, 1L -> true, 2L -> false))
   }
 
   test("empty query frame returns empty result, not an error") {
