@@ -156,6 +156,17 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7))
     }),
 
+    // the end-to-end "dedupe this corpus" composition: pairs →
+    // components → keep each group's min-id representative (exact
+    // ngram pairs here so the oracle can replay it)
+    "dedup_drop" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      Dedup.dropDuplicatesByPairs(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // substring-overlap (copy-detection) pairs via winnow fingerprints
     // — rows-only; DedupSpec asserts passage detection + df-cut. The
     // synthetic docs are heavily templated, so the gate uses a tight
@@ -213,11 +224,11 @@ object SparkEntry {
     "q_split" -> ((s, dir) => Curate.splitSummary(s, dir)),
   )
 
-  /** dedup_clusters and dedup_clusters_stars are SPECIFIED to produce
-    * the same clustering, so they share one oracle — structurally, not
-    * by copy, so an edit can't drift one gate from the other.
+  /** dedup_clusters, dedup_clusters_stars, and dedup_drop all derive
+    * from the same reachability CTEs — shared structurally, not by
+    * copy, so an edit can't drift one gate from the others.
     */
-  private val clustersOracle: String =
+  private val clustersCtes: String =
     """WITH docs AS (
       |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
       |  FROM documents WHERE doc_id < 500
@@ -243,8 +254,17 @@ object SparkEntry {
       |    SELECT b.id2, w.r FROM walk w JOIN bidir b ON b.id1 = w.id
       |  )
       |  SELECT * FROM walk
-      |)
-      |SELECT id AS id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
+      |)""".stripMargin
+
+  private val clustersOracle: String = clustersCtes +
+    "\nSELECT id AS id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id"
+
+  private val dedupDropOracle: String = clustersCtes +
+    """
+      |SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+      |FROM (SELECT id FROM reach GROUP BY id HAVING min(r) = id) keep
+      |JOIN documents d ON d.doc_id = keep.id
+      |ORDER BY d.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "topk_cosine" -> topkOracle("list_cosine_similarity", desc = true),
@@ -443,6 +463,8 @@ object SparkEntry {
     "dedup_clusters" -> clustersOracle,
 
     "dedup_clusters_stars" -> clustersOracle,
+
+    "dedup_drop" -> dedupDropOracle,
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

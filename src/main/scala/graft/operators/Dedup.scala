@@ -439,6 +439,35 @@ object Dedup {
       .orderBy("id")
   }
 
+  /** Keep one representative per near-dup group — the operation a
+    * training pipeline actually runs: connected components over the
+    * given pair graph ([[clusterPairsStars]], diameter-independent),
+    * then keep exactly the rows whose id IS their cluster's minimum.
+    * `pairs` comes from any of the pair generators ([[minhashPairs]],
+    * [[ngramJaccardPairs]], [[embeddingPairsLsh]], [[overlapPairs]]) —
+    * exact generators give a deterministic result, sketch-based ones
+    * an approximate one with the generator's recall.
+    * Output: the surviving rows of `docs`, all columns intact.
+    */
+  def dropDuplicatesByPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val reps = clusterPairsStars(docs.select(col(idCol)), idCol, pairs)
+      .filter(col("id") === col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(reps, Seq(idCol), "leftsemi")
+  }
+
+  /** [[dropDuplicatesByPairs]] with the MinHash+LSH near-dup generator
+    * — the one-call "dedupe this corpus" most pipelines want.
+    */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 5): DataFrame =
+    dropDuplicatesByPairs(docs, idCol,
+      minhashPairs(docs, idCol, textCol, threshold, shingleN))
+
   /** Embedding-cosine near-dup pairs — exact all-pairs form (oracle
     * parity; [[embeddingPairsLsh]] is the scale path). Broadcast
     * self-join → O(n²) cosine by construction, so it GUARDS on corpus

@@ -170,6 +170,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall { case (id, c) => id == c } && out.length == 10)
   }
 
+  test("dropNearDuplicates keeps exactly one representative per dup group") {
+    val base = "the quick brown fox jumps over the lazy dog in the sunny park today"
+    val rows = Seq(
+      (1L, base), (2L, base), (9L, base),                  // exact dup group → keep 1
+      (4L, base.replace("park", "yard")),                  // near dup of the group → same cluster
+      (5L, "completely unrelated writing about spark query engines and io paths"),
+      (6L, "another standalone document about columnar storage formats and scans"))
+    val df = rows.toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 6L), s"kept $kept")
+    // all columns survive
+    assert(Dedup.dropNearDuplicates(df, "doc_id", "text", threshold = 0.7)
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("overlapPairs finds docs sharing a passage; boilerplate df-cut suppresses mass pairs") {
     val rnd = new scala.util.Random(31)
     def rt(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
