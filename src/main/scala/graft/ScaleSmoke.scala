@@ -54,18 +54,24 @@ object ScaleSmoke {
     timed("simhash pairs (pigeonhole, hamming <= 3)") {
       Dedup.simhashPairs(docs, "doc_id", "text").count()
     }
+    timed("simhash pairs WIDE (2x32-bit chunks + 1-bit probes)") {
+      Dedup.simhashPairsWide(docs, "doc_id", "text").count()
+    }
     docs.unpersist()
 
     // embedding near-dup at the same corpus size: 64-dim vectors with
     // the same planted 1 % exact + 1 % near (one nudged coordinate →
-    // cos ≈ 0.9999) dup structure. bits sized so buckets stay tiny at
-    // 1M rows (2^18 buckets/table); single-probe is plenty at
-    // near-dup similarity.
+    // cos ≈ 0.9999) dup structure. bits scale with log2(n) so expected
+    // bucket size stays ≈ 1 and the verify shuffle stays O(n) — at
+    // fixed bits the candidate count grows ~n²/2^bits and a 4M corpus
+    // spilled ~200 GB of attached vectors (see embeddingPairsLsh doc).
+    val embBits = math.min(24,
+      (math.log(nDocs.toDouble.max(2)) / math.log(2)).ceil.toInt + 2)
     val emb = synthEmb(spark, nDocs).cache()
     emb.count()
-    timed(s"embedding LSH near-dup pairs (${nDocs} x 64d, verified cos >= 0.95)") {
+    timed(s"embedding LSH near-dup pairs (${nDocs} x 64d, bits=$embBits, verified cos >= 0.95)") {
       Dedup.embeddingPairsLsh(emb, "doc_id", "vec", threshold = 0.95, dim = 64,
-        tables = 4, bits = 18, probes = 1, maxBucketSize = 1000).count()
+        tables = 2, bits = embBits, probes = 2, maxBucketSize = 1000).count()
     }
     emb.unpersist()
     spark.stop()

@@ -281,6 +281,58 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** SimHash near-dup pairs for LARGE corpora — same output contract
+    * as [[simhashPairs]], different join geometry. The narrow-chunk
+    * pigeonhole saturates at millions of docs (maxDist+1 chunks of
+    * 64/(maxDist+1) bits hold few distinct values, so chunk buckets
+    * grow linearly with n and within-bucket comparison quadratically —
+    * measured 7× superlinear at 4M docs). Here the pigeonhole uses
+    * ceil((maxDist+1)/2) WIDE chunks — some chunk of any qualifying
+    * pair differs in ≤ 1 bit — and each doc emits, per chunk, its
+    * exact value plus every one-bit flip (HmSearch-style query
+    * expansion, Zhang et al. VLDB'13 — public literature). The join
+    * requires at least one side exact, so keys are effectively
+    * 32-bit-wide values whose buckets stay tiny at any corpus size;
+    * fan-out is a fixed ~(width+1) rows per chunk per doc instead of
+    * growing with n. Exact hamming verify on candidates either way.
+    */
+  def simhashPairsWide(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 15,
+      s"maxDist must be in [0, 15], got $maxDist")
+    val nChunks = (maxDist + 2) / 2 // ceil((maxDist+1)/2)
+    val sig = simhashSignatures(docs, idCol, textCol)
+    val chunkCols = (0 until nChunks).flatMap { c =>
+      val start = c * 64 / nChunks
+      val width = (c + 1) * 64 / nChunks - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      val exact = shiftright(col("simhash"), start).bitwiseAND(mask)
+      // key 0 = exact value; keys 1..width = one-bit flips
+      (0 to width).map { b =>
+        val v = if (b == 0) exact else exact.bitwiseXOR(lit(1L << (b - 1)))
+        struct(lit(c).as("chunk"), v.as("cv"), lit(b == 0).as("isExact"))
+      }
+    }
+    val keys = sig.select(col("id"), col("simhash"),
+      explode(array(chunkCols: _*)).as("k"))
+      .select(col("id"), col("simhash"),
+        col("k.chunk").as("chunk"), col("k.cv").as("cv"), col("k.isExact").as("isExact"))
+    val a = keys.select(col("chunk"), col("cv"), col("id").as("id1"),
+      col("simhash").as("sh1"), col("isExact").as("e1"))
+    val b = keys.select(col("chunk"), col("cv"), col("id").as("id2"),
+      col("simhash").as("sh2"), col("isExact").as("e2"))
+    val cand = a.join(b, Seq("chunk", "cv"))
+      .filter(col("id1") < col("id2") && (col("e1") || col("e2")))
+      .select("id1", "id2", "sh1", "sh2").distinct()
+    cand.withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+  }
+
   /** Connected components over a near-dup pair graph: every doc gets
     * `cluster` = the smallest doc id reachable through pairs — the
     * step that turns pairwise matches into "keep one per group".
@@ -506,6 +558,15 @@ object Dedup {
     * local pairs, never an O(n²) self-join. Approximate in the same
     * sense as [[minhashPairs]]: a true pair is missed only if it
     * disagrees in all `tables` probed signatures.
+    *
+    * SIZE `bits` WITH THE CORPUS: candidate volume is
+    * ≈ tables · probes² · n²/2^bits (every within-bucket pair), and
+    * the verify join attaches 2·dim·8 bytes to each candidate. With
+    * the default bits=8 a 4M-vector corpus generates ~10⁸ candidates
+    * and a ~200 GB verify shuffle; bits ≈ log₂(n) + 2 keeps expected
+    * bucket size ≈ 1 and candidates ≈ O(n) + true matches (the 4M
+    * scale smoke runs tables=2, bits=22, probes=2). Defaults suit
+    * corpora up to ~10⁵.
     * Output: (id1, id2, cosine ≥ threshold).
     */
   def embeddingPairsLsh(

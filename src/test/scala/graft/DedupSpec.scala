@@ -133,6 +133,23 @@ class DedupSpec extends AnyFunSuite {
       Dedup.simhashPairs(df, "doc_id", "text", maxDist = 17))
   }
 
+  test("simhashPairsWide == simhashPairs (both complete) at maxDist 3 and 7") {
+    val rnd = new scala.util.Random(13)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val corpus = (0L until 80L).map { i =>
+      (i, Seq.fill(10)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    for (d <- Seq(3, 7)) {
+      val narrow = Dedup.simhashPairs(df, "doc_id", "text", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val wide = Dedup.simhashPairsWide(df, "doc_id", "text", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(wide == narrow, s"maxDist=$d: wide ${wide.size} vs narrow ${narrow.size}")
+    }
+  }
+
   test("large-star/small-star CC equals min-label propagation on random graphs") {
     val rnd = new scala.util.Random(7)
     val n = 300
