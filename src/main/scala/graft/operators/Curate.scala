@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   *   exact-content group AND its predicted language is `lang` AND it
   *   clears the quality gates (word count, stopword ratio).
   *
-  * Plan shape at scale: quality and language are scan-stage
-  * projections; dedup is ONE shuffle on the content hash (window
-  * row_number, equivalent to the groupBy keep-min-id); the gates are
-  * plain filters after it. Nothing materializes per-pair or per-token
-  * state.
+  * Plan shape at scale: quality and language are one scan-stage
+  * projection; the gates filter IN the scan stage (legal because exact
+  * copies score identically — see [[curate]]); dedup is ONE shuffle on
+  * the content hash (window row_number, equivalent to the groupBy
+  * keep-min-id) over the gate survivors only. Nothing materializes
+  * per-pair or per-token state.
   */
 object Curate {
 
@@ -29,19 +30,31 @@ object Curate {
       minWords: Long = 30L,
       minStopRatio: Double = 0.04): DataFrame = {
     val t = col("text")
+    // ONE scan-stage projection computes every gate column (round 2
+    // built tokens/normalize/bestLang in separate withColumns around
+    // the window — the suite's worst data-moving ratio, 6.9× DuckDB).
+    // Within the single select, `tokens(t)` and `tokens(normalize(t))`
+    // each appear in several columns; whole-stage codegen's
+    // subexpression elimination evaluates each once per row.
+    val best = TextAnalysis.bestLang(t)
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id"), t,
+      best.getField("lang").as("pred_lang"),
+      size(tokens(t)).cast("long").as("n_words"),
+      (round(tokenListCount(tokens(normalize(t)), TextAnalysis.langMarkers.head._2)
+        / size(tokens(t)), 4) + lit(0.0)).as("stop_ratio"))
+    // gates run BEFORE the dedup window: exact copies share the text
+    // byte-for-byte, hence identical pred_lang/n_words/stop_ratio — a
+    // content group passes or fails as a whole, so its surviving
+    // min-id representative is unchanged, while the window shuffle
+    // now carries only gate-passing rows (~6 % of the corpus here)
+    // instead of everything.
     val dedupW = Window.partitionBy(md5(t)).orderBy(col("doc_id"))
-    val nWords = size(tokens(t)).cast("long")
-    val stopRatio = round(
-      tokenListCount(tokens(normalize(t)), TextAnalysis.langMarkers.head._2)
-        / size(tokens(t)), 4) + lit(0.0)
-    Tables.documents(s, dir)
-      .withColumn("rn", row_number().over(dedupW))
-      .filter(col("rn") === 1)
-      .withColumn("pred_lang", TextAnalysis.bestLang(t).getField("lang"))
-      .withColumn("n_words", nWords)
-      .withColumn("stop_ratio", stopRatio)
+    scored
       .filter(col("pred_lang") === lang &&
         col("n_words") >= minWords && col("stop_ratio") >= minStopRatio)
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
       .select("doc_id", "pred_lang", "n_words", "stop_ratio")
       .orderBy("doc_id")
   }

@@ -333,6 +333,34 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** [[simhashPairs]] / [[simhashPairsWide]] behind ONE entry point:
+    * picks the join geometry from the corpus size. The narrow-chunk
+    * pigeonhole is cheaper per doc (maxDist+1 keys, no flip expansion)
+    * but its 64/(maxDist+1)-bit chunk values saturate as the corpus
+    * grows — buckets grow ~n/2^bits, within-bucket comparison ~n²/2^bits
+    * (measured 7× superlinear at 4×10⁶ docs, BENCH_NOTES.md) — while
+    * the wide form's ~32-bit keys keep buckets O(1) at any realistic
+    * corpus size for a fixed ~(width+1)× key fan-out. Crossover is
+    * ~10⁷ docs at maxDist 3; we switch at 5×10⁶ (the measured
+    * saturation already bites at 4×10⁶).
+    *
+    * `nDocsHint`: pass the (approximate) corpus row count when known —
+    * a pipeline over 100 TB should not pay a count() scan to pick a
+    * join shape; < 0 falls back to counting. Both forms produce the
+    * SAME pair set (DedupSpec asserts equality), so the hint only
+    * affects cost, never results.
+    */
+  def simhashPairsAuto(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      nDocsHint: Long = -1L): DataFrame = {
+    val n = if (nDocsHint >= 0L) nDocsHint else docs.count()
+    if (n <= 5000000L) simhashPairs(docs, idCol, textCol, maxDist)
+    else simhashPairsWide(docs, idCol, textCol, maxDist)
+  }
+
   /** Connected components over a near-dup pair graph: every doc gets
     * `cluster` = the smallest doc id reachable through pairs — the
     * step that turns pairwise matches into "keep one per group".
@@ -441,12 +469,16 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // one half-round over the BIDIRECTED neighborhood, per the paper:
     // large-star(u) connects every neighbor v > u to m(u) =
     // min(N(u) ∪ {u}); small-star(u) connects every neighbor v < u,
     // and u itself, to m(u). Output edges are canonical (u > v).
+    // Duplicate edges are NOT dropped inside a half-round: no
+    // neighborhood minimum changes under duplication, so one distinct
+    // at the round end suffices — one shuffle per round, not two
+    // (round-2 verdict #3: 12.2 s of mostly fixed per-round cost).
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val b = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val minN = b.groupBy("u").agg(min("v").as("mv"))
@@ -458,23 +490,29 @@ object Dedup {
         else withM.filter(col("v") < col("u"))
           .select(col("v").as("u"), col("m").as("v"))
           .unionAll(minN.select(col("u"), col("m").as("v")))
-      out.filter(col("u") =!= col("v")).distinct()
+      out.filter(col("u") =!= col("v"))
     }
 
     // order-independent edge-set digest (bit_xor can't overflow under
     // ANSI arithmetic, unlike a sum of hashes); distinct edges make
-    // xor-cancellation of duplicates a non-issue
+    // xor-cancellation of duplicates a non-issue. The digest job is
+    // ALSO the checkpoint materialization: edges is localCheckpoint
+    // (eager = false), so the agg both persists the round's edge set
+    // and reads the convergence state — ONE action per round where
+    // round 2 paid three (eager checkpoint + digest + isEmpty probe).
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    if (!edges.isEmpty) {
-      var prev = fingerprint(edges)
+    var prev = fingerprint(edges)
+    if (prev._1 > 0L) {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
-        edges = star(star(edges, large = true), large = false).localCheckpoint()
+        edges = star(star(edges, large = true), large = false)
+          .distinct()
+          .localCheckpoint(eager = false)
         val cur = fingerprint(edges)
         converged = cur == prev
         prev = cur

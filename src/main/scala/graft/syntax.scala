@@ -53,5 +53,52 @@ object syntax {
         flatten: Boolean = false): DataFrame =
       if (flatten) Similarity.matmulFlat(df, embCol, corpus)
       else Similarity.matmul(df, embCol, corpus)
+
+    // ------------------------------------------------------------------
+    // DataFrame-accepting overloads: the reference binds the corpus
+    // frame directly in the expression call
+    // (python/polars_matmul/__init__.py:63) — these close that last
+    // call-site gap by collecting internally, so a reference one-liner
+    // ports verbatim. For repeated searches against the same corpus,
+    // prefer collecting once via `Similarity.collectCorpus` and the
+    // CorpusIndex overloads above — each call here re-collects and
+    // re-broadcasts.
+    // ------------------------------------------------------------------
+
+    /** `pmm.topk` with a corpus DataFrame: collects (idCol, embCol)
+      * internally, then searches. One-call ergonomics for one-shot use.
+      */
+    def pmmTopk(embCol: String, corpus: DataFrame, corpusIdCol: String,
+        corpusEmbCol: String, k: Int, metric: String,
+        outputCol: String): DataFrame =
+      Similarity.topk(df, embCol,
+        Similarity.collectCorpus(corpus, corpusIdCol, corpusEmbCol),
+        k, Metric.fromString(metric), outputCol)
+
+    def pmmTopk(embCol: String, corpus: DataFrame, corpusIdCol: String,
+        corpusEmbCol: String, k: Int): DataFrame =
+      pmmTopk(embCol, corpus, corpusIdCol, corpusEmbCol, k, "cosine", "matches")
+
+    /** [[pmmTopkFlat]] with a corpus DataFrame — collects internally.
+      * (No default arguments on these overloads: Scala forbids
+      * defaults on more than one alternative of an overloaded method.)
+      */
+    def pmmTopkFlat(embCol: String, corpus: DataFrame, corpusIdCol: String,
+        corpusEmbCol: String, k: Int): DataFrame =
+      pmmTopkFlat(embCol, corpus, corpusIdCol, corpusEmbCol, k, "cosine")
+
+    def pmmTopkFlat(embCol: String, corpus: DataFrame, corpusIdCol: String,
+        corpusEmbCol: String, k: Int, metric: String): DataFrame =
+      Similarity.topkFlat(df, embCol,
+        Similarity.collectCorpus(corpus, corpusIdCol, corpusEmbCol),
+        k, Metric.fromString(metric))
+
+    /** [[pmmMatmul]] with a corpus DataFrame — collects internally. */
+    def pmmMatmul(embCol: String, corpus: DataFrame, corpusIdCol: String,
+        corpusEmbCol: String, flatten: Boolean): DataFrame = {
+      val cx = Similarity.collectCorpus(corpus, corpusIdCol, corpusEmbCol)
+      if (flatten) Similarity.matmulFlat(df, embCol, cx)
+      else Similarity.matmul(df, embCol, cx)
+    }
   }
 }

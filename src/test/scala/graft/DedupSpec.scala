@@ -150,6 +150,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashPairsAuto: geometry picked by corpus size, identical pairs either way") {
+    val rnd = new scala.util.Random(29)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val corpus = (0L until 80L).map { i =>
+      (i, Seq.fill(10)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    def pairs(frame: org.apache.spark.sql.DataFrame) =
+      frame.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // below the crossover (real count, 80 docs) → narrow form
+    val auto = pairs(Dedup.simhashPairsAuto(df, "doc_id", "text", maxDist = 3))
+    assert(auto == pairs(Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3)))
+    // a 10^7 hint forces the wide form — results must not change
+    val autoWide = pairs(
+      Dedup.simhashPairsAuto(df, "doc_id", "text", maxDist = 3, nDocsHint = 10000000L))
+    assert(autoWide == auto)
+  }
+
   test("large-star/small-star CC equals min-label propagation on random graphs") {
     val rnd = new scala.util.Random(7)
     val n = 300

@@ -103,6 +103,18 @@ class SimilaritySpec extends AnyFunSuite {
       ArrayType(DoubleType, containsNull = false))
   }
 
+  test("matmulFlat keeps f32 scores in flatten mode (reference dtype rule)") {
+    val qf = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f))).toDF("qid", "embedding")
+    val cf = Similarity.collectCorpus(
+      Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("cid", "embedding"), "cid", "embedding")
+    val flat = Similarity.matmulFlat(qf, "embedding", cf)
+    assert(flat.schema("score").dataType == FloatType)
+    assert(flat.count() == 4)
+    // any f64 side → f64 flat scores, as before
+    val qd = queriesDf(Seq((0L, Seq(1.0, 2.0))))
+    assert(Similarity.matmulFlat(qd, "embedding", cf).schema("score").dataType == DoubleType)
+  }
+
   test("topk f32 fast path: same ranking as the f64 path, scores within f32 precision") {
     val rnd = new scala.util.Random(99)
     val dim = 8

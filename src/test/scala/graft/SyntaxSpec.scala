@@ -30,6 +30,23 @@ class SyntaxSpec extends AnyFunSuite {
     assert(queries.pmmTopk("embedding", cx, k = 2).columns.contains("matches"))
   }
 
+  test("DataFrame-accepting overloads: a reference one-liner ports verbatim") {
+    val viaDf = queries.pmmTopkFlat("embedding", corpusDF, "id", "embedding", k = 2)
+      .select("qid", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val direct = Similarity.topkFlat(queries, "embedding", cx, 2, Metric.Cosine)
+      .select("qid", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaDf == direct && viaDf.nonEmpty)
+    assert(queries.pmmTopk("embedding", corpusDF, "id", "embedding", k = 2)
+      .columns.contains("matches"))
+    assert(queries.pmmMatmul("embedding", corpusDF, "id", "embedding", flatten = true)
+      .count() == 2 * 3)
+    // metric parsing flows through unchanged
+    intercept[IllegalArgumentException](
+      queries.pmmTopkFlat("embedding", corpusDF, "id", "embedding", 2, "manhattan"))
+  }
+
   test("pmmMatmul default = score array; flatten = exploded rows") {
     val arr = queries.pmmMatmul("embedding", cx)
     assert(arr.schema("scores").dataType.typeName == "array")
