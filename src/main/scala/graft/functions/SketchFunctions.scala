@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -465,6 +466,120 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Single-pass text-gate statistics: per-language marker-token counts
+  * over NORMALIZED tokens plus the whitespace-token count — the exact
+  * quantities `Curate`'s gates need, in one byte scan instead of two
+  * regex tokenizer passes producing intermediate arrays.
+  *
+  * Semantics replicated bit-for-bit from the composed form:
+  * - counts(i) = size(filter(split(trim(regexp_replace(lower(t),
+  *   "[^a-z0-9]+", " ")), "\\s+"), x -> x IN markers(i))) — i.e.
+  *   maximal lowercased [a-z0-9] runs, each occurrence counted.
+  *   Multi-byte / non-ASCII bytes (> 0x7f) are never [a-z0-9], so the
+  *   byte-level scan and the codepoint-level regex agree on run
+  *   boundaries.
+  * - n_words = size(split(trim(t), "\\s+")). Exact split semantics:
+  *   Spark's split is Pattern.split(str, -1), which KEEPS leading and
+  *   trailing empty fields, and trim removes ONLY spaces (0x20), not
+  *   tabs/newlines — so field count = (maximal `\s`-run count in the
+  *   space-trimmed string) + 1 ("" → 1, "\t\n" → 2, "a\t" → 2).
+  * Marker words must be <= 8 ASCII bytes (packed into a long for the
+  * comparison); the built-in marker lists are all <= 5.
+  */
+object LangStats {
+  /** markers packed: one sorted long[] per language. */
+  def pack(markers: Seq[Seq[String]]): Array[Array[Long]] =
+    markers.map { ws =>
+      val a = ws.map { w =>
+        val b = w.getBytes("UTF-8")
+        require(b.length >= 1 && b.length <= 8, s"marker '$w' must be 1-8 bytes")
+        b.foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xFFL))
+      }.toArray
+      java.util.Arrays.sort(a)
+      a
+    }.toArray
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def stats(t: UTF8String, packed: Array[Array[Long]]): InternalRow = {
+    val bytes = t.getBytes
+    val n = bytes.length
+    val counts = new Array[Long](packed.length)
+    // pass 1: lowercased [a-z0-9] runs, packed into a long while short
+    // enough to possibly match a marker
+    var i = 0
+    var run = 0L
+    var runLen = 0
+    def flush(): Unit = {
+      if (runLen >= 1 && runLen <= 8) {
+        var l = 0
+        while (l < packed.length) {
+          if (java.util.Arrays.binarySearch(packed(l), run) >= 0) counts(l) += 1
+          l += 1
+        }
+      }
+      run = 0L; runLen = 0
+    }
+    while (i < n) {
+      var c = bytes(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (runLen < 8) run = (run << 8) | (c & 0xFFL)
+        runLen += 1
+        if (runLen > 8) runLen = 9 // too long to match any packed marker
+      } else flush()
+      i += 1
+    }
+    flush()
+    // pass 2: split-field count of the space-trimmed string (see
+    // scaladoc: fields = \s-run count + 1, empty fields included)
+    var lo = 0
+    var hi = n
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    var sepRuns = 0L
+    var inSep = false
+    i = lo
+    while (i < hi) {
+      if (isWs(bytes(i))) { if (!inSep) sepRuns += 1; inSep = true }
+      else inSep = false
+      i += 1
+    }
+    val nWords = sepRuns + 1L
+    new GenericInternalRow(Array[Any](new GenericArrayData(counts.map(x => x: Any)), nWords))
+  }
+}
+
+/** Column form of [[LangStats.stats]]:
+  * struct<counts: array<long>, n_words: long>.
+  */
+case class LangMarkerStats(child: Expression, markers: Seq[Seq[String]])
+  extends UnaryExpression {
+  override def prettyName: String = "lang_marker_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("counts", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("n_words", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  @transient private lazy val packed = LangStats.pack(markers)
+
+  override def nullSafeEval(v: Any): Any =
+    LangStats.stats(v.asInstanceOf[UTF8String], packed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("packedMarkers", packed, "long[][]")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.LangStats.stats($t, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchFunctions {
   import ColumnBridge.{column => C, expression => E}
 
@@ -478,4 +593,6 @@ object SketchFunctions {
   def simhash64(tokens: Column): Column = C(SimHash64(E(tokens)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     C(SortedIntersectCount(E(a), E(b)))
+  def lang_marker_stats(t: Column, markers: Seq[Seq[String]]): Column =
+    C(LangMarkerStats(E(t), markers))
 }

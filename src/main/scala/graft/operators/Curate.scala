@@ -23,6 +23,43 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** Evaluate `f` with `c` bound to a lambda variable — a SQL-level
+    * `let`: `c` is computed exactly ONCE per row no matter how many
+    * times `f`'s body references it. Catalyst has no sharing construct,
+    * FilterExec does no subexpression elimination, and codegen CSE
+    * cannot hoist from conditional branches (short-circuit AND, CASE),
+    * so a one-element `transform` is the way to pin evaluation count
+    * structurally. Pure built-ins — no UDF.
+    */
+  private def letBound(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /** struct(pred_lang, n_words, stop_ratio) from ONE single-pass
+    * native expression ([[graft.functions.LangMarkerStats]]: marker
+    * counts + whitespace-token count in one byte scan — no regex, no
+    * intermediate token arrays), let-bound so the scan runs exactly
+    * once per row. The integral counts come from the expression; the
+    * argmax and the float division/rounding stay in Catalyst built-ins
+    * so oracle parity is decided by the exact same round() the SQL
+    * side uses. Semantics identical to [[TextAnalysis.bestLang]] + the
+    * quality columns: the en marker count doubles as the stop-ratio
+    * numerator.
+    */
+  private def gateStruct(t: Column): Column =
+    letBound(graft.functions.SketchFunctions.lang_marker_stats(
+        t, TextAnalysis.langMarkers.map(_._2))) { st =>
+      val counts = st.getField("counts")
+      val nw = st.getField("n_words")
+      val cands = array(TextAnalysis.langMarkers.zipWithIndex.map { case ((l, _), i) =>
+        struct(element_at(counts, i + 1).as("score"),
+          lit(-i).as("negpos"), lit(l).as("lang"))
+      }: _*)
+      struct(
+        array_max(cands).getField("lang").as("pred_lang"),
+        nw.as("n_words"),
+        (round(element_at(counts, 1) / nw, 4) + lit(0.0)).as("stop_ratio"))
+    }
+
   def curate(
       s: SparkSession,
       dir: String,
@@ -30,32 +67,28 @@ object Curate {
       minWords: Long = 30L,
       minStopRatio: Double = 0.04): DataFrame = {
     val t = col("text")
-    // ONE scan-stage projection computes every gate column (round 2
-    // built tokens/normalize/bestLang in separate withColumns around
-    // the window — the suite's worst data-moving ratio, 6.9× DuckDB).
-    // Within the single select, `tokens(t)` and `tokens(normalize(t))`
-    // each appear in several columns; whole-stage codegen's
-    // subexpression elimination evaluates each once per row.
-    val best = TextAnalysis.bestLang(t)
-    val scored = Tables.documents(s, dir).select(
-      col("doc_id"), t,
-      best.getField("lang").as("pred_lang"),
-      size(tokens(t)).cast("long").as("n_words"),
-      (round(tokenListCount(tokens(normalize(t)), TextAnalysis.langMarkers.head._2)
-        / size(tokens(t)), 4) + lit(0.0)).as("stop_ratio"))
-    // gates run BEFORE the dedup window: exact copies share the text
+    val g = gateStruct(t)
+    // Gates run BEFORE the dedup window: exact copies share the text
     // byte-for-byte, hence identical pred_lang/n_words/stop_ratio — a
     // content group passes or fails as a whole, so its surviving
     // min-id representative is unchanged, while the window shuffle
-    // now carries only gate-passing rows (~6 % of the corpus here)
-    // instead of everything.
+    // carries only gate-passing rows (~6 % of the corpus here).
+    // The predicate is itself let-bound so the gate struct computes
+    // once; the output columns are re-derived AFTER the rn = 1 filter,
+    // on survivors only (projecting them pre-filter would make
+    // predicate pushdown restate the whole expression in the filter).
+    val passes = letBound(g) { gs =>
+      gs.getField("pred_lang") === lang &&
+        gs.getField("n_words") >= minWords &&
+        gs.getField("stop_ratio") >= minStopRatio
+    }
     val dedupW = Window.partitionBy(md5(t)).orderBy(col("doc_id"))
-    scored
-      .filter(col("pred_lang") === lang &&
-        col("n_words") >= minWords && col("stop_ratio") >= minStopRatio)
+    Tables.documents(s, dir)
+      .filter(passes)
       .withColumn("rn", row_number().over(dedupW))
       .filter(col("rn") === 1)
-      .select("doc_id", "pred_lang", "n_words", "stop_ratio")
+      .select(col("doc_id"), g.getField("pred_lang").as("pred_lang"),
+        g.getField("n_words").as("n_words"), g.getField("stop_ratio").as("stop_ratio"))
       .orderBy("doc_id")
   }
 

@@ -26,15 +26,27 @@ object TextAnalysis {
 
   /** struct(score, lang) of the winning language for a text column —
     * argmax of marker counts, earlier entry wins ties.
+    *
+    * Shape matters: the argmax is `array_max` over (score, negpos,
+    * lang) structs — struct ordering gives highest score, then
+    * earliest entry — NOT a `reduce(when(...))` chain. The reduce
+    * form nests CASE WHEN combinatorially (every comparison re-states
+    * both operand trees: ~20 copies of the tokenizer at 4 languages),
+    * and codegen subexpression elimination cannot hoist from
+    * conditional branches, so every copy actually ran. The array form
+    * is branch-free: one tokenizer pass per evaluation site, CSE'd.
+    * Null text keeps the old semantics: all-null scores compare on
+    * negpos → ("en", null score), matching the SQL oracles' NULLS
+    * LAST ranking.
     */
   def bestLang(textCol: Column): Column = {
     val toks = tokens(normalize(textCol))
-    val counts = langMarkers.map { case (lang, ws) =>
-      struct(tokenListCount(toks, ws).cast("long").as("score"), lit(lang).as("lang"))
-    }
-    counts.zipWithIndex.map { case (c, i) =>
-      struct(c.getField("score").as("score"), lit(-i).as("negpos"), c.getField("lang").as("lang"))
-    }.reduce((x, y) => when(y.getField("score") > x.getField("score"), y).otherwise(x))
+    val cands = array(langMarkers.zipWithIndex.map { case ((lang, ws), i) =>
+      struct(tokenListCount(toks, ws).cast("long").as("score"),
+        lit(-i).as("negpos"), lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(cands)
+    struct(best.getField("score").as("score"), best.getField("lang").as("lang"))
   }
 
   /** (doc_id, pred_lang, score): winning marker count per doc. */
