@@ -390,11 +390,17 @@ object Dedup {
       // which halved the per-round cost at toy scale
       val viaEdges = edges.join(labels, edges("id2") === labels("id"))
         .select(edges("id1").as("id"), col("cluster"), lit(null).as("old"))
+      // lazy checkpoint + FULL-SCAN convergence agg: the agg is the
+      // action that materializes the checkpoint — one job per round,
+      // not two. (A limit(1) probe would be cheaper in isolation but
+      // can stop before all partitions are computed, and the local
+      // checkpoint then launches a second job for the missing ones.)
       val next = labels.select(col("id"), col("cluster"), col("cluster").as("old"))
         .unionAll(viaEdges)
         .groupBy("id").agg(min("cluster").as("cluster"), min("old").as("old"))
-        .localCheckpoint()
-      changed = next.filter(col("cluster") =!= col("old")).limit(1).count() > 0
+        .localCheckpoint(eager = false)
+      changed = next.agg(
+        count(when(col("cluster") =!= col("old"), 1))).head.getLong(0) > 0
       labels = next.select("id", "cluster")
       iter += 1
     }
