@@ -81,11 +81,23 @@ object Ann {
       .orderBy(xxhash64(col("index")), col("index"))
     val cb = cbAll.withColumn("brn", row_number().over(bw))
       .filter(col("brn") <= maxBucketSize).drop("brn")
-    val pairs = qb.join(cb, Seq("table", "bucket"))
-      .select(col(qIdCol), col("index"))
-      .distinct()
+    val pairs = dedupPairs(qb.join(cb, Seq("table", "bucket"))
+      .select(col(qIdCol), col("index")), qIdCol)
     rerank(pairs, queries, qIdCol, corpus, cIdCol, embCol, k)
   }
+
+  /** Candidate-pair dedup partitioned on the QUERY id only: a plain
+    * `.distinct()` hash-partitions on (qid, index), and the rerank's
+    * qid join then re-shuffles the whole candidate set a second time.
+    * Partitioning on qid alone already co-locates every copy of a
+    * (qid, index) pair — HashPartitioning on a subset of the
+    * aggregation keys satisfies its ClusteredDistribution — so the
+    * dedup aggregate runs without its own exchange and the SAME
+    * partitioning carries through the rerank join and ranking window:
+    * the candidate set crosses exactly one shuffle end to end.
+    */
+  private def dedupPairs(pairs: DataFrame, qIdCol: String): DataFrame =
+    pairs.repartition(col(qIdCol)).dropDuplicates(qIdCol, "index")
 
   /** Exact-cosine rerank of id-only candidate pairs — the shared tail
     * of both ANN paths: corpus embeddings attach by broadcast (the
@@ -216,7 +228,8 @@ object Ann {
       .select(col("__cid").as("index"), col("cell"))
     val qb = cells(queries.select(col(qIdCol), col(embCol)), qIdCol, nProbe)
     // --- search: id-only candidate join, broadcast rerank ------------
-    val pairs = qb.join(cb, Seq("cell")).select(col(qIdCol), col("index")).distinct()
+    val pairs = dedupPairs(
+      qb.join(cb, Seq("cell")).select(col(qIdCol), col("index")), qIdCol)
     rerank(pairs, queries, qIdCol, corpus, cIdCol, embCol, k)
   }
 }

@@ -77,6 +77,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly $numBlocks per-block collect jobs, saw ${jobs()}")
   }
 
+  test("ann paths: no embedding vector ever rides an exchange; one candidate shuffle") {
+    // the scale property of the round-3 rerank: candidates cross
+    // exactly one shuffle as (qid, index) ids — the query vector
+    // attaches after that exchange, the corpus vector attaches by
+    // broadcast, and the dedup aggregate + ranking window reuse the
+    // same qid partitioning.
+    for (q <- Seq("ann_lsh", "ann_ivf")) {
+      val p = plan(q)
+      // parse each "(n) Exchange" block's Input row and reject vector columns
+      val exchanges = p.split("\\(\\d+\\) Exchange").drop(1).map(_.linesIterator
+        .filter(_.trim.startsWith("Input")).take(1).mkString)
+      val bad = exchanges.filter(in => in.contains("embedding") ||
+        in.contains("ce#") || in.contains("qe#"))
+      assert(bad.isEmpty, s"$q ships vectors through an exchange: ${bad.mkString(" | ")}")
+    }
+  }
+
   test("dedup_exact: only (hash, id) reaches the shuffle, with map-side combine") {
     val p = plan("dedup_exact")
     assert(p.contains("hashpartitioning(content_hash"),
