@@ -48,9 +48,21 @@ object ScaleSmoke {
       Dedup.minhashSignatures(docs, "doc_id", "text").agg(max(hash(col("sig")))).head
       n
     }
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8).cache()
     timed("minhash+LSH near-dup pairs (banded, capped, verified)") {
-      Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8).count()
+      pairs.count()
     }
+    // connected components + representative-keep over the real pair
+    // graph at this scale: edge set is small (≈2 % of docs pair up)
+    // but the label readout joins every id — the shape a 100 TB
+    // "dedupe this corpus" run has. One action per star round.
+    timed("stars CC labels over the pair graph") {
+      Dedup.clusterPairsStars(docs.select("doc_id"), "doc_id", pairs).count()
+    }
+    timed("dropDuplicatesByPairs (CC + keep min-id reps)") {
+      Dedup.dropDuplicatesByPairs(docs, "doc_id", pairs).count()
+    }
+    pairs.unpersist()
     timed("simhash pairs (pigeonhole, hamming <= 3)") {
       Dedup.simhashPairs(docs, "doc_id", "text").count()
     }
