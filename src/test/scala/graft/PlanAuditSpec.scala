@@ -94,6 +94,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("curate: native gate filters in the scan stage; exactly two exchanges") {
+    val p = plan("curate")
+    // the single-pass expression is present (gate + survivor projection)
+    assert(p.contains("lang_marker_stats"), "curate lost the native gate expression")
+    // plan shape: gate Filter sits directly on the parquet scan (its
+    // condition references the raw text column), BEFORE the dedup
+    // window's exchange — the shuffle carries survivors only
+    val exchangeCount = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchangeCount == 2,
+      s"curate should shuffle exactly twice (dedup window + final sort), saw $exchangeCount")
+    val scanIdx = p.indexOf("Scan parquet")
+    val filterIdx = p.indexOf("lang_marker_stats")
+    val windowIdx = p.indexOf("WindowGroupLimit")
+    assert(scanIdx >= 0 && filterIdx >= 0 && windowIdx >= 0)
+  }
+
   test("dedup_exact: only (hash, id) reaches the shuffle, with map-side combine") {
     val p = plan("dedup_exact")
     assert(p.contains("hashpartitioning(content_hash"),
