@@ -27,6 +27,7 @@ object Bench {
     "dedup_clusters", "dedup_clusters_stars", "dedup_drop", "curate",
     "ann_lsh", "ann_ivf", "ann_recall",
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_embedding_lsh",
+    "dedup_minhash_recall", "dedup_embedding_lsh_recall",
     "topk_blocked")
 
   def main(args: Array[String]): Unit = {

