@@ -201,6 +201,24 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)),
 
+    // driver-visible SimHash cross-check: the narrow pigeonhole and
+    // the wide HmSearch-style geometry are INDEPENDENT join shapes
+    // that must produce the same complete pair set (both are lossless
+    // for hamming ≤ maxDist). Full-outer-joining the two outputs and
+    // asserting no one-sided rows turns a completeness regression in
+    // either geometry red; n_docs is pinned by the oracle.
+    "dedup_simhash_xcheck" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val narrow = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+        .select(col("id1"), col("id2"), lit(1).as("n"))
+      val wide = Dedup.simhashPairsWide(docs, "doc_id", "text", maxDist = 3)
+        .select(col("id1"), col("id2"), lit(1).as("w"))
+      narrow.join(wide, Seq("id1", "id2"), "full_outer")
+        .agg(sum(when(col("n").isNull || col("w").isNull, 1).otherwise(0)).as("one_sided"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        .select(col("n_docs"), (col("one_sided") === 0).as("geometries_agree"))
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairsExact(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.3)),
@@ -550,6 +568,10 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |      CAST(b.embedding AS DOUBLE[])), 4) + 0.0 >= 0.3""".stripMargin,
+
+    "dedup_simhash_xcheck" ->
+      """SELECT count(*) AS n_docs, CAST(1 AS BOOLEAN) AS geometries_agree
+        |FROM documents""".stripMargin,
 
     "dedup_clusters" -> clustersOracle,
 

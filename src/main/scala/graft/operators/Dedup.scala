@@ -197,7 +197,13 @@ object Dedup {
     val candLarge = withStats
       .filter(col("bsize") > cap && col("id") =!= col("bmin"))
       .select(col("bmin").as("id1"), col("id").as("id2"))
-    candSmall.unionAll(candLarge).distinct()
+    // dedup partitioned on id1 only (a subset of the keys co-locates
+    // every copy of a pair, so the aggregate needs no second
+    // exchange), and the verify stage's id1-side join then reuses the
+    // same partitioning — the candidate set crosses one shuffle, the
+    // same argument as Ann.dedupPairs.
+    candSmall.unionAll(candLarge)
+      .repartition(col("id1")).dropDuplicates("id1", "id2")
   }
 
   /** Exact Jaccard for a candidate-pair set only (the verify stage).
