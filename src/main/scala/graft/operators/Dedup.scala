@@ -592,10 +592,15 @@ object Dedup {
       s"embeddingPairsExact is O(n²) (all-pairs cosine): corpus has > maxRows=$maxRows rows. " +
         "Use Dedup.embeddingPairsLsh (hyperplane-bucketed, verified) for large corpora, " +
         "or raise maxRows explicitly if the quadratic cost is intended.")
-    val a = emb.select(col(idCol).as("id1"), col(embCol).cast("array<double>").as("e1"))
-    val b = emb.select(col(idCol).as("id2"), col(embCol).cast("array<double>").as("e2"))
-    a.join(broadcast(b), col("id1") < col("id2"))
-      .withColumn("cosine", round(array_cosine(col("e1"), col("e2")), 4) + lit(0.0))
+    // all-pairs cosine IS a matmul: run the broadcast+GEMM kernel and
+    // materialize only qualifying pairs (the round-2 shape — broadcast
+    // nested-loop join + per-pair cosine expression — was 2.7× DuckDB;
+    // the kernel turns the n² scoring into blocked BLAS). The kernel
+    // threshold carries a 1e-4 margin because the CONTRACT filters on
+    // the 4-decimal-ROUNDED cosine (as the SQL oracle does): a raw
+    // 0.29996 rounds up to the threshold and must not be lost.
+    Similarity.cosinePairsAbove(emb, idCol, embCol, threshold - 1e-4)
+      .withColumn("cosine", round(col("cosine"), 4) + lit(0.0))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
       .orderBy("id1", "id2")
