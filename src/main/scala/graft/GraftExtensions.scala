@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.{ArrayCosine, ArrayDot, ArrayEuclidean, SimHash64}
+import graft.functions.{ArrayCosine, ArrayDot, ArrayEuclidean, CharShingles, SimHash64, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Session extension — the standard way to enable graft's SQL surface
   * on any cluster without code changes:
@@ -38,6 +38,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     inject("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string> token multiset") {
       es => SimHash64(es.head)
+    }
+    // sketch constructors whose scalar parameters arrive as SQL
+    // literals (the standard pattern for parameterized expressions)
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    inject("char_shingles",
+      "char_shingles(text, n) - distinct character n-gram shingles, single pass") {
+      es => CharShingles(es.head, intLit(es(1), "shingle length"))
+    }
+    inject("winnow_fingerprints",
+      "winnow_fingerprints(text, k, w) - winnowing fingerprints (k-gram rolling hashes, window-w minima)") {
+      es => WinnowFingerprints(es.head, intLit(es(1), "k"), intLit(es(2), "w"))
     }
   }
 }

@@ -57,4 +57,18 @@ class GraftExtensionsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterA
     val c = spark.sql("SELECT array_cosine(array(0.0d, 0.0d), array(1.0d, 2.0d))").head().getDouble(0)
     assert(c == 0.0)
   }
+
+  test("parameterized sketch functions take SQL literals") {
+    val r = spark.sql(
+      """SELECT char_shingles('abcd', 3) AS sh,
+        |       size(winnow_fingerprints('the quick brown fox jumps', 4, 3)) AS nfp
+      """.stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("abc", "bcd"))
+    assert(r.getInt(1) > 0)
+    // non-literal parameter is rejected with a clear message
+    val e = intercept[Exception](
+      spark.sql("SELECT char_shingles('abcd', 1 + 2)").head())
+    assert(e.getMessage.contains("integer literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("integer literal"))
+  }
 }
