@@ -72,13 +72,62 @@ object Multimodal {
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
+    StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false)))
 
-  /** STUB header parse: a real implementation reads the container
-    * header (PNG IHDR, MP4 moov, …). Deterministic fake derived from
-    * payload bytes so tests are stable.
+  /** REAL container-header parse for the common formats — pure byte
+    * inspection, no codec required, so this part is NOT stubbed:
+    * - PNG  (\\x89PNG\\r\\n\\x1a\\n): width/height big-endian in IHDR
+    * - JPEG (FFD8): marker walk to the first SOF0-SOF3 frame header
+    * - GIF  (GIF87a/89a): width/height little-endian in the LSD
+    * - WAV  (RIFF····WAVE): audio, no pixel dimensions
+    * - MP4  (ftyp at offset 4): video; dimensions live in moov, which
+    *   needs a box walk over the (possibly huge) tail — left 0 here
+    * Anything unrecognized falls back to [[parseHeaderStub]] — the
+    * only remaining stub, standing in for exotic containers.
+    * Returns (kind, format, width, height, n_frames).
+    */
+  private[operators] def parseHeader(p: Array[Byte]): (String, String, Int, Int, Int) = {
+    def u8(i: Int) = p(i) & 0xFF
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i).toLong << 24 | u8(i + 1) << 16 | u8(i + 2) << 8 | u8(i + 3)).toInt
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def ascii(i: Int, s: String) =
+      p.length >= i + s.length && s.indices.forall(k => p(i + k) == s.charAt(k).toByte)
+    if (p.length >= 24 && u8(0) == 0x89 && ascii(1, "PNG") && ascii(12, "IHDR"))
+      ("image", "png", be32(16), be32(20), 1)
+    else if (p.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      // JPEG marker walk: FF xx [len.2 payload]; SOF0-3 carry
+      // precision(1), height(2), width(2) after the length
+      var i = 2
+      var res: (String, String, Int, Int, Int) = ("image", "jpeg", 0, 0, 1)
+      var done = false
+      while (!done && i + 3 < p.length && u8(i) == 0xFF) {
+        val marker = u8(i + 1)
+        if (marker >= 0xC0 && marker <= 0xC3) {
+          if (i + 8 < p.length) res = ("image", "jpeg", be16(i + 7), be16(i + 5), 1)
+          done = true
+        } else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) i += 2
+        else i += 2 + be16(i + 2)
+      }
+      res
+    }
+    else if (p.length >= 10 && (ascii(0, "GIF87a") || ascii(0, "GIF89a")))
+      ("image", "gif", le16(6), le16(8), 1)
+    else if (p.length >= 12 && ascii(0, "RIFF") && ascii(8, "WAVE"))
+      ("audio", "wav", 0, 0, 0)
+    else if (p.length >= 8 && ascii(4, "ftyp"))
+      ("video", "mp4", 0, 0, 0)
+    else {
+      val (kind, w, h, f) = parseHeaderStub(p)
+      (kind, "unknown", w, h, f)
+    }
+  }
+
+  /** STUB fallback for unrecognized containers: deterministic fake
+    * derived from payload bytes so tests are stable.
     */
   private def parseHeaderStub(payload: Array[Byte]): (String, Int, Int, Int) = {
     val b0 = if (payload.isEmpty) 0 else payload(0) & 0xFF
@@ -99,8 +148,9 @@ object Multimodal {
     val outRdd = InternalRowBridge.toInternalRdd(src).mapPartitions { it =>
       it.map(row => (row.getLong(0), row.getBinary(1)))
         .grouped(256).flatMap(_.iterator.map { case (id, payload) =>
-          val (kind, w, h, f) = parseHeaderStub(payload)
-          new GenericInternalRow(Array[Any](id, UTF8String.fromString(kind), w, h, f)): InternalRow
+          val (kind, fmt, w, h, f) = parseHeader(payload)
+          new GenericInternalRow(Array[Any](id, UTF8String.fromString(kind),
+            UTF8String.fromString(fmt), w, h, f)): InternalRow
         })
     }
     InternalRowBridge.fromInternalRdd(s, outRdd, mediaMetaSchema)
@@ -124,8 +174,8 @@ object Multimodal {
     val outRdd = InternalRowBridge.toInternalRdd(src).mapPartitions { it =>
       it.map(row => (row.getLong(0), row.getBinary(1)))
         .grouped(64).flatMap(_.iterator.flatMap { case (id, payload) =>
-          val (kind, _, _, nFrames) = parseHeaderStub(payload)
-          if (kind != "video") Iterator.empty
+          val (kind, _, _, _, nFrames) = parseHeader(payload)
+          if (kind != "video" || nFrames <= 0) Iterator.empty
           else {
             val take = math.min(nSample, nFrames)
             (0 until take).iterator.map { i =>

@@ -33,9 +33,11 @@ class MultimodalSpec extends AnyFunSuite {
     val rows = meta.collect()
     assert(rows.length == docs.count())
     rows.foreach { r =>
+      // utf-8 text payloads carry no container magic → stub fallback
       assert(Set("image", "video")(r.getString(1)))
-      assert(r.getInt(2) > 0 && r.getInt(3) > 0)
-      assert(if (r.getString(1) == "image") r.getInt(4) == 1 else r.getInt(4) > 1)
+      assert(r.getString(2) == "unknown")
+      assert(r.getInt(3) > 0 && r.getInt(4) > 0)
+      assert(if (r.getString(1) == "image") r.getInt(5) == 1 else r.getInt(5) > 1)
     }
     // deterministic across runs
     assert(meta.collect().toSeq == rows.toSeq)
@@ -48,7 +50,7 @@ class MultimodalSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val meta = Multimodal.mediaMeta(docs, "doc_id", "payload")
-      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(4))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(5))).toMap
     val frames = Multimodal.sampleFrames(docs, "doc_id", "payload", nSample = 4)
     assert(frames.schema == Multimodal.frameSchema)
     val byDoc = frames.collect().groupBy(_.getLong(0))
@@ -63,5 +65,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
     // every video doc is represented
     assert(byDoc.keySet == meta.collect { case (id, ("video", _)) => id }.toSet)
+  }
+
+  test("real container headers parse without codecs: PNG, JPEG, GIF, WAV, MP4") {
+    import spark.implicits._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // minimal-but-valid headers, dimensions 640x480
+    val png = b(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, // magic
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',                        // IHDR len+type
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xE0,                     // 640, 480
+      8, 2, 0, 0, 0)
+    val jpeg = b(0xFF, 0xD8,                                  // SOI
+      0xFF, 0xE0, 0, 4, 0, 0,                                 // APP0 (len 4)
+      0xFF, 0xC0, 0, 11, 8, 0x01, 0xE0, 0x02, 0x80, 3, 0, 0, 0) // SOF0 h=480 w=640
+    val gif = b('G', 'I', 'F', '8', '9', 'a',
+      0x80, 0x02, 0xE0, 0x01, 0, 0, 0)                        // 640x480 LE
+    val wav = b('R', 'I', 'F', 'F', 4, 0, 0, 0, 'W', 'A', 'V', 'E')
+    val mp4 = b(0, 0, 0, 0x18, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm')
+    val docs = Seq(
+      (1L, png), (2L, jpeg), (3L, gif), (4L, wav), (5L, mp4),
+      (6L, "just text".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.mediaMeta(docs, "doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got(1L) == (("image", "png", 640, 480)))
+    assert(got(2L) == (("image", "jpeg", 640, 480)))
+    assert(got(3L) == (("image", "gif", 640, 480)))
+    assert(got(4L)._1 == "audio" && got(4L)._2 == "wav")
+    assert(got(5L)._1 == "video" && got(5L)._2 == "mp4")
+    assert(got(6L)._2 == "unknown") // stub fallback
   }
 }
