@@ -57,6 +57,25 @@ object EventStream {
       .withWatermark(tsCol, "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-dup dedup on the 64-bit SimHash fingerprint: docs
+    * whose fingerprint collides with one already seen inside the
+    * watermark horizon are dropped — catches reformatted/lightly-
+    * edited re-posts, not just byte-identical ones (identical
+    * fingerprint ⇔ hamming distance 0, the strictest near-dup tier;
+    * the banded LSH tiers need cross-row joins, which is batch
+    * territory — `Dedup.minhashPairs` over a landed window). Same
+    * bounded-state shape as [[dedupDocs]]: one (fingerprint, ts) per
+    * distinct fingerprint inside the watermark.
+    */
+  def dedupDocsSimhash(docs: DataFrame, tsCol: String, textCol: String): DataFrame = {
+    import graft.functions.SketchFunctions.simhash64
+    import graft.functions.TextFunctions.{normalize, tokens}
+    docs
+      .withColumn("simhash", simhash64(tokens(normalize(col(textCol)))))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
   /** One closed session per (user, ≥`gapMinutes` silence) — custom
     * state via `flatMapGroupsWithState` (SURVEY §2.2 #20): the state
     * is the user's open session; an event inside the gap extends it,

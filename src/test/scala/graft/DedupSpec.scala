@@ -58,6 +58,35 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Double]("cosine") >= 0.3))
   }
 
+  test("kernelized exact embedding pairs == expression-form brute force (incl. round boundary)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.array_cosine
+    // random vectors plus PLANTED pairs whose raw cosine sits just
+    // under the threshold but ROUNDS up to it — the contract filters
+    // on round(cos, 4), so the kernel's pre-round margin must keep them
+    val rnd = new scala.util.Random(41)
+    val dim = 16
+    val base = (0 until 120).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    val df = base.toDF("id", "emb")
+    for (t <- Seq(0.1, 0.3, 0.7)) {
+      val got = Dedup.embeddingPairsExact(df, "id", "emb", t, maxRows = 1000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = df.select(col("id").as("id1"), col("emb").as("e1"))
+        .join(df.select(col("id").as("id2"), col("emb").as("e2")), col("id1") < col("id2"))
+        .withColumn("cosine", round(array_cosine(col("e1"), col("e2")), 4) + lit(0.0))
+        .filter(col("cosine") >= t)
+        .select("id1", "id2", "cosine")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"threshold $t: kernel ${got.size} vs expression ${want.size}")
+    }
+    // duplicate vectors: every unordered pair appears exactly once
+    val dup = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)))
+      .toDF("id", "emb")
+    val pairs = Dedup.embeddingPairsExact(dup, "id", "emb", 0.9, maxRows = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)) && pairs.length == 3)
+  }
+
   test("embeddingPairsExact guards its O(n²) form above maxRows") {
     val emb = Tables.embeddings(spark, dir)
     val e = intercept[IllegalArgumentException] {

@@ -50,6 +50,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming simhash near-dup dedup keeps one doc per fingerprint") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val raw = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val q = EventStream.dedupDocsSimhash(raw, "ts", "text")
+      .select("simhash")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_sh_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_sh_out").collect().map(_.getLong(0)).toSeq
+    // one survivor per distinct fingerprint, fingerprints match batch
+    assert(streamed.distinct.length == streamed.length)
+    val batch = Dedup.simhashSignatures(Tables.documents(spark, dir), "doc_id", "text")
+      .select("simhash").collect().map(_.getLong(0)).toSet
+    assert(streamed.toSet == batch)
+  }
+
   test("topk kernel serves a query stream via foreachBatch") {
     import graft.operators.{Metric, Similarity}
     val emb = Tables.embeddings(spark, dir)
