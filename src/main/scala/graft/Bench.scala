@@ -68,14 +68,16 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
         }
       }.sorted
-      name -> (if (ts.isEmpty) (-1.0, -1.0, -1.0)
-               else (ts(ts.length / 2), ts.head, ts.last))
+      // runs records the SUCCESSFUL count — a dropped failure must not
+      // masquerade as a 3-sample median in the JSON
+      name -> (if (ts.isEmpty) (-1.0, -1.0, -1.0, 0)
+               else (ts(ts.length / 2), ts.head, ts.last, ts.length))
     }
-    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
+    val qs = results.map { case (k, (med, _, _, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val heavy = results.filter(r => heavyQueries(r._1))
-      .map { case (k, (med, lo, hi)) =>
-        "\"" + k + "\":" + f"""{"median":$med,"min":$lo,"max":$hi,"runs":3}"""
+      .map { case (k, (med, lo, hi, nRuns)) =>
+        "\"" + k + "\":" + f"""{"median":$med,"min":$lo,"max":$hi,"runs":$nRuns}"""
       }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val blas = dev.ludovic.netlib.blas.BLAS.getInstance().getClass.getSimpleName

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Ann, Curate, Dedup, Metric, Multimodal, Relational, Similarity, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -24,6 +24,16 @@ object SparkEntry {
     */
   private def corpus(s: SparkSession, dir: String) =
     Similarity.collectCorpus(Tables.embeddings(s, dir), "vec_id", "embedding")
+
+  /** Null-safe recall floor over (n_exact, n_hit) aggregate columns.
+    * An EMPTY ground-truth set vacuously satisfies any floor: sum()
+    * over zero rows is NULL, and NULL/0 would otherwise null the
+    * boolean and spuriously redden a healthy gate row against the
+    * oracle's constant TRUE.
+    */
+  private def recallAtLeast(floor: Double): Column =
+    col("n_exact") === 0 ||
+      coalesce(col("n_hit"), lit(0L)) / col("n_exact") >= floor
 
   private def topkQuery(s: SparkSession, dir: String, metric: Metric, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -195,7 +205,7 @@ object SparkEntry {
         .join(mh.select(col("id1"), col("id2"), lit(1).as("hit")),
           Seq("id1", "id2"), "left")
         .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("n_exact"), (col("n_hit") / col("n_exact") >= 0.9).as("recall_ok"))
+        .select(col("n_exact"), recallAtLeast(0.9).as("recall_ok"))
     }),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -214,7 +224,10 @@ object SparkEntry {
       val wide = Dedup.simhashPairsWide(docs, "doc_id", "text", maxDist = 3)
         .select(col("id1"), col("id2"), lit(1).as("w"))
       narrow.join(wide, Seq("id1", "id2"), "full_outer")
-        .agg(sum(when(col("n").isNull || col("w").isNull, 1).otherwise(0)).as("one_sided"))
+        // coalesce: sum over ZERO pair rows is NULL, which would null
+        // geometries_agree and redden a healthy gate on a pairless SF
+        .agg(coalesce(sum(when(col("n").isNull || col("w").isNull, 1).otherwise(0)),
+          lit(0L)).as("one_sided"))
         .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
         .select(col("n_docs"), (col("one_sided") === 0).as("geometries_agree"))
     }),
@@ -243,7 +256,7 @@ object SparkEntry {
         .join(lsh.select(col("id1"), col("id2"), lit(1).as("hit")),
           Seq("id1", "id2"), "left")
         .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("n_exact"), (col("n_hit") / col("n_exact") >= 0.9).as("recall_ok"))
+        .select(col("n_exact"), recallAtLeast(0.9).as("recall_ok"))
     }),
 
     "ann_lsh" -> ((s, dir) => {
@@ -268,8 +281,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val q = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
+      // materialized once: the brute-force subtree feeds BOTH recall
+      // aggregates below, which would otherwise run the full GEMM
+      // top-k pass twice inside one action
       val brute = Similarity.topkFlat(q, "embedding", corpus(s, dir), 10, Metric.Cosine)
         .select(col("vec_id"), col("index"))
+        .localCheckpoint()
       def recallOf(approx: DataFrame) = brute
         .join(approx.select(col("vec_id"), col("index"), lit(1).as("hit")),
           Seq("vec_id", "index"), "left")
@@ -280,8 +297,8 @@ object SparkEntry {
       val ivf = recallOf(Ann.ivfCosineTopK(emb, "vec_id", emb, "vec_id", "embedding",
         k = 10))
       lsh.select(col("n_queries"),
-          (col("n_hit") / col("n_exact") >= 0.8).as("lsh_recall_ok"))
-        .crossJoin(ivf.select((col("n_hit") / col("n_exact") >= 0.5).as("ivf_recall_ok")))
+          recallAtLeast(0.8).as("lsh_recall_ok"))
+        .crossJoin(ivf.select(recallAtLeast(0.5).as("ivf_recall_ok")))
         .select("n_queries", "lsh_recall_ok", "ivf_recall_ok")
     }),
 

@@ -477,7 +477,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   *   maximal lowercased [a-z0-9] runs, each occurrence counted.
   *   Multi-byte / non-ASCII bytes (> 0x7f) are never [a-z0-9], so the
   *   byte-level scan and the codepoint-level regex agree on run
-  *   boundaries.
+  *   boundaries — EXCEPT the two Unicode codepoints whose lowercase
+  *   IS an ASCII letter, which lower() maps into [a-z] before the
+  *   regex runs: U+212A KELVIN SIGN → 'k', and U+0130 İ → 'i' +
+  *   U+0307 (the combining dot then becomes a separator). (U+017F ſ
+  *   is already lowercase — lower() leaves it non-ASCII, a
+  *   separator.) The scan special-cases the two UTF-8 sequences so
+  *   parity is exact on arbitrary Unicode, not just ASCII.
   * - n_words = size(split(trim(t), "\\s+")). Exact split semantics:
   *   Spark's split is Pattern.split(str, -1), which KEEPS leading and
   *   trailing empty fields, and trim removes ONLY spaces (0x20), not
@@ -521,15 +527,22 @@ object LangStats {
       }
       run = 0L; runLen = 0
     }
+    def append(c: Byte): Unit = {
+      if (runLen < 8) run = (run << 8) | (c & 0xFFL)
+      runLen += 1
+      if (runLen > 8) runLen = 9 // too long to match any packed marker
+    }
     while (i < n) {
       var c = bytes(i)
       if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
-        if (runLen < 8) run = (run << 8) | (c & 0xFFL)
-        runLen += 1
-        if (runLen > 8) runLen = 9 // too long to match any packed marker
-      } else flush()
-      i += 1
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { append(c); i += 1 }
+      // the two codepoints lower() maps INTO ASCII [a-z] (scaladoc)
+      else if (i + 2 < n && bytes(i) == 0xE2.toByte && bytes(i + 1) == 0x84.toByte &&
+        bytes(i + 2) == 0xAA.toByte) { append('k'.toByte); i += 3 } // U+212A
+      else if (i + 1 < n && bytes(i) == 0xC4.toByte && bytes(i + 1) == 0xB0.toByte) {
+        append('i'.toByte); flush(); i += 2 // U+0130 → i + combining dot (separator)
+      }
+      else { flush(); i += 1 }
     }
     flush()
     // pass 2: split-field count of the space-trimmed string (see

@@ -100,17 +100,26 @@ object Multimodal {
       ("image", "png", be32(16), be32(20), 1)
     else if (p.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       // JPEG marker walk: FF xx [len.2 payload]; SOF0-3 carry
-      // precision(1), height(2), width(2) after the length
+      // precision(1), height(2), width(2) after the length. The spec
+      // allows any number of 0xFF FILL bytes before a marker, and
+      // TEM (0x01) / RSTn / SOI / EOI are STANDALONE (no length) —
+      // treating either as length-prefixed would consume a garbage
+      // "length" and skip past the SOF header.
       var i = 2
       var res: (String, String, Int, Int, Int) = ("image", "jpeg", 0, 0, 1)
       var done = false
-      while (!done && i + 3 < p.length && u8(i) == 0xFF) {
-        val marker = u8(i + 1)
-        if (marker >= 0xC0 && marker <= 0xC3) {
-          if (i + 8 < p.length) res = ("image", "jpeg", be16(i + 7), be16(i + 5), 1)
-          done = true
-        } else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) i += 2
-        else i += 2 + be16(i + 2)
+      while (!done && i + 1 < p.length && u8(i) == 0xFF) {
+        if (u8(i + 1) == 0xFF) i += 1 // fill byte
+        else {
+          val marker = u8(i + 1)
+          if (marker >= 0xC0 && marker <= 0xC3) {
+            if (i + 8 < p.length) res = ("image", "jpeg", be16(i + 7), be16(i + 5), 1)
+            done = true
+          } else if (marker == 0x01 || marker == 0xD8 ||
+            (marker >= 0xD0 && marker <= 0xD9)) i += 2 // standalone
+          else if (i + 3 < p.length) i += 2 + be16(i + 2)
+          else done = true
+        }
       }
       res
     }
@@ -118,8 +127,15 @@ object Multimodal {
       ("image", "gif", le16(6), le16(8), 1)
     else if (p.length >= 12 && ascii(0, "RIFF") && ascii(8, "WAVE"))
       ("audio", "wav", 0, 0, 0)
-    else if (p.length >= 8 && ascii(4, "ftyp"))
-      ("video", "mp4", 0, 0, 0)
+    else if (p.length >= 12 && ascii(4, "ftyp")) {
+      // ISO-BMFF: the brand at offset 8 distinguishes audio (M4A),
+      // image (HEIC/HEIF/AVIF), and video containers
+      val brand = new String(p, 8, 4, "US-ASCII")
+      if (brand.startsWith("M4A")) ("audio", "m4a", 0, 0, 0)
+      else if (Set("heic", "heix", "heif", "mif1", "avif")(brand))
+        ("image", brand.trim, 0, 0, 1)
+      else ("video", "mp4", 0, 0, 0)
+    }
     else {
       val (kind, w, h, f) = parseHeaderStub(p)
       (kind, "unknown", w, h, f)
@@ -166,6 +182,14 @@ object Multimodal {
     * video-training pipeline runs before per-frame featurization.
     * Decode is STUBBED (frames are deterministic byte slices); the
     * row-explosion shape, schema, and partition behavior are real.
+    *
+    * LIMITATION (honest, not silent): a real MP4's frame count lives
+    * in the moov box, which [[parseHeader]] does not walk — real MP4
+    * payloads therefore report n_frames = 0 and emit NO frame rows
+    * here (a decoder integration would replace both the count and the
+    * slice stub). Unrecognized containers go through the stub parse
+    * and exercise the full explosion path, which is what the tests
+    * drive.
     */
   def sampleFrames(docs: DataFrame, idCol: String, payloadCol: String, nSample: Int): DataFrame = {
     require(nSample > 0)

@@ -37,7 +37,12 @@ class LangStatsSpec extends AnyFunSuite {
       307L -> " leading and trailing  ", 308L -> "naïve café the résumé",
       309L -> "der die das den dem", 310L -> "thethethe the-the",
       311L -> "a\t", 312L -> "\ta", 313L -> " a b\t ", 314L -> "thede",
-      315L -> "\t \n the \r\n")
+      315L -> "\t \n the \r\n",
+      // codepoints whose LOWERCASE is ASCII: U+212A (→k), U+017F (→s),
+      // U+0130 (→ i + combining dot); lower() maps them into [a-z]
+      // before the regex, so they join/split runs in subtle ways
+      316L -> "Kthe y K den", 317L -> "loſ the",
+      318L -> "İ the el", 319L -> "eİn the", 320L -> "KK the")
     val df = (gen ++ edge).toDF("id", "t")
     val rows = df.select($"id",
         lang_marker_stats($"t", markers).as("fast"), composed($"t").as("slow"))
@@ -49,7 +54,7 @@ class LangStatsSpec extends AnyFunSuite {
       assert(f.getLong(1) == s.getLong(1),
         s"n_words differ for id=${r.getLong(0)}: ${f.getLong(1)} vs ${s.getLong(1)}")
     }
-    assert(rows.length == 316)
+    assert(rows.length == 321)
   }
 
   test("null text propagates null") {

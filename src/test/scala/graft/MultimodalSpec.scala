@@ -95,4 +95,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(5L)._1 == "video" && got(5L)._2 == "mp4")
     assert(got(6L)._2 == "unknown") // stub fallback
   }
+
+  test("header-parse edge cases: JPEG fill bytes/TEM, ISO-BMFF brands") {
+    import spark.implicits._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // fill bytes (FF FF) and a standalone TEM (FF 01) before SOF0
+    val jpegFill = b(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0x01,
+      0xFF, 0xC0, 0, 11, 8, 0x01, 0xE0, 0x02, 0x80, 3, 0, 0, 0)
+    val m4a = b(0, 0, 0, 0x18, 'f', 't', 'y', 'p', 'M', '4', 'A', ' ')
+    val heic = b(0, 0, 0, 0x18, 'f', 't', 'y', 'p', 'h', 'e', 'i', 'c')
+    val docs = Seq((1L, jpegFill), (2L, m4a), (3L, heic)).toDF("doc_id", "payload")
+    val got = Multimodal.mediaMeta(docs, "doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got(1L) == (("image", "jpeg", 640, 480)))
+    assert(got(2L)._1 == "audio" && got(2L)._2 == "m4a")
+    assert(got(3L)._1 == "image" && got(3L)._2 == "heic")
+  }
 }
