@@ -105,6 +105,17 @@ object Ann {
     * partitioning the ranking window then reuses. Shuffle volume stays
     * O(unique pairs) × 16 bytes; vectors never ride the high-fan-out
     * candidate stages.
+    *
+    * DESIGN ENVELOPE: the corpus-side broadcast bounds this rerank to
+    * corpora whose (id, vector) table fits a broadcast (~1-2 GB —
+    * the same envelope as [[Similarity.topk]]'s index). Beyond that,
+    * the right shape is not a bigger join but scoring INSIDE the
+    * bucket/cell join, where both vectors are already co-located
+    * before any candidate fan-out: volume O(n·tables·dim) on the
+    * bucket shuffle instead of a corpus broadcast — at the cost of
+    * vectors riding that one shuffle. The current split (id-only
+    * candidates + broadcast rerank) is the better trade below the
+    * broadcast limit because NO vector crosses any exchange.
     */
   private def rerank(
       pairs: DataFrame,

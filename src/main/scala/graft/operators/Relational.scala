@@ -193,12 +193,19 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), r4(sum(col("value"))).as("sum_value"))
       .orderBy("w", "event_type")
 
-  /** JSON extraction from the props column. */
-  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+  /** JSON extraction from the props column. Filter FIRST on the raw
+    * extraction, re-derive the column for survivors only: projecting
+    * then filtering makes predicate pushdown restate the JSON parse in
+    * the filter, parsing every row twice (same shape as Curate's
+    * gates).
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
     Tables.events(s, dir)
-      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .filter(col("k") > 90)
+      .filter(k > 90)
+      .select(col("event_id"), k.as("k"))
       .orderBy("event_id")
+  }
 
   /** Sessionization: 30-min-gap sessions per user (gaps-and-islands,
     * integer micros math for engine parity). One shuffle on user_id.
