@@ -458,6 +458,12 @@ object Similarity {
     * null-propagation of the expression form). Cosine is computed in
     * f64 and returned RAW — callers round for their oracle contract.
     * Zero-norm vectors score 0.0 (the kernel's cosine guard).
+    *
+    * The whole table is collected+broadcast as the corpus side, so the
+    * same size envelope as [[topk]]'s index applies (~1-2 GB);
+    * `Dedup.embeddingPairsExact` wraps this with an explicit row-count
+    * guard and points big corpora at `Dedup.embeddingPairsLsh` — call
+    * through there unless you know the table is index-sized.
     */
   def cosinePairsAbove(
       df: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
