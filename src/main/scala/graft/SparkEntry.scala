@@ -236,6 +236,20 @@ object SparkEntry {
       Dedup.embeddingPairsExact(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.3)),
 
+    // vector RANGE JOIN (radius search): every pair within euclidean
+    // distance 1.2, through the same GEMM kernel as dedup_embedding —
+    // the lower-is-better side of the range-pair operator. Kernel
+    // threshold carries the 1e-4 margin; the contract filters on the
+    // rounded distance exactly like the oracle.
+    "vec_range_join" -> ((s, dir) => {
+      Similarity.rangePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          Metric.Euclidean, 1.2 + 1e-4)
+        .withColumn("dist", round(col("score"), 4) + lit(0.0))
+        .filter(col("dist") <= 1.2)
+        .select("id1", "id2", "dist")
+        .orderBy("id1", "id2")
+    }),
+
     // the scale path for embedding near-dup: hyperplane LSH buckets →
     // id-only candidate pairs → exact-cosine verify (rows-only gate;
     // DedupSpec asserts recall vs the exact form)
@@ -585,6 +599,15 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |      CAST(b.embedding AS DOUBLE[])), 4) + 0.0 >= 0.3""".stripMargin,
+
+    "vec_range_join" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_distance(CAST(a.embedding AS DOUBLE[]),
+        |             CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS dist
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_distance(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 4) + 0.0 <= 1.2
+        |ORDER BY id1, id2""".stripMargin,
 
     "dedup_simhash_xcheck" ->
       """SELECT count(*) AS n_docs, CAST(1 AS BOOLEAN) AS geometries_agree

@@ -466,17 +466,29 @@ object Similarity {
     * through there unless you know the table is index-sized.
     */
   def cosinePairsAbove(
-      df: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
+      df: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame =
+    rangePairs(df, idCol, embCol, Metric.Cosine, threshold)
+      .withColumnRenamed("score", "cosine")
+
+  /** The general VECTOR RANGE JOIN: every unordered pair whose metric
+    * score qualifies — `cosine`/`dot` ≥ threshold, `euclidean` ≤
+    * threshold (radius search). Same kernel, guarantees, and size
+    * envelope as [[cosinePairsAbove]]; output column is `score`.
+    */
+  def rangePairs(
+      df: DataFrame, idCol: String, embCol: String,
+      metric: Metric, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     val q = df.filter(col(embCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"),
         col(embCol).cast(ArrayType(DoubleType)).as("emb"))
     val cx = collectCorpus(q, "id", "emb")
     val bc = broadcastOf(spark, cx)
+    val m = metric
     val outSchema = StructType(Seq(
       StructField("id1", LongType, nullable = false),
       StructField("id2", LongType, nullable = false),
-      StructField("cosine", DoubleType, nullable = false)))
+      StructField("score", DoubleType, nullable = false)))
     val outRdd = InternalRowBridge.toInternalRdd(q).mapPartitions { it =>
       val c = bc.value
       val blas = BLAS.getInstance()
@@ -485,6 +497,7 @@ object Similarity {
         val qIds = new Array[Long](mRows)
         val qm = new Array[Double](mRows * c.dim)
         val qNorms = new Array[Double](mRows)
+        val qSq = new Array[Double](mRows)
         var i = 0
         batch.foreach { row =>
           qIds(i) = row.getLong(0)
@@ -495,7 +508,7 @@ object Similarity {
           System.arraycopy(da, 0, qm, i * c.dim, c.dim)
           var d = 0; var sq = 0.0
           while (d < c.dim) { val v = da(d); sq += v * v; d += 1 }
-          qNorms(i) = math.sqrt(sq)
+          qSq(i) = sq; qNorms(i) = math.sqrt(sq)
           i += 1
         }
         val scores = new Array[Double](mRows * c.n)
@@ -517,10 +530,17 @@ object Similarity {
           }
           var j = lo
           while (j < c.n) {
-            val cn = c.norms(j)
-            val cos = if (qn <= 1e-10 || cn <= 1e-10) 0.0
-              else scores(base + j) / (qn * cn)
-            if (cos >= threshold) out += InternalRow(qid, c.ids(j), cos)
+            val dot = scores(base + j)
+            val s = m match {
+              case Metric.Dot => dot
+              case Metric.Cosine =>
+                val cn = c.norms(j)
+                if (qn <= 1e-10 || cn <= 1e-10) 0.0 else dot / (qn * cn)
+              case Metric.Euclidean =>
+                math.sqrt(math.max(0.0, qSq(qi) + c.sqNorms(j) - 2.0 * dot))
+            }
+            val keep = if (m.higherIsBetter) s >= threshold else s <= threshold
+            if (keep) out += InternalRow(qid, c.ids(j), s)
             j += 1
           }
           qi += 1

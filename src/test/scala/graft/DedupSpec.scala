@@ -87,6 +87,27 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)) && pairs.length == 3)
   }
 
+  test("rangePairs: dot and euclidean forms match expression brute force") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.{array_dot, array_euclidean}
+    import graft.operators.{Metric, Similarity}
+    val rnd = new scala.util.Random(43)
+    val df = (0 until 80).map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "emb")
+    def brute(scoreCol: org.apache.spark.sql.Column, keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      df.select(col("id").as("id1"), col("emb").as("e1"))
+        .join(df.select(col("id").as("id2"), col("emb").as("e2")), col("id1") < col("id2"))
+        .withColumn("score", scoreCol)
+        .filter(keep(col("score")))
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dotGot = Similarity.rangePairs(df, "id", "emb", Metric.Dot, 2.0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dotGot == brute(array_dot(col("e1"), col("e2")), _ >= 2.0) && dotGot.nonEmpty)
+    val eucGot = Similarity.rangePairs(df, "id", "emb", Metric.Euclidean, 3.0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(eucGot == brute(array_euclidean(col("e1"), col("e2")), _ <= 3.0) && eucGot.nonEmpty)
+  }
+
   test("embeddingPairsExact guards its O(n²) form above maxRows") {
     val emb = Tables.embeddings(spark, dir)
     val e = intercept[IllegalArgumentException] {
