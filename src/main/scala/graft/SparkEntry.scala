@@ -136,6 +136,7 @@ object SparkEntry {
     "q_case_agg" -> (Relational.caseAgg _),
     "q_events_window" -> (Relational.eventsWindow _),
     "q_json_extract" -> (Relational.jsonExtract _),
+    "q_asof_join" -> (Relational.asofClickPurchase _),
     "q_sessionize" -> (Relational.sessionize _),
     "q_sessionize_sw" -> (Relational.sessionizeWindow _),
 
@@ -508,6 +509,19 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |       round(r.value, 4) + 0.0 AS last_purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->

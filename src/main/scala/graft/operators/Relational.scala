@@ -207,6 +207,63 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** AS-OF JOIN — the time-series join Spark lacks natively: each
+    * left row is matched to the LATEST right row with the same key
+    * and right ts ≤ left ts (inclusive — DuckDB `ASOF JOIN`
+    * semantics; unmatched left rows keep nulls, like ASOF LEFT JOIN).
+    *
+    * Plan shape: ONE shuffle on the key. Both sides are unioned with
+    * a side tag, and a running `last(_, ignoreNulls)` window over the
+    * (ts, side)-ordered union carries the most recent right payload
+    * forward to every left row — no range/theta join, no per-row
+    * probe, no state beyond the window frame. At equal timestamps the
+    * right row sorts first, so it IS visible to a same-ts left row.
+    * Right rows should be unique per (key, ts) — pre-aggregate
+    * otherwise; with duplicates the carried payload is the last in
+    * (key, ts) input order, which is not deterministic under shuffle.
+    *
+    * Output: every left column, plus each non-key/ts right column
+    * (nullable — null when no right row precedes).
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String): DataFrame = {
+    val rightValueCols = right.columns.filterNot(c => c == keyCol || c == tsCol)
+    require(rightValueCols.nonEmpty, "right side has no payload columns")
+    val leftCols = left.columns
+    val rp = struct(rightValueCols.map(col): _*)
+    val rpType = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filterNot(f => f.name == keyCol || f.name == tsCol))
+    val lp = struct(leftCols.map(col): _*)
+    val lpType = left.schema
+    val lS = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(1).as("__side"), lp.as("__lp"), lit(null).cast(rpType).as("__rp"))
+    val rS = right.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(0).as("__side"), lit(null).cast(lpType).as("__lp"), rp.as("__rp"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lS.unionAll(rS)
+      .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    carried.select(leftCols.map(c => col(s"__lp.$c").as(c)) ++
+      rightValueCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** Gate form of [[asofJoin]]: each click event matched to the user's
+    * most recent purchase at or before it.
+    */
+  def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    asofJoin(clicks, purchases, "user_id", "ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        r4(col("value")).as("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** Sessionization: 30-min-gap sessions per user (gaps-and-islands,
     * integer micros math for engine parity). One shuffle on user_id.
     */

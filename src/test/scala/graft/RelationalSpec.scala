@@ -6,6 +6,29 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class RelationalSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.create("local[4]", 4)
+
+  test("asofJoin: inclusive same-ts match, null before first right row, per-key isolation") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, 10L, ts(100)), (1L, 11L, ts(200)), (1L, 12L, ts(250)), (1L, 13L, ts(300)),
+      (2L, 20L, ts(150)),
+      (3L, 30L, ts(500))).toDF("k", "lid", "t")
+      .select($"lid", $"k", $"t")
+    val right = Seq(
+      (1L, ts(150), 1.5), (1L, ts(250), 2.5), (1L, ts(400), 4.0),
+      (2L, ts(150), 9.0)).toDF("k", "t", "v")
+    val got = Relational.asofJoin(left, right, "k", "t")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(10L) == None)        // before any right row
+    assert(got(11L) == Some(1.5))   // latest <= 200
+    assert(got(12L) == Some(2.5))   // same-ts right row IS visible
+    assert(got(13L) == Some(2.5))   // 400 is in the future
+    assert(got(20L) == Some(9.0))   // per-key: key 2 sees only key 2
+    assert(got(30L) == None)        // key with no right rows at all
+    // every left row survives (left-join semantics)
+    assert(got.size == 6)
+  }
   val dir = "/root/testdata/sf0.01"
 
   test("approx count-distinct lands within the 1% rsd envelope of the exact counts") {
