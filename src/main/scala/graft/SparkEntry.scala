@@ -296,12 +296,14 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val q = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
-      // materialized once: the brute-force subtree feeds BOTH recall
-      // aggregates below, which would otherwise run the full GEMM
-      // top-k pass twice inside one action
+      // lazily checkpointed: the brute-force subtree feeds BOTH recall
+      // aggregates below (it would otherwise run the full GEMM top-k
+      // twice inside one action), and eager = false defers the
+      // materializing job to the first action — constructing or
+      // explaining this query stays side-effect-free
       val brute = Similarity.topkFlat(q, "embedding", corpus(s, dir), 10, Metric.Cosine)
         .select(col("vec_id"), col("index"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       def recallOf(approx: DataFrame) = brute
         .join(approx.select(col("vec_id"), col("index"), lit(1).as("hit")),
           Seq("vec_id", "index"), "left")

@@ -115,8 +115,8 @@ object Multimodal {
           if (marker >= 0xC0 && marker <= 0xC3) {
             if (i + 8 < p.length) res = ("image", "jpeg", be16(i + 7), be16(i + 5), 1)
             done = true
-          } else if (marker == 0x01 || marker == 0xD8 ||
-            (marker >= 0xD0 && marker <= 0xD9)) i += 2 // standalone
+          } else if (marker == 0x01 ||
+            (marker >= 0xD0 && marker <= 0xD9)) i += 2 // standalone (TEM/RSTn/SOI/EOI)
           else if (i + 3 < p.length) i += 2 + be16(i + 2)
           else done = true
         }
@@ -127,14 +127,19 @@ object Multimodal {
       ("image", "gif", le16(6), le16(8), 1)
     else if (p.length >= 12 && ascii(0, "RIFF") && ascii(8, "WAVE"))
       ("audio", "wav", 0, 0, 0)
-    else if (p.length >= 12 && ascii(4, "ftyp")) {
+    else if (p.length >= 8 && ascii(4, "ftyp")) {
       // ISO-BMFF: the brand at offset 8 distinguishes audio (M4A),
-      // image (HEIC/HEIF/AVIF), and video containers
-      val brand = new String(p, 8, 4, "US-ASCII")
-      if (brand.startsWith("M4A")) ("audio", "m4a", 0, 0, 0)
-      else if (Set("heic", "heix", "heif", "mif1", "avif")(brand))
-        ("image", brand.trim, 0, 0, 1)
-      else ("video", "mp4", 0, 0, 0)
+      // image (HEIC/HEIF/AVIF), and video containers; a payload
+      // truncated before the brand is still recognizably BMFF →
+      // default to video rather than the fake-dimension stub
+      if (p.length < 12) ("video", "mp4", 0, 0, 0)
+      else {
+        val brand = new String(p, 8, 4, "US-ASCII")
+        if (brand.startsWith("M4A")) ("audio", "m4a", 0, 0, 0)
+        else if (Set("heic", "heix", "heif", "mif1", "avif")(brand))
+          ("image", brand.trim, 0, 0, 1)
+        else ("video", "mp4", 0, 0, 0)
+      }
     }
     else {
       val (kind, w, h, f) = parseHeaderStub(p)

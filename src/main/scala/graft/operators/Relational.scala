@@ -231,22 +231,39 @@ object Relational {
     val rightValueCols = right.columns.filterNot(c => c == keyCol || c == tsCol)
     require(rightValueCols.nonEmpty, "right side has no payload columns")
     val leftCols = left.columns
+    val clash = leftCols.toSet.intersect(rightValueCols.toSet)
+    require(clash.isEmpty,
+      s"right payload columns collide with left columns: ${clash.mkString(", ")} — " +
+        "rename one side (the output would carry ambiguous duplicate names)")
     val rp = struct(rightValueCols.map(col): _*)
     val rpType = org.apache.spark.sql.types.StructType(
       right.schema.fields.filterNot(f => f.name == keyCol || f.name == tsCol))
     val lp = struct(leftCols.map(col): _*)
     val lpType = left.schema
-    val lS = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
-      lit(1).as("__side"), lp.as("__lp"), lit(null).cast(rpType).as("__rp"))
-    val rS = right.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
-      lit(0).as("__side"), lit(null).cast(lpType).as("__lp"), rp.as("__rp"))
+    // SQL join semantics for nulls: a null key or null ts can never
+    // satisfy `l.key = r.key AND l.ts >= r.ts` — null-keyed/ts right
+    // rows match nothing (dropped from the carry), null-keyed/ts left
+    // rows match nothing but SURVIVE unmatched (left-join). Without
+    // this, Spark's nulls-first sort would carry a null-ts right
+    // payload to every left row and null keys would match each other.
+    val leftValid = col(keyCol).isNotNull && col(tsCol).isNotNull
+    val lS = left.filter(leftValid)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        lit(1).as("__side"), lp.as("__lp"), lit(null).cast(rpType).as("__rp"))
+    val rS = right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        lit(0).as("__side"), lit(null).cast(lpType).as("__lp"), rp.as("__rp"))
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lS.unionAll(rS)
       .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    carried.select(leftCols.map(c => col(s"__lp.$c").as(c)) ++
+    val matched = carried.select(leftCols.map(c => col(s"__lp.$c").as(c)) ++
       rightValueCols.map(c => col(s"__match.$c").as(c)): _*)
+    val unmatchable = left.filter(!leftValid)
+      .select(leftCols.map(col) ++
+        rpType.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    matched.unionAll(unmatchable)
   }
 
   /** Gate form of [[asofJoin]]: each click event matched to the user's

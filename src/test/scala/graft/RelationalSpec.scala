@@ -29,6 +29,31 @@ class RelationalSpec extends AnyFunSuite {
     // every left row survives (left-join semantics)
     assert(got.size == 6)
   }
+
+  test("asofJoin: null keys/timestamps never match (SQL join semantics), collisions rejected") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq(
+      (Some(1L), 10L, Some(ts(200))),
+      (None, 11L, Some(ts(200))),      // null key: survives unmatched
+      (Some(1L), 12L, None))           // null ts: survives unmatched
+      .toDF("k", "lid", "t")
+    val right = Seq(
+      (Some(1L), Some(ts(100)), 1.0),
+      (None, Some(ts(50)), 8.0),       // null key: matches nothing
+      (Some(1L), None, 9.0))           // null ts: must NOT be carried anywhere
+      .toDF("k", "t", "v")
+    val got = Relational.asofJoin(left, right, "k", "t")
+      .collect().map(r => r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(10L) == Some(1.0)) // NOT 9.0: the null-ts right row is invisible
+    assert(got(11L) == None)
+    assert(got(12L) == None)
+    assert(got.size == 3)
+    // duplicate output names fail fast at construction
+    val e = intercept[IllegalArgumentException](
+      Relational.asofJoin(left.withColumnRenamed("lid", "v"), right, "k", "t"))
+    assert(e.getMessage.contains("collide"))
+  }
   val dir = "/root/testdata/sf0.01"
 
   test("approx count-distinct lands within the 1% rsd envelope of the exact counts") {
