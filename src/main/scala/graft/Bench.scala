@@ -24,7 +24,7 @@ object Bench {
 
   /** Queries timed as median-of-3 (see the suite loop). */
   private val heavyQueries: Set[String] = Set(
-    "dedup_clusters", "dedup_clusters_stars", "dedup_drop", "curate",
+    "dedup_clusters", "dedup_clusters_stars", "dedup_drop", "curate", "curate_full",
     "ann_lsh", "ann_ivf", "ann_recall",
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_embedding_lsh",
     "dedup_minhash_recall", "dedup_embedding_lsh_recall",

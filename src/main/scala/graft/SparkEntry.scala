@@ -320,6 +320,10 @@ object SparkEntry {
     }),
 
     "text_langid" -> (TextAnalysis.langId _),
+
+    // corpus heavy hitters: top-50 normalized tokens by count
+    "text_top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokens(Tables.documents(s, dir), "doc_id", "text", k = 50)),
     "text_quality" -> (TextAnalysis.quality _),
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
@@ -335,6 +339,11 @@ object SparkEntry {
     // composed curation job: dedup representative + langid + quality
     // gates in one pass (SURVEY §2.3 capstone)
     "curate" -> (Curate.curate(_, _)),
+
+    // capstone 2 — the FULL pipeline: NEAR-dup removal (CC over exact
+    // ngram pairs, keep min-id reps) → language/quality gates →
+    // deterministic split, oracle-replayed end to end
+    "curate_full" -> (Curate.curateFull(_, _)),
 
     "q_split" -> ((s, dir) => Curate.splitSummary(s, dir)),
   )
@@ -380,6 +389,38 @@ object SparkEntry {
       |FROM (SELECT id FROM reach GROUP BY id HAVING min(r) = id) keep
       |JOIN documents d ON d.doc_id = keep.id
       |ORDER BY d.doc_id""".stripMargin
+
+  private val curateFullOracle: String = clustersCtes +
+    """, keep AS (SELECT id FROM reach GROUP BY id HAVING min(r) = id),
+      |scored AS (
+      |  SELECT d.doc_id,
+      |    len(regexp_split_to_array(trim(d.text), '\s+')) AS n_words,
+      |    round(len(list_filter(
+      |        regexp_split_to_array(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')), '\s+'),
+      |        x -> list_contains(['the','a','and','of','to'], x))) * 1.0
+      |      / len(regexp_split_to_array(trim(d.text), '\s+')), 4) + 0.0 AS stop_ratio,
+      |    regexp_split_to_array(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS tk
+      |  FROM keep JOIN documents d ON d.doc_id = keep.id
+      |), langed AS (
+      |  SELECT doc_id, n_words, stop_ratio, lang AS pred_lang,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pos ASC) AS lrn
+      |  FROM (
+      |    SELECT doc_id, n_words, stop_ratio, unnest([
+      |      {'lang': 'en', 'pos': 1, 'score': len(list_filter(tk, x -> list_contains(['the','a','and','of','to'], x))) },
+      |      {'lang': 'fr', 'pos': 2, 'score': len(list_filter(tk, x -> list_contains(['le','la','les','et','de'], x))) },
+      |      {'lang': 'de', 'pos': 3, 'score': len(list_filter(tk, x -> list_contains(['der','die','und','das','ein'], x))) },
+      |      {'lang': 'es', 'pos': 4, 'score': len(list_filter(tk, x -> list_contains(['el','los','las','y','en'], x))) }
+      |    ], recursive := true)
+      |    FROM scored
+      |  )
+      |)
+      |SELECT doc_id, pred_lang, CAST(n_words AS BIGINT) AS n_words, stop_ratio,
+      |  CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+      |           + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80
+      |       THEN 'train' ELSE 'eval' END AS split
+      |FROM langed
+      |WHERE lrn = 1 AND pred_lang = 'en' AND n_words >= 30 AND stop_ratio >= 0.04
+      |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "topk_cosine" -> topkOracle("list_cosine_similarity", desc = true),
@@ -665,6 +706,15 @@ object SparkEntry {
         |SELECT doc_id, lang AS pred_lang, CAST(score AS BIGINT) AS score
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    "text_top_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+        |  FROM documents
+        |)
+        |SELECT token, count(*) AS n FROM toks WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
@@ -736,6 +786,8 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS lsh_recall_ok,
         |       CAST(1 AS BOOLEAN) AS ivf_recall_ok
         |FROM embeddings""".stripMargin,
+
+    "curate_full" -> curateFullOracle,
 
     "q_split" ->
       """WITH b AS (

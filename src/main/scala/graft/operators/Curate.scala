@@ -92,6 +92,55 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** Gate + annotate WITHOUT the exact-dedup window: filters `docs` to
+    * gate passers and returns (idCol, pred_lang, n_words, stop_ratio).
+    * The building block for pipelines that handle dedup separately
+    * (e.g. [[curateFull]], where NEAR-dup dedup must run first — its
+    * groups don't share byte-identical text, so gates may not be
+    * hoisted above it).
+    */
+  def gateDocs(
+      docs: DataFrame,
+      idCol: String,
+      lang: String = "en",
+      minWords: Long = 30L,
+      minStopRatio: Double = 0.04): DataFrame = {
+    val t = col("text")
+    val g = gateStruct(t)
+    val passes = letBound(g) { gs =>
+      gs.getField("pred_lang") === lang &&
+        gs.getField("n_words") >= minWords &&
+        gs.getField("stop_ratio") >= minStopRatio
+    }
+    docs.filter(passes)
+      .select(col(idCol), g.getField("pred_lang").as("pred_lang"),
+        g.getField("n_words").as("n_words"), g.getField("stop_ratio").as("stop_ratio"))
+  }
+
+  /** The FULL curation pipeline (capstone 2): near-duplicate removal
+    * (connected components over an exact n-gram Jaccard pair graph,
+    * keep each group's min-id representative), then the language +
+    * quality gates, then the deterministic train/eval split — the
+    * whole corpus-preparation run in one call. Stage order is
+    * semantic: dedup BEFORE gates (a group's representative decides
+    * for the group), gates before split (split only what survives).
+    */
+  def curateFull(
+      s: SparkSession,
+      dir: String,
+      lang: String = "en",
+      minWords: Long = 30L,
+      minStopRatio: Double = 0.04,
+      trainPct: Int = 80): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).filter(col("doc_id") < 500)
+    val deduped = Dedup.dropDuplicatesByPairs(docs, "doc_id",
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7))
+    gateDocs(deduped, "doc_id", lang, minWords, minStopRatio)
+      .withColumn("split",
+        when(hashBucket(col("doc_id")) < trainPct, "train").otherwise("eval"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic bucket in [0, 100) from the md5 hex of the id —
     * computable identically in any engine with md5/ascii/substr, so
     * the split is reproducible across systems (and oracle-checkable).

@@ -98,6 +98,22 @@ object TextAnalysis {
         length(normalize(col("text"))).cast("long").as("norm_len"))
       .orderBy("doc_id")
 
+  /** Corpus heavy hitters: the `k` most frequent normalized tokens
+    * with their occurrence counts (count desc, token asc tie-break) —
+    * the vocabulary/stopword-discovery pass a pipeline runs before
+    * tuning filters. Plan shape: tokens explode in the scan stage,
+    * one hash-shuffle with map-side partial counts, TakeOrdered for
+    * the top-k — no full sort of the vocabulary.
+    */
+  def topTokens(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    docs.select(explode(tokens(normalize(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Winnowing fingerprints ([[graft.functions.WinnowFingerprints]]:
     * rolling-hash k-grams, window minima) exploded to one row per
     * selected fingerprint — the substring-level identity used for
