@@ -76,6 +76,62 @@ object EventStream {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
+  /** Streaming AS-OF enrichment — the unbounded counterpart of
+    * `Relational.asofJoin`: each left event is matched to the latest
+    * right event with the same key and ts ≤ its own (inclusive).
+    * Both streams arrive unioned with a side tag; per key,
+    * `flatMapGroupsWithState` keeps ONLY the latest right (ts, value)
+    * — O(1) state per key, no watermark-bounded buffer of right
+    * history.
+    *
+    * Semantics note (inherent to single-pass streaming): within a
+    * micro-batch, events are processed in (ts, side) order, so the
+    * result matches the batch join exactly for data that arrives in
+    * one batch (StreamingSpec asserts this) or per-key
+    * ts-monotonically across batches. A right event arriving AFTER a
+    * later-ts left event was already emitted cannot retroactively
+    * re-match it — the batch operator is the replay path when exact
+    * late-data semantics matter.
+    */
+  case class AsofEvent(key: Long, ts: java.sql.Timestamp, side: Int,
+      leftId: Long, rightValue: Double)
+  case class AsofState(ts: Long, value: Double)
+  case class AsofMatch(key: Long, leftId: Long, ts: java.sql.Timestamp,
+      matched_value: Option[Double])
+
+  def asofEnrich(left: DataFrame, right: DataFrame): Dataset[AsofMatch] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def toUs(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val l = left.select(col("key"), col("ts"), lit(1).as("side"),
+      col("left_id").as("leftId"), lit(0.0).as("rightValue"))
+    val r = right.select(col("key"), col("ts"), lit(0).as("side"),
+      lit(-1L).as("leftId"), col("value").as("rightValue"))
+    l.unionAll(r).as[AsofEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[AsofEvent], state: GroupState[AsofState]) =>
+          // (ts, side) order: a right event at the same ts as a left
+          // event is visible to it, like the batch join
+          val evs = batch.toArray.sortBy(e => (toUs(e.ts), e.side))
+          var cur = state.getOption
+          val out = List.newBuilder[AsofMatch]
+          evs.foreach { e =>
+            if (e.side == 0) {
+              val us = toUs(e.ts)
+              if (cur.forall(_.ts <= us)) cur = Some(AsofState(us, e.rightValue))
+            } else {
+              val m = cur.filter(_.ts <= toUs(e.ts)).map(_.value)
+              out += AsofMatch(key, e.leftId, e.ts, m)
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** One closed session per (user, ≥`gapMinutes` silence) — custom
     * state via `flatMapGroupsWithState` (SURVEY §2.2 #20): the state
     * is the user's open session; an event inside the gap extends it,

@@ -74,6 +74,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSet == batch)
   }
 
+  test("streaming as-of enrichment equals the batch asofJoin on file replay") {
+    // clicks enriched with the latest purchase value — same pairing
+    // the batch q_asof_join gate computes
+    val raw = EventStream.read(spark, dir)
+    val lS = raw.filter(col("event_type") === "click")
+      .select(col("user_id").as("key"), col("ts"), col("event_id").as("left_id"))
+    val rS = raw.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("ts"), col("value"))
+    val q = EventStream.asofEnrich(lS, rS)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("asof_out").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val ev = Tables.events(spark, dir)
+    val batch = graft.operators.Relational.asofJoin(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.values.exists(_.isDefined))
+  }
+
   test("topk kernel serves a query stream via foreachBatch") {
     import graft.operators.{Metric, Similarity}
     val emb = Tables.embeddings(spark, dir)
