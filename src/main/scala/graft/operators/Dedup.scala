@@ -384,7 +384,17 @@ object Dedup {
     val edges = pairs.select(col("id1"), col("id2"))
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .localCheckpoint()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster")).localCheckpoint()
+    // SEEDED at the one-hop neighborhood minimum: round 1 of the loop
+    // would compute exactly min(self, direct neighbors) from identity
+    // labels, so starting there skips one full round (join + union +
+    // groupBy + checkpoint + convergence action) for the price of a
+    // single groupBy+join executed once. Fixpoint detection is
+    // unaffected — the loop still runs until a round changes nothing.
+    val nbrMin = edges.groupBy(col("id1").as("id")).agg(min("id2").as("nmin"))
+    var labels = ids.select(col(idCol).as("id"))
+      .join(nbrMin, Seq("id"), "left")
+      .select(col("id"), least(coalesce(col("nmin"), col("id")), col("id")).as("cluster"))
+      .localCheckpoint()
     var changed = true
     var iter = 0
     while (changed && iter < maxIters) {
