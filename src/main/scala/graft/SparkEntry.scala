@@ -137,6 +137,8 @@ object SparkEntry {
     "q_events_window" -> (Relational.eventsWindow _),
     "q_json_extract" -> (Relational.jsonExtract _),
     "q_asof_join" -> (Relational.asofClickPurchase _),
+    "q_stratified_sample" -> (Relational.stratifiedSampleOrders _),
+    "q_pivot" -> (Relational.pivotStatus _),
     "q_sessionize" -> (Relational.sessionize _),
     "q_sessionize_sw" -> (Relational.sessionizeWindow _),
 
@@ -185,6 +187,18 @@ object SparkEntry {
     "dedup_overlap" -> ((s, dir) =>
       Dedup.overlapPairs(Tables.documents(s, dir), "doc_id", "text",
         minShared = 3, maxDocFreq = 20L)),
+
+    // benchmark decontamination: the train split loses every doc
+    // sharing a word 5-gram with the eval split. Broadcast-semi-join
+    // shape — eval grams broadcast, the train corpus never shuffles
+    "dedup_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isTrain = Curate.hashBucket(col("doc_id")) < 80
+      Dedup.decontaminate(docs.filter(isTrain), docs.filter(!isTrain),
+          "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(
@@ -325,7 +339,30 @@ object SparkEntry {
     "text_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), "doc_id", "text", k = 50)),
     "text_quality" -> (TextAnalysis.quality _),
+
+    // Gopher-style repetition signals: top-token / duplicate-bigram /
+    // top-bigram fractions, all scan-stage array math (no shuffle)
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")),
     "text_tokens" -> (TextAnalysis.tokenCounts _),
+
+    // PII redaction: the corpus has no PII by construction, so the
+    // gate plants a deterministic email/IP/phone per doc and checks
+    // counts + the md5 of the redacted text against DuckDB running
+    // the same RE2-compatible patterns — engine-parity of the regex
+    // semantics is exactly what the gate pins down
+    "text_pii" -> ((s, dir) => {
+      val id = col("doc_id")
+      val salted = Tables.documents(s, dir).select(id,
+        concat(col("text"),
+          lit(" contact user"), id.cast("string"), lit("@mail.example.com"),
+          lit(" node 10."), (id % 256).cast("string"), lit(".0.7"),
+          lit(" call +1555000"), id.cast("string")).as("text"))
+      TextAnalysis.redactPii(salted, "doc_id", "text")
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+          md5(col("text_redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
 
     // substring-level fingerprints (rolling-hash winnowing) — rows-only
@@ -567,6 +604,23 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
 
+    "q_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rank
+        |  FROM orders
+        |)
+        |SELECT o_orderstatus, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
+        |FROM ranked WHERE rank <= 10 ORDER BY o_orderstatus, rank""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) + 0.0 AS total_f,
+        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) + 0.0 AS total_o,
+        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) + 0.0 AS total_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
@@ -628,6 +682,30 @@ object SparkEntry {
         |FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
         |WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.7
         |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS tk,
+        |    (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80 AS is_train
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, is_train, unnest(list_distinct(
+        |    CASE WHEN len(tk) >= 5
+        |         THEN [array_to_string(tk[i : i + 4], ' ') FOR i IN range(1, len(tk) - 4 + 1)]
+        |         ELSE [] END)) AS gm
+        |  FROM d
+        |), bad AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM g t JOIN (SELECT DISTINCT gm FROM g WHERE NOT is_train) e USING (gm)
+        |  WHERE t.is_train
+        |)
+        |SELECT d.doc_id, d.n_chars
+        |FROM d ANTI JOIN bad USING (doc_id)
+        |WHERE d.is_train
+        |ORDER BY d.doc_id""".stripMargin,
 
     // n_exact here is real oracle content: DuckDB recomputes the exact
     // 5-gram Jaccard pair count from scratch; recall_ok is the pinned
@@ -729,11 +807,55 @@ object SparkEntry {
         |        / len(regexp_split_to_array(trim(text), '\s+')), 4) + 0.0 AS avg_word_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, tk,
+        |         CASE WHEN len(tk) >= 2
+        |              THEN [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]
+        |              ELSE [] END AS bg
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  round(list_max(list_transform(list_distinct(tk),
+        |        x -> len(list_filter(tk, y -> y = x)))) * 1.0 / len(tk), 4) + 0.0
+        |    AS top_token_frac,
+        |  CASE WHEN len(bg) > 0
+        |       THEN round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 4) + 0.0
+        |  END AS dup_2gram_frac,
+        |  CASE WHEN len(bg) > 0
+        |       THEN round(list_max(list_transform(list_distinct(bg),
+        |            x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg), 4) + 0.0
+        |  END AS top_2gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |      || ' node 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'
+        |      || ' call +1555000' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS BIGINT) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\+[0-9]{7,15}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

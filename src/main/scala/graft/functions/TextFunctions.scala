@@ -37,6 +37,25 @@ object TextFunctions {
   def charShingles(t: Column, n: Int): Column =
     graft.functions.SketchFunctions.char_shingles(t, n)
 
+  /** word n-gram shingles (distinct, space-joined) over the
+    * whitespace tokens of normalized text; texts with fewer than n
+    * tokens produce the empty list (NOT a short gram — a partial
+    * n-gram can't witness an n-gram match).
+    * DuckDB: list_distinct([array_to_string(tk[i : i + n - 1], ' ')
+    *           FOR i IN range(1, greatest(len(tk) - n + 1, 0) + 1)])
+    *
+    * The sequence bound is guarded: Spark's `sequence(1, stop)`
+    * DESCENDS when stop < 1 (sequence(1,0) = [1,0]), which would
+    * fabricate grams for short texts.
+    */
+  def wordGrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** count of tokens from `list` present in `toks`.
     * DuckDB: len(list_filter(toks, x -> list_contains([...], x)))
     */

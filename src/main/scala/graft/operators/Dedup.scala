@@ -666,4 +666,30 @@ object Dedup {
       .select("id1", "id2", "cosine")
       .orderBy("id1", "id2")
   }
+
+  /** Benchmark decontamination: drop every `train` document that
+    * shares at least one word n-gram with any `eval` document (the
+    * 13-gram test-set-overlap rule of GPT-3 appendix C / Brown et al.
+    * 2020, parameterized). Grams are distinct per doc and built from
+    * normalized text, so punctuation/case can't hide an overlap.
+    *
+    * Scale shape: the eval side is SMALL by construction (a benchmark
+    * suite, not a corpus), so its distinct gram set BROADCASTS; the
+    * train side streams through a broadcast-hash left-semi join in
+    * the scan stage — the 100 TB train corpus is never shuffled on
+    * gram strings. Only the contaminated id set (bounded by |train
+    * docs|, tiny in practice) crosses a shuffle for `distinct`, and
+    * rides back as a broadcast anti-join. Nothing here is
+    * proportional to |train| × |eval|.
+    */
+  def decontaminate(
+      train: DataFrame, evalDf: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val grams = wordGrams(tokens(normalize(col(textCol))), n)
+    val evalGrams = evalDf.select(explode(grams).as("g")).distinct()
+    val contaminated = train.select(col(idCol), explode(grams).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(idCol).distinct()
+    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
 }

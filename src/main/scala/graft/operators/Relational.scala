@@ -298,6 +298,61 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** Deterministic stratified sample: exactly `n` rows per group,
+    * selected by md5-hash order of the id — reproducible across runs,
+    * engines, and partitionings (same portability contract as
+    * [[Curate.hashBucket]]).
+    *
+    * Plan shape is the skew-proof two-phase top-n: a single window
+    * over the group key would put an entire 100 TB group in one
+    * partition, so phase 1 ranks within (group, salt-bucket) — 32-way
+    * parallel per group — and keeps `n` per bucket; phase 2 ranks the
+    * surviving ≤ 32·n rows per group. Both phases agree on the same
+    * total (hash, id) order, so keeping n-per-bucket loses nothing:
+    * the global top-n of a merged order is contained in the union of
+    * per-bucket top-ns. Shuffle 2 carries ≤ salts·n rows per group
+    * regardless of group size.
+    */
+  def stratifiedSample(
+      df: DataFrame, groupCol: String, idCol: String, n: Int,
+      salts: Int = 32): DataFrame = {
+    require(n > 0, s"n must be > 0, got $n")
+    val h = md5(col(idCol).cast("string"))
+    val salted = Window.partitionBy(col(groupCol), pmod(xxhash64(col(idCol)), lit(salts)))
+      .orderBy(h, col(idCol))
+    val global = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("__prn", row_number().over(salted))
+      .filter(col("__prn") <= n)
+      .drop("__prn")
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= n)
+  }
+
+  /** Gate form: 10 orders per order-status, hash-selected. */
+  def stratifiedSampleOrders(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(
+      Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice"),
+      "o_orderstatus", "o_orderkey", n = 10)
+      .select(col("o_orderstatus"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderstatus", "rank")
+
+  /** Pivot: order-status columns per order year. Pivot values are
+    * listed explicitly — with an inferred value set Spark runs an
+    * extra distinct job AND the output schema depends on the data;
+    * explicit values keep it a single aggregation exchange with
+    * grouping-set-free CASE/sum rewriting (same plan a hand-written
+    * conditional agg gets).
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"), col("o_totalprice"))
+      .groupBy("o_year")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(r2(sum(col("o_totalprice"))))
+      .select(col("o_year").cast("long").as("o_year"), col("F").as("total_f"),
+        col("O").as("total_o"), col("P").as("total_p"))
+      .orderBy("o_year")
+
   /** Sessionization via the built-in `session_window` (Spark's native
     * session assignment — one shuffle on (user_id, merged windows), no
     * window-function pass). Same 30-minute-gap semantics as

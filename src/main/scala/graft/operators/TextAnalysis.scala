@@ -114,6 +114,80 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PII patterns as (name, regex, replacement). Conservative,
+    * lookaround-free character-class regexes chosen to mean the same
+    * thing under Java (Spark) and RE2 (DuckDB/engines at large):
+    * emails, dotted-quad IPs, and +international phone numbers.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9]{7,15}", "<PHONE>"))
+
+  /** PII redaction: per-pattern match counts (on the original text)
+    * plus the text with every match replaced, patterns applied in
+    * [[piiPatterns]] order (email first, so its digits/dots can't be
+    * half-eaten by the IP rule). Pure `regexp_count`/`regexp_replace`
+    * built-ins — a scan-stage projection with no shuffle, which is
+    * the whole design: redaction at 100 TB must be a map.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, re, repl)) => regexp_replace(c, re, repl)
+    }
+    val counts = piiPatterns.map { case (name, re, _) =>
+      regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$name")
+    }
+    docs.select(col(idCol) +: counts :+ redacted.as("text_redacted"): _*)
+  }
+
+  /** Most-frequent-element count of a string array, computed as the
+    * longest run in the sorted array — one `array_sort` + one linear
+    * `aggregate` pass, no explode/shuffle, so the whole repetition
+    * profile stays a scan-stage projection.
+    */
+  private def maxRunCount(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Repetition signals (the Gopher-style repetition filters a
+    * training pipeline gates on — Rae et al. 2021, §A1.1): per doc,
+    * the fraction of tokens taken by the single most frequent token,
+    * the duplicate-bigram fraction, and the most-frequent-bigram
+    * fraction. High values mark degenerate/templated text (keyword
+    * stuffing, boilerplate loops) that survives length and stopword
+    * gates.
+    *
+    * Everything is per-row array math (no explode, no shuffle): a
+    * corpus-scale scan emits 4 numbers per document regardless of
+    * document size.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(normalize(col(textCol)))
+    val nTok = size(toks)
+    val bigrams = when(nTok >= 2,
+        zip_with(slice(toks, lit(1), nTok - 1), slice(toks, lit(2), nTok - 1),
+          (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    val nBg = size(bigrams)
+    val r4 = (c: Column) => round(c, 4) + lit(0.0)
+    docs.select(
+        col(idCol),
+        nTok.cast("long").as("n_tokens"),
+        r4(maxRunCount(toks) / nTok).as("top_token_frac"),
+        when(nBg > 0, r4(lit(1) - size(array_distinct(bigrams)) / nBg))
+          .as("dup_2gram_frac"),
+        when(nBg > 0, r4(maxRunCount(bigrams) / nBg)).as("top_2gram_frac"))
+      .orderBy(idCol)
+  }
+
   /** Winnowing fingerprints ([[graft.functions.WinnowFingerprints]]:
     * rolling-hash k-grams, window minima) exploded to one row per
     * selected fingerprint — the substring-level identity used for
