@@ -288,6 +288,30 @@ object SparkEntry {
         .select(col("n_exact"), recallAtLeast(0.9).as("recall_ok"))
     }),
 
+    // SemDeDup-style semantic dedup: k-means cells -> within-cell
+    // verified pairs -> CC reps survive. Rows-only (k-means isn't
+    // SQL-expressible); dedup_semantic_recall is the quality gate
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.dropSemanticDuplicates(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.3)
+        .select("vec_id", "label")
+        .orderBy("vec_id")),
+
+    // driver-visible semantic-dedup quality gate: recall of the
+    // within-cell pair set vs the exact all-pairs form, whose count
+    // the DuckDB oracle recomputes independently (same pattern as
+    // dedup_embedding_lsh_recall; precision is 1.0 by construction)
+    "dedup_semantic_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", threshold = 0.3)
+      val sem = Dedup.semanticPairs(emb, "vec_id", "embedding", threshold = 0.3)
+      exact.select(col("id1"), col("id2"))
+        .join(sem.select(col("id1"), col("id2"), lit(1).as("hit")),
+          Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_exact"), recallAtLeast(0.8).as("recall_ok"))
+    }),
+
     "ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ann.lshCosineTopK(emb, "vec_id", emb, "vec_id", "embedding", k = 10, dim = 64)
@@ -730,6 +754,12 @@ object SparkEntry {
         |WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.7""".stripMargin,
 
     "dedup_embedding_lsh_recall" ->
+      """SELECT count(*) AS n_exact, CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 4) + 0.0 >= 0.3""".stripMargin,
+
+    "dedup_semantic_recall" ->
       """SELECT count(*) AS n_exact, CAST(1 AS BOOLEAN) AS recall_ok
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

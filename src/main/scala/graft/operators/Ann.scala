@@ -169,24 +169,23 @@ object Ann {
     * Output: (qid, rank, index, score) — same shape as
     * [[lshCosineTopK]] / Similarity.topkFlat.
     */
-  def ivfCosineTopK(
-      queries: DataFrame,
-      qIdCol: String,
+  /** Spherical k-means centroid index — the trainable half of IVF,
+    * shared with [[Dedup.semanticPairs]]. Trains on a bounded,
+    * deterministic corpus sample taken in xxhash64(id) order (NOT id
+    * order: ids typically correlate with ingest time/content, so a
+    * first-N sample trains biased centroids; hash order is equally
+    * deterministic and unbiased — round-2 verdict #6).
+    * TakeOrderedAndProject keeps the sample a single bounded pass, no
+    * full sort. The returned [[CorpusIndex]] assigns vectors to cells
+    * through the same broadcast+GEMM kernel used for search.
+    */
+  private[operators] def trainCellIndex(
       corpus: DataFrame,
       cIdCol: String,
       embCol: String,
-      k: Int,
-      nCells: Int = 16,
-      nProbe: Int = 4,
-      lloydIters: Int = 5,
-      maxTrain: Int = 4096): DataFrame = {
-    val spark = queries.sparkSession
-    // --- train (driver, bounded sample, deterministic) ---------------
-    // sampled in xxhash64(id) order, NOT id order: ids typically
-    // correlate with ingest time/content, so a first-N sample trains
-    // biased centroids; hash order is equally deterministic and
-    // unbiased (round-2 verdict #6). TakeOrderedAndProject keeps this
-    // a single bounded pass, no full sort.
+      nCells: Int,
+      lloydIters: Int,
+      maxTrain: Int): CorpusIndex = {
     val sample = corpus.select(col(cIdCol), col(embCol).cast("array<double>"))
       .orderBy(xxhash64(col(cIdCol)), col(cIdCol)).limit(maxTrain)
       .collect().map(_.getSeq[Double](1).toArray)
@@ -218,19 +217,32 @@ object Ann {
         if (counts(c) == 0) centroids(c) else normalized(sums(c))
       }.toArray
     }
-    // --- assign with the GEMM kernel (distributed) -------------------
-    val centroidCx = {
-      val n = centroids.length
-      val data = new Array[Double](n * dim)
-      val norms = new Array[Double](n)
-      val sqNorms = new Array[Double](n)
-      centroids.zipWithIndex.foreach { case (cvec, i) =>
-        System.arraycopy(cvec, 0, data, i * dim, dim)
-        val sq = cvec.map(x => x * x).sum
-        sqNorms(i) = sq; norms(i) = math.sqrt(sq)
-      }
-      CorpusIndex(Array.tabulate(n)(_.toLong), data, null, n, dim, norms, sqNorms)
+    val n = centroids.length
+    val data = new Array[Double](n * dim)
+    val norms = new Array[Double](n)
+    val sqNorms = new Array[Double](n)
+    centroids.zipWithIndex.foreach { case (cvec, i) =>
+      System.arraycopy(cvec, 0, data, i * dim, dim)
+      val sq = cvec.map(x => x * x).sum
+      sqNorms(i) = sq; norms(i) = math.sqrt(sq)
     }
+    CorpusIndex(Array.tabulate(n)(_.toLong), data, null, n, dim, norms, sqNorms)
+  }
+
+  def ivfCosineTopK(
+      queries: DataFrame,
+      qIdCol: String,
+      corpus: DataFrame,
+      cIdCol: String,
+      embCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 5,
+      maxTrain: Int = 4096): DataFrame = {
+    // --- train (driver, bounded sample, deterministic) ---------------
+    val centroidCx = trainCellIndex(corpus, cIdCol, embCol, nCells, lloydIters, maxTrain)
+    // --- assign with the GEMM kernel (distributed) -------------------
     def cells(df: DataFrame, idOut: String, probes: Int) =
       Similarity.topkFlat(df, embCol, centroidCx, probes, Metric.Cosine)
         .select(col(idOut), col("index").as("cell"))

@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Write-side of the pipeline (SURVEY §2.3 capstones produce datasets
+  * someone has to persist). Two shapes matter at 100 TB:
+  *
+  *  - [[writePartitioned]]: hive-style partition directories (e.g.
+  *    `split=train/`) so downstream readers get partition PRUNING for
+  *    free, with files sorted on a locality key so parquet row-group
+  *    min/max stats give data SKIPPING within each partition.
+  *  - [[writeBucketed]]: a bucketed+sorted table, so every later
+  *    equi-join/aggregation on the bucket key runs with NO shuffle —
+  *    the write pays the exchange once, every consumer skips it.
+  */
+object Sink {
+
+  /** Partitioned parquet write.
+    *
+    * The explicit `repartition(partitionCols)` before the write is
+    * the small-files guard: without it every one of the N upstream
+    * tasks opens a file in every partition directory (N × |partitions|
+    * files of a few KB — the classic tiny-file explosion that makes
+    * the NEXT job's scan planning the bottleneck). With it, each
+    * partition's rows are co-located first; `maxRecordsPerFile` then
+    * re-splits anything too big, bounding file size from above while
+    * the repartition bounds file count from below.
+    *
+    * `sortCols` orders rows WITHIN each file (`sortWithinPartitions`
+    * — a local sort, no extra exchange) so parquet row-group min/max
+    * statistics actually discriminate on the sort key: a reader
+    * filtering on it skips whole row groups.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 5000000L,
+      overwrite: Boolean = false): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val arranged = {
+      val co = df.repartition(partitionCols.map(col): _*)
+      if (sortCols.nonEmpty)
+        co.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else co
+    }
+    arranged.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Bucketed + sorted table write (`saveAsTable` — bucketing needs
+    * the catalog; a bare path write can't record bucket metadata).
+    * Join/agg queries keyed on `bucketCol` against another table with
+    * the SAME bucket count then plan with zero exchanges on both
+    * sides (asserted in SinkSpec) — at 100 TB this converts every
+    * recurring join on the key into a map-side merge.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      overwrite: Boolean = false): Unit = {
+    require(numBuckets > 0, s"numBuckets must be > 0, got $numBuckets")
+    df.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** JSON-lines export — the interchange format most annotation /
+    * inspection tools speak. Same repartition-first small-files guard
+    * as [[writePartitioned]]; compression defaults to gzip (JSONL is
+    * 3-5× the parquet footprint uncompressed).
+    */
+  def writeJsonl(
+      df: DataFrame,
+      path: String,
+      numFiles: Int = 0,
+      compression: String = "gzip",
+      overwrite: Boolean = false): Unit = {
+    val arranged = if (numFiles > 0) df.repartition(numFiles) else df
+    arranged.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .option("compression", compression)
+      .json(path)
+  }
+}

@@ -323,4 +323,61 @@ class DedupSpec extends AnyFunSuite {
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(noCut.subsetOf(cut), s"missing: ${noCut -- cut}")
   }
+
+  test("semanticPairs: precision 1.0 vs exact, recall ≥ 0.8, deterministic") {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", 0.3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem1 = Dedup.semanticPairs(emb, "vec_id", "embedding", 0.3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus must contain semantic pairs")
+    // within-cell pairs are exact-cosine verified -> subset of truth
+    assert(sem1.subsetOf(exact), s"false positives: ${(sem1 -- exact).take(5)}")
+    val recall = (sem1 & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall over ${exact.size} pairs")
+    val sem2 = Dedup.semanticPairs(emb, "vec_id", "embedding", 0.3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem1 == sem2, "seeded k-means + capped buckets must be deterministic")
+  }
+
+  test("dropSemanticDuplicates: kept set is pair-free, dropped ids were paired") {
+    val emb = Tables.embeddings(spark, dir)
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = Dedup.dropSemanticDuplicates(emb, "vec_id", "embedding", 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.semanticPairs(emb, "vec_id", "embedding", 0.3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // one representative per component: no surviving pair has both ends kept
+    assert(!pairs.exists(p => kept(p._1) && kept(p._2)))
+    // nothing unpaired was dropped
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((all -- kept).subsetOf(paired))
+  }
+
+  test("decontaminate drops exactly the train docs sharing a word n-gram with eval") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "totally unrelated words live here indeed"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val evalDf = Seq(
+      (100L, "prefix Alpha, beta GAMMA delta epsilon! suffix"), // normalized overlap with 1
+      (101L, "nothing shared with anything at all")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, evalDf, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 1 shares the normalized 5-gram "alpha beta gamma delta epsilon";
+    // doc 4 is shorter than n tokens -> no grams -> can't be contaminated
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  test("wordGrams: empty below n tokens, sliding window otherwise") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "t")
+    val out = df.select(col("id"),
+        graft.functions.TextFunctions.wordGrams(
+          graft.functions.TextFunctions.tokens(col("t")), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L).isEmpty)
+  }
 }

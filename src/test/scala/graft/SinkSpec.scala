@@ -1,0 +1,77 @@
+package graft
+
+import graft.sources.Sink
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SinkSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.create("local[4]", 4)
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/out"
+
+  test("writePartitioned: partition dirs, lossless read-back, bounded file size") {
+    val out = tmpDir("sink-part")
+    val df = operators.Curate.split(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", 80)
+    Sink.writePartitioned(df, out, Seq("split"), sortCols = Seq("doc_id"),
+      maxRecordsPerFile = 100L)
+    // hive-style partition layout -> partition pruning for readers
+    assert(Files.exists(Paths.get(out, "split=train")))
+    assert(Files.exists(Paths.get(out, "split=eval")))
+    // read-back is lossless (multiset equality via anti-joins both ways)
+    val back = spark.read.parquet(out)
+    assert(back.count() == df.count())
+    assert(back.join(df, back.columns.toSeq.map(c => back(c) <=> df(c))
+      .reduce(_ && _), "left_anti").isEmpty)
+    // maxRecordsPerFile respected
+    val files = Files.walk(Paths.get(out)).toArray.map(_.toString)
+      .filter(f => f.endsWith(".parquet") && !f.contains("_SUCCESS"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(spark.read.parquet(f).count() <= 100L, s"file over cap: $f")
+    }
+    // a reader filtering on the partition col scans one directory only
+    val pruned = back.filter(col("split") === "train")
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned == 1, s"expected 1 pruned partition, scanned $scanned")
+  }
+
+  test("writeBucketed: recurring join on the bucket key plans with zero shuffles") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_chars")
+    Sink.writeBucketed(docs, "sink_spec_a", "doc_id", 4, overwrite = true)
+    Sink.writeBucketed(docs.withColumn("n2", col("n_chars") * 2),
+      "sink_spec_b", "doc_id", 4, overwrite = true)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("sink_spec_a")
+        .join(spark.table("sink_spec_b"), "doc_id")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join must not shuffle:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == docs.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS sink_spec_a")
+      spark.sql("DROP TABLE IF EXISTS sink_spec_b")
+    }
+  }
+
+  test("writeJsonl: lossless for the text columns") {
+    val out = tmpDir("sink-jsonl")
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang")
+    Sink.writeJsonl(df, out, numFiles = 2)
+    val back = spark.read.json(out).select("doc_id", "text", "lang")
+    assert(back.count() == df.count())
+    assert(back.join(df, Seq("doc_id", "text", "lang"), "left_anti").isEmpty)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.create("local[4]", 4)
+  import spark.implicits._
+
+  test("repetition: hand-computed fractions") {
+    // tokens: [a, a, a, b] -> top token 3/4; bigrams [a a, a a, a b]
+    // -> dup = 1 - 2/3, top = 2/3
+    val df = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_tokens") == 4L)
+    assert(r1.getAs[Double]("top_token_frac") == 0.75)
+    assert(r1.getAs[Double]("dup_2gram_frac") == 0.3333)
+    assert(r1.getAs[Double]("top_2gram_frac") == 0.6667)
+    // single token: no bigrams -> null fractions, not a crash or a fake 0
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_tokens") == 1L)
+    assert(r2.getAs[Double]("top_token_frac") == 1.0)
+    assert(r2.isNullAt(r2.fieldIndex("dup_2gram_frac")))
+    assert(r2.isNullAt(r2.fieldIndex("top_2gram_frac")))
+  }
+
+  test("repetition plan: scan-stage projection, only the output sort shuffles") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = TextAnalysis.repetition(docs, "doc_id", "text")
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 1, s"repetition must not shuffle data:\n$plan")
+  }
+
+  test("redactPii: counts and replacements for email/IP/phone") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@foo.bar.com or ping 10.0.0.1 then call +12345678"),
+      (2L, "no pii here"),
+      (3L, "a@b is not an email, 1.2.3 is not an ip, +123456 is too short"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_email") == 1L)
+    assert(r1.getAs[Long]("n_ipv4") == 1L)
+    assert(r1.getAs[Long]("n_phone") == 1L)
+    val red = r1.getAs[String]("text_redacted")
+    assert(red == "mail <EMAIL> or ping <IP> then call <PHONE>")
+    assert(out(2L).getAs[String]("text_redacted") == "no pii here")
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_email") == 0L)
+    assert(r3.getAs[Long]("n_ipv4") == 0L)
+    assert(r3.getAs[Long]("n_phone") == 0L)
+  }
+
+  test("stratifiedSample: exactly n per group, equal to single-window reference") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_orderstatus")
+    val n = 7
+    val got = graft.operators.Relational
+      .stratifiedSample(orders, "o_orderstatus", "o_orderkey", n)
+      .select("o_orderstatus", "rank", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: one global window per group, no salting
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+    val ref = orders.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select("o_orderstatus", "rank", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref)
+    val perGroup = got.groupBy(_._1).map { case (g, rows) => g -> rows.size }
+    assert(perGroup.values.forall(_ <= n))
+  }
+}
