@@ -37,6 +37,18 @@ object TextFunctions {
   def charShingles(t: Column, n: Int): Column =
     graft.functions.SketchFunctions.char_shingles(t, n)
 
+  /** Evaluate `f` with `c` bound to a lambda variable — a SQL-level
+    * `let`: `c` computes exactly ONCE per row no matter how many
+    * times `f`'s body references it. Catalyst has no sharing
+    * construct, and a higher-order-function lambda body RE-EVALUATES
+    * every non-lambda-variable expression it references once per
+    * produced element (the SURVEY §3 pitfall), so binding the shared
+    * subtree structurally is the only way to pin its evaluation
+    * count. Pure built-ins — no UDF.
+    */
+  def letBound(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** word n-gram shingles (distinct, space-joined) over the
     * whitespace tokens of normalized text; texts with fewer than n
     * tokens produce the empty list (NOT a short gram — a partial
@@ -44,16 +56,21 @@ object TextFunctions {
     * DuckDB: list_distinct([array_to_string(tk[i : i + n - 1], ' ')
     *           FOR i IN range(1, greatest(len(tk) - n + 1, 0) + 1)])
     *
-    * The sequence bound is guarded: Spark's `sequence(1, stop)`
-    * DESCENDS when stop < 1 (sequence(1,0) = [1,0]), which would
-    * fabricate grams for short texts.
+    * Two footguns handled here: Spark's `sequence(1, stop)` DESCENDS
+    * when stop < 1 (sequence(1,0) = [1,0]), which would fabricate
+    * grams for short texts, so the bound is guarded; and `toks` is
+    * [[letBound]] — referenced bare from the transform lambda, the
+    * whole tokenizer subtree would re-run once PER GRAM (measured 10×
+    * on the decontamination scan at sf0.1).
     */
   def wordGrams(toks: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    when(size(toks) >= n,
-        array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    letBound(toks) { t =>
+      when(size(t) >= n,
+          array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+            i => array_join(slice(t, i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+    }
   }
 
   /** count of tokens from `list` present in `toks`.

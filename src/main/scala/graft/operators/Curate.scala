@@ -23,16 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  /** Evaluate `f` with `c` bound to a lambda variable — a SQL-level
-    * `let`: `c` is computed exactly ONCE per row no matter how many
-    * times `f`'s body references it. Catalyst has no sharing construct,
-    * FilterExec does no subexpression elimination, and codegen CSE
-    * cannot hoist from conditional branches (short-circuit AND, CASE),
-    * so a one-element `transform` is the way to pin evaluation count
-    * structurally. Pure built-ins — no UDF.
+  /** [[graft.functions.TextFunctions.letBound]] — the SQL-level `let`
+    * pinning a shared subtree to one evaluation per row (FilterExec
+    * does no subexpression elimination, and codegen CSE cannot hoist
+    * from short-circuit AND / CASE branches).
     */
   private def letBound(c: Column)(f: Column => Column): Column =
-    element_at(transform(array(c), f), 1)
+    graft.functions.TextFunctions.letBound(c)(f)
 
   /** struct(pred_lang, n_words, stop_ratio) from ONE single-pass
     * native expression ([[graft.functions.LangMarkerStats]]: marker
