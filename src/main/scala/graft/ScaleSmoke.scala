@@ -69,6 +69,14 @@ object ScaleSmoke {
     timed("simhash pairs WIDE (2x32-bit chunks + 1-bit probes)") {
       Dedup.simhashPairsWide(docs, "doc_id", "text").count()
     }
+    // decontamination at scale: a 10k-doc "benchmark suite" carved
+    // from the corpus by hash; eval grams broadcast, the train side
+    // streams through the scan-stage semi-join (SURVEY §4 claim)
+    timed("decontaminate vs 10k-doc eval set (5-gram overlap)") {
+      val isEval = pmod(xxhash64(col("doc_id")), lit(nDocs / 10000L).cast("long")) === 0
+      Dedup.decontaminate(docs.filter(!isEval), docs.filter(isEval),
+        "doc_id", "text", n = 5).count()
+    }
     docs.unpersist()
 
     // embedding near-dup at the same corpus size: 64-dim vectors with
@@ -84,6 +92,15 @@ object ScaleSmoke {
     timed(s"embedding LSH near-dup pairs (${nDocs} x 64d, bits=$embBits, verified cos >= 0.95)") {
       Dedup.embeddingPairsLsh(emb, "doc_id", "vec", threshold = 0.95, dim = 64,
         tables = 2, bits = embBits, probes = 2, maxBucketSize = 1000).count()
+    }
+    // cells sized to the corpus (≈1k vectors/cell) so the capped
+    // within-cell join stays O(n·cellSize), mirroring how bits scale
+    // with log2(n) above; the toy-SF default of 16 cells would put
+    // every vector in one oversized star-degraded bucket here
+    val nCells = math.min(math.max(64L, nDocs / 1000L), 4096L).toInt
+    timed(s"semantic dedup pairs ($nCells k-means cells, assign=2, verified cos >= 0.95)") {
+      Dedup.semanticPairs(emb, "doc_id", "vec", threshold = 0.95,
+        nCells = nCells, assign = 2, maxTrain = 8192, maxCellSize = 4000).count()
     }
     emb.unpersist()
     spark.stop()

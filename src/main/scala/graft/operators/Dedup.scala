@@ -700,15 +700,26 @@ object Dedup {
       maxCellSize: Int = 4096): DataFrame = {
     require(assign >= 1, s"assign must be >= 1, got $assign")
     val cx = Ann.trainCellIndex(emb, idCol, embCol, nCells, lloydIters, maxTrain)
-    val cells = Similarity.topkFlat(
-        emb.select(col(idCol).as("id"), col(embCol)), embCol, cx, assign, Metric.Cosine)
-      .select(col("id"), col("index").as("cell"))
-    val cand = cappedBucketPairs(cells, Seq("cell"), maxCellSize)
-    val e = emb.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("e"))
-    cand
-      .join(e.select(col("id").as("id1"), col("e").as("e1")), Seq("id1"))
-      .join(e.select(col("id").as("id2"), col("e").as("e2")), Seq("id2"))
-      .withColumn("cosine", round(array_cosine(col("e1"), col("e2")), 4) + lit(0.0))
+    // the assignment pass CARRIES the vector (duplicated under an
+    // alias — topkFlat consumes/drops `embCol` but keeps every other
+    // query column), so cell rows go straight into the grouped
+    // kernel's one cell shuffle: no join back onto the corpus, and no
+    // per-pair vector attachment anywhere.
+    val assigned = Similarity.topkFlat(
+        emb.select(col(idCol).as("id"), col(embCol),
+          col(embCol).cast("array<double>").as("__v")),
+        embCol, cx, assign, Metric.Cosine)
+      .select(col("id"), col("index").as("cell"), col("__v"))
+    // kernel threshold carries the 1e-4 pre-round margin; the
+    // contract filters on the ROUNDED cosine, like every oracle query
+    val raw = Similarity.cellPairsAbove(assigned, "id", "cell", "__v",
+      Metric.Cosine, threshold - 1e-4, maxCellSize)
+    // multi-assignment emits a shared-cell pair once per shared cell;
+    // dedup partitioned on id1 only (subset of the keys), so the
+    // aggregate needs no second exchange — same argument as
+    // cappedBucketPairs
+    raw.repartition(col("id1")).dropDuplicates("id1", "id2")
+      .withColumn("cosine", round(col("score"), 4) + lit(0.0))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
       .orderBy("id1", "id2")

@@ -551,6 +551,135 @@ object Similarity {
     InternalRowBridge.fromInternalRdd(spark, outRdd, outSchema)
   }
 
+  /** GROUPED range join: all qualifying pairs WITHIN each cell of a
+    * pre-partitioned vector set — the kernel under
+    * [[graft.operators.Dedup.semanticPairs]] (and any bucketed
+    * pair search whose buckets are too many to broadcast one by one).
+    *
+    * Input is (id, cell, emb); output every (id1 < id2, score) pair
+    * sharing a cell whose metric qualifies (≥ threshold for
+    * cosine/dot, ≤ for euclidean). Pairs present in several shared
+    * cells are emitted once per cell — callers dedup on (id1, id2).
+    *
+    * Plan shape, and why it is NOT a self-join: one shuffle
+    * re-partitions the vectors by cell (volume n·|emb| — each vector
+    * crosses once), then each cell runs ONE local BLAS gram-matrix
+    * GEMM and materializes ONLY qualifying pairs. The equivalent
+    * within-cell equi-self-join materializes O(Σ|cell|²) candidate
+    * ROWS with two vectors attached before any filter — at 200k
+    * uniform 64-d vectors in ~1k-row cells that is ~400M rows ≈
+    * hundreds of GB of shuffle spill (it filled this machine's disk);
+    * the grouped kernel's output is proportional to MATCHES, and its
+    * O(Σ|cell|²·dim) is FLOPs inside dgemm, not bytes on disk.
+    *
+    * Cells larger than `maxCellSize` degrade to ANCHOR-STAR pairs
+    * (every member scored against the cell's min id only — O(|cell|)
+    * work): bounded fan-out with the same contract as the LSH bucket
+    * cap — verify coverage for every member and a connected pair
+    * graph, so downstream connected components still merge the cell.
+    *
+    * Scores are computed in f64 and returned RAW (callers round for
+    * oracle contracts). Cosine keeps the kernel's zero-norm guard
+    * (score 0.0, never NaN). Null embeddings never pair.
+    */
+  def cellPairsAbove(
+      df: DataFrame, idCol: String, cellCol: String, embCol: String,
+      metric: Metric, threshold: Double, maxCellSize: Int = 4096): DataFrame = {
+    require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
+    val spark = df.sparkSession
+    val q = df.filter(col(embCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"),
+        col(cellCol).cast(LongType).as("cell"),
+        col(embCol).cast(ArrayType(DoubleType)).as("emb"))
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "id")
+    val m = metric
+    val outSchema = StructType(Seq(
+      StructField("id1", LongType, nullable = false),
+      StructField("id2", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    val outRdd = InternalRowBridge.toInternalRdd(q).mapPartitions { it =>
+      val blas = BLAS.getInstance()
+      val rows = it.buffered
+      // consecutive-run grouping over the (cell, id)-sorted partition
+      val groups = new Iterator[(Array[Long], Array[Double], Int, Int)] {
+        def hasNext: Boolean = rows.hasNext
+        def next(): (Array[Long], Array[Double], Int, Int) = {
+          val cell = rows.head.getLong(1)
+          val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+          val vecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+          while (rows.hasNext && rows.head.getLong(1) == cell) {
+            val row = rows.next()
+            ids += row.getLong(0)
+            vecs += row.getArray(2).toDoubleArray()
+          }
+          val s = ids.length
+          val dim = vecs.head.length
+          val data = new Array[Double](s * dim)
+          var i = 0
+          while (i < s) {
+            if (vecs(i).length != dim) throw new IllegalArgumentException(
+              s"Dimension mismatch within cell $cell: ${vecs(i).length} vs $dim")
+            System.arraycopy(vecs(i), 0, data, i * dim, dim)
+            i += 1
+          }
+          (ids.toArray, data, s, dim)
+        }
+      }
+      groups.flatMap { case (ids, data, s, dim) =>
+        val sq = new Array[Double](s)
+        val norms = new Array[Double](s)
+        var i = 0
+        while (i < s) {
+          var d = 0; var acc = 0.0
+          while (d < dim) { val v = data(i * dim + d); acc += v * v; d += 1 }
+          sq(i) = acc; norms(i) = math.sqrt(acc)
+          i += 1
+        }
+        def score(dot: Double, a: Int, b: Int): Double = m match {
+          case Metric.Dot => dot
+          case Metric.Cosine =>
+            if (norms(a) <= 1e-10 || norms(b) <= 1e-10) 0.0
+            else dot / (norms(a) * norms(b))
+          case Metric.Euclidean =>
+            math.sqrt(math.max(0.0, sq(a) + sq(b) - 2.0 * dot))
+        }
+        def keep(v: Double): Boolean =
+          if (m.higherIsBetter) v >= threshold else v <= threshold
+        val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+        if (s <= maxCellSize) {
+          // full gram matrix in one GEMM; emit the upper triangle.
+          // ids ascend within the group (partition sorted on id), so
+          // i < j implies ids(i) < ids(j)
+          val scores = new Array[Double](s * s)
+          blas.dgemm("T", "N", s, s, dim, 1.0, data, dim, data, dim, 0.0, scores, s)
+          var a = 0
+          while (a < s) {
+            var b = a + 1
+            while (b < s) {
+              val v = score(scores(a * s + b), a, b)
+              if (keep(v)) out += InternalRow(ids(a), ids(b), v)
+              b += 1
+            }
+            a += 1
+          }
+        } else {
+          // anchor-star degradation: min id vs every member
+          var b = 1
+          while (b < s) {
+            var d = 0; var dot = 0.0
+            while (d < dim) { dot += data(d) * data(b * dim + d); d += 1 }
+            val v = score(dot, 0, b)
+            if (keep(v)) out += InternalRow(ids(0), ids(b), v)
+            b += 1
+          }
+        }
+        out.iterator
+      }
+    }
+    InternalRowBridge.fromInternalRdd(spark, outRdd, outSchema)
+  }
+
   /** Scale path for corpora too large for one broadcast: split the
     * corpus into `numBlocks` HASH-MOD blocks (`xxhash64(id) % B`), run
     * the broadcast kernel per block (each yields ≤ k candidates per

@@ -354,6 +354,34 @@ class DedupSpec extends AnyFunSuite {
     assert((all -- kept).subsetOf(paired))
   }
 
+  test("cellPairsAbove == within-cell brute force; oversized cell degrades to anchor star") {
+    import graft.operators.{Metric, Similarity}
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, (i % 3).toLong, Array.fill(8)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("id", "cell", "vec")
+    val got = Similarity.cellPairsAbove(df, "id", "cell", "vec", Metric.Cosine, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na <= 1e-10 || nb <= 1e-10) 0.0 else dot / (na * nb)
+    }
+    val want = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._2 == b._2 && cos(a._3, b._3) >= 0.2
+    } yield (a._1, b._1)).toSet
+    assert(got == want)
+    // oversized cell: every emitted pair is anchored at the cell min id
+    val capped = Similarity.cellPairsAbove(df.filter(col("cell") === 0),
+        "id", "cell", "vec", Metric.Cosine, -1.0, maxCellSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.nonEmpty && capped.forall(_._1 == 0L))
+    assert(capped.length == 39, "anchor star must cover every other member once")
+  }
+
   test("decontaminate drops exactly the train docs sharing a word n-gram with eval") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

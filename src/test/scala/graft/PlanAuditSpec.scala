@@ -137,4 +137,44 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("topk_join_meta")
     assert(p.contains("BroadcastHashJoin"), "metadata join not broadcast")
   }
+
+  test("dedup_decontaminate: both gram joins broadcast, train side never shuffles grams") {
+    val p = plan("dedup_decontaminate")
+    // eval-gram semi-join and contaminated-id anti-join are both
+    // broadcast hash joins: the 100 TB train side crosses no exchange
+    // keyed on gram strings
+    assert("BroadcastHashJoin LeftSemi".r.findFirstIn(p).isDefined,
+      "eval-gram semi-join not broadcast")
+    assert("BroadcastHashJoin LeftAnti".r.findFirstIn(p).isDefined,
+      "contaminated-id anti-join not broadcast")
+    // exactly three exchanges, none carrying the train corpus: the
+    // eval-gram distinct (small by construction), the contaminated-id
+    // distinct (bounded by |train docs|), and the final sort
+    val exchangeCount = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchangeCount == 3,
+      s"expected 3 exchanges (eval distinct, bad-id distinct, sort), saw $exchangeCount")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("new-op sweep: no cartesian/NLJ in semantic dedup, sampling, pivot, pii") {
+    for (q <- Seq("dedup_semantic", "dedup_semantic_recall", "q_stratified_sample",
+      "q_pivot", "text_pii", "text_repetition")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("q_pivot: explicit values avoid the distinct-values job; aggs stay partial") {
+    val p = plan("q_pivot")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    // Spark plans .pivot as two aggregates — (year, status) pre-agg,
+    // then the pivot-first agg on year — plus the final sort: three
+    // exchanges, each carrying already-aggregated rows. The property
+    // worth pinning is that EVERY aggregate is partial (map-side
+    // combine) and no extra job runs to infer pivot values.
+    val exchangeCount = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchangeCount == 3,
+      s"pivot should shuffle 3x (pre-agg, pivot agg, sort), saw $exchangeCount")
+  }
 }
