@@ -57,6 +57,22 @@ object Curate {
         (round(element_at(counts, 1) / nw, 4) + lit(0.0)).as("stop_ratio"))
     }
 
+  /** The language+quality gate as a single predicate on a `text`
+    * column — one let-bound [[gateStruct]] evaluation per row. Shared
+    * by [[curate]], [[gateDocs]], and the streaming curation path
+    * (stateless, so it applies to streams unchanged).
+    */
+  def gatePasses(
+      textCol: Column,
+      lang: String = "en",
+      minWords: Long = 30L,
+      minStopRatio: Double = 0.04): Column =
+    letBound(gateStruct(textCol)) { gs =>
+      gs.getField("pred_lang") === lang &&
+        gs.getField("n_words") >= minWords &&
+        gs.getField("stop_ratio") >= minStopRatio
+    }
+
   def curate(
       s: SparkSession,
       dir: String,
@@ -70,15 +86,12 @@ object Curate {
     // content group passes or fails as a whole, so its surviving
     // min-id representative is unchanged, while the window shuffle
     // carries only gate-passing rows (~6 % of the corpus here).
-    // The predicate is itself let-bound so the gate struct computes
-    // once; the output columns are re-derived AFTER the rn = 1 filter,
-    // on survivors only (projecting them pre-filter would make
-    // predicate pushdown restate the whole expression in the filter).
-    val passes = letBound(g) { gs =>
-      gs.getField("pred_lang") === lang &&
-        gs.getField("n_words") >= minWords &&
-        gs.getField("stop_ratio") >= minStopRatio
-    }
+    // The predicate is let-bound inside gatePasses so the gate struct
+    // computes once; the output columns are re-derived AFTER the
+    // rn = 1 filter, on survivors only (projecting them pre-filter
+    // would make predicate pushdown restate the whole expression in
+    // the filter).
+    val passes = gatePasses(t, lang, minWords, minStopRatio)
     val dedupW = Window.partitionBy(md5(t)).orderBy(col("doc_id"))
     Tables.documents(s, dir)
       .filter(passes)
@@ -104,12 +117,7 @@ object Curate {
       minStopRatio: Double = 0.04): DataFrame = {
     val t = col("text")
     val g = gateStruct(t)
-    val passes = letBound(g) { gs =>
-      gs.getField("pred_lang") === lang &&
-        gs.getField("n_words") >= minWords &&
-        gs.getField("stop_ratio") >= minStopRatio
-    }
-    docs.filter(passes)
+    docs.filter(gatePasses(t, lang, minWords, minStopRatio))
       .select(col(idCol), g.getField("pred_lang").as("pred_lang"),
         g.getField("n_words").as("n_words"), g.getField("stop_ratio").as("stop_ratio"))
   }

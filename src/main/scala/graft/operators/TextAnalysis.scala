@@ -131,14 +131,17 @@ object TextAnalysis {
     * built-ins — a scan-stage projection with no shuffle, which is
     * the whole design: redaction at 100 TB must be a map.
     */
+  /** The redaction column alone — [[piiPatterns]] applied in order.
+    * Stateless, so it serves batch and streaming identically.
+    */
+  def redactedText(t: Column): Column =
+    piiPatterns.foldLeft(t) { case (c, (_, re, repl)) => regexp_replace(c, re, repl) }
+
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val redacted = piiPatterns.foldLeft(col(textCol)) {
-      case (c, (_, re, repl)) => regexp_replace(c, re, repl)
-    }
     val counts = piiPatterns.map { case (name, re, _) =>
       regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$name")
     }
-    docs.select(col(idCol) +: counts :+ redacted.as("text_redacted"): _*)
+    docs.select(col(idCol) +: counts :+ redactedText(col(textCol)).as("text_redacted"): _*)
   }
 
   /** Most-frequent-element count of a string array, computed as the

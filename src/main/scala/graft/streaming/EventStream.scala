@@ -57,6 +57,39 @@ object EventStream {
       .withWatermark(tsCol, "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming document CURATION — the ingest-time form of
+    * [[graft.operators.Curate.curate]]: language+quality gates and PII
+    * redaction are stateless scan-stage expressions (they apply to a
+    * stream unchanged), exact dedup is the watermark-bounded stateful
+    * `dropDuplicates` of [[dedupDocs]]. First arrival per content
+    * hash wins — equal to the batch min-id rule under an id-ordered
+    * replay; gate-failing docs never enter the dedup state (the same
+    * gates-before-dedup argument as the batch job: exact copies gate
+    * identically).
+    *
+    * Decontamination against a static eval set stays a per-microbatch
+    * `foreachBatch` call of [[graft.operators.Dedup.decontaminate]]
+    * (stream-static LEFT ANTI joins aren't in Spark's supported
+    * stream-static matrix; the eval side is static and broadcast, so
+    * batch semantics per microbatch are exact) — demonstrated in
+    * StreamingSpec.
+    */
+  def curateDocs(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      lang: String = "en",
+      minWords: Long = 30L,
+      minStopRatio: Double = 0.04): DataFrame = {
+    docs
+      .filter(graft.operators.Curate.gatePasses(col(textCol), lang, minWords, minStopRatio))
+      .withColumn("text_redacted",
+        graft.operators.TextAnalysis.redactedText(col(textCol)))
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   /** Streaming NEAR-dup dedup on the 64-bit SimHash fingerprint: docs
     * whose fingerprint collides with one already seen inside the
     * watermark horizon are dropped — catches reformatted/lightly-

@@ -172,4 +172,65 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming curation: gates + redaction + dedup equal the batch curate set") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val raw = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val q = EventStream.curateDocs(raw, "ts", "text")
+      .select("content_hash", "text", "text_redacted")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_stream_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("curate_stream_out").collect()
+    // survivors = one row per content hash of the batch gate-passers
+    val batchHashes = graft.operators.Curate
+      .gateDocs(Tables.documents(spark, dir).withColumn("h", md5(col("text"))), "h")
+      .select("h").collect().map(_.getString(0)).toSet
+    assert(streamed.map(_.getString(0)).toSet == batchHashes)
+    assert(streamed.map(_.getString(0)).distinct.length == streamed.length)
+    // the corpus has no PII, so redaction must be the identity here
+    assert(streamed.forall(r => r.getString(1) == r.getString(2)))
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming decontamination via foreachBatch equals the batch operator") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = Tables.documents(spark, dir)
+    val isTrain = graft.operators.Curate.hashBucket(col("doc_id")) < 80
+    val evalDf = docs.filter(!isTrain).select("doc_id", "text").cache()
+    evalDf.count()
+    val got = scala.collection.mutable.Set[Long]()
+    val raw = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(isTrain)
+    val q = raw.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // static eval side + batch semantics per microbatch: exactly
+        // the batch operator, applied to whatever arrived
+        got ++= graft.operators.Dedup.decontaminate(batch, evalDf, "doc_id", "text", n = 5)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val want = graft.operators.Dedup
+      .decontaminate(docs.filter(isTrain), evalDf, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    evalDf.unpersist()
+    assert(got.toSet == want)
+    assert(want.nonEmpty)
+  }
 }
