@@ -394,6 +394,25 @@ object SparkEntry {
     "text_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(Tables.documents(s, dir), "doc_id", "text")),
 
+    // context-window chunking: 40-token windows, 8-token overlap;
+    // chunk identity pinned by md5 so the gate rows stay compact
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 40, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // token-budget packing manifest: documents laid end to end per
+    // shard (the deterministic split), budget counted in chars here
+    // (n_chars is the table's precomputed weight column)
+    "q_pack" -> ((s, dir) => {
+      val sharded = Curate.split(Tables.documents(s, dir), "doc_id", 80)
+      Curate.packSequences(sharded, "split", "doc_id", "n_chars", budget = 4096L)
+        .withColumnRenamed("n_tokens", "n_chars")
+        .orderBy("shard", "doc_id")
+    }),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, dir).select("doc_id", "byte_len", "content_md5")),
 
@@ -892,6 +911,40 @@ object SparkEntry {
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5,
         |  CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS BIGINT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |), c AS (
+        |  SELECT doc_id, unnest([
+        |      {'chunk_id': w, 'chunk': array_to_string(tk[w*32+1 : w*32+40], ' ')}
+        |      FOR w IN range(0, CAST(1 + ceil(greatest(len(tk) - 40, 0) / 32.0) AS BIGINT))
+        |    ], recursive := true)
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(len(regexp_split_to_array(trim(chunk), '\s+')) AS BIGINT) AS n_tokens,
+        |       md5(chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_pack" ->
+      """WITH sharded AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |             + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80
+        |         THEN 'train' ELSE 'eval' END AS shard
+        |  FROM documents
+        |), cum AS (
+        |  SELECT shard, doc_id, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
+        |  FROM sharded
+        |)
+        |SELECT shard, doc_id, n_chars,
+        |       CAST(floor(start_off / 4096) AS BIGINT) AS seq_id,
+        |       CAST(start_off % 4096 AS BIGINT) AS seq_offset
+        |FROM cum ORDER BY shard, doc_id""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

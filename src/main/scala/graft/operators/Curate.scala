@@ -146,6 +146,41 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** Token-budget SEQUENCE PACKING manifest — the step between a
+    * curated corpus and a training run: documents are laid end to end
+    * in id order within each shard, and each doc is assigned the
+    * training sequence its first token falls in (`seq_id`) plus its
+    * offset there (`seq_offset`). Documents may straddle a boundary
+    * (`n_tokens > budget - seq_offset`) — the reader splits or drops
+    * at materialization; this operator's contract is the DETERMINISTIC
+    * MANIFEST (stable across runs, partitionings, and engines), which
+    * is what must be reproducible for resumable/verifiable training.
+    *
+    * Scale shape: packing needs a running total, which is inherently
+    * sequential — PER SHARD. Sharding (by split, by hash range, by
+    * source) is how real pipelines parallelize packing, so the shard
+    * column is part of the contract: one shuffle on `shardCol`, a
+    * cumulative-sum window within it, and shards pack independently
+    * and embarrassingly parallel. No global order is ever imposed.
+    * Output: (shard, id, n_tokens, seq_id, seq_offset).
+    */
+  def packSequences(
+      docs: DataFrame, shardCol: String, idCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    // the window references the RENAMED shard column — it is applied
+    // to the projected frame below
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(shardCol).as("shard"), col(idCol),
+        col(tokenCol).cast("long").as("n_tokens"))
+      .withColumn("__end", sum(col("n_tokens")).over(w))
+      .select(col("shard"), col(idCol), col("n_tokens"),
+        (floor((col("__end") - col("n_tokens")) / budget)).cast("long").as("seq_id"),
+        pmod(col("__end") - col("n_tokens"), lit(budget)).cast("long").as("seq_offset"))
+  }
+
   /** Deterministic bucket in [0, 100) from the md5 hex of the id —
     * computable identically in any engine with md5/ascii/substr, so
     * the split is reproducible across systems (and oracle-checkable).

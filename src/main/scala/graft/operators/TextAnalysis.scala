@@ -191,6 +191,42 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Fixed-size token-window CHUNKING with overlap — the
+    * context-window preparation step (RAG indexing, long-doc training
+    * prep): each document explodes into windows of `chunkTokens`
+    * whitespace tokens advancing by `chunkTokens - overlap`, so
+    * consecutive chunks share `overlap` tokens and no token is
+    * dropped. The final window may be shorter; a doc shorter than one
+    * window yields exactly one chunk. Empty/null texts yield none.
+    *
+    * Scan-stage explode (the token array is [[graft.functions.TextFunctions.letBound]]
+    * — chunk construction references it per window): at 100 TB this
+    * is a map whose output rows feed directly into partitioned writes
+    * or the embedding kernel, no shuffle of its own.
+    * Output: (id, chunk_id, n_tokens, chunk).
+    */
+  def chunk(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val step = chunkTokens - overlap
+    val chunks = letBound(tokens(col(textCol))) { t =>
+      val n = size(t)
+      // number of windows: 1 + ceil(max(0, n - chunkTokens) / step),
+      // guarded against Spark's descending sequence(1, stop<1)
+      val nw = lit(1) + ceil(greatest(n - chunkTokens, lit(0)) / lit(step)).cast("int")
+      when(n >= 1 && trim(col(textCol)) =!= "",
+          transform(sequence(lit(0), nw - 1),
+            w => array_join(slice(t, w * step + 1, lit(chunkTokens)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        size(tokens(col("chunk"))).cast("long").as("n_tokens"), col("chunk"))
+  }
+
   /** Winnowing fingerprints ([[graft.functions.WinnowFingerprints]]:
     * rolling-hash k-grams, window minima) exploded to one row per
     * selected fingerprint — the substring-level identity used for

@@ -58,6 +58,46 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r3.getAs[Long]("n_phone") == 0L)
   }
 
+  test("chunk: windows cover every token, overlap shared, short docs = one chunk") {
+    val doc = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c"), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 40, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: starts at 1, 33, 65 -> 3 chunks (97 > 100-40 -> ceil(60/32)=2, +1)
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(c1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(c1.map(_._3).toSeq == Seq(40L, 40L, 36L))
+    // consecutive chunks share exactly `overlap` tokens
+    val t0 = c1(0)._4.split(" "); val t1 = c1(1)._4.split(" ")
+    assert(t0.takeRight(8).toSeq == t1.take(8).toSeq)
+    // stepping by chunk-overlap reconstructs the doc exactly
+    val rebuilt = c1(0)._4.split(" ") ++
+      c1.drop(1).flatMap(_._4.split(" ").drop(8))
+    assert(rebuilt.toSeq == doc.split(" ").toSeq)
+    // short doc: one chunk, whole text; empty/null: no chunks
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+  }
+
+  test("packSequences: per-shard running layout, straddling allowed, deterministic") {
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), ("a", 5L, 50L),
+      ("b", 4L, 300L), ("b", 6L, 10L))
+      .toDF("shard", "id", "toks")
+    val out = graft.operators.Curate.packSequences(df, "shard", "id", "toks", budget = 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // shard a in id order: starts 0, 100, 200, 300
+    assert(out(("a", 1L)) == (0L, 0L))
+    assert(out(("a", 2L)) == (0L, 100L))
+    assert(out(("a", 3L)) == (0L, 200L)) // straddles the 256 boundary
+    assert(out(("a", 5L)) == (1L, 44L))  // starts at 300 = seq 1, offset 44
+    // shard b packs independently
+    assert(out(("b", 4L)) == (0L, 0L))
+    assert(out(("b", 6L)) == (1L, 44L))  // starts at 300
+  }
+
   test("stratifiedSample: exactly n per group, equal to single-window reference") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
       .select("o_orderkey", "o_orderstatus")
