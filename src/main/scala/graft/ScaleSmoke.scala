@@ -73,7 +73,10 @@ object ScaleSmoke {
     // from the corpus by hash; eval grams broadcast, the train side
     // streams through the scan-stage semi-join (SURVEY §4 claim)
     timed("decontaminate vs 10k-doc eval set (5-gram overlap)") {
-      val isEval = pmod(xxhash64(col("doc_id")), lit(nDocs / 10000L).cast("long")) === 0
+      // clamp the carve-out modulus: below 20k docs nDocs/10000 is 0
+      // (ANSI pmod-by-zero throws) or 1 (every doc eval, train empty)
+      val evalMod = math.max(2L, nDocs / 10000L)
+      val isEval = pmod(xxhash64(col("doc_id")), lit(evalMod)) === 0
       Dedup.decontaminate(docs.filter(!isEval), docs.filter(isEval),
         "doc_id", "text", n = 5).count()
     }

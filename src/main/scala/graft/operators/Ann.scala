@@ -151,24 +151,6 @@ object Ann {
       .orderBy(qIdCol, "rank")
   }
 
-  /** IVF (inverted-file) cosine top-k — the second ANN scale path.
-    *
-    * Train: spherical k-means on a driver-side corpus sample (bounded
-    * at `maxTrain` rows — standard IVF practice; the sample is taken
-    * in xxhash64(id) order, so training is deterministic AND unbiased
-    * when ids correlate with content). Assign: both
-    * corpus and queries are scored against the centroid index with the
-    * SAME broadcast+GEMM kernel used for search ([[Similarity.topk]]),
-    * so assignment is fully distributed — corpus rows land in their
-    * top-1 cell, queries probe their `nProbe` nearest cells. Search:
-    * candidates come from a (cell)-equi-join carrying ids only;
-    * embeddings are attached once per unique pair (corpus by
-    * broadcast, queries by a qid hash join the ranking window
-    * reuses), then exact cosine reranks.
-    *
-    * Output: (qid, rank, index, score) — same shape as
-    * [[lshCosineTopK]] / Similarity.topkFlat.
-    */
   /** Spherical k-means centroid index — the trainable half of IVF,
     * shared with [[Dedup.semanticPairs]]. Trains on a bounded,
     * deterministic corpus sample taken in xxhash64(id) order (NOT id
@@ -229,6 +211,24 @@ object Ann {
     CorpusIndex(Array.tabulate(n)(_.toLong), data, null, n, dim, norms, sqNorms)
   }
 
+  /** IVF (inverted-file) cosine top-k — the second ANN scale path.
+    *
+    * Train: spherical k-means on a driver-side corpus sample (bounded
+    * at `maxTrain` rows — standard IVF practice; the sample is taken
+    * in xxhash64(id) order, so training is deterministic AND unbiased
+    * when ids correlate with content). Assign: both
+    * corpus and queries are scored against the centroid index with the
+    * SAME broadcast+GEMM kernel used for search ([[Similarity.topk]]),
+    * so assignment is fully distributed — corpus rows land in their
+    * top-1 cell, queries probe their `nProbe` nearest cells. Search:
+    * candidates come from a (cell)-equi-join carrying ids only;
+    * embeddings are attached once per unique pair (corpus by
+    * broadcast, queries by a qid hash join the ranking window
+    * reuses), then exact cosine reranks.
+    *
+    * Output: (qid, rank, index, score) — same shape as
+    * [[lshCosineTopK]] / Similarity.topkFlat.
+    */
   def ivfCosineTopK(
       queries: DataFrame,
       qIdCol: String,

@@ -751,10 +751,13 @@ object Dedup {
     * suite, not a corpus), so its distinct gram set BROADCASTS; the
     * train side streams through a broadcast-hash left-semi join in
     * the scan stage — the 100 TB train corpus is never shuffled on
-    * gram strings. Only the contaminated id set (bounded by |train
-    * docs|, tiny in practice) crosses a shuffle for `distinct`, and
-    * rides back as a broadcast anti-join. Nothing here is
-    * proportional to |train| × |eval|.
+    * gram strings. The contaminated id set is bounded only by |train|
+    * (heavy boilerplate shared with eval can contaminate a few
+    * percent of a multi-billion-doc corpus), so the anti-join back is
+    * deliberately NOT hint-forced: AQE broadcasts it when its runtime
+    * size is small and falls back to a shuffled anti-join when it is
+    * not, instead of dying on the broadcast size limit. Nothing here
+    * is proportional to |train| × |eval|.
     */
   def decontaminate(
       train: DataFrame, evalDf: DataFrame,
@@ -764,6 +767,6 @@ object Dedup {
     val contaminated = train.select(col(idCol), explode(grams).as("g"))
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .select(idCol).distinct()
-    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    train.join(contaminated, Seq(idCol), "left_anti")
   }
 }

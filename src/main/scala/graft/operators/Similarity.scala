@@ -570,7 +570,10 @@ object Similarity {
     * uniform 64-d vectors in ~1k-row cells that is ~400M rows ≈
     * hundreds of GB of shuffle spill (it filled this machine's disk);
     * the grouped kernel's output is proportional to MATCHES, and its
-    * O(Σ|cell|²·dim) is FLOPs inside dgemm, not bytes on disk.
+    * O(Σ|cell|²·dim) is FLOPs inside dgemm, not bytes on disk. The
+    * gram matrix is computed in ≤16 MB column panels (strict upper
+    * triangle only), so per-task transient memory is bounded
+    * regardless of cell size or task concurrency.
     *
     * Cells larger than `maxCellSize` degrade to ANCHOR-STAR pairs
     * (every member scored against the cell's min id only — O(|cell|)
@@ -648,20 +651,33 @@ object Similarity {
           if (m.higherIsBetter) v >= threshold else v <= threshold
         val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
         if (s <= maxCellSize) {
-          // full gram matrix in one GEMM; emit the upper triangle.
-          // ids ascend within the group (partition sorted on id), so
-          // i < j implies ids(i) < ids(j)
-          val scores = new Array[Double](s * s)
-          blas.dgemm("T", "N", s, s, dim, 1.0, data, dim, data, dim, 0.0, scores, s)
-          var a = 0
-          while (a < s) {
-            var b = a + 1
-            while (b < s) {
-              val v = score(scores(a * s + b), a, b)
-              if (keep(v)) out += InternalRow(ids(a), ids(b), v)
-              b += 1
+          // TILED gram: GEMM one column-panel of vectors at a time and
+          // only the a < b rows of it, so transient memory is bounded
+          // at ~16 MB per task regardless of cell size (a full s×s
+          // gram at s=4096 is 134 MB, ×32 concurrent tasks = OOM) and
+          // the strict-upper-triangle FLOPs are halved. ids ascend
+          // within the group (partition sorted on id), so a < b
+          // implies ids(a) < ids(b).
+          val tileCols = math.max(1, (1 << 21) / s)
+          val scores = new Array[Double](s * tileCols) // <= max(s, 2M) doubles
+          var b0 = 0
+          while (b0 < s) {
+            val tw = math.min(tileCols, s - b0)
+            val mRows = b0 + tw // rows 0..b < every column in the panel
+            blas.dgemm("T", "N", mRows, tw, dim, 1.0,
+              data, 0, dim, data, b0 * dim, dim, 0.0, scores, 0, mRows)
+            var j = 0
+            while (j < tw) {
+              val b = b0 + j
+              var a = 0
+              while (a < b) {
+                val v = score(scores(a + j * mRows), a, b)
+                if (keep(v)) out += InternalRow(ids(a), ids(b), v)
+                a += 1
+              }
+              j += 1
             }
-            a += 1
+            b0 += tw
           }
         } else {
           // anchor-star degradation: min id vs every member

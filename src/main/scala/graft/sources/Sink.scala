@@ -76,9 +76,12 @@ object Sink {
   }
 
   /** JSON-lines export — the interchange format most annotation /
-    * inspection tools speak. Same repartition-first small-files guard
-    * as [[writePartitioned]]; compression defaults to gzip (JSONL is
-    * 3-5× the parquet footprint uncompressed).
+    * inspection tools speak. Pass `numFiles > 0` to engage the same
+    * repartition-first small-files guard as [[writePartitioned]]
+    * (the default 0 writes one file per upstream task — fine after a
+    * narrow scan, a tiny-file explosion after a wide shuffle);
+    * compression defaults to gzip (JSONL is 3-5× the parquet
+    * footprint uncompressed).
     */
   def writeJsonl(
       df: DataFrame,

@@ -81,13 +81,12 @@ object EventStream {
       lang: String = "en",
       minWords: Long = 30L,
       minStopRatio: Double = 0.04): DataFrame = {
-    docs
-      .filter(graft.operators.Curate.gatePasses(col(textCol), lang, minWords, minStopRatio))
-      .withColumn("text_redacted",
-        graft.operators.TextAnalysis.redactedText(col(textCol)))
-      .withColumn("content_hash", md5(col(textCol)))
-      .withWatermark(tsCol, "1 hour")
-      .dropDuplicatesWithinWatermark("content_hash")
+    dedupDocs(
+      docs
+        .filter(graft.operators.Curate.gatePasses(col(textCol), lang, minWords, minStopRatio))
+        .withColumn("text_redacted",
+          graft.operators.TextAnalysis.redactedText(col(textCol))),
+      tsCol, textCol)
   }
 
   /** Streaming NEAR-dup dedup on the 64-bit SimHash fingerprint: docs

@@ -138,22 +138,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "metadata join not broadcast")
   }
 
-  test("dedup_decontaminate: both gram joins broadcast, train side never shuffles grams") {
+  test("dedup_decontaminate: eval grams broadcast statically, bad-id anti-join broadcast by AQE") {
+    // the eval side is small BY CONSTRUCTION (a benchmark suite), so
+    // its semi-join is hint-broadcast in the static plan: the 100 TB
+    // train side crosses no exchange keyed on gram strings
     val p = plan("dedup_decontaminate")
-    // eval-gram semi-join and contaminated-id anti-join are both
-    // broadcast hash joins: the 100 TB train side crosses no exchange
-    // keyed on gram strings
     assert("BroadcastHashJoin LeftSemi".r.findFirstIn(p).isDefined,
       "eval-gram semi-join not broadcast")
-    assert("BroadcastHashJoin LeftAnti".r.findFirstIn(p).isDefined,
-      "contaminated-id anti-join not broadcast")
-    // exactly three exchanges, none carrying the train corpus: the
-    // eval-gram distinct (small by construction), the contaminated-id
-    // distinct (bounded by |train docs|), and the final sort
-    val exchangeCount = "\\(\\d+\\) Exchange".r.findAllIn(p).length
-    assert(exchangeCount == 3,
-      s"expected 3 exchanges (eval distinct, bad-id distinct, sort), saw $exchangeCount")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the contaminated-id set is bounded only by |train| and is NOT
+    // hint-forced (a forced broadcast dies on the 8 GB limit when
+    // boilerplate contaminates a few percent of a multi-billion-doc
+    // corpus); AQE must convert the anti-join to broadcast at runtime
+    // when the set is actually small, as here
+    val df = SparkEntry.queries("dedup_decontaminate")(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      "AQE did not convert the small contaminated-id anti-join to broadcast")
   }
 
   test("new-op sweep: no cartesian/NLJ in semantic dedup, sampling, pivot, pii") {
