@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Curate, Dedup, Metric, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Ann, Curate, Dedup, Metric, Multimodal, Profile, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -139,6 +139,12 @@ object SparkEntry {
     "q_asof_join" -> (Relational.asofClickPurchase _),
     "q_stratified_sample" -> (Relational.stratifiedSampleOrders _),
     "q_pivot" -> (Relational.pivotStatus _),
+
+    // corpus profiling: per-column null/distinct/min/max/mean in one
+    // aggregation pass (exact-distinct form; the approx form is the
+    // scale path, ProfileSpec-asserted against this one)
+    "q_profile" -> ((s, dir) => Profile.profile(
+      Tables.documents(s, dir), Seq("doc_id", "lang", "n_chars", "source", "text"))),
     "q_sessionize" -> (Relational.sessionize _),
     "q_sessionize_sw" -> (Relational.sessionizeWindow _),
 
@@ -198,6 +204,42 @@ object SparkEntry {
           "doc_id", "text", n = 5)
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // incremental exact dedup: the 80 % "landed corpus" contributes
+    // only its content-hash set; the 20 % "new batch" keeps its
+    // within-batch min-id representatives whose hash never landed
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isOld = Curate.hashBucket(col("doc_id")) < 80
+      Dedup.exactIncremental(docs.filter(!isOld),
+          Dedup.contentHashes(docs.filter(isOld), "text"), "doc_id", "text")
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // incremental near-dup quality gate (the dedup_minhash_recall
+    // pattern, cross-sided): DuckDB independently recomputes the exact
+    // 5-gram Jaccard pair count BETWEEN the splits; Spark measures the
+    // recall of the batch-vs-corpus MinHash path against its own exact
+    // cross pairs and asserts the pinned floor
+    "dedup_incremental_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val isOld = Curate.hashBucket(col("doc_id")) < 80
+      val flags = docs.select(col("doc_id"),
+        (Curate.hashBucket(col("doc_id")) < 80).as("is_old"))
+      val cross = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.7)
+        .join(flags.select(col("doc_id").as("id1"), col("is_old").as("o1")), Seq("id1"))
+        .join(flags.select(col("doc_id").as("id2"), col("is_old").as("o2")), Seq("id2"))
+        .filter(col("o1") =!= col("o2"))
+      val mh = Dedup.minhashNewVsCorpusPairs(docs.filter(!isOld), docs.filter(isOld),
+          "doc_id", "text", threshold = 0.7, shingleN = 5)
+        .select(least(col("new_id"), col("corpus_id")).as("id1"),
+          greatest(col("new_id"), col("corpus_id")).as("id2"), lit(1).as("hit"))
+      cross.select(col("id1"), col("id2"))
+        .join(mh, Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_exact"), recallAtLeast(0.9).as("recall_ok"))
     }),
 
     "dedup_minhash" -> ((s, dir) =>
@@ -703,6 +745,37 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
 
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |         count(*) - count(doc_id) AS n_nulls,
+        |         count(DISTINCT doc_id) AS n_distinct,
+        |         CAST(min(doc_id) AS VARCHAR) AS min_val,
+        |         CAST(max(doc_id) AS VARCHAR) AS max_val,
+        |         round(avg(doc_id), 4) + 0.0 AS mean
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+        |         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR),
+        |         CAST(NULL AS DOUBLE)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+        |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+        |         round(avg(n_chars), 4) + 0.0
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+        |         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR),
+        |         CAST(NULL AS DOUBLE)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+        |         CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR),
+        |         CAST(NULL AS DOUBLE)
+        |  FROM documents
+        |) ORDER BY col_name""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
@@ -749,6 +822,45 @@ object SparkEntry {
         |FROM d ANTI JOIN bad USING (doc_id)
         |WHERE d.is_train
         |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80 AS is_old
+        |  FROM documents
+        |), reps AS (
+        |  SELECT h, min(doc_id) AS doc_id FROM d WHERE NOT is_old GROUP BY h
+        |)
+        |SELECT r.doc_id, r.h AS content_hash
+        |FROM reps r ANTI JOIN (SELECT DISTINCT h FROM d WHERE is_old) o USING (h)
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // cross-split exact pair count recomputed from scratch, like
+    // dedup_minhash_recall; recall_ok is the pinned floor for the
+    // batch-vs-corpus MinHash path
+    "dedup_incremental_recall" ->
+      """WITH docs AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t,
+        |    (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80 AS is_old
+        |  FROM documents WHERE doc_id < 500
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([t[i : i + 4] FOR i IN
+        |    range(1, greatest(length(t) - 4, 1) + 1)])) AS s
+        |  FROM docs
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT count(*) AS n_exact, CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+        |JOIN docs d1 ON d1.doc_id = id1 JOIN docs d2 ON d2.doc_id = id2
+        |WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.7
+        |  AND d1.is_old <> d2.is_old""".stripMargin,
 
     // n_exact here is real oracle content: DuckDB recomputes the exact
     // 5-gram Jaccard pair count from scratch; recall_ok is the pinned

@@ -769,4 +769,199 @@ object Dedup {
       .select(idCol).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  // ===== incremental dedup (append-only corpus maintenance) =====
+  //
+  // At 100 TB nobody re-dedups the whole corpus per ingest batch: the
+  // landed corpus is immutable, and each new batch must be deduped (a)
+  // within itself and (b) against what already landed — touching the
+  // corpus as little as possible. The operators below are the
+  // append-only forms of [[exact]] / [[minhashPairs]]: the corpus
+  // contributes only a precomputable artifact (a content-hash column /
+  // a capped band table) that a pipeline lands ONCE via
+  // [[graft.sources.Sink.writeBucketed]], after which every batch
+  // joins it with zero corpus-side shuffle.
+
+  /** The landed corpus's content-hash set — the exact-dedup artifact.
+    * Pipelines persist this (bucketed on `content_hash`) so
+    * [[exactIncremental]] never rereads corpus text.
+    */
+  def contentHashes(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(md5(col(textCol)).as("content_hash"))
+
+  /** INCREMENTAL exact dedup: the rows of `newDocs` that survive an
+    * append against a landed corpus — within-batch exact dups keep the
+    * min-id representative (the [[exact]] rule), and representatives
+    * whose content hash already landed are dropped. Output: surviving
+    * `newDocs` rows + `content_hash`.
+    *
+    * `corpusHashes` is any frame with a `content_hash` column —
+    * [[contentHashes]] of the raw corpus, or (the scale form) the
+    * persisted hash table. Plan shape: the batch shuffles once on its
+    * content hash; the representative window leaves it partitioned on
+    * exactly the anti-join key, so the join adds no batch-side
+    * exchange. The corpus side is hash-only rows (never text) and is
+    * exchange-free entirely when `corpusHashes` is a table bucketed on
+    * `content_hash` (asserted in SinkSpec).
+    */
+  def exactIncremental(
+      newDocs: DataFrame,
+      corpusHashes: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col(idCol))
+    newDocs.withColumn("content_hash", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(corpusHashes.select("content_hash"), Seq("content_hash"), "left_anti")
+  }
+
+  /** The landed corpus's capped MinHash band table — the near-dup
+    * artifact mirroring [[contentHashes]]: (band, bh, id) rows, one
+    * per (document, band). Buckets larger than `maxBucketSize`
+    * degrade to their min-id member (the star-anchor rule of
+    * [[minhashPairs]]'s skew valve, cap 1): degenerate boilerplate
+    * buckets keep one representative to verify new docs against,
+    * instead of fanning every batch out against the whole bucket.
+    * Computing the cap costs one (band, bh) shuffle of id-only rows —
+    * paid once when the table is landed (bucketed on (band, bh)),
+    * amortized over every subsequent batch.
+    */
+  def minhashBandTable(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      numPerms: Int = 128,
+      bands: Int = 32,
+      maxBucketSize: Int = 1000,
+      seed: Long = 42L): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    val ps = perms(numPerms, seed)
+    val banded = corpus.select(col(idCol).as("id"),
+      posexplode(minhash_band_hashes(
+        charShingles(normalize(col(textCol)), shingleN),
+        ps.map(_._1), ps.map(_._2), bands)).as(Seq("band", "bh")))
+    val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    banded
+      .withColumn("bsize", count(lit(1)).over(bw))
+      .withColumn("bmin", min("id").over(bw))
+      .filter(col("bsize") <= maxBucketSize || col("id") === col("bmin"))
+      .select("band", "bh", "id")
+  }
+
+  /** MinHash near-dup pairs BETWEEN a new batch and a landed corpus:
+    * (new_id, corpus_id, jaccard ≥ threshold), every pair verified
+    * with exact Jaccard — the cross-sided [[minhashPairs]].
+    *
+    * `corpusBands` is [[minhashBandTable]] output (recomputed here by
+    * the convenience overload, read from the landed table in a real
+    * pipeline). Plan shape: the batch's band rows are hint-BROADCAST
+    * (a batch is small relative to the corpus by definition), so the
+    * band join is a scan-stage hash join — the corpus band table
+    * streams through it with no exchange. Candidates cross one
+    * id-only shuffle for dedup, and the verify stage attaches shingle
+    * sets per side, each semi-joined to the candidate universe first
+    * (candidate-proportional, the [[verifyJaccard]] argument).
+    */
+  def minhashNewVsBandsPairs(
+      newDocs: DataFrame,
+      corpusBands: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int = 5,
+      numPerms: Int = 128,
+      bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val ps = perms(numPerms, seed)
+    val newBands = newDocs.select(col(idCol).as("new_id"),
+      posexplode(minhash_band_hashes(
+        charShingles(normalize(col(textCol)), shingleN),
+        ps.map(_._1), ps.map(_._2), bands)).as(Seq("band", "bh")))
+    val cand = corpusBands.select(col("band"), col("bh"), col("id").as("corpus_id"))
+      .join(broadcast(newBands), Seq("band", "bh"))
+      // a batch doc that also landed in the corpus matches itself on
+      // every band; incremental semantics compare distinct documents
+      .filter(col("new_id") =!= col("corpus_id"))
+      .repartition(col("new_id")).dropDuplicates("new_id", "corpus_id")
+    verifyJaccardCross(newDocs, corpus, idCol, textCol, cand, shingleN, threshold)
+  }
+
+  /** [[minhashNewVsBandsPairs]] with the band table computed in-line —
+    * the self-contained form for one-off batches (pays the corpus
+    * band shuffle every call; land the table for recurring ingest).
+    */
+  def minhashNewVsCorpusPairs(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int = 5,
+      numPerms: Int = 128,
+      bands: Int = 32,
+      maxBucketSize: Int = 1000,
+      seed: Long = 42L): DataFrame =
+    minhashNewVsBandsPairs(newDocs,
+      minhashBandTable(corpus, idCol, textCol, shingleN, numPerms, bands,
+        maxBucketSize, seed),
+      corpus, idCol, textCol, threshold, shingleN, numPerms, bands, seed)
+
+  /** One-call incremental append: within-batch near-dup reps
+    * ([[minhashPairs]] + [[dropDuplicatesByPairs]], which subsumes
+    * exact dups at J = 1), minus batch docs with a verified near-dup
+    * already in the corpus. Returns the `newDocs` rows safe to append.
+    */
+  def minhashIncremental(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 5): DataFrame = {
+    val batchReps = dropDuplicatesByPairs(newDocs, idCol,
+      minhashPairs(newDocs, idCol, textCol, threshold, shingleN))
+    val matched = minhashNewVsCorpusPairs(newDocs, corpus, idCol, textCol,
+        threshold, shingleN)
+      .select(col("new_id").as(idCol)).distinct()
+    batchReps.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /** Cross-sided verify stage: exact Jaccard over (new_id, corpus_id)
+    * candidates, shingle sets attached from each side's own frame
+    * (the single-frame [[verifyJaccard]] unions the id universe and
+    * scans once; here the sides are different datasets). Both
+    * attachments are semi-joined to the candidate ids first, so work
+    * stays candidate-proportional. Output: (new_id, corpus_id,
+    * jaccard ≥ threshold).
+    */
+  private def verifyJaccardCross(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      candidates: DataFrame,
+      shingleN: Int,
+      threshold: Double): DataFrame = {
+    val cand = candidates.localCheckpoint(eager = false)
+    def sets(docs: DataFrame, idsName: String): DataFrame =
+      docs.select(col(idCol).as(idsName), col(textCol).as("__text"))
+        .join(cand.select(idsName).distinct(), Seq(idsName), "leftsemi")
+        .select(col(idsName),
+          array_sort(charShingles(normalize(col("__text")), shingleN)).as("sset"))
+    cand
+      .join(sets(newDocs, "new_id").withColumnRenamed("sset", "s1"), Seq("new_id"))
+      .join(sets(corpus, "corpus_id").withColumnRenamed("sset", "s2"), Seq("corpus_id"))
+      .withColumn("c", sorted_intersect_count(col("s1"), col("s2")))
+      .withColumn("jaccard",
+        round(col("c") / (size(col("s1")) + size(col("s2")) - col("c")), 4) + lit(0.0))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+      .orderBy("new_id", "corpus_id")
+  }
 }

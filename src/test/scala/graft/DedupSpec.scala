@@ -408,4 +408,59 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == Seq("a b c", "b c d"))
     assert(out(2L).isEmpty)
   }
+
+  test("exactIncremental: within-batch min-id reps, landed hashes dropped, fresh kept") {
+    val corpus = Seq((1L, "landed doc one"), (2L, "landed doc two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "landed doc one"),   // already in corpus -> dropped
+      (11L, "fresh doc alpha"),  // new -> kept
+      (12L, "fresh doc beta"),   // new, duplicated in batch -> min id kept
+      (13L, "fresh doc beta"),
+      (14L, "fresh doc beta")).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch,
+        Dedup.contentHashes(corpus, "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L, 12L))
+  }
+
+  test("minhash incremental: batch near-dups of the corpus dropped, batch twins keep min id") {
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "an entirely different landed document about columnar execution engines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.replace("today", "tonight")),       // near-dup of corpus 1 -> dropped
+      (11L, "completely fresh content on minhash banding and skew valves in join plans"),
+      (12L, "completely fresh content on minhash banding and skew valves in join planning"),
+      (13L, "another standalone new document with no relatives anywhere at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNewVsCorpusPairs(batch, corpus, "doc_id", "text",
+      threshold = 0.7, shingleN = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 1L)), s"cross pairs: $pairs")
+    val survivors = Dedup.minhashIncremental(batch, corpus, "doc_id", "text",
+      threshold = 0.7, shingleN = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10 matches corpus; 11/12 are batch twins -> min id 11 survives
+    assert(survivors == Set(11L, 13L))
+  }
+
+  test("minhashBandTable: over-cap buckets degrade to the min-id anchor, detection survives") {
+    val boiler = "identical boilerplate header repeated verbatim across every landed page"
+    val corpus = (1L to 20L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val bandTable = Dedup.minhashBandTable(corpus, "doc_id", "text",
+      maxBucketSize = 5)
+    // every doc is identical -> each band is ONE bucket of 20 > cap,
+    // so exactly one (anchor) row per band survives
+    val perBand = bandTable.groupBy("band").count().collect()
+    assert(perBand.forall(_.getLong(1) == 1L), "over-cap bucket not reduced to anchor")
+    assert(bandTable.select("id").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a new copy of the boilerplate is still detected via the anchor
+    val batch = Seq((100L, boiler)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNewVsBandsPairs(batch, bandTable, corpus,
+      "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 1L)))
+  }
 }

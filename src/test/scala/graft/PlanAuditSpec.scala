@@ -161,11 +161,18 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("new-op sweep: no cartesian/NLJ in semantic dedup, sampling, pivot, pii") {
     for (q <- Seq("dedup_semantic", "dedup_semantic_recall", "q_stratified_sample",
-      "q_pivot", "text_pii", "text_repetition")) {
+      "q_pivot", "text_pii", "text_repetition",
+      "dedup_incremental", "dedup_incremental_recall")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
+  }
+
+  test("dedup_incremental_recall: batch band rows broadcast — corpus bands never shuffle for the join") {
+    val p = plan("dedup_incremental_recall")
+    assert(p.contains("BroadcastHashJoin"),
+      "batch-vs-corpus band join not broadcast")
   }
 
   test("q_pivot: explicit values avoid the distinct-values job; aggs stay partial") {

@@ -52,16 +52,44 @@ class SinkSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = spark.table("sink_spec_a")
         .join(spark.table("sink_spec_b"), "doc_id")
-      val exchanges = joined.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }
-      assert(exchanges.isEmpty,
-        s"bucketed join must not shuffle:\n${joined.queryExecution.executedPlan}")
+      // string-count the exchanges: collect() on the plan tree does
+      // not traverse into the AdaptiveSparkPlan wrapper, so a node
+      // match would pass vacuously
+      val p = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 0, s"bucketed join must not shuffle:\n$p")
       assert(joined.count() == docs.count())
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS sink_spec_a")
       spark.sql("DROP TABLE IF EXISTS sink_spec_b")
+    }
+  }
+
+  test("bucketed content-hash table: exactIncremental adds no corpus-side shuffle") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val isOld = graft.operators.Curate.hashBucket(col("doc_id")) < 80
+    Sink.writeBucketed(
+      graft.operators.Dedup.contentHashes(docs.filter(isOld), "text"),
+      "sink_spec_hashes", "content_hash", 4, overwrite = true)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = graft.operators.Dedup.exactIncremental(
+        docs.filter(!isOld), spark.table("sink_spec_hashes"), "doc_id", "text")
+      // exactly ONE exchange: the batch's content-hash window shuffle,
+      // which the anti-join then reuses on both sides — the landed
+      // corpus contributes bucketed (hash, no text) rows with no
+      // exchange at any batch size (string-count: collect() does not
+      // traverse into the AdaptiveSparkPlan wrapper)
+      val p = out.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"expected only the batch-side shuffle:\n$p")
+      assert(p.contains("Bucketed: true"), s"corpus hash scan not bucketed:\n$p")
+      assert(out.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS sink_spec_hashes")
     }
   }
 
