@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Read-side of the pipeline — the reference's scan surface
+  * (read_parquet / read_csv / read_ndjson) with the defaults a 100 TB
+  * job needs:
+  *
+  *  - **Schema is EXPLICIT for text formats.** Inference is a full
+  *    extra pass over the input before the real job starts — fine for
+  *    a laptop CSV, catastrophic for a petabyte of JSONL. Callers
+  *    declare the schema once; every scan is single-pass.
+  *  - **Malformed rows are visible, not silent.** Default mode is
+  *    PERMISSIVE with a `_corrupt_record` column the caller can count
+  *    / quarantine (a curation pipeline WANTS the bad rows — they are
+  *    a data-quality signal); `failFast = true` turns ingest errors
+  *    into job failures for contexts where partial data is worse than
+  *    no data.
+  *  - **Parquet stays self-describing** — its footer IS the schema,
+  *    so [[parquet]] takes none and scans get row-group pruning,
+  *    predicate pushdown, and column projection from the format
+  *    (asserted in SourceSpec / PlanAuditSpec).
+  */
+object Source {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Parquet scan — thin by design: pushdown/pruning come from the
+    * format, and the schema from the footer. Exists so pipeline code
+    * reads every format through one namespace.
+    */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Schema-explicit JSONL scan. The declared schema is widened with
+    * [[CorruptCol]] unless `failFast`; unparseable lines land there
+    * whole, parseable lines leave it null.
+    */
+  def jsonl(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      failFast: Boolean = false): DataFrame = {
+    val reader = spark.read
+      .schema(withCorrupt(schema, failFast))
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+    reader.json(path)
+  }
+
+  /** Schema-explicit CSV scan. Same corrupt-record contract as
+    * [[jsonl]]; `header = true` only VALIDATES the first line against
+    * the declared schema (it never infers).
+    */
+  def csv(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean = true,
+      delimiter: String = ",",
+      failFast: Boolean = false): DataFrame = {
+    spark.read
+      .schema(withCorrupt(schema, failFast))
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+  }
+
+  /** Split a PERMISSIVE scan into (clean rows, quarantined raw lines)
+    * — the ingest-time triage every curation pipeline starts with.
+    * Clean rows drop the corrupt column; quarantine keeps only it.
+    *
+    * The parse is materialized ONCE (lazy checkpoint): Spark refuses
+    * raw-file plans whose referenced columns are only the corrupt
+    * column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and its documented
+    * contract is "save the parsed results and then query" — which a
+    * real ingest job does anyway (the triage's next step is landing
+    * both sides; one parse feeding two filtered writes beats two full
+    * raw scans of the same bytes).
+    */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    require(df.columns.contains(CorruptCol),
+      s"no $CorruptCol column — scan was failFast or schema already stripped it")
+    val parsed = df.localCheckpoint(eager = false)
+    val bad = parsed.filter(parsed(CorruptCol).isNotNull).select(CorruptCol)
+    val good = parsed.filter(parsed(CorruptCol).isNull).drop(CorruptCol)
+    (good, bad)
+  }
+
+  private def withCorrupt(schema: StructType, failFast: Boolean): StructType =
+    if (failFast || schema.fieldNames.contains(CorruptCol)) schema
+    else schema.add(CorruptCol, org.apache.spark.sql.types.StringType, nullable = true)
+}

@@ -233,4 +233,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == want)
     assert(want.nonEmpty)
   }
+
+  test("streaming incremental dedup via foreachBatch equals the batch operator") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = Tables.documents(spark, dir)
+    val isOld = graft.operators.Curate.hashBucket(col("doc_id")) < 80
+    // the landed corpus contributes only its hash set — static, cached
+    // once, reused across every microbatch (in production: the
+    // bucketed hash table, appended to as batches land)
+    val landed = graft.operators.Dedup
+      .contentHashes(docs.filter(isOld), "text").cache()
+    landed.count()
+    val got = scala.collection.mutable.Set[Long]()
+    val raw = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(!isOld)
+    val q = raw.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.operators.Dedup
+          .exactIncremental(batch, landed, "doc_id", "text")
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val want = graft.operators.Dedup
+      .exactIncremental(docs.filter(!isOld), landed, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    landed.unpersist()
+    assert(got.toSet == want)
+    assert(want.nonEmpty)
+  }
 }
