@@ -399,6 +399,30 @@ object SparkEntry {
         .select("n_queries", "lsh_recall_ok", "ivf_recall_ok")
     }),
 
+    // SQ8 compression gate (same pattern as ann_recall): top-10 from
+    // the scalar-quantized byte index must agree with the exact f64
+    // kernel at >= 0.95 recall — a quantizer/decoder regression turns
+    // this row red. n_queries is pinned by the oracle. The point of
+    // SQ8 is the BROADCAST envelope (1 byte/element = 8x the corpus
+    // per gigabyte); this gate proves the compression is ~free in
+    // quality terms on real embeddings.
+    "ann_sq8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val brute = Similarity.topkFlat(q, "embedding", corpus(s, dir), 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      val sq8 = Similarity.topkSq8Flat(q, "embedding",
+        Similarity.quantizeSq8(corpus(s, dir)), 10, Metric.Cosine)
+      brute
+        .join(sq8.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"), recallAtLeast(0.95).as("sq8_recall_ok"))
+    }),
+
     "text_langid" -> (TextAnalysis.langId _),
 
     // corpus heavy hitters: top-50 normalized tokens by count
@@ -1102,6 +1126,10 @@ object SparkEntry {
     "ann_recall" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS lsh_recall_ok,
         |       CAST(1 AS BOOLEAN) AS ivf_recall_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_sq8_recall" ->
+      """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS sq8_recall_ok
         |FROM embeddings""".stripMargin,
 
     "curate_full" -> curateFullOracle,

@@ -73,8 +73,8 @@ object Similarity {
     * same index repeatedly amortize by REUSING THE RETURNED DATAFRAME
     * (the plan holds its broadcast), not by re-calling topk.
     */
-  private def broadcastOf(
-      spark: org.apache.spark.sql.SparkSession, cx: CorpusIndex): Broadcast[CorpusIndex] =
+  private def broadcastOf[T: scala.reflect.ClassTag](
+      spark: org.apache.spark.sql.SparkSession, cx: T): Broadcast[T] =
     spark.sparkContext.broadcast(cx)
 
   /** Collect + pack a corpus DataFrame column. Ids are sorted so that
@@ -712,6 +712,267 @@ object Similarity {
     * to the SAME block, so duplicate ids can't straddle a boundary and
     * double-enter the merge.
     */
+  /** Scalar-quantized (SQ8) corpus index: ONE BYTE per element plus
+    * per-dimension affine parameters — 8× smaller than the f64 index
+    * (4× vs f32), so a corpus eight times past [[topk]]'s ~1–2 GB
+    * broadcast envelope still fits in a single broadcast (100M × 256-d
+    * = 25.6 GB f64 → 3.2 GB; 10M × 256-d → 320 MB). The asymmetric
+    * scheme (full-precision queries against quantized corpus) is the
+    * standard scalar-quantizer design from the ANN literature (e.g.
+    * faiss `SQ8`, public); per-element error is bounded by Δ_d/2 where
+    * Δ_d is dimension d's quantization step.
+    *
+    * code(j,d) = round((v − min_d) / Δ_d) ∈ [0,255],
+    * dequant(j,d) = min_d + code·Δ_d. `norms`/`sqNorms` are of the
+    * DEQUANTIZED vectors, so scoring is exactly the exact-kernel
+    * score of the dequantized corpus — deterministic, no
+    * re-quantization drift between partitions.
+    */
+  final case class CorpusIndexSq8(
+      ids: Array[Long],
+      codes: Array[Byte],
+      n: Int,
+      dim: Int,
+      dimMin: Array[Float],
+      dimScale: Array[Float],
+      norms: Array[Double],
+      sqNorms: Array[Double]) extends Serializable
+
+  /** Quantize a packed [[CorpusIndex]] to SQ8 (per-dimension min/max
+    * affine codes). Driver-side, transient: the f64 matrix exists only
+    * while packing — what ships to executors is the byte matrix.
+    */
+  def quantizeSq8(cx: CorpusIndex): CorpusIndexSq8 = {
+    val dimMin = new Array[Float](cx.dim)
+    val dimScale = new Array[Float](cx.dim)
+    var d = 0
+    while (d < cx.dim) {
+      var mn = Double.MaxValue; var mx = Double.MinValue
+      var j = 0
+      while (j < cx.n) {
+        val v = cx.data(j * cx.dim + d)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        j += 1
+      }
+      dimMin(d) = mn.toFloat
+      // constant dimension → scale 0: every code decodes to min_d
+      dimScale(d) = if (mx > mn) ((mx - mn) / 255.0).toFloat else 0.0f
+      d += 1
+    }
+    val codes = new Array[Byte](cx.n * cx.dim)
+    val norms = new Array[Double](cx.n)
+    val sqNorms = new Array[Double](cx.n)
+    var j = 0
+    while (j < cx.n) {
+      var sq = 0.0
+      var d2 = 0
+      while (d2 < cx.dim) {
+        val idx = j * cx.dim + d2
+        val sc = dimScale(d2)
+        val code =
+          if (sc == 0.0f) 0
+          else math.min(255, math.max(0,
+            math.round((cx.data(idx) - dimMin(d2)) / sc))).toInt
+        codes(idx) = code.toByte
+        val dq = dimMin(d2) + code * sc.toDouble
+        sq += dq * dq
+        d2 += 1
+      }
+      sqNorms(j) = sq
+      norms(j) = math.sqrt(sq)
+      j += 1
+    }
+    CorpusIndexSq8(cx.ids, codes, cx.n, cx.dim, dimMin, dimScale, norms, sqNorms)
+  }
+
+  /** Collect + pack + quantize in one call (see [[collectCorpus]]). */
+  def collectCorpusSq8(corpus: DataFrame, idCol: String, embCol: String): CorpusIndexSq8 =
+    quantizeSq8(collectCorpus(corpus, idCol, embCol))
+
+  /** Per-query top-k against an SQ8 corpus — same contract, output
+    * schema, tie rules, and null propagation as [[topk]], but the
+    * broadcast is the BYTE matrix and scoring DEQUANTIZES TILES of
+    * corpus rows into a reusable f32 buffer for the same sgemm the f32
+    * path runs. Compute memory is O(tileRows·dim) per task no matter
+    * how big the (compressed) broadcast is — the full f32 corpus is
+    * never materialized anywhere. The decode is amortized over the
+    * query batch inside each GEMM call (~1/mRows of the FLOPs).
+    */
+  def topkSq8(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexSq8,
+      k: Int,
+      metric: Metric,
+      outputCol: String = "matches",
+      tileRows: Int = 8192): DataFrame = {
+    require(tileRows >= 1, s"tileRows must be >= 1, got $tileRows")
+    val spark = queries.sparkSession
+    val bc = broadcastOf(spark, corpus)
+    val schema = queries.schema
+    val embIdx = schema.fieldIndex(embCol)
+    val embIsF32 = schema(embCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case dt => throw new IllegalArgumentException(
+        s"Query column $embCol must be array<float>/array<double>, got ${dt.simpleString}")
+    }
+    val fieldTypes = schema.fields.map(_.dataType)
+    val outSchema = StructType(schema.fields :+ StructField(outputCol,
+      ArrayType(StructType(Seq(
+        StructField("index", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))), containsNull = false),
+      nullable = true))
+    val kk = math.min(math.max(k, 0), corpus.n)
+    val higher = metric.higherIsBetter
+    val m = metric
+    val tr = tileRows
+
+    val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
+      val cx = bc.value
+      val blas = BLAS.getInstance()
+      val tileF = new Array[Float](math.min(tr, cx.n) * cx.dim)  // decoded corpus tile
+      val tileScores = new Array[Float](512 * math.min(tr, cx.n))
+      it.map(_.copy()).grouped(512).flatMap { batch0 =>
+        val nullFlags = batch0.map(_.isNullAt(embIdx))
+        val batch = batch0.iterator.zip(nullFlags.iterator)
+          .collect { case (r, false) => r }.toSeq
+        val mRows = batch.length
+        val q = new Array[Float](mRows * cx.dim)
+        val qNorms = new Array[Double](mRows)
+        val qSq = new Array[Double](mRows)
+        var i = 0
+        batch.foreach { row =>
+          val emb = row.getArray(embIdx)
+          if (emb.numElements() != cx.dim) throw new IllegalArgumentException(
+            s"Dimension mismatch: query has ${emb.numElements()} elements, corpus has ${cx.dim}")
+          var d = 0; var sq = 0.0
+          if (embIsF32) {
+            val fa = emb.toFloatArray()
+            while (d < cx.dim) {
+              val v = fa(d); q(i * cx.dim + d) = v
+              sq += v.toDouble * v.toDouble; d += 1
+            }
+          } else {
+            val da = emb.toDoubleArray()
+            while (d < cx.dim) {
+              val v = da(d); q(i * cx.dim + d) = v.toFloat
+              sq += v * v; d += 1
+            }
+          }
+          qSq(i) = sq; qNorms(i) = math.sqrt(sq); i += 1
+        }
+        // running top-k per query, carried across corpus tiles
+        val selIdx = new Array[Int](mRows * math.max(kk, 1))
+        val selScore = new Array[Double](mRows * math.max(kk, 1))
+        val sizes = new Array[Int](mRows)
+        var t0 = 0
+        while (t0 < cx.n && mRows > 0 && kk > 0) {
+          val tw = math.min(tr, cx.n - t0)
+          // decode tile rows [t0, t0+tw) to f32
+          var r = 0
+          while (r < tw) {
+            val src = (t0 + r) * cx.dim
+            val dst = r * cx.dim
+            var d = 0
+            while (d < cx.dim) {
+              tileF(dst + d) = cx.dimMin(d) +
+                (cx.codes(src + d) & 0xFF) * cx.dimScale(d)
+              d += 1
+            }
+            r += 1
+          }
+          blas.sgemm("T", "N", tw, mRows, cx.dim, 1.0f, tileF, cx.dim,
+            q, cx.dim, 0.0f, tileScores, tw)
+          var qi = 0
+          while (qi < mRows) {
+            val base = qi * tw
+            val selBase = qi * kk
+            var j = 0
+            while (j < tw) {
+              val g = t0 + j // global corpus position
+              val dot = tileScores(base + j).toDouble
+              val s = m match {
+                case Metric.Dot => dot
+                case Metric.Cosine =>
+                  if (qNorms(qi) <= 1e-10 || cx.norms(g) <= 1e-10) 0.0
+                  else dot / (qNorms(qi) * cx.norms(g))
+                case Metric.Euclidean =>
+                  math.sqrt(math.max(0.0, qSq(qi) + cx.sqNorms(g) - 2.0 * dot))
+              }
+              val size = sizes(qi)
+              val beatsWorst = size < kk || {
+                val w = selScore(selBase + size - 1)
+                if (higher) s > w || (s == w && cx.ids(g) < cx.ids(selIdx(selBase + size - 1)))
+                else s < w || (s == w && cx.ids(g) < cx.ids(selIdx(selBase + size - 1)))
+              }
+              if (beatsWorst) {
+                var pos = if (size < kk) size else kk - 1
+                while (pos > 0 && {
+                  val ps = selScore(selBase + pos - 1)
+                  if (higher) s > ps || (s == ps && cx.ids(g) < cx.ids(selIdx(selBase + pos - 1)))
+                  else s < ps || (s == ps && cx.ids(g) < cx.ids(selIdx(selBase + pos - 1)))
+                }) {
+                  selScore(selBase + pos) = selScore(selBase + pos - 1)
+                  selIdx(selBase + pos) = selIdx(selBase + pos - 1)
+                  pos -= 1
+                }
+                selScore(selBase + pos) = s; selIdx(selBase + pos) = g
+                if (size < kk) sizes(qi) = size + 1
+              }
+              j += 1
+            }
+            qi += 1
+          }
+          t0 += tw
+        }
+        val results = new Array[AnyRef](mRows)
+        var qi = 0
+        while (qi < mRows) {
+          val size = sizes(qi)
+          val structs = new Array[Any](size)
+          var r = 0
+          while (r < size) {
+            structs(r) = InternalRow(cx.ids(selIdx(qi * kk + r)), selScore(qi * kk + r))
+            r += 1
+          }
+          results(qi) = new GenericArrayData(structs)
+          qi += 1
+        }
+        var vi = 0
+        batch0.iterator.zip(nullFlags.iterator).map { case (row, isNull) =>
+          val vals = new Array[Any](fieldTypes.length + 1)
+          var f = 0
+          while (f < fieldTypes.length) { vals(f) = row.get(f, fieldTypes(f)); f += 1 }
+          vals(fieldTypes.length) =
+            if (isNull) null else { val r = results(vi); vi += 1; r }
+          new GenericInternalRow(vals): InternalRow
+        }
+      }
+    }
+    InternalRowBridge.fromInternalRdd(spark, outRdd, outSchema)
+  }
+
+  /** [[topkSq8]] then explode+unnest — the flat (rank, index, score)
+    * shape of [[topkFlat]].
+    */
+  def topkSq8Flat(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexSq8,
+      k: Int,
+      metric: Metric): DataFrame = {
+    val withMatches = topkSq8(queries, embCol, corpus, k, metric, "matches")
+    withMatches
+      .select((withMatches.columns.filter(_ != "matches").map(col).toSeq :+
+        posexplode(col("matches")).as(Seq("rank0", "m"))): _*)
+      .withColumn("rank", col("rank0") + 1)
+      .withColumn("index", col("m.index"))
+      .withColumn("score", col("m.score"))
+      .drop("rank0", "m", embCol)
+  }
+
   def topkBlocked(
       queries: DataFrame,
       embCol: String,
