@@ -130,6 +130,7 @@ object SparkEntry {
     "q_quantiles" -> (Relational.quantiles _),
     "q_quantiles_approx" -> (Relational.approxQuantiles _),
     "q_rollup" -> (Relational.rollupAgg _),
+    "q_cube" -> (Relational.cubeAgg _),
     "q_anti_join" -> (Relational.antiJoin _),
     "q_semi_join" -> (Relational.semiJoin _),
     "q_union" -> (Relational.unionCase _),
@@ -214,6 +215,19 @@ object SparkEntry {
       val isOld = Curate.hashBucket(col("doc_id")) < 80
       Dedup.exactIncremental(docs.filter(!isOld),
           Dedup.contentHashes(docs.filter(isOld), "text"), "doc_id", "text")
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // the bloom-pre-filtered path must be indistinguishable from the
+    // exact incremental path (no false negatives; false positives
+    // re-verified) — same oracle SQL as dedup_incremental
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isOld = Curate.hashBucket(col("doc_id")) < 80
+      val landed = Dedup.contentHashes(docs.filter(isOld), "text")
+      Dedup.exactIncrementalBloom(docs.filter(!isOld), landed,
+          Dedup.contentBloom(landed), "doc_id", "text")
         .select(col("doc_id"), col("content_hash"))
         .orderBy("doc_id")
     }),
@@ -421,6 +435,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
           count_distinct(col("vec_id")).as("n_queries"))
         .select(col("n_queries"), recallAtLeast(0.95).as("sq8_recall_ok"))
+    }),
+
+    // BM25 keyword search over the documents table: three mid-frequency
+    // terms, top-50 by rounded score (rank reproducible cross-engine)
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
+        Seq("vector", "spark", "merge"), topN = 50)),
+
+    // CCNet-style perplexity quality signal: unigram LM trained on the
+    // even-id half of the corpus (so odd docs exercise the OOV path),
+    // every doc scored in bits/token — model broadcast, zero shuffle
+    // on the scoring side
+    "text_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = TextAnalysis.unigramModel(docs.filter(col("doc_id") % 2 === 0), "text")
+      TextAnalysis.unigramNll(docs, "doc_id", "text", model)
+        .select(col("id"), col("n_tokens"),
+          (round(col("bits_per_token"), 4) + lit(0.0)).as("bits_per_token"))
+        .orderBy("id")
     }),
 
     "text_langid" -> (TextAnalysis.langId _),
@@ -669,6 +702,15 @@ object SparkEntry {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) + 0.0 AS sum_qty, count(*) AS cnt,
+        |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
     "q_quantiles" ->
       """SELECT o_orderstatus,
         |       round(quantile_cont(o_totalprice, 0.5), 2) + 0.0 AS p50,
@@ -848,6 +890,19 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80 AS is_old
+        |  FROM documents
+        |), reps AS (
+        |  SELECT h, min(doc_id) AS doc_id FROM d WHERE NOT is_old GROUP BY h
+        |)
+        |SELECT r.doc_id, r.h AS content_hash
+        |FROM reps r ANTI JOIN (SELECT DISTINCT h FROM d WHERE is_old) o USING (h)
+        |ORDER BY r.doc_id""".stripMargin,
+
+    "dedup_incremental_bloom" ->
       """WITH d AS (
         |  SELECT doc_id, md5(text) AS h,
         |    (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
@@ -1131,6 +1186,70 @@ object SparkEntry {
     "ann_sq8_recall" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS sq8_recall_ok
         |FROM embeddings""".stripMargin,
+
+    // BM25 with k1=1.2, b=0.75, Lucene-style ln(1 + ...) idf; ordered
+    // and limited on the ROUNDED score so the top-50 cut is identical
+    // across engines
+    "text_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+        |  FROM documents
+        |), sized AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM base
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+        |    sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS df2
+        |  FROM sized
+        |), tfs AS (
+        |  SELECT doc_id, dl,
+        |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf2
+        |  FROM sized
+        |), scored AS (
+        |  SELECT doc_id,
+        |    ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+        |    ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+        |    ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+        |  FROM tfs CROSS JOIN stats
+        |)
+        |SELECT doc_id AS id, round(score, 4) + 0.0 AS score
+        |FROM scored WHERE score > 0
+        |ORDER BY round(score, 4) + 0.0 DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    // add-one unigram LM over the even-id half; bits/token via log2,
+    // OOV cost log2(denom); empty token lists average to NULL
+    "text_perplexity" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+        |  FROM documents
+        |), counts AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS tok FROM norm WHERE doc_id % 2 = 0)
+        |  GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS denom FROM counts
+        |), doc_toks AS (
+        |  SELECT doc_id, unnest(toks) AS tok FROM norm
+        |), scored AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN c.c IS NULL THEN log2(tot.denom)
+        |              ELSE -log2((c.c + 1) / tot.denom) END AS nll
+        |  FROM doc_toks d LEFT JOIN counts c ON d.tok = c.tok CROSS JOIN tot
+        |)
+        |SELECT norm.doc_id AS id, CAST(len(norm.toks) AS BIGINT) AS n_tokens,
+        |       round(s.bits, 4) + 0.0 AS bits_per_token
+        |FROM norm LEFT JOIN (
+        |  SELECT doc_id, avg(nll) AS bits FROM scored GROUP BY doc_id
+        |) s USING (doc_id)
+        |ORDER BY id""".stripMargin,
 
     "curate_full" -> curateFullOracle,
 

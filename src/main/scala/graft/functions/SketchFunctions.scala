@@ -593,6 +593,111 @@ case class LangMarkerStats(child: Expression, markers: Seq[Seq[String]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Membership test against a BROADCAST Bloom filter (the landed
+  * corpus's content-hash sketch). The expression holds only the
+  * broadcast HANDLE — the filter's bytes ship to each executor once
+  * via the broadcast machinery, never inside the task binary (a 1 GB
+  * filter inside the expression tree would re-serialize per task).
+  * Codegen'd, so at 100 TB the batch's definitely-new rows are
+  * rejected inside the scan stage without ever reaching a join.
+  *
+  * Equivalence note: Spark's `BloomFilter.putString`/`mightContainString`
+  * hash the UTF-8 bytes, so testing `UTF8String.getBytes` matches a
+  * filter built by `DataFrameStatFunctions.bloomFilter` over the same
+  * string column.
+  */
+case class BloomMightContain(
+    child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+  override def prettyName: String = "bloom_might_contain"
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${dt.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    bloom.value.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference as the concrete Broadcast class; value() is generic
+    // (erased to Object), so the result needs an explicit cast for
+    // janino to resolve mightContainBinary
+    val ref = ctx.addReferenceObj("bloomBc", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, c =>
+      s"((org.apache.spark.util.sketch.BloomFilter) $ref.value()).mightContainBinary($c.getBytes())")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Average negative log2-likelihood (bits/token) of a token array
+  * under a BROADCAST unigram language model — the CCNet-style
+  * "perplexity against a reference corpus" quality signal, zero
+  * shuffle: the vocab ships once per executor via the broadcast and
+  * every document scores inside its scan stage. Tokens absent from
+  * the vocab (and null elements) cost `oovNll` bits. Empty token
+  * arrays score NULL (no evidence), matching SQL `avg` over zero
+  * rows.
+  */
+case class TokenNll(
+    tokens: Expression,
+    vocab: org.apache.spark.broadcast.Broadcast[java.util.HashMap[UTF8String, java.lang.Double]],
+    oovNll: Double) extends UnaryExpression {
+  override def child: Expression = tokens
+  override def prettyName: String = "token_nll"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) null
+    else {
+      val map = vocab.value
+      var i = 0; var sum = 0.0
+      while (i < n) {
+        if (arr.isNullAt(i)) sum += oovNll
+        else {
+          val nll = map.get(arr.getUTF8String(i))
+          sum += (if (nll == null) oovNll else nll.doubleValue())
+        }
+        i += 1
+      }
+      sum / n
+    }
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabBc", vocab,
+      "org.apache.spark.broadcast.Broadcast")
+    val mapVar = ctx.addMutableState("java.util.HashMap", "tokenNllVocab",
+      v => s"$v = (java.util.HashMap) $ref.value();")
+    nullSafeCodeGen(ctx, ev, c => {
+      val Seq(n, i, sum, o) = Seq("n", "i", "sum", "o").map(ctx.freshName)
+      s"""
+         |int $n = $c.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($c.isNullAt($i)) { $sum += ${oovNll}D; } else {
+         |      Object $o = $mapVar.get($c.getUTF8String($i));
+         |      $sum += ($o == null) ? ${oovNll}D : ((java.lang.Double) $o).doubleValue();
+         |    }
+         |  }
+         |  ${ev.value} = $sum / $n;
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(tokens = newChild)
+}
+
 object SketchFunctions {
   import ColumnBridge.{column => C, expression => E}
 
@@ -608,4 +713,13 @@ object SketchFunctions {
     C(SortedIntersectCount(E(a), E(b)))
   def lang_marker_stats(t: Column, markers: Seq[Seq[String]]): Column =
     C(LangMarkerStats(E(t), markers))
+  def token_nll(
+      tokens: Column,
+      vocab: org.apache.spark.broadcast.Broadcast[java.util.HashMap[UTF8String, java.lang.Double]],
+      oovNll: Double): Column =
+    C(TokenNll(E(tokens), vocab, oovNll))
+  def bloom_might_contain(
+      c: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    C(BloomMightContain(E(c), bloom))
 }

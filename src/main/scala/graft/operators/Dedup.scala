@@ -817,6 +817,56 @@ object Dedup {
       .join(corpusHashes.select("content_hash"), Seq("content_hash"), "left_anti")
   }
 
+  /** Bloom-filter sketch of the landed corpus's content hashes — the
+    * third landed artifact (next to [[contentHashes]] and
+    * [[minhashBandTable]]), built ONCE when a corpus version lands and
+    * reused by every subsequent [[exactIncrementalBloom]] batch. At
+    * 1e9 hashes / 1 % fpp the filter is ~1.2 GB — broadcastable where
+    * the exact hash SET is a multi-TB table that every batch would
+    * otherwise join against in full.
+    *
+    * `expectedItems = 0` sizes the filter from a corpus count (one
+    * extra job — pass the landed row count in a real pipeline).
+    */
+  def contentBloom(
+      corpusHashes: DataFrame,
+      expectedItems: Long = 0L,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val n = if (expectedItems > 0) expectedItems else math.max(corpusHashes.count(), 1L)
+    corpusHashes.stat.bloomFilter("content_hash", n, fpp)
+  }
+
+  /** [[exactIncremental]] with a BROADCAST BLOOM PRE-FILTER — identical
+    * output (the bloom has no false negatives, and its false positives
+    * are re-checked by the exact anti-join), but the batch splits in
+    * the scan stage: rows whose hash the filter rejects are DEFINITELY
+    * new and bypass the corpus join entirely; only bloom-positive rows
+    * (true dups + ~fpp of the batch) reach it. For a typical append
+    * where most content is new, the join's probe side shrinks from
+    * |batch| to |dups| + fpp·|batch| — and with the corpus hash table
+    * bucketed, nothing about the corpus side changes (zero exchange,
+    * as [[exactIncremental]]).
+    */
+  def exactIncrementalBloom(
+      newDocs: DataFrame,
+      corpusHashes: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col(idCol))
+    val reps = newDocs.withColumn("content_hash", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__maybe",
+        graft.functions.SketchFunctions.bloom_might_contain(col("content_hash"), bc))
+    val definitelyNew = reps.filter(!col("__maybe")).drop("__maybe")
+    val verified = reps.filter(col("__maybe")).drop("__maybe")
+      .join(corpusHashes.select("content_hash"), Seq("content_hash"), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
   /** The landed corpus's capped MinHash band table — the near-dup
     * artifact mirroring [[contentHashes]]: (band, bh, id) rows, one
     * per (document, band). Buckets larger than `maxBucketSize`

@@ -102,6 +102,19 @@ object Relational {
       .agg(r2(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE: all 2^k grouping sets in one pass — Spark plans rollup and
+    * cube through a single Expand + one exchange, so the full lattice
+    * costs one shuffle, not 2^k scans. `grouping()` disambiguates a
+    * genuine NULL key from a subtotal row (the standard SQL marker).
+    */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(r2(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Exact interpolated percentiles of order value per status — Spark
     * `percentile` matches DuckDB `quantile_cont` semantics, so this is
     * oracle-checkable; at 100 TB the same query swaps in

@@ -242,4 +242,109 @@ object TextAnalysis {
           normalize(col(textCol)), k, w)).as(Seq("pos", "fp")))
       .select(col("id"), col("pos"), col("fp"))
       .orderBy("id", "pos")
+
+  /** BM25 keyword search (Robertson/Spärck Jones, the Lucene-style
+    * `ln(1 + (N − df + ½)/(df + ½))` idf — always positive): top-N
+    * documents for a bag of query terms. One corpus pass computes
+    * (N, avgdl, per-term df) in a single aggregation that BROADCASTS
+    * back as scalars; scoring is then pure scan-stage array math per
+    * document (a `size(filter(tokens))` tf per term — terms are few),
+    * so the only shuffle is the global top-N sort, whose volume the
+    * `score > 0` filter cuts to matching docs only. Ordering is on the
+    * ROUNDED score (ties by id) so ranks are reproducible across
+    * engines.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topN: Int = 100): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct.length == terms.length, "bm25 terms must be distinct")
+    val base = docs.select(col(idCol).as("id"),
+        tokens(normalize(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (avg(col("dl")).as("avgdl") +: dfCols): _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      val idf = log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
+      idf * tf * lit(k1 + 1) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("id"), score.as("score"))
+      .filter(col("score") > 0)
+      .withColumn("score", round(col("score"), 4) + lit(0.0))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(topN)
+  }
+
+  /** Unigram language model trained on a reference corpus — the
+    * CCNet-style perplexity filter's model side (Wenzek et al. 2020
+    * score documents against a clean-corpus LM; public literature).
+    * Add-one smoothing over the reference's token counts:
+    *
+    *   p(t) = (c_t + 1) / (N + V + 1)   for the top-`vocabSize` tokens
+    *   p(oov) = 1 / (N + V + 1)
+    *
+    * where N = total reference tokens, V = distinct reference tokens
+    * (cut tokens still count toward N and V — the cut changes only
+    * which tokens keep a dedicated probability, so scores are
+    * monotone in vocabSize and the uncut model is exactly add-one).
+    * Returns the per-token COST map in bits (-log2 p) plus the OOV
+    * cost. The training aggregation is one distributed token count;
+    * only the top-V (count desc, token asc — deterministic) vocab is
+    * collected, bounded by `vocabSize` regardless of corpus size.
+    */
+  def unigramModel(
+      reference: DataFrame,
+      textCol: String,
+      vocabSize: Int = 1 << 20): (java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double], Double) = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val counts = reference
+      .select(explode(tokens(normalize(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val Array(totals) = counts.agg(
+      sum("c").as("n"), count(lit(1)).as("v")).collect()
+    require(!totals.isNullAt(0), "unigramModel: reference corpus has no tokens")
+    val n = totals.getLong(0); val v = totals.getLong(1)
+    val denom = (n + v + 1).toDouble
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    val vocab = counts.orderBy(col("c").desc, col("tok").asc).limit(vocabSize).collect()
+    val map = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double](
+      vocab.length * 2)
+    vocab.foreach { r =>
+      map.put(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        java.lang.Double.valueOf(-log2((r.getLong(1) + 1).toDouble / denom)))
+    }
+    (map, -log2(1.0 / denom))
+  }
+
+  /** Per-document bits/token under a broadcast [[unigramModel]] — the
+    * perplexity-style quality score (low = fluent under the reference
+    * distribution, high = noise/OOV soup). Zero shuffle: the model
+    * broadcasts once and every document scores in its scan stage via
+    * [[graft.functions.TokenNll]]; output is
+    * (id, n_tokens, bits_per_token) with empty documents scoring
+    * NULL bits. Perplexity = 2^bits if a caller wants it.
+    */
+  def unigramNll(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: (java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double], Double)): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model._1)
+    val toks = tokens(normalize(col(textCol)))
+    docs.select(col(idCol).as("id"),
+        size(toks).cast("long").as("n_tokens"),
+        graft.functions.SketchFunctions.token_nll(toks, bc, model._2).as("bits_per_token"))
+      .orderBy("id")
+  }
 }

@@ -38,8 +38,11 @@ object Sink {
       partitionCols: Seq[String],
       sortCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 5000000L,
-      overwrite: Boolean = false): Unit = {
+      overwrite: Boolean = false,
+      format: String = "parquet"): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(Set("parquet", "orc").contains(format),
+      s"format must be parquet or orc, got $format") // both columnar with stats+pushdown
     val arranged = {
       val co = df.repartition(partitionCols.map(col): _*)
       if (sortCols.nonEmpty)
@@ -50,7 +53,8 @@ object Sink {
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
-      .parquet(path)
+      .format(format)
+      .save(path)
   }
 
   /** Bucketed + sorted table write (`saveAsTable` — bucketing needs

@@ -33,6 +33,12 @@ object Source {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC scan — same contract as [[parquet]]: columnar, self-described
+    * schema, predicate pushdown + partition pruning from the format.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Schema-explicit JSONL scan. The declared schema is widened with
     * [[CorruptCol]] unless `failFast`; unparseable lines land there
     * whole, parseable lines leave it null.

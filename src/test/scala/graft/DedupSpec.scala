@@ -423,6 +423,42 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set(11L, 12L))
   }
 
+  test("exactIncrementalBloom: identical to exactIncremental, even with a saturated filter") {
+    val corpus = docs.filter($"doc_id" % 5 === 0)
+    val batch = docs.filter($"doc_id" % 5 =!= 0)
+    val landed = Dedup.contentHashes(corpus, "text")
+    val expected = Dedup.exactIncremental(batch, landed, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // well-sized filter: output must match the exact path
+    val sized = Dedup.exactIncrementalBloom(batch, landed,
+        Dedup.contentBloom(landed), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sized == expected)
+    // adversarial: a filter sized for 1 item saturates (near-100% false
+    // positives) — everything routes through the verify join, output
+    // still exact
+    val saturated = Dedup.exactIncrementalBloom(batch, landed,
+        Dedup.contentBloom(landed, expectedItems = 1L, fpp = 0.5), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(saturated == expected)
+  }
+
+  test("bloom pre-filter routes definitely-new rows around the corpus join") {
+    val corpus = Seq((1L, "landed doc one")).toDF("doc_id", "text")
+    val batch = Seq((10L, "landed doc one"), (11L, "fresh doc alpha"))
+      .toDF("doc_id", "text")
+    val landed = Dedup.contentHashes(corpus, "text")
+    val bloom = Dedup.contentBloom(landed)
+    // the filter itself must separate landed from fresh content
+    assert(bloom.mightContainString(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("landed doc one".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+    val out = Dedup.exactIncrementalBloom(batch, landed, bloom, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L))
+  }
+
   test("minhash incremental: batch near-dups of the corpus dropped, batch twins keep min id") {
     val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
     val corpus = Seq(

@@ -75,4 +75,24 @@ class SourceSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
   }
+
+  test("orc: partitioned round-trip is lossless; pushdown and pruning reach the scan") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("orc-rt").toString + "/out"
+    graft.sources.Sink.writePartitioned(docs, out, Seq("lang"),
+      sortCols = Seq("doc_id"), format = "orc")
+    val back = Source.orc(spark, out)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.sameElements(
+        docs.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().sorted))
+    val q = back.filter(col("doc_id") > 100L && col("lang") === "en")
+      .select("doc_id", "source")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p)
+    // lang is a partition column: pruned at planning, not scanned
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+  }
 }

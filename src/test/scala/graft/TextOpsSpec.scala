@@ -118,4 +118,53 @@ class TextOpsSpec extends AnyFunSuite {
     val perGroup = got.groupBy(_._1).map { case (g, rows) => g -> rows.size }
     assert(perGroup.values.forall(_ <= n))
   }
+
+  test("bm25: hand-computed score, non-matching docs excluded, rank deterministic") {
+    // corpus: 4 docs, query term "cat": df=2, N=4, dl=2 for all, avgdl=2
+    // idf = ln((4-2+0.5)/(2+0.5)+1) = ln(2); tf=1: score = ln(2)*1*2.2/(1+1.2*1)
+    val docs = Seq(
+      (1L, "cat dog"), (2L, "dog fish"), (3L, "cat cat"), (4L, "bird fish"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSet == Set(1L, 3L)) // only matching docs
+    val expected1 = math.log(2.0) * 1 * 2.2 / (1 + 1.2)
+    assert(math.abs(out.find(_._1 == 1L).get._2 -
+      math.rint(expected1 * 10000) / 10000) < 1e-9)
+    // doc 3 (tf=2) outranks doc 1 (tf=1)
+    assert(out.head._1 == 3L)
+  }
+
+  test("unigram LM: hand-computed add-one bits/token, OOV costs most, empty scores null") {
+    // reference: "a a b" -> counts {a:2, b:1}, N=3, V=2, denom=6
+    // p(a)=3/6, p(b)=2/6, p(oov)=1/6
+    val ref = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val model = TextAnalysis.unigramModel(ref, "text")
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "zz"), (4L, "a zz")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("bits_per_token")).toMap
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    assert(math.abs(out(1L) - -log2(3.0 / 6)) < 1e-12)
+    assert(math.abs(out(2L) - -log2(2.0 / 6)) < 1e-12)
+    assert(math.abs(out(3L) - -log2(1.0 / 6)) < 1e-12)
+    assert(math.abs(out(4L) - (-log2(3.0 / 6) - log2(1.0 / 6)) / 2) < 1e-12)
+    // ordering: fluent (in-vocab) < OOV soup
+    assert(out(1L) < out(3L))
+  }
+
+  test("unigram LM vocab cut: cut tokens cost OOV, denom unchanged") {
+    // counts {a:3, b:2, c:1}, N=6, V=3, denom=10; vocabSize=1 keeps only a
+    val ref = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val full = TextAnalysis.unigramModel(ref, "text")
+    val cut = TextAnalysis.unigramModel(ref, "text", vocabSize = 1)
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    val outCut = TextAnalysis.unigramNll(docs, "doc_id", "text", cut)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("bits_per_token")).toMap
+    assert(math.abs(outCut(1L) - -log2(4.0 / 10)) < 1e-12) // a kept
+    assert(math.abs(outCut(2L) - -log2(1.0 / 10)) < 1e-12) // b cut -> OOV cost
+    val outFull = TextAnalysis.unigramNll(docs, "doc_id", "text", full)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("bits_per_token")).toMap
+    assert(math.abs(outFull(2L) - -log2(3.0 / 10)) < 1e-12)
+  }
 }
