@@ -141,6 +141,14 @@ object SparkEntry {
     "q_stratified_sample" -> (Relational.stratifiedSampleOrders _),
     "q_pivot" -> (Relational.pivotStatus _),
 
+    // per-source quota: every source capped at 10 docs, hash-ordered
+    // deterministic survivors (the per-domain cap of web curation)
+    "q_source_quota" -> ((s, dir) =>
+      Curate.sourceQuota(
+          Tables.documents(s, dir).select("doc_id", "source"), "doc_id", "source", 10)
+        .select(col("source"), col("rank"), col("doc_id"))
+        .orderBy("source", "rank")),
+
     // corpus profiling: per-column null/distinct/min/max/mean in one
     // aggregation pass (exact-distinct form; the approx form is the
     // scale path, ProfileSpec-asserted against this one)
@@ -764,6 +772,16 @@ object SparkEntry {
         |)
         |SELECT o_orderstatus, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
         |FROM ranked WHERE rank <= 10 ORDER BY o_orderstatus, rank""".stripMargin,
+
+    "q_source_quota" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents
+        |)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM ranked WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
 
     "q_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -199,6 +199,20 @@ object Curate {
       when(hashBucket(col(idCol)) < trainPct, "train").otherwise("eval"))
   }
 
+  /** Per-source quota: cap every source/domain at `maxPerSource`
+    * documents, hash-ordered so the survivors are a deterministic
+    * uniform sample of each source (web-scale curation's standard
+    * guard against a single crawl domain dominating the mix — e.g.
+    * Gopher/MassiveText's per-domain caps). Reuses the skew-proof
+    * two-phase ranking of [[Relational.stratifiedSample]]: a naive
+    * per-source window would put a 100 TB mega-domain in ONE
+    * partition; the salted first phase bounds any partition at
+    * salts·maxPerSource rows.
+    */
+  def sourceQuota(
+      docs: DataFrame, idCol: String, sourceCol: String, maxPerSource: Int): DataFrame =
+    Relational.stratifiedSample(docs, sourceCol, idCol, maxPerSource)
+
   /** Split summary for the driver gate: per-split doc count + id range. */
   def splitSummary(s: SparkSession, dir: String, trainPct: Int = 80): DataFrame =
     split(Tables.documents(s, dir), "doc_id", trainPct)
