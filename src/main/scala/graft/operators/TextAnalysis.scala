@@ -246,13 +246,15 @@ object TextAnalysis {
   /** BM25 keyword search (Robertson/Spärck Jones, the Lucene-style
     * `ln(1 + (N − df + ½)/(df + ½))` idf — always positive): top-N
     * documents for a bag of query terms. One corpus pass computes
-    * (N, avgdl, per-term df) in a single aggregation that BROADCASTS
-    * back as scalars; scoring is then pure scan-stage array math per
-    * document (a `size(filter(tokens))` tf per term — terms are few),
-    * so the only shuffle is the global top-N sort, whose volume the
-    * `score > 0` filter cuts to matching docs only. Ordering is on the
-    * ROUNDED score (ties by id) so ranks are reproducible across
-    * engines.
+    * (N, avgdl, per-term df) in a single aggregation COLLECTED to
+    * literals (a handful of doubles — embedding them keeps the scoring
+    * plan join-free; a broadcast cross join of the 1-row stats frame
+    * plans as a nested-loop join, which the plan audit bans); scoring
+    * is then pure scan-stage array math per document (a
+    * `size(filter(tokens))` tf per term — terms are few), so the only
+    * shuffle is the global top-N sort, whose volume the `score > 0`
+    * filter cuts to matching docs only. Ordering is on the ROUNDED
+    * score (ties by id) so ranks are reproducible across engines.
     */
   def bm25(
       docs: DataFrame,
@@ -272,13 +274,18 @@ object TextAnalysis {
     }
     val stats = base.agg(
       count(lit(1)).cast("double").as("n_docs"),
-      (avg(col("dl")).as("avgdl") +: dfCols): _*)
+      (avg(col("dl")).as("avgdl") +: dfCols): _*).collect().head
+    val nDocs = stats.getDouble(0)
+    // empty corpus: avgdl is NULL and nothing can match
+    if (nDocs == 0.0) return base.select(col("id"), lit(0.0).as("score")).limit(0)
+    val avgdl = stats.getDouble(1)
     val score = terms.zipWithIndex.map { case (t, i) =>
       val tf = size(filter(col("toks"), x => x === t)).cast("double")
-      val idf = log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
-      idf * tf * lit(k1 + 1) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      val dfT = stats.getLong(2 + i).toDouble
+      val idf = math.log((nDocs - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      lit(idf) * tf * lit(k1 + 1) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
     }.reduce(_ + _)
-    base.crossJoin(broadcast(stats))
+    base
       .select(col("id"), score.as("score"))
       .filter(col("score") > 0)
       .withColumn("score", round(col("score"), 4) + lit(0.0))

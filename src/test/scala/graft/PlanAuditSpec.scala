@@ -175,6 +175,51 @@ class PlanAuditSpec extends AnyFunSuite {
       "batch-vs-corpus band join not broadcast")
   }
 
+  test("round-4 sweep: no cartesian/NLJ in sq8, bloom, perplexity, bm25, cube, quota") {
+    for (q <- Seq("ann_sq8_recall", "dedup_incremental_bloom", "text_perplexity",
+      "text_bm25", "q_cube", "q_source_quota")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("text_perplexity: the scoring side is zero-shuffle — exchanges only for sort/train") {
+    // TokenNll scores inside the scan stage: the only exchanges in the
+    // plan are the model-training aggregation (collected before this
+    // plan exists) and the output ORDER BY. The scoring branch itself
+    // (documents -> select id, size, token_nll) must not shuffle.
+    val docs = Tables.documents(spark, dir)
+    val model = graft.operators.TextAnalysis.unigramModel(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0), "text")
+    val scored = graft.operators.TextAnalysis.unigramNll(docs, "doc_id", "text", model)
+    val p = scored.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // one exchange: the deterministic output sort — nothing else
+    val exchangeCount = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchangeCount <= 1, s"scoring should only shuffle for the sort, saw:\n$p")
+    assert(!p.contains("Join"), s"scoring side must not join:\n$p")
+  }
+
+  test("bloom incremental: definitely-new branch carries no join; verify branch anti-joins") {
+    val p = plan("dedup_incremental_bloom")
+    // the bloom test is a scan-stage filter (shows up as the custom
+    // expression in a Filter, not a join); exactly one anti-join total
+    assert(p.toLowerCase.contains("bloom_might_contain"),
+      s"bloom filter not in the plan:\n${p.take(2000)}")
+    // count JOIN NODES (tree lines "...Join LeftAnti BuildSide (n)"),
+    // not raw "LeftAnti" hits — the details section repeats the join
+    // type ("Join type: LeftAnti") for every node
+    val antiJoins = "Join LeftAnti".r.findAllIn(p).length
+    assert(antiJoins == 1, s"expected exactly one anti-join (verify branch), saw $antiJoins")
+  }
+
+  test("text_bm25: stats inlined as literals — scoring plan is join-free, single sort") {
+    val p = plan("text_bm25")
+    assert(!p.contains("Join"), s"bm25 scoring should not join:\n$p")
+    // one pass over the corpus + TakeOrdered — no full sort exchange
+    assert(p.contains("TakeOrderedAndProject"), "top-N should be TakeOrdered, not sort+limit")
+  }
+
   test("q_pivot: explicit values avoid the distinct-values job; aggs stay partial") {
     val p = plan("q_pivot")
     assert(p.contains("partial_sum"), "no map-side partial aggregation")
