@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Metric, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -105,6 +105,24 @@ object ScaleSmoke {
       Dedup.semanticPairs(emb, "doc_id", "vec", threshold = 0.95,
         nCells = nCells, assign = 2, maxTrain = 8192, maxCellSize = 4000).count()
     }
+    // SQ8 top-k at a 1M-vector index: the f64 index would be
+    // 1M×64×8 = 512 MB broadcast; SQ8 ships 64 MB. Throughput should
+    // track the f32 kernel (tile-decode feeds the same sgemm).
+    val sqN = math.min(nDocs, 1000000L)
+    val sqCorpus = synthEmb(spark, sqN)
+      .select(col("doc_id"), col("vec").cast("array<float>").as("vec"))
+    val sqQueries = synthEmb(spark, 16000L)
+      .select(col("doc_id").as("qid"), col("vec").cast("array<float>").as("vec"))
+      .cache()
+    sqQueries.count()
+    val t0 = System.nanoTime()
+    val cx8 = Similarity.collectCorpusSq8(sqCorpus, "doc_id", "vec")
+    println(f"sq8 pack ($sqN x 64d -> ${cx8.codes.length / 1e6}%.0f MB codes): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    timed(s"sq8 topk (16k queries x $sqN x 64d, k=10, cosine)") {
+      Similarity.topkSq8Flat(sqQueries, "vec", cx8, 10, Metric.Cosine).count()
+    }
+    sqQueries.unpersist()
     emb.unpersist()
     spark.stop()
   }

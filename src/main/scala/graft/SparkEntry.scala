@@ -149,6 +149,15 @@ object SparkEntry {
         .select(col("source"), col("rank"), col("doc_id"))
         .orderBy("source", "rank")),
 
+    // training-mix sampler: explicit per-source quotas, unlisted
+    // sources dropped
+    "q_mixture" -> ((s, dir) =>
+      Curate.mixtureSample(
+          Tables.documents(s, dir).select("doc_id", "source"), "source", "doc_id",
+          Map("src0" -> 15, "src1" -> 5, "src2" -> 25))
+        .select(col("source"), col("rank"), col("doc_id"))
+        .orderBy("source", "rank")),
+
     // corpus profiling: per-column null/distinct/min/max/mean in one
     // aggregation pass (exact-distinct form; the approx form is the
     // scale path, ProfileSpec-asserted against this one)
@@ -443,6 +452,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
           count_distinct(col("vec_id")).as("n_queries"))
         .select(col("n_queries"), recallAtLeast(0.95).as("sq8_recall_ok"))
+    }),
+
+    // model-based quality filter (rows-only: LR training is
+    // FP-order-sensitive at the last ulp, so probabilities aren't
+    // hash-stable across runs; TextOpsSpec pins holdout accuracy and
+    // MLlib-parity of the inlined sigmoid). Weak labels: the corpus's
+    // own lang tag.
+    "text_quality_model" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labeled = docs.withColumn("label", (col("lang") === "en").cast("int"))
+      val model = TextAnalysis.trainQualityClassifier(
+        labeled.filter(col("doc_id") % 2 === 0), "doc_id", "text", "label")
+      TextAnalysis.scoreQualityModel(docs, "doc_id", "text", model).orderBy("id")
     }),
 
     // BM25 keyword search over the documents table: three mid-frequency
@@ -772,6 +794,19 @@ object SparkEntry {
         |)
         |SELECT o_orderstatus, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
         |FROM ranked WHERE rank <= 10 ORDER BY o_orderstatus, rank""".stripMargin,
+
+    "q_mixture" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        |)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM ranked
+        |WHERE rank <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 5
+        |                          WHEN 'src2' THEN 25 END
+        |ORDER BY source, rank""".stripMargin,
 
     "q_source_quota" ->
       """WITH ranked AS (

@@ -213,6 +213,39 @@ object Curate {
       docs: DataFrame, idCol: String, sourceCol: String, maxPerSource: Int): DataFrame =
     Relational.stratifiedSample(docs, sourceCol, idCol, maxPerSource)
 
+  /** Data-MIXTURE sampler: per-group quotas (the training-mix op —
+    * "200M docs of web, 50M of code, 10M of books"), deterministic by
+    * the same md5-hash order as [[sourceQuota]]/`stratifiedSample`,
+    * same skew-proof two-phase plan (phase 1 caps each (group, salt)
+    * bucket at the group's quota, phase 2 ranks the ≤ salts·quota
+    * survivors). Groups without a quota are dropped. Quotas are
+    * inlined as a CASE chain — right for the tens-of-sources case;
+    * a thousands-of-groups mixture should join a broadcast quota
+    * table instead.
+    */
+  def mixtureSample(
+      docs: DataFrame, groupCol: String, idCol: String,
+      quotas: Map[String, Int], salts: Int = 32): DataFrame = {
+    require(quotas.nonEmpty, "mixtureSample needs at least one quota")
+    require(quotas.values.forall(_ >= 0), "quotas must be >= 0")
+    val h = md5(col(idCol).cast("string"))
+    val salted = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), pmod(xxhash64(col(idCol)), lit(salts)))
+      .orderBy(h, col(idCol))
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (g, n)) =>
+      when(col(groupCol) === g, lit(n)).otherwise(acc)
+    }
+    docs.withColumn("__q", quotaCol)
+      .filter(col("__q") > 0)
+      .withColumn("__prn", row_number().over(salted))
+      .filter(col("__prn") <= col("__q")).drop("__prn")
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= col("__q"))
+      .drop("__q")
+  }
+
   /** Split summary for the driver gate: per-split doc count + id range. */
   def splitSummary(s: SparkSession, dir: String, trainPct: Int = 80): DataFrame =
     split(Tables.documents(s, dir), "doc_id", trainPct)

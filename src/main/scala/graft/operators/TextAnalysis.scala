@@ -293,6 +293,70 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Feature columns for [[trainQualityClassifier]]. */
+  val qualityFeatureCols: Seq[String] =
+    Seq("punct_ratio", "stop_ratio", "avg_word_len", "log_n_words")
+
+  /** Raw (unrounded) per-document quality features for model-based
+    * filtering — scan-stage column math, zero-guarded so empty/null
+    * texts featurize to 0 instead of NaN.
+    */
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val toks = tokens(t)
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    docs.select(col(idCol).as("id"),
+      (regexp_count(t, lit("[^\\w\\s]")) / greatest(length(t), lit(1))).as("punct_ratio"),
+      (tokenListCount(tokens(normalize(t)), langMarkers.head._2) / nToks).as("stop_ratio"),
+      (aggregate(transform(toks, w => length(w)), lit(0), (acc, x) => acc + x) / nToks)
+        .as("avg_word_len"),
+      log1p(size(toks)).as("log_n_words"))
+  }
+
+  /** MODEL-BASED quality filtering, the GPT-3/CCNet pattern (public:
+    * GPT-3 appendix A trains a classifier with curated text as
+    * positives and raw crawl as negatives, then filters on its
+    * score): train a logistic regression on the cheap scan-stage
+    * features against weak labels. Training runs on the LABELED frame
+    * (small — labels are expensive); scoring (the 100 TB side) does
+    * NOT use the model object at all: [[scoreQualityModel]] extracts
+    * the coefficients into a plain sigmoid Column expression, so the
+    * whole-corpus pass is codegen'd scan-stage math with no UDF and
+    * no per-row MLlib dispatch.
+    *
+    * `labeled` must carry `textCol` and a 0/1 `labelCol`.
+    */
+  def trainQualityClassifier(
+      labeled: DataFrame, idCol: String, textCol: String, labelCol: String)
+      : org.apache.spark.ml.classification.LogisticRegressionModel = {
+    val feats = qualityFeatures(labeled, idCol, textCol)
+      .join(labeled.select(col(idCol).as("id"), col(labelCol).cast("double").as("label")), Seq("id"))
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(qualityFeatureCols.toArray).setOutputCol("features")
+      .transform(feats)
+    new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(100).setRegParam(0.01).setStandardization(true)
+      .fit(assembled)
+  }
+
+  /** Score every document with a trained quality model:
+    * (id, quality_prob) via the coefficient-inlined sigmoid — see
+    * [[trainQualityClassifier]] for why no MLlib transform runs here.
+    */
+  def scoreQualityModel(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: org.apache.spark.ml.classification.LogisticRegressionModel): DataFrame = {
+    val ws = model.coefficients.toArray
+    require(ws.length == qualityFeatureCols.length,
+      s"model has ${ws.length} coefficients, expected ${qualityFeatureCols.length}")
+    val margin = qualityFeatureCols.zip(ws)
+      .map { case (c, w) => col(c) * lit(w) }
+      .reduce(_ + _) + lit(model.intercept)
+    qualityFeatures(docs, idCol, textCol)
+      .withColumn("quality_prob", lit(1.0) / (lit(1.0) + exp(-margin)))
+      .select("id", "quality_prob")
+  }
+
   /** Unigram language model trained on a reference corpus — the
     * CCNet-style perplexity filter's model side (Wenzek et al. 2020
     * score documents against a clean-corpus LM; public literature).

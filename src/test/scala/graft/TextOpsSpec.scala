@@ -119,6 +119,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(perGroup.values.forall(_ <= n))
   }
 
+  test("quality classifier: separates clean text from symbol soup on a holdout") {
+    val good = (0L until 60L).map(i =>
+      (i, s"the cat and the dog sat on a mat with the number $i of things", 1))
+    val bad = (100L until 160L).map(i =>
+      (i, "@@@ ### !!! $$$ %% ^^ && ** (( )) __ ++ ~~ ?? >> <<", 0))
+    val all = spark.createDataFrame(good ++ bad).toDF("doc_id", "text", "label")
+    val train = all.filter($"doc_id" % 2 === 0)
+    val holdout = all.filter($"doc_id" % 2 =!= 0)
+    val model = TextAnalysis.trainQualityClassifier(train, "doc_id", "text", "label")
+    val scored = TextAnalysis.scoreQualityModel(holdout, "doc_id", "text", model)
+      .join(holdout.select($"doc_id".as("id"), $"label"), Seq("id"))
+      .select($"label", ($"quality_prob" >= 0.5).cast("int").as("pred"))
+      .collect()
+    val acc = scored.count(r => r.getInt(0) == r.getInt(1)).toDouble / scored.length
+    assert(acc >= 0.95, s"holdout accuracy $acc")
+    // the inlined sigmoid must reproduce MLlib's own probabilities
+    val feats = TextAnalysis.qualityFeatures(holdout, "doc_id", "text")
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(TextAnalysis.qualityFeatureCols.toArray).setOutputCol("features")
+      .transform(feats)
+    val viaMllib = model.transform(assembled)
+      .select($"id", $"probability")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1)(1)).toMap
+    val viaColumn = TextAnalysis.scoreQualityModel(holdout, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    viaColumn.foreach { case (id, p) =>
+      assert(math.abs(p - viaMllib(id)) < 1e-9, s"doc $id: $p vs ${viaMllib(id)}")
+    }
+  }
+
   test("bm25: hand-computed score, non-matching docs excluded, rank deterministic") {
     // corpus: 4 docs, query term "cat": df=2, N=4, dl=2 for all, avgdl=2
     // idf = ln((4-2+0.5)/(2+0.5)+1) = ln(2); tf=1: score = ln(2)*1*2.2/(1+1.2*1)
