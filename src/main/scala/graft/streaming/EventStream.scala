@@ -229,4 +229,96 @@ object EventStream {
           }
       }
   }
+
+  /** STREAMING top-k serving: an unbounded stream of query embeddings
+    * scored per micro-batch against a STATIC broadcast corpus index —
+    * the online form of [[graft.operators.Similarity.topkFlat]].
+    * Implemented as a stateless typed `mapPartitions` (stream-legal:
+    * no shuffle, no state), batching rows into the same BLAS dgemm
+    * the batch kernel runs, so serving throughput matches the batch
+    * path per executor. Output: (qid, rank, index, score), append
+    * mode. Same contract as the batch kernel: ties to the lower
+    * corpus id, k clamped to [0, |corpus|], null embeddings dropped
+    * (a serving stream has nothing to attach a null result to).
+    * Works identically on a bounded DataFrame — StreamingSpec asserts
+    * byte-parity with `topkFlat` on the replayed stream.
+    */
+  def topkServe(
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      corpus: graft.operators.CorpusIndex,
+      k: Int,
+      metric: graft.operators.Metric): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(corpus)
+    val kk = math.min(math.max(k, 0), corpus.n)
+    val higher = metric.higherIsBetter
+    val m = metric
+    queries
+      .filter(col(embCol).isNotNull)
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cx = bc.value
+        val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+        it.grouped(512).flatMap { batch =>
+          val mRows = batch.length
+          val q = new Array[Double](mRows * cx.dim)
+          val qNorms = new Array[Double](mRows)
+          val qSq = new Array[Double](mRows)
+          var i = 0
+          batch.foreach { case (_, emb) =>
+            if (emb.length != cx.dim) throw new IllegalArgumentException(
+              s"Dimension mismatch: query has ${emb.length} elements, corpus has ${cx.dim}")
+            System.arraycopy(emb, 0, q, i * cx.dim, cx.dim)
+            var d = 0; var sq = 0.0
+            while (d < cx.dim) { val v = emb(d); sq += v * v; d += 1 }
+            qSq(i) = sq; qNorms(i) = math.sqrt(sq); i += 1
+          }
+          val scores = new Array[Double](mRows * cx.n)
+          if (mRows > 0) blas.dgemm("T", "N", cx.n, mRows, cx.dim, 1.0, cx.data, cx.dim,
+            q, cx.dim, 0.0, scores, cx.n)
+          batch.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+            val base = qi * cx.n
+            val selIdx = new Array[Int](math.max(kk, 1))
+            val selScore = new Array[Double](math.max(kk, 1))
+            var size = 0
+            var j = if (kk == 0) cx.n else 0
+            while (j < cx.n) {
+              val s = m match {
+                case graft.operators.Metric.Dot => scores(base + j)
+                case graft.operators.Metric.Cosine =>
+                  if (qNorms(qi) <= 1e-10 || cx.norms(j) <= 1e-10) 0.0
+                  else scores(base + j) / (qNorms(qi) * cx.norms(j))
+                case graft.operators.Metric.Euclidean =>
+                  math.sqrt(math.max(0.0, qSq(qi) + cx.sqNorms(j) - 2.0 * scores(base + j)))
+              }
+              val beatsWorst = size < kk || {
+                val w = selScore(size - 1)
+                if (higher) s > w || (s == w && cx.ids(j) < cx.ids(selIdx(size - 1)))
+                else s < w || (s == w && cx.ids(j) < cx.ids(selIdx(size - 1)))
+              }
+              if (beatsWorst) {
+                var pos = if (size < kk) size else kk - 1
+                while (pos > 0 && {
+                  val ps = selScore(pos - 1)
+                  if (higher) s > ps || (s == ps && cx.ids(j) < cx.ids(selIdx(pos - 1)))
+                  else s < ps || (s == ps && cx.ids(j) < cx.ids(selIdx(pos - 1)))
+                }) {
+                  selScore(pos) = selScore(pos - 1); selIdx(pos) = selIdx(pos - 1); pos -= 1
+                }
+                selScore(pos) = s; selIdx(pos) = j
+                if (size < kk) size += 1
+              }
+              j += 1
+            }
+            (0 until size).iterator.map(r =>
+              (qid, r + 1, cx.ids(selIdx(r)), selScore(r)))
+          }
+        }
+      }
+      .toDF("qid", "rank", "index", "score")
+  }
 }

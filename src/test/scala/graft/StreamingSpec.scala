@@ -27,6 +27,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming topk serving equals the batch kernel on the replayed stream") {
+    import spark.implicits._
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val cx = graft.operators.Similarity.collectCorpus(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+      "vec_id", "embedding")
+    val stream = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val q = EventStream.topkServe(stream, "vec_id", "embedding", cx, 5,
+        graft.operators.Metric.Cosine)
+      .writeStream.outputMode("append").format("memory").queryName("serve_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val served = spark.table("serve_out")
+      .select($"qid", $"rank", $"index", round($"score", 9))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Similarity.topkFlat(
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        "embedding", cx, 5, graft.operators.Metric.Cosine)
+      .select(col("vec_id").as("qid"), col("rank").cast("int"), col("index"),
+        round(col("score"), 9))
+      .collect().map(_.toSeq).toSet
+    assert(served == batch)
+    assert(served.nonEmpty)
+  }
+
   test("streaming dedup keeps exactly the batch-exact distinct set") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
