@@ -138,6 +138,7 @@ object SparkEntry {
     "q_events_window" -> (Relational.eventsWindow _),
     "q_json_extract" -> (Relational.jsonExtract _),
     "q_asof_join" -> (Relational.asofClickPurchase _),
+    "q_rolling" -> (Relational.rollingHour _),
     "q_stratified_sample" -> (Relational.stratifiedSampleOrders _),
     "q_pivot" -> (Relational.pivotStatus _),
 
@@ -807,6 +808,15 @@ object SparkEntry {
         |WHERE rank <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 5
         |                          WHEN 'src2' THEN 25 END
         |ORDER BY source, rank""".stripMargin,
+
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER w, 4) + 0.0 AS trailing_sum,
+        |       count(*) OVER w AS trailing_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_source_quota" ->
       """WITH ranked AS (

@@ -366,6 +366,26 @@ object Relational {
         col("O").as("total_o"), col("P").as("total_p"))
       .orderBy("o_year")
 
+  /** Trailing-interval ROLLING aggregation (time-series feature): per
+    * user, the 1-hour trailing sum/count of event values — a
+    * RANGE-frame window over epoch-millis, so rows with equal
+    * timestamps share a frame (deterministic, unlike a ROWS frame
+    * under ties). One shuffle on user_id; frames are computed in a
+    * single pass per partition.
+    */
+  def rollingHour(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_ms"))
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("epoch_ms", unix_millis(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        (round(sum(col("value")).over(w), 4) + lit(0.0)).as("trailing_sum"),
+        count(lit(1)).over(w).as("trailing_n"))
+      .orderBy("event_id")
+  }
+
   /** Sessionization via the built-in `session_window` (Spark's native
     * session assignment — one shuffle on (user_id, merged windows), no
     * window-function pass). Same 30-minute-gap semantics as
