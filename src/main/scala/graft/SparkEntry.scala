@@ -455,6 +455,18 @@ object SparkEntry {
         .select(col("n_queries"), recallAtLeast(0.95).as("sq8_recall_ok"))
     }),
 
+    // trained BPE tokenization (rows-only: the merge list is
+    // deterministic but no SQL engine replays the greedy merge loop;
+    // TextOpsSpec pins the hand-computed merge sequence, word
+    // reconstruction, and driver/distributed encode parity)
+    "text_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.trainBpe(docs, "text", numMerges = 100)
+      TextAnalysis.bpePieces(docs, "doc_id", "text", merges)
+        .select(col("id"), col("n_pieces"))
+        .orderBy("id")
+    }),
+
     // model-based quality filter (rows-only: LR training is
     // FP-order-sensitive at the last ulp, so probabilities aren't
     // hash-stable across runs; TextOpsSpec pins holdout accuracy and

@@ -293,6 +293,43 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Train a BPE vocabulary on a corpus: one distributed
+    * word-frequency aggregation (capped at `maxWords` rows by
+    * count-desc/word-asc — BPE statistics need only word counts, so
+    * the driver loop is corpus-size-independent), then
+    * [[graft.functions.BpeEncoder.trainMerges]]. Returns the ordered
+    * merge list (index = rank).
+    */
+  def trainBpe(
+      corpus: DataFrame, textCol: String,
+      numMerges: Int = 200, maxWords: Int = 100000): Seq[(String, String)] = {
+    require(numMerges >= 1 && maxWords >= 1)
+    val wc = corpus
+      .select(explode(tokens(normalize(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.BpeEncoder.trainMerges(wc, numMerges)
+  }
+
+  /** Apply a trained BPE vocabulary: (id, n_pieces, pieces) per doc.
+    * The encoder broadcasts once; encoding is a scan-stage expression
+    * ([[graft.functions.BpeEncode]]).
+    */
+  def bpePieces(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(
+      graft.functions.BpeEncoder.fromMerges(merges))
+    val pieces = graft.functions.Bpe.bpe_encode(tokens(normalize(col(textCol))), bc)
+    docs.select(col(idCol).as("id"),
+        pieces.as("pieces"))
+      .select(col("id"), size(col("pieces")).cast("long").as("n_pieces"), col("pieces"))
+      .orderBy("id")
+  }
+
   /** Feature columns for [[trainQualityClassifier]]. */
   val qualityFeatureCols: Seq[String] =
     Seq("punct_ratio", "stop_ratio", "avg_word_len", "log_n_words")

@@ -119,6 +119,50 @@ class TextOpsSpec extends AnyFunSuite {
     assert(perGroup.values.forall(_ <= n))
   }
 
+  test("bpe: hand-computed merge sequence and encoding") {
+    // word counts: "aaab" x2, "ab" x1
+    // round 1 pairs: (a,a): 2 words x 2 occurrences = 4; (a,b): 2+1 = 3 -> merge (a,a)
+    // round 2: aaab = [aa, a, b]: (aa,a)=2, (a,b)=2+1=3 -> merge (a,b)
+    // round 3: aaab = [aa, ab]: (aa,ab)=2 -> merge (aa,ab); "ab" is a full word
+    val merges = graft.functions.BpeEncoder.trainMerges(
+      Seq(("aaab", 2L), ("ab", 1L)), numMerges = 10)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val enc = graft.functions.BpeEncoder.fromMerges(merges)
+    assert(enc.encodeWord("aaab").toSeq == Seq("aaab"))
+    assert(enc.encodeWord("ab").toSeq == Seq("ab"))
+    assert(enc.encodeWord("aab").toSeq == Seq("aa", "b") ||
+      enc.encodeWord("aab").toSeq == Seq("a", "ab"))
+    // lowest-rank-first greedy: (a,a) rank 0 beats (a,b) rank 1
+    assert(enc.encodeWord("aab").toSeq == Seq("aa", "b"))
+    assert(enc.encodeWord("xyz").toSeq == Seq("x", "y", "z")) // all OOV pairs
+  }
+
+  test("bpe: pieces reconstruct each word; distributed encode matches driver encode") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = TextAnalysis.trainBpe(docs, "text", numMerges = 50)
+    assert(merges.nonEmpty)
+    val out = TextAnalysis.bpePieces(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2))).toSeq
+    assert(out.nonEmpty)
+    val enc = graft.functions.BpeEncoder.fromMerges(merges)
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, n, pieces) =>
+      assert(n == pieces.length)
+      // concatenated pieces == concatenated normalized words
+      val words = texts(id).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split("\\s+").filter(_.nonEmpty)
+      assert(pieces.mkString("") == words.mkString(""), s"doc $id")
+      // distributed encoding == driver encoding
+      assert(pieces == words.flatMap(enc.encodeWord).toSeq, s"doc $id")
+    }
+    // merges actually compress: fewer pieces than characters
+    val (nPieces, nChars) = out.foldLeft((0L, 0L)) { case ((p, c), (id, n, _)) =>
+      (p + n, c + texts(id).toLowerCase.replaceAll("[^a-z0-9]+", "").length)
+    }
+    assert(nPieces < nChars, s"$nPieces pieces vs $nChars chars")
+  }
+
   test("quality classifier: separates clean text from symbol soup on a holdout") {
     val good = (0L until 60L).map(i =>
       (i, s"the cat and the dog sat on a mat with the number $i of things", 1))
