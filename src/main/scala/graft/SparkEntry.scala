@@ -150,6 +150,15 @@ object SparkEntry {
         .select(col("source"), col("rank"), col("doc_id"))
         .orderBy("source", "rank")),
 
+    // mixture upsampling: per-source epoch factors (2.5 epochs of
+    // src0, 1 of src1, half of src2), deterministic fractional slice
+    "q_mixture_upsample" -> ((s, dir) =>
+      Curate.mixtureUpsample(
+          Tables.documents(s, dir).select("doc_id", "source"), "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5))
+        .select(col("source"), col("doc_id"), col("epoch"))
+        .orderBy("source", "doc_id", "epoch")),
+
     // training-mix sampler: explicit per-source quotas, unlisted
     // sources dropped
     "q_mixture" -> ((s, dir) =>
@@ -807,6 +816,24 @@ object SparkEntry {
         |)
         |SELECT o_orderstatus, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
         |FROM ranked WHERE rank <= 10 ORDER BY o_orderstatus, rank""".stripMargin,
+
+    "q_mixture_upsample" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |                WHEN 'src2' THEN 0.5 ELSE 0 END AS fac,
+        |    (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS bucket
+        |  FROM documents
+        |), reps AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(fac) AS BIGINT)
+        |      + CASE WHEN bucket < round((fac - floor(fac)) * 100) THEN 1 ELSE 0 END AS n
+        |  FROM f WHERE fac > 0
+        |)
+        |SELECT source, doc_id, CAST(unnest(generate_series(1, n)) AS BIGINT) AS epoch
+        |FROM reps WHERE n > 0
+        |ORDER BY source, doc_id, epoch""".stripMargin,
 
     "q_mixture" ->
       """WITH ranked AS (

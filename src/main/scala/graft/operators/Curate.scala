@@ -246,6 +246,36 @@ object Curate {
       .drop("__q")
   }
 
+  /** Mixture UPSAMPLING: per-source epoch factors — "books 2.5
+    * epochs, web 0.5" — the other half of the training-mix op
+    * ([[mixtureSample]] caps; this repeats). Each document appears
+    * `floor(f)` times plus once more for the deterministic
+    * `hashBucket(id) < frac·100` slice (1 % granularity), with an
+    * `epoch` column (1..reps) distinguishing copies. Pure scan-stage
+    * math + explode — no shuffle, no RNG: membership of the
+    * fractional slice depends only on the id, so reruns and engines
+    * agree. Sources without a factor are dropped.
+    */
+  def mixtureUpsample(
+      docs: DataFrame, groupCol: String, idCol: String,
+      factors: Map[String, Double]): DataFrame = {
+    require(factors.nonEmpty, "mixtureUpsample needs at least one factor")
+    require(factors.values.forall(f => f >= 0 && f <= 1000), "factors must be in [0, 1000]")
+    val whole = factors.foldLeft(lit(0L)) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(math.floor(f).toLong)).otherwise(acc)
+    }
+    val fracPct = factors.foldLeft(lit(0)) { case (acc, (g, f)) =>
+      when(col(groupCol) === g,
+        lit(math.round((f - math.floor(f)) * 100).toInt)).otherwise(acc)
+    }
+    docs
+      .withColumn("__reps",
+        whole + when(hashBucket(col(idCol)) < fracPct, 1L).otherwise(0L))
+      .filter(col("__reps") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__reps"))))
+      .drop("__reps")
+  }
+
   /** Split summary for the driver gate: per-split doc count + id range. */
   def splitSummary(s: SparkSession, dir: String, trainPct: Int = 80): DataFrame =
     split(Tables.documents(s, dir), "doc_id", trainPct)
