@@ -146,7 +146,7 @@ object SparkEntry {
     // deterministic survivors (the per-domain cap of web curation)
     "q_source_quota" -> ((s, dir) =>
       Curate.sourceQuota(
-          Tables.documents(s, dir).select("doc_id", "source"), "doc_id", "source", 10)
+          Tables.documents(s, dir).select("doc_id", "source"), "source", "doc_id", 10)
         .select(col("source"), col("rank"), col("doc_id"))
         .orderBy("source", "rank")),
 
@@ -451,11 +451,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val q = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
-      val brute = Similarity.topkFlat(q, "embedding", corpus(s, dir), 10, Metric.Cosine)
+      val cx = corpus(s, dir) // one collect+pack feeds both indexes
+      val brute = Similarity.topkFlat(q, "embedding", cx, 10, Metric.Cosine)
         .select(col("vec_id"), col("index"))
         .localCheckpoint(eager = false)
       val sq8 = Similarity.topkSq8Flat(q, "embedding",
-        Similarity.quantizeSq8(corpus(s, dir)), 10, Metric.Cosine)
+        Similarity.quantizeSq8(cx), 10, Metric.Cosine)
       brute
         .join(sq8.select(col("vec_id"), col("index"), lit(1).as("hit")),
           Seq("vec_id", "index"), "left")

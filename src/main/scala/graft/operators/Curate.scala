@@ -210,7 +210,7 @@ object Curate {
     * salts·maxPerSource rows.
     */
   def sourceQuota(
-      docs: DataFrame, idCol: String, sourceCol: String, maxPerSource: Int): DataFrame =
+      docs: DataFrame, sourceCol: String, idCol: String, maxPerSource: Int): DataFrame =
     Relational.stratifiedSample(docs, sourceCol, idCol, maxPerSource)
 
   /** Data-MIXTURE sampler: per-group quotas (the training-mix op —
@@ -228,21 +228,12 @@ object Curate {
       quotas: Map[String, Int], salts: Int = 32): DataFrame = {
     require(quotas.nonEmpty, "mixtureSample needs at least one quota")
     require(quotas.values.forall(_ >= 0), "quotas must be >= 0")
-    val h = md5(col(idCol).cast("string"))
-    val salted = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol), pmod(xxhash64(col(idCol)), lit(salts)))
-      .orderBy(h, col(idCol))
-    val global = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(h, col(idCol))
     val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (g, n)) =>
       when(col(groupCol) === g, lit(n)).otherwise(acc)
     }
-    docs.withColumn("__q", quotaCol)
-      .filter(col("__q") > 0)
-      .withColumn("__prn", row_number().over(salted))
-      .filter(col("__prn") <= col("__q")).drop("__prn")
-      .withColumn("rank", row_number().over(global).cast("long"))
-      .filter(col("rank") <= col("__q"))
+    Relational.twoPhaseTopN(
+        docs.withColumn("__q", quotaCol).filter(col("__q") > 0),
+        groupCol, idCol, col("__q"), salts)
       .drop("__q")
   }
 

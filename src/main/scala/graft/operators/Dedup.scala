@@ -856,11 +856,17 @@ object Dedup {
     val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("content_hash").orderBy(col(idCol))
+    // NULL text -> NULL hash -> NULL bloom result: coalesce(false)
+    // routes those rows to the definitely-new branch, which is where
+    // the exact path lands them too (an anti join on a NULL key never
+    // matches) — without it BOTH filters drop the row and the bloom
+    // path silently loses null-text documents
     val reps = newDocs.withColumn("content_hash", md5(col(textCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-      .withColumn("__maybe",
-        graft.functions.SketchFunctions.bloom_might_contain(col("content_hash"), bc))
+      .withColumn("__maybe", coalesce(
+        graft.functions.SketchFunctions.bloom_might_contain(col("content_hash"), bc),
+        lit(false)))
     val definitelyNew = reps.filter(!col("__maybe")).drop("__maybe")
     val verified = reps.filter(col("__maybe")).drop("__maybe")
       .join(corpusHashes.select("content_hash"), Seq("content_hash"), "left_anti")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -330,15 +330,28 @@ object Relational {
       df: DataFrame, groupCol: String, idCol: String, n: Int,
       salts: Int = 32): DataFrame = {
     require(n > 0, s"n must be > 0, got $n")
+    twoPhaseTopN(df, groupCol, idCol, lit(n), salts)
+  }
+
+  /** The shared two-phase machinery with a PER-ROW quota column —
+    * [[stratifiedSample]] passes a constant, `Curate.mixtureSample` a
+    * per-group CASE. The quota expression must be functionally
+    * determined by `groupCol` (every row of a group sees the same
+    * bound), or phase 1's per-bucket cut is not a superset of the
+    * global cut.
+    */
+  private[operators] def twoPhaseTopN(
+      df: DataFrame, groupCol: String, idCol: String, quota: Column,
+      salts: Int = 32): DataFrame = {
     val h = md5(col(idCol).cast("string"))
     val salted = Window.partitionBy(col(groupCol), pmod(xxhash64(col(idCol)), lit(salts)))
       .orderBy(h, col(idCol))
     val global = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
     df.withColumn("__prn", row_number().over(salted))
-      .filter(col("__prn") <= n)
+      .filter(col("__prn") <= quota)
       .drop("__prn")
       .withColumn("rank", row_number().over(global).cast("long"))
-      .filter(col("rank") <= n)
+      .filter(col("rank") <= quota)
   }
 
   /** Gate form: 10 orders per order-status, hash-selected. */

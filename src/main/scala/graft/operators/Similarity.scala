@@ -714,10 +714,12 @@ object Similarity {
     */
   /** Scalar-quantized (SQ8) corpus index: ONE BYTE per element plus
     * per-dimension affine parameters — 8× smaller than the f64 index
-    * (4× vs f32), so a corpus eight times past [[topk]]'s ~1–2 GB
-    * broadcast envelope still fits in a single broadcast (100M × 256-d
-    * = 25.6 GB f64 → 3.2 GB; 10M × 256-d → 320 MB). The asymmetric
-    * scheme (full-precision queries against quantized corpus) is the
+    * (4× vs f32). A 4M × 256-d corpus is 8.2 GB as f64 (far past the
+    * ~1–2 GB broadcast envelope) but 1.0 GB as codes; the JVM array
+    * element cap bounds any single index at n·dim ≤ 2³¹ (≈ 8M rows at
+    * 256-d) — beyond that, compose with [[topkBlocked]]'s hash-mod
+    * blocks, each block quantized. The asymmetric scheme
+    * (full-precision queries against quantized corpus) is the
     * standard scalar-quantizer design from the ANN literature (e.g.
     * faiss `SQ8`, public); per-element error is bounded by Δ_d/2 where
     * Δ_d is dimension d's quantization step.

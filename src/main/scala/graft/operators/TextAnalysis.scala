@@ -416,9 +416,12 @@ object TextAnalysis {
       textCol: String,
       vocabSize: Int = 1 << 20): (java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double], Double) = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    // persisted across the two actions (totals agg + top-V collect) —
+    // otherwise the full reference-corpus token count runs twice
     val counts = reference
       .select(explode(tokens(normalize(col(textCol)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
+      .persist()
     val Array(totals) = counts.agg(
       sum("c").as("n"), count(lit(1)).as("v")).collect()
     require(!totals.isNullAt(0), "unigramModel: reference corpus has no tokens")
@@ -426,6 +429,7 @@ object TextAnalysis {
     val denom = (n + v + 1).toDouble
     val log2 = (x: Double) => math.log(x) / math.log(2.0)
     val vocab = counts.orderBy(col("c").desc, col("tok").asc).limit(vocabSize).collect()
+    counts.unpersist()
     val map = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double](
       vocab.length * 2)
     vocab.foreach { r =>

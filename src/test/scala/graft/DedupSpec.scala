@@ -425,7 +425,11 @@ class DedupSpec extends AnyFunSuite {
 
   test("exactIncrementalBloom: identical to exactIncremental, even with a saturated filter") {
     val corpus = docs.filter($"doc_id" % 5 === 0)
+    // null-text rows must survive both paths identically (NULL hash ->
+    // NULL bloom verdict; the exact path keeps them, so must bloom's)
     val batch = docs.filter($"doc_id" % 5 =!= 0)
+      .unionByName(Seq((999001L, null.asInstanceOf[String], "xx", "srcx", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
     val landed = Dedup.contentHashes(corpus, "text")
     val expected = Dedup.exactIncremental(batch, landed, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
