@@ -30,7 +30,8 @@ object Bench {
     "dedup_minhash_recall", "dedup_embedding_lsh_recall",
     "dedup_simhash_xcheck", "topk_blocked", "vec_range_join",
     "dedup_semantic", "dedup_semantic_recall", "dedup_decontaminate",
-    "dedup_incremental", "dedup_incremental_recall")
+    "dedup_incremental", "dedup_incremental_recall",
+    "text_quality_model", "text_bm25")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -246,6 +246,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cross-source duplication matrix on shared 5-gram phrasing
+    "dedup_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(Tables.documents(s, dir), "source", "text", gramN = 5)),
+
     // the bloom-pre-filtered path must be indistinguishable from the
     // exact incremental path (no false negatives; false positives
     // re-verified) — same oracle SQL as dedup_incremental
@@ -1004,6 +1008,22 @@ object SparkEntry {
         |SELECT r.doc_id, r.h AS content_hash
         |FROM reps r ANTI JOIN (SELECT DISTINCT h FROM d WHERE is_old) o USING (h)
         |ORDER BY r.doc_id""".stripMargin,
+
+    "dedup_source_overlap" ->
+      """WITH d AS (
+        |  SELECT source, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(
+        |    CASE WHEN len(tk) >= 5
+        |         THEN [array_to_string(tk[i : i + 4], ' ') FOR i IN range(1, len(tk) - 4 + 1)]
+        |         ELSE [] END)) AS h
+        |  FROM d
+        |)
+        |SELECT a.source AS s1, b.source AS s2, count(*) AS shared_keys
+        |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_incremental_bloom" ->
       """WITH d AS (

@@ -817,6 +817,36 @@ object Dedup {
       .join(corpusHashes.select("content_hash"), Seq("content_hash"), "left_anti")
   }
 
+  /** Cross-source duplication matrix: for every pair of sources, how
+    * many distinct keys they share — the "who copies whom" diagnostic
+    * a curation run uses to decide which source keeps a duplicate.
+    * `gramN = 0` keys on the exact content hash (verbatim dups);
+    * `gramN > 0` keys on distinct word n-grams (shared PHRASING, the
+    * decontamination unit). One shuffle on the key co-locates every
+    * source owning it; per-key DISTINCT source sets are bounded by
+    * |sources|, and the pair explosion happens after that aggregation
+    * — output is ≤ |sources|² counts, never row-scale.
+    */
+  def sourceOverlap(
+      docs: DataFrame, sourceCol: String, textCol: String, gramN: Int = 0): DataFrame = {
+    val keyed =
+      if (gramN == 0)
+        docs.select(col(sourceCol).as("source"), md5(col(textCol)).as("h"))
+      else
+        docs.select(col(sourceCol).as("source"),
+          explode(graft.functions.TextFunctions.wordGrams(
+            graft.functions.TextFunctions.tokens(
+              graft.functions.TextFunctions.normalize(col(textCol))), gramN)).as("h"))
+    keyed
+      .distinct()
+      .groupBy("h").agg(collect_set(col("source")).as("sources"))
+      .select(explode(col("sources")).as("s1"), col("sources"))
+      .select(col("s1"), explode(col("sources")).as("s2"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("shared_keys"))
+      .orderBy("s1", "s2")
+  }
+
   /** Bloom-filter sketch of the landed corpus's content hashes — the
     * third landed artifact (next to [[contentHashes]] and
     * [[minhashBandTable]]), built ONCE when a corpus version lands and
