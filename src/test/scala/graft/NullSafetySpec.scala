@@ -55,4 +55,47 @@ class NullSafetySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(lsh.toSeq == Seq((1L, 3L)))
   }
+
+  test("null text: round-4 text ops propagate or drop nulls, never crash") {
+    // perplexity: null text scores null bits, non-null docs unaffected
+    val model = TextAnalysis.unigramModel(docs.filter($"text".isNotNull), "text")
+    val nll = TextAnalysis.unigramNll(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(nll(2L).isEmpty && nll(1L).nonEmpty)
+    // bm25: the null doc simply never matches
+    val bm = TextAnalysis.bm25(docs, "doc_id", "text", Seq("fox"))
+      .collect().map(_.getLong(0)).toSet
+    assert(bm == Set(1L, 3L))
+    // bpe: null text yields null pieces; others reconstruct
+    val merges = TextAnalysis.trainBpe(docs.filter($"text".isNotNull), "text", 20)
+    val pieces = TextAnalysis.bpePieces(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(pieces(2L).isEmpty && pieces(1L).nonEmpty)
+    // quality features: null text featurizes to zeros (trainable frame)
+    val feats = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(feats(2L) == 0.0)
+    // source overlap: null text contributes no keys
+    val ov = Dedup.sourceOverlap(
+      Seq((1L, "a b c d e f", "s1"), (2L, null.asInstanceOf[String], "s2"),
+        (3L, "a b c d e f", "s2")).toDF("doc_id", "text", "source"),
+      "source", "text", gramN = 5).collect()
+    assert(ov.length == 1 && ov.head.getLong(2) == 2L) // two shared 5-grams
+  }
+
+  test("null group: quota/mixture samplers drop rows with a null group key") {
+    val df = Seq((1L, "s1"), (2L, null.asInstanceOf[String]), (3L, "s1"))
+      .toDF("doc_id", "source")
+    val q = graft.operators.Curate.sourceQuota(df, "source", "doc_id", 10)
+      .collect().map(_.getLong(0)).toSet
+    // a null key forms its own window group and survives the
+    // constant-quota ranker; the MIXTURE form (CASE quota) drops it
+    assert(q.contains(1L) && q.contains(3L))
+    val m = graft.operators.Curate.mixtureSample(df, "source", "doc_id", Map("s1" -> 10))
+      .collect().map(_.getLong(0)).toSet
+    assert(m == Set(1L, 3L))
+    val u = graft.operators.Curate.mixtureUpsample(df, "source", "doc_id", Map("s1" -> 2.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(u == Set(1L, 3L))
+  }
 }
