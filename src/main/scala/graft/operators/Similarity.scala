@@ -975,6 +975,16 @@ object Similarity {
       .drop("rank0", "m", embCol)
   }
 
+  /** `quantized = true` runs each block through the SQ8 path: the
+    * per-block f64 pack is quantized (per-block affine grid) and
+    * discarded before the next block collects, so peak driver memory
+    * is one f64 block + all previous blocks' codes — the total
+    * BROADCAST footprint shrinks 8×, which at the blocked scale is
+    * the difference between B in-flight 1 GB broadcasts and B × 128
+    * MB. Scores are of each block's dequantized grid; the merged
+    * top-k's recall vs the exact kernel carries SQ8's guarantee
+    * (gate-pinned at 0.95 by `ann_sq8_recall` / `Sq8Spec`).
+    */
   def topkBlocked(
       queries: DataFrame,
       embCol: String,
@@ -984,7 +994,8 @@ object Similarity {
       cEmbCol: String,
       k: Int,
       metric: Metric,
-      numBlocks: Int): DataFrame = {
+      numBlocks: Int,
+      quantized: Boolean = false): DataFrame = {
     require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
     val blockOf = pmod(xxhash64(col(cIdCol).cast(LongType)), lit(numBlocks))
     // the B block-index builds are independent driver-side collects —
@@ -1005,7 +1016,12 @@ object Similarity {
           scala.concurrent.Future.sequence(fs), scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
     val partials = blocks.flatten
-      .map(block => topkFlat(queries, embCol, block, k, metric).drop("rank"))
+      .map { block =>
+        val flat =
+          if (quantized) topkSq8Flat(queries, embCol, quantizeSq8(block), k, metric)
+          else topkFlat(queries, embCol, block, k, metric)
+        flat.drop("rank")
+      }
     require(partials.nonEmpty, "Empty corpus")
     val unioned = partials.reduce(_ unionAll _)
     val order = if (metric.higherIsBetter)

@@ -105,6 +105,21 @@ class Sq8Spec extends AnyFunSuite {
     assert(empty.forall(_ == 0))
   }
 
+  test("quantized topkBlocked: recall@10 >= 0.95 vs the exact single-broadcast kernel") {
+    val corpusRows = randVecs(3000, 24, seed = 31)
+    val qDf = randVecs(150, 24, seed = 32).toDF("qid", "emb")
+    val cDf = corpusRows.toDF("id", "emb")
+    val exact = Similarity.topkFlat(qDf, "emb",
+        Similarity.collectCorpus(cDf, "id", "emb"), 10, Metric.Cosine)
+      .select("qid", "index").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.topkBlocked(qDf, "emb", "qid", cDf, "id", "emb",
+        k = 10, Metric.Cosine, numBlocks = 4, quantized = true)
+      .select("qid", "index").as[(Long, Long)].collect().toSet
+    assert(blocked.size == exact.size) // k rows per query either way
+    val recall = (exact & blocked).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall")
+  }
+
   test("f32 query column works against the sq8 index") {
     val q8 = Similarity.collectCorpusSq8(
       Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("id", "emb"), "id", "emb")
