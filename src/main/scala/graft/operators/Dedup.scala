@@ -831,7 +831,11 @@ object Dedup {
       docs: DataFrame, sourceCol: String, textCol: String, gramN: Int = 0): DataFrame = {
     val keyed =
       if (gramN == 0)
+        // NULL text -> NULL hash must contribute NO key: grouping
+        // NULLs together would report sources sharing "content" that
+        // is just mutual absence of it
         docs.select(col(sourceCol).as("source"), md5(col(textCol)).as("h"))
+          .filter(col("h").isNotNull)
       else
         docs.select(col(sourceCol).as("source"),
           explode(graft.functions.TextFunctions.wordGrams(

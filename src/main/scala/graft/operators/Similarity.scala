@@ -975,15 +975,15 @@ object Similarity {
       .drop("rank0", "m", embCol)
   }
 
-  /** `quantized = true` runs each block through the SQ8 path: the
-    * per-block f64 pack is quantized (per-block affine grid) and
-    * discarded before the next block collects, so peak driver memory
-    * is one f64 block + all previous blocks' codes — the total
-    * BROADCAST footprint shrinks 8×, which at the blocked scale is
-    * the difference between B in-flight 1 GB broadcasts and B × 128
-    * MB. Scores are of each block's dequantized grid; the merged
-    * top-k's recall vs the exact kernel carries SQ8's guarantee
-    * (gate-pinned at 0.95 by `ann_sq8_recall` / `Sq8Spec`).
+  /** `quantized = true` runs each block through the SQ8 path: each
+    * block quantizes INSIDE its collect task and the f64 pack is
+    * dropped there, so peak driver memory is the ≤ 8 in-flight
+    * blocks' f64 packs plus all completed blocks' codes — never the
+    * whole f64 corpus — and the total BROADCAST footprint shrinks 8×
+    * (B × 1 GB broadcasts become B × 128 MB). Scores are of each
+    * block's dequantized grid; the merged top-k's recall vs the
+    * exact kernel carries SQ8's guarantee (gate-pinned at 0.95 by
+    * `ann_sq8_recall` / `Sq8Spec`).
     */
   def topkBlocked(
       queries: DataFrame,
@@ -1010,17 +1010,20 @@ object Similarity {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
         val fs = (0 until numBlocks).map { b =>
-          scala.concurrent.Future(collectCorpusOpt(corpus.filter(blockOf === b), cIdCol, cEmbCol))
+          // quantize INSIDE the collect task: the f64 pack becomes
+          // garbage before the future resolves, so at most the
+          // in-flight blocks' packs coexist (the doc comment's claim)
+          scala.concurrent.Future(
+            collectCorpusOpt(corpus.filter(blockOf === b), cIdCol, cEmbCol)
+              .map(cx => if (quantized) Right(quantizeSq8(cx)) else Left(cx)))
         }
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(fs), scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
     val partials = blocks.flatten
-      .map { block =>
-        val flat =
-          if (quantized) topkSq8Flat(queries, embCol, quantizeSq8(block), k, metric)
-          else topkFlat(queries, embCol, block, k, metric)
-        flat.drop("rank")
+      .map {
+        case Right(q8) => topkSq8Flat(queries, embCol, q8, k, metric).drop("rank")
+        case Left(cx) => topkFlat(queries, embCol, cx, k, metric).drop("rank")
       }
     require(partials.nonEmpty, "Empty corpus")
     val unioned = partials.reduce(_ unionAll _)

@@ -422,21 +422,22 @@ object TextAnalysis {
       .select(explode(tokens(normalize(col(textCol)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .persist()
-    val Array(totals) = counts.agg(
-      sum("c").as("n"), count(lit(1)).as("v")).collect()
-    require(!totals.isNullAt(0), "unigramModel: reference corpus has no tokens")
-    val n = totals.getLong(0); val v = totals.getLong(1)
-    val denom = (n + v + 1).toDouble
-    val log2 = (x: Double) => math.log(x) / math.log(2.0)
-    val vocab = counts.orderBy(col("c").desc, col("tok").asc).limit(vocabSize).collect()
-    counts.unpersist()
-    val map = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double](
-      vocab.length * 2)
-    vocab.foreach { r =>
-      map.put(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
-        java.lang.Double.valueOf(-log2((r.getLong(1) + 1).toDouble / denom)))
-    }
-    (map, -log2(1.0 / denom))
+    try {
+      val Array(totals) = counts.agg(
+        sum("c").as("n"), count(lit(1)).as("v")).collect()
+      require(!totals.isNullAt(0), "unigramModel: reference corpus has no tokens")
+      val n = totals.getLong(0); val v = totals.getLong(1)
+      val denom = (n + v + 1).toDouble
+      val log2 = (x: Double) => math.log(x) / math.log(2.0)
+      val vocab = counts.orderBy(col("c").desc, col("tok").asc).limit(vocabSize).collect()
+      val map = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double](
+        vocab.length * 2)
+      vocab.foreach { r =>
+        map.put(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+          java.lang.Double.valueOf(-log2((r.getLong(1) + 1).toDouble / denom)))
+      }
+      (map, -log2(1.0 / denom))
+    } finally counts.unpersist()
   }
 
   /** Per-document bits/token under a broadcast [[unigramModel]] — the

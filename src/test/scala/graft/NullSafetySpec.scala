@@ -81,6 +81,12 @@ class NullSafetySpec extends AnyFunSuite {
         (3L, "a b c d e f", "s2")).toDF("doc_id", "text", "source"),
       "source", "text", gramN = 5).collect()
     assert(ov.length == 1 && ov.head.getLong(2) == 2L) // two shared 5-grams
+    // hash mode: two sources that only share NULL text share NOTHING
+    val ovh = Dedup.sourceOverlap(
+      Seq((1L, null.asInstanceOf[String], "s1"), (2L, null.asInstanceOf[String], "s2"))
+        .toDF("doc_id", "text", "source"),
+      "source", "text").collect()
+    assert(ovh.isEmpty)
   }
 
   test("null group: quota/mixture samplers drop rows with a null group key") {
