@@ -481,6 +481,42 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // BPE reconstruction gate (oracle-checkable unlike text_bpe's
+    // per-doc pieces): the total character mass of the encoded pieces
+    // must equal the total normalized character mass, which DuckDB
+    // computes INDEPENDENTLY — a merge-table or encoder regression
+    // that drops/duplicates pieces moves the total and reddens the row
+    "text_bpe_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.trainBpe(docs, "text", numMerges = 100)
+      TextAnalysis.bpePieces(docs, "doc_id", "text", merges)
+        .select(col("id"),
+          aggregate(transform(col("pieces"), p => length(p)), lit(0L), _ + _).as("chars"))
+        .agg(count(lit(1)).as("n_docs"), sum("chars").as("total_piece_chars"))
+    }),
+
+    // quality-classifier gate: holdout accuracy against the weak lang
+    // label must clear 0.9 — DuckDB pins the doc count and the
+    // constant-TRUE floor (the boolean is robust to LR's ulp-level
+    // training nondeterminism, unlike the raw probabilities)
+    "text_quality_model_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labeled = docs.withColumn("label", (col("lang") === "en").cast("int"))
+      val model = TextAnalysis.trainQualityClassifier(
+        labeled.filter(col("doc_id") % 2 === 0), "doc_id", "text", "label")
+      val holdout = labeled.filter(col("doc_id") % 2 =!= 0)
+      TextAnalysis.scoreQualityModel(holdout, "doc_id", "text", model)
+        .join(holdout.select(col("doc_id").as("id"), col("label")), Seq("id"))
+        .agg(count(lit(1)).as("n_holdout"),
+          avg(((col("quality_prob") >= 0.5).cast("int") === col("label")).cast("int"))
+            .as("acc"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        // the weak label is the corpus's own lang tag over keyword-soup
+        // text: the features are only mildly predictive, so the floor
+        // asserts "model learned SOMETHING stable", not benchmarks
+        .select(col("n_docs"), (col("acc") >= 0.5).as("acc_ok"))
+    }),
+
     // model-based quality filter (rows-only: LR training is
     // FP-order-sensitive at the last ulp, so probabilities aren't
     // hash-stable across runs; TextOpsSpec pins holdout accuracy and
@@ -1309,6 +1345,18 @@ object SparkEntry {
     "ann_sq8_recall" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS sq8_recall_ok
         |FROM embeddings""".stripMargin,
+
+    // DuckDB independently recomputes the total normalized character
+    // mass — equality with the piece mass is the reconstruction proof
+    "text_bpe_gate" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')))
+        |            AS BIGINT) AS total_piece_chars
+        |FROM documents""".stripMargin,
+
+    "text_quality_model_gate" ->
+      """SELECT count(*) AS n_docs, CAST(1 AS BOOLEAN) AS acc_ok
+        |FROM documents""".stripMargin,
 
     // BM25 with k1=1.2, b=0.75, Lucene-style ln(1 + ...) idf; ordered
     // and limited on the ROUNDED score so the top-50 cut is identical
