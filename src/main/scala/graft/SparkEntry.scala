@@ -131,6 +131,7 @@ object SparkEntry {
     "q_quantiles_approx" -> (Relational.approxQuantiles _),
     "q_rollup" -> (Relational.rollupAgg _),
     "q_cube" -> (Relational.cubeAgg _),
+    "q_stats_agg" -> (Relational.statsAgg _),
     "q_anti_join" -> (Relational.antiJoin _),
     "q_semi_join" -> (Relational.semiJoin _),
     "q_union" -> (Relational.unionCase _),
@@ -794,6 +795,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_extendedprice), 2) + 0.0 AS sd_price,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS cov_qty_price,
+        |       round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,

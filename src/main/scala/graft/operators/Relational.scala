@@ -102,6 +102,21 @@ object Relational {
       .agg(r2(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Statistical aggregates (sample stddev/covariance/correlation) —
+    * one partial-aggregable pass; Spark and DuckDB share the sample
+    * (n−1) definitions so the row is oracle-exact after rounding.
+    */
+  def statsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r2(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+        r2(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("cov_qty_price"),
+        (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0))
+          .as("corr_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** CUBE: all 2^k grouping sets in one pass — Spark plans rollup and
     * cube through a single Expand + one exchange, so the full lattice
     * costs one shuffle, not 2^k scans. `grouping()` disambiguates a
