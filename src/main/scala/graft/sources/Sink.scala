@@ -79,6 +79,42 @@ object Sink {
       .saveAsTable(table)
   }
 
+  /** Small-files COMPACTION — the standing maintenance job of any
+    * long-lived table: N tiny files (streaming sinks, over-parallel
+    * writes, many incremental batches) become ⌈rows/target⌉ full-size
+    * files. Rewrites into a sibling temp dir, then swaps via two
+    * renames (write never overlaps read; the old data survives as
+    * `.compact-bak` until the swap completes, so a crash loses
+    * nothing). Returns (rowCount, fileCount after). Partitioned
+    * tables should compact per partition directory — pass the
+    * partition path.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetRecordsPerFile: Long = 5000000L,
+      format: String = "parquet"): (Long, Int) = {
+    require(targetRecordsPerFile > 0)
+    require(Set("parquet", "orc").contains(format), s"unsupported format $format")
+    val df = spark.read.format(format).load(path)
+    val n = df.count()
+    val numFiles = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact-bak")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    df.repartition(numFiles).write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
+    // swap: old -> bak, tmp -> live, drop bak
+    if (!fs.rename(hPath, bak)) throw new java.io.IOException(s"cannot move $path aside")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(bak, hPath) // restore
+      throw new java.io.IOException(s"cannot install compacted $path")
+    }
+    fs.delete(bak, true)
+    (n, numFiles)
+  }
+
   /** JSON-lines export — the interchange format most annotation /
     * inspection tools speak. Pass `numFiles > 0` to engage the same
     * repartition-first small-files guard as [[writePartitioned]]

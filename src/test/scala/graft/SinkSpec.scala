@@ -93,6 +93,28 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("compact: many tiny files become few full files, losslessly") {
+    val out = tmpDir("sink-compact")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // fragment: ~1 file per 10 rows
+    docs.repartition(4).write.option("maxRecordsPerFile", 10L).parquet(out)
+    def countFiles() = Files.walk(Paths.get(out)).toArray.map(_.toString)
+      .count(f => f.endsWith(".parquet") &&
+        !f.contains(".compact-tmp") && !f.contains(".compact-bak"))
+    val before = countFiles()
+    assert(before > 5, s"fragmentation setup produced only $before files")
+    val (rows, files) = Sink.compact(spark, out, targetRecordsPerFile = 1000000L)
+    assert(rows == docs.count())
+    assert(files == 1 && countFiles() == 1, s"expected 1 file, saw ${countFiles()}")
+    val back = spark.read.parquet(out)
+    assert(back.count() == rows)
+    assert(back.join(docs, back.columns.toSeq.map(c => back(c) <=> docs(c))
+      .reduce(_ && _), "left_anti").isEmpty)
+    // temp/backup dirs cleaned up
+    assert(!Files.exists(Paths.get(out + ".compact-tmp")))
+    assert(!Files.exists(Paths.get(out + ".compact-bak")))
+  }
+
   test("writeJsonl: lossless for the text columns") {
     val out = tmpDir("sink-jsonl")
     val df = Tables.documents(spark, "/root/testdata/sf0.001")
