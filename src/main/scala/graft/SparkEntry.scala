@@ -496,10 +496,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("chars").as("total_piece_chars"))
     }),
 
-    // quality-classifier gate: holdout accuracy against the weak lang
-    // label must clear 0.9 — DuckDB pins the doc count and the
-    // constant-TRUE floor (the boolean is robust to LR's ulp-level
-    // training nondeterminism, unlike the raw probabilities)
+    // quality-classifier gate: holdout accuracy must be within 0.05
+    // of the MAJORITY-CLASS baseline or better — the meaningful floor
+    // for a weak label (the corpus's own lang tag over keyword-soup
+    // text, where features are barely predictive): an inverted or
+    // NaN-probability model scores far below the constant predictor
+    // and reddens the row, while ulp-level LR nondeterminism can't.
+    // DuckDB pins the doc count and the constant-TRUE boolean.
     "text_quality_model_gate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val labeled = docs.withColumn("label", (col("lang") === "en").cast("int"))
@@ -508,14 +511,12 @@ object SparkEntry {
       val holdout = labeled.filter(col("doc_id") % 2 =!= 0)
       TextAnalysis.scoreQualityModel(holdout, "doc_id", "text", model)
         .join(holdout.select(col("doc_id").as("id"), col("label")), Seq("id"))
-        .agg(count(lit(1)).as("n_holdout"),
+        .agg(
           avg(((col("quality_prob") >= 0.5).cast("int") === col("label")).cast("int"))
-            .as("acc"))
+            .as("acc"),
+          greatest(avg(col("label")), lit(1.0) - avg(col("label"))).as("baseline"))
         .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
-        // the weak label is the corpus's own lang tag over keyword-soup
-        // text: the features are only mildly predictive, so the floor
-        // asserts "model learned SOMETHING stable", not benchmarks
-        .select(col("n_docs"), (col("acc") >= 0.5).as("acc_ok"))
+        .select(col("n_docs"), (col("acc") >= col("baseline") - 0.05).as("acc_ok"))
     }),
 
     // model-based quality filter (rows-only: LR training is

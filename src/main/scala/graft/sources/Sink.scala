@@ -82,37 +82,65 @@ object Sink {
   /** Small-files COMPACTION — the standing maintenance job of any
     * long-lived table: N tiny files (streaming sinks, over-parallel
     * writes, many incremental batches) become ⌈rows/target⌉ full-size
-    * files. Rewrites into a sibling temp dir, then swaps via two
-    * renames (write never overlaps read; the old data survives as
-    * `.compact-bak` until the swap completes, so a crash loses
-    * nothing). Returns (rowCount, fileCount after). Partitioned
-    * tables should compact per partition directory — pass the
-    * partition path.
+    * files. Rewrites into a sibling temp dir, then installs it with
+    * two directory renames. Returns (rowCount, data files written).
+    *
+    * OFFLINE maintenance only: there is no table-format transaction
+    * log here, so rows appended between the read and the swap would
+    * be lost with the old directory — quiesce writers first (pause
+    * the stream / run between batches), exactly as for any
+    * path-based table rewrite. Crash window: if the process dies
+    * between the two renames, the live path is absent and the intact
+    * pre-compaction data sits at `<path>.compact-bak` — restore is a
+    * single rename back, and the error messages name the location.
+    *
+    * Hive-partitioned ROOTS are rejected (compact each partition
+    * directory instead — rewriting the root would flatten the layout
+    * and break partition-pruned readers). `sortCols` re-sorts rows
+    * within each output file so parquet/ORC min-max stats keep
+    * discriminating after the rewrite (a bare round-robin shuffle
+    * would destroy the skipping order `writePartitioned` set up).
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       targetRecordsPerFile: Long = 5000000L,
-      format: String = "parquet"): (Long, Int) = {
+      format: String = "parquet",
+      sortCols: Seq[String] = Nil): (Long, Int) = {
     require(targetRecordsPerFile > 0)
     require(Set("parquet", "orc").contains(format), s"unsupported format $format")
-    val df = spark.read.format(format).load(path)
+    val hPath0 = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hPath = fs.resolvePath(hPath0) // normalized: no trailing-slash children
+    val partitionDirs = fs.listStatus(hPath)
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.contains("="))
+    require(partitionDirs.isEmpty,
+      s"$path is a hive-partitioned root (${partitionDirs.head}, ...): compact each " +
+        "partition directory, not the root — a flat rewrite would drop the layout")
+    val df = spark.read.format(format).load(hPath.toString)
     val n = df.count()
     val numFiles = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
-    val bak = new org.apache.hadoop.fs.Path(path + ".compact-bak")
+    val parent = hPath.getParent
+    val tmp = new org.apache.hadoop.fs.Path(parent, hPath.getName + ".compact-tmp")
+    val bak = new org.apache.hadoop.fs.Path(parent, hPath.getName + ".compact-bak")
     fs.delete(tmp, true); fs.delete(bak, true)
-    df.repartition(numFiles).write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
+    val arranged = {
+      val r = df.repartition(numFiles)
+      if (sortCols.nonEmpty) r.sortWithinPartitions(sortCols.map(col): _*) else r
+    }
+    arranged.write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
+    val written = fs.listStatus(tmp)
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     // swap: old -> bak, tmp -> live, drop bak
-    if (!fs.rename(hPath, bak)) throw new java.io.IOException(s"cannot move $path aside")
+    if (!fs.rename(hPath, bak)) throw new java.io.IOException(s"cannot move $hPath aside")
     if (!fs.rename(tmp, hPath)) {
-      fs.rename(bak, hPath) // restore
-      throw new java.io.IOException(s"cannot install compacted $path")
+      val restored = fs.rename(bak, hPath)
+      throw new java.io.IOException(
+        s"cannot install compacted $hPath; original data " +
+          (if (restored) "restored" else s"is at $bak — restore it with a rename"))
     }
     fs.delete(bak, true)
-    (n, numFiles)
+    (n, written)
   }
 
   /** JSON-lines export — the interchange format most annotation /

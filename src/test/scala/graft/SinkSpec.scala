@@ -103,16 +103,36 @@ class SinkSpec extends AnyFunSuite {
         !f.contains(".compact-tmp") && !f.contains(".compact-bak"))
     val before = countFiles()
     assert(before > 5, s"fragmentation setup produced only $before files")
-    val (rows, files) = Sink.compact(spark, out, targetRecordsPerFile = 1000000L)
+    val (rows, files) = Sink.compact(spark, out, targetRecordsPerFile = 1000000L,
+      sortCols = Seq("doc_id"))
     assert(rows == docs.count())
     assert(files == 1 && countFiles() == 1, s"expected 1 file, saw ${countFiles()}")
     val back = spark.read.parquet(out)
     assert(back.count() == rows)
+    // set equality both ways + equal counts; doc_id is unique here, so
+    // this is full multiset equality (a drop+duplicate corruption
+    // would surface as a missing doc_id in one of the anti-joins)
     assert(back.join(docs, back.columns.toSeq.map(c => back(c) <=> docs(c))
+      .reduce(_ && _), "left_anti").isEmpty)
+    assert(docs.join(back, back.columns.toSeq.map(c => docs(c) <=> back(c))
       .reduce(_ && _), "left_anti").isEmpty)
     // temp/backup dirs cleaned up
     assert(!Files.exists(Paths.get(out + ".compact-tmp")))
     assert(!Files.exists(Paths.get(out + ".compact-bak")))
+    // within-file sort restored by sortCols: min/max stats discriminate
+    val ids = back.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted), "compacted file lost its sort order")
+  }
+
+  test("compact refuses a hive-partitioned root") {
+    val out = tmpDir("sink-compact-part")
+    val df = operators.Curate.split(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", 80)
+    Sink.writePartitioned(df, out, Seq("split"))
+    val e = intercept[IllegalArgumentException] {
+      Sink.compact(spark, out)
+    }
+    assert(e.getMessage.contains("partition"))
   }
 
   test("writeJsonl: lossless for the text columns") {
