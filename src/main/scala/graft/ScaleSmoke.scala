@@ -96,12 +96,16 @@ object ScaleSmoke {
       Dedup.embeddingPairsLsh(emb, "doc_id", "vec", threshold = 0.95, dim = 64,
         tables = 2, bits = embBits, probes = 2, maxBucketSize = 1000).count()
     }
-    // cells sized to the corpus (≈1k vectors/cell) so the capped
-    // within-cell join stays O(n·cellSize), mirroring how bits scale
-    // with log2(n) above; the toy-SF default of 16 cells would put
-    // every vector in one oversized star-degraded bucket here
-    val nCells = math.min(math.max(64L, nDocs / 1000L), 4096L).toInt
-    timed(s"semantic dedup pairs ($nCells k-means cells, assign=2, verified cos >= 0.95)") {
+    // cells follow the √n rule semanticPairs now defaults to (round-4
+    // verdict #3): assignment is O(n·nCells) and within-cell GEMM
+    // O(n²/nCells), so √n balances them at O(n^1.5) — the n/1000 rule
+    // this smoke originally used made assignment O(n²/1000), the
+    // measured O(n^1.9) envelope of the round-3/4 notes. assign stays
+    // an explicit 2 here so the 1M→4M wall-clock ratio isolates the
+    // cell-count scaling (the auto 2·ln(cells) rule adds a log factor
+    // of candidate duplication on top).
+    val nCells = math.max(64L, math.ceil(math.sqrt(nDocs.toDouble)).toLong).toInt
+    timed(s"semantic dedup pairs ($nCells k-means cells = ceil(sqrt(n)), assign=2, verified cos >= 0.95)") {
       Dedup.semanticPairs(emb, "doc_id", "vec", threshold = 0.95,
         nCells = nCells, assign = 2, maxTrain = 8192, maxCellSize = 4000).count()
     }

@@ -129,6 +129,42 @@ object SparkEntry {
     "q_distinct_approx" -> (Relational.approxDistinctCounts _),
     "q_quantiles" -> (Relational.quantiles _),
     "q_quantiles_approx" -> (Relational.approxQuantiles _),
+
+    // driver-visible HLL++ error gate (round-4 verdict #4): the exact
+    // distinct counts are DuckDB-recomputable, so the oracle pins them
+    // and the 1%-rsd sketch must land within ±5% (5σ) of each — an
+    // estimator regression reddens the row without the driver needing
+    // Spark's HLL implementation. Same pattern as ann_recall.
+    "q_distinct_approx_gate" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("__ap"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("__as"))
+        .select(col("n_parts"), col("n_supps"),
+          (abs(col("__ap") - col("n_parts")) <= col("n_parts") * 0.05 &&
+            abs(col("__as") - col("n_supps")) <= col("n_supps") * 0.05).as("hll_ok"))),
+
+    // driver-visible t-digest error gate: exact interpolated
+    // percentiles (DuckDB quantile_cont recomputes them) + a boolean
+    // asserting each approx_percentile lands inside the ±0.005 RANK
+    // window around its target — 50× the sketch's 1e-4 worst-case
+    // rank error, so only a real estimator regression trips it.
+    "q_quantiles_approx_gate" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          (round(expr("percentile(o_totalprice, 0.5)"), 2) + lit(0.0)).as("p50"),
+          (round(expr("percentile(o_totalprice, 0.9)"), 2) + lit(0.0)).as("p90"),
+          (round(expr("percentile(o_totalprice, 0.99)"), 2) + lit(0.0)).as("p99"),
+          expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("__a"),
+          expr("percentile(o_totalprice, array(0.495, 0.505, 0.895, 0.905, 0.985, 0.995))")
+            .as("__b"))
+        .select(col("o_orderstatus"), col("p50"), col("p90"), col("p99"),
+          (col("__a")(0).between(col("__b")(0), col("__b")(1)) &&
+            col("__a")(1).between(col("__b")(2), col("__b")(3)) &&
+            col("__a")(2).between(col("__b")(4), col("__b")(5))).as("tdigest_ok"))
+        .orderBy("o_orderstatus")),
     "q_rollup" -> (Relational.rollupAgg _),
     "q_cube" -> (Relational.cubeAgg _),
     "q_stats_agg" -> (Relational.statsAgg _),
@@ -222,6 +258,35 @@ object SparkEntry {
     "dedup_overlap" -> ((s, dir) =>
       Dedup.overlapPairs(Tables.documents(s, dir), "doc_id", "text",
         minShared = 3, maxDocFreq = 20L)),
+
+    // driver-visible overlap-detection gate (round-4 verdict #4): a
+    // distinctive ~300-char passage is planted into every doc_id < 1000
+    // that is ≡ 0 (mod 100) — at most 10 docs at any SF, safely under
+    // the df-cut — and EVERY planted pair must surface in
+    // overlapPairs' output. The oracle recomputes the planted-doc
+    // count (and thus the expected pair count) independently; a
+    // fingerprint/df-cut/join regression that loses a planted pair
+    // flips all_detected and reddens the row.
+    "dedup_overlap_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isPlanted = col("doc_id") < 1000 && pmod(col("doc_id"), lit(100)) === 0
+      val passage = (1 to 40).map(i => f"graftoverlapgatetoken$i%03d").mkString(" ")
+      val planted = docs.select(col("doc_id"),
+        when(isPlanted, concat_ws(" ", col("text"), lit(passage)))
+          .otherwise(col("text")).as("text"))
+      val pairs = Dedup.overlapPairs(planted, "doc_id", "text",
+        minShared = 3, maxDocFreq = 20L)
+      val plantedIds = docs.filter(isPlanted).select("doc_id")
+      val detected = pairs
+        .join(plantedIds.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
+        .join(plantedIds.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
+      detected.agg(count(lit(1)).as("__n_detected"))
+        .crossJoin(plantedIds.agg(count(lit(1)).as("n_planted")))
+        .select(col("n_planted"),
+          (col("__n_detected") ===
+            (col("n_planted") * (col("n_planted") - 1) / 2).cast("long"))
+            .as("all_detected"))
+    }),
 
     // benchmark decontamination: the train split loses every doc
     // sharing a word 5-gram with the eval split. Broadcast-semi-join
@@ -499,10 +564,14 @@ object SparkEntry {
     // quality-classifier gate: holdout accuracy must be within 0.05
     // of the MAJORITY-CLASS baseline or better — the meaningful floor
     // for a weak label (the corpus's own lang tag over keyword-soup
-    // text, where features are barely predictive): an inverted or
-    // NaN-probability model scores far below the constant predictor
-    // and reddens the row, while ulp-level LR nondeterminism can't.
-    // DuckDB pins the doc count and the constant-TRUE boolean.
+    // text, where features are barely predictive): an inverted model
+    // scores far below the constant predictor and reddens the row,
+    // while ulp-level LR nondeterminism can't. The accuracy floor
+    // alone can NOT catch a degenerate all-NaN model (NaN ≥ 0.5 is
+    // false → it predicts the majority class whenever label 0
+    // dominates, matching the baseline exactly — round-4 advisor), so
+    // the gate also requires every probability to be finite. DuckDB
+    // pins the doc count and the constant-TRUE boolean.
     "text_quality_model_gate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val labeled = docs.withColumn("label", (col("lang") === "en").cast("int"))
@@ -514,9 +583,11 @@ object SparkEntry {
         .agg(
           avg(((col("quality_prob") >= 0.5).cast("int") === col("label")).cast("int"))
             .as("acc"),
-          greatest(avg(col("label")), lit(1.0) - avg(col("label"))).as("baseline"))
+          greatest(avg(col("label")), lit(1.0) - avg(col("label"))).as("baseline"),
+          sum(isnan(col("quality_prob")).cast("int")).as("__n_nan"))
         .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
-        .select(col("n_docs"), (col("acc") >= col("baseline") - 0.05).as("acc_ok"))
+        .select(col("n_docs"),
+          (col("acc") >= col("baseline") - 0.05 && col("__n_nan") === 0).as("acc_ok"))
     }),
 
     // model-based quality filter (rows-only: LR training is
@@ -544,7 +615,11 @@ object SparkEntry {
     // on the scoring side
     "text_perplexity" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val model = TextAnalysis.unigramModel(docs.filter(col("doc_id") % 2 === 0), "text")
+      // requireUncut: the DuckDB oracle models the FULL reference
+      // vocabulary — fail loudly if the top-V cut would ever engage
+      // (a modeling difference, not an engine regression)
+      val model = TextAnalysis.unigramModel(docs.filter(col("doc_id") % 2 === 0), "text",
+        requireUncut = true)
       TextAnalysis.unigramNll(docs, "doc_id", "text", model)
         .select(col("id"), col("n_tokens"),
           (round(col("bits_per_token"), 4) + lit(0.0)).as("bits_per_token"))
@@ -587,6 +662,33 @@ object SparkEntry {
     // gate; WinnowSpec asserts the shared-substring guarantee
     "text_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(Tables.documents(s, dir), "doc_id", "text")),
+
+    // driver-visible winnowing-guarantee gate (round-4 verdict #4):
+    // two variants of every doc share the doc's full normalized text
+    // but carry different prefixes — a shared substring far beyond the
+    // w + k − 1 guarantee window, so EVERY variant pair must share at
+    // least one selected fingerprint (Schleimer/Wilkerson/Aiken's
+    // correctness property, the one WinnowSpec proves per-window). The
+    // oracle recomputes the eligible doc count independently; a
+    // selection/rolling-hash regression that voids the guarantee flips
+    // all_shared and reddens the row.
+    "text_winnow_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 500 && length(col("text")) >= 64)
+      val a = docs.select((col("doc_id") * 2).as("id"),
+        concat(lit("alpha prefix one "), col("text")).as("text"))
+      val b = docs.select((col("doc_id") * 2 + 1).as("id"),
+        concat(lit("beta variant two "), col("text")).as("text"))
+      val fps = TextAnalysis.winnow(a.union(b), "id", "text")
+      val fa = fps.filter(pmod(col("id"), lit(2)) === 0)
+        .select((col("id") / 2).cast("long").as("d"), col("fp"))
+      val fb = fps.filter(pmod(col("id"), lit(2)) === 1)
+        .select(((col("id") - 1) / 2).cast("long").as("d"), col("fp"))
+      val hit = fa.join(fb, Seq("d", "fp")).select("d").distinct()
+      hit.agg(count(lit(1)).as("__n_hit"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        .select(col("n_docs"), (col("__n_hit") === col("n_docs")).as("all_shared"))
+    }),
 
     // context-window chunking: 40-token windows, 8-token overlap;
     // chunk identity pinned by md5 so the gate rows stay compact
@@ -821,6 +923,33 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.99), 2) + 0.0 AS p99,
         |       count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sketch-error gates: DuckDB recomputes the EXACT side (distinct
+    // counts / interpolated percentiles); the within-ε booleans are
+    // pinned TRUE, so a Spark-side estimator regression reddens the row
+    "q_distinct_approx_gate" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       CAST(1 AS BOOLEAN) AS hll_ok
+        |FROM lineitem""".stripMargin,
+
+    "q_quantiles_approx_gate" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) + 0.0 AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 2) + 0.0 AS p90,
+        |       round(quantile_cont(o_totalprice, 0.99), 2) + 0.0 AS p99,
+        |       CAST(1 AS BOOLEAN) AS tdigest_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // planted-evidence gates: the oracle independently recomputes the
+    // planted/eligible doc count; the detection booleans are pinned
+    "text_winnow_gate" ->
+      """SELECT count(*) AS n_docs, CAST(1 AS BOOLEAN) AS all_shared
+        |FROM documents WHERE doc_id < 500 AND length(text) >= 64""".stripMargin,
+
+    "dedup_overlap_gate" ->
+      """SELECT count(*) AS n_planted, CAST(1 AS BOOLEAN) AS all_detected
+        |FROM documents WHERE doc_id < 1000 AND doc_id % 100 = 0""".stripMargin,
 
     "q_union" ->
       """SELECT status, count(*) AS cnt FROM (

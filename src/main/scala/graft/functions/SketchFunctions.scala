@@ -598,8 +598,13 @@ case class LangMarkerStats(child: Expression, markers: Seq[Seq[String]])
   * broadcast HANDLE — the filter's bytes ship to each executor once
   * via the broadcast machinery, never inside the task binary (a 1 GB
   * filter inside the expression tree would re-serialize per task).
-  * Codegen'd, so at 100 TB the batch's definitely-new rows are
-  * rejected inside the scan stage without ever reaching a join.
+  * Codegen'd. What the bloom buys (per Dedup.exactIncrementalBloom's
+  * plan): the batch's definitely-new rows SKIP THE ANTI-JOIN PROBE
+  * against the landed hash set — they are filtered out of the probe
+  * side inside a scan-stage Filter. The batch's own within-batch
+  * dedup window still sees every row (the bloom can't adjudicate
+  * within-batch duplicates), so the exchange it pays is the batch's,
+  * never the corpus's.
   *
   * Equivalence note: Spark's `BloomFilter.putString`/`mightContainString`
   * hash the UTF-8 bytes, so testing `UTF8String.getBytes` matches a

@@ -218,22 +218,39 @@ object Curate {
     * the same md5-hash order as [[sourceQuota]]/`stratifiedSample`,
     * same skew-proof two-phase plan (phase 1 caps each (group, salt)
     * bucket at the group's quota, phase 2 ranks the ≤ salts·quota
-    * survivors). Groups without a quota are dropped. Quotas are
-    * inlined as a CASE chain — right for the tens-of-sources case;
-    * a thousands-of-groups mixture should join a broadcast quota
-    * table instead.
+    * survivors). Groups without a quota are dropped.
+    *
+    * Quota attachment (round-4 verdict #5): the DEFAULT path joins a
+    * BROADCAST (group, quota) table — planning cost is O(1) in the
+    * number of groups, so a thousands-of-domains mixture plans
+    * instantly (CurateSpec pins the planning-time bound at 5000
+    * groups). Maps of ≤ `inlineThreshold` groups inline the quotas as
+    * a scan-stage CASE chain instead, trading the (tiny) broadcast
+    * build for zero join nodes; both paths produce identical output
+    * (CurateSpec asserts equality).
     */
   def mixtureSample(
       docs: DataFrame, groupCol: String, idCol: String,
-      quotas: Map[String, Int], salts: Int = 32): DataFrame = {
+      quotas: Map[String, Int], salts: Int = 32,
+      inlineThreshold: Int = 0): DataFrame = {
     require(quotas.nonEmpty, "mixtureSample needs at least one quota")
     require(quotas.values.forall(_ >= 0), "quotas must be >= 0")
-    val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (g, n)) =>
-      when(col(groupCol) === g, lit(n)).otherwise(acc)
-    }
-    Relational.twoPhaseTopN(
-        docs.withColumn("__q", quotaCol).filter(col("__q") > 0),
-        groupCol, idCol, col("__q"), salts)
+    val quotaed =
+      if (quotas.size <= inlineThreshold) {
+        val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (g, n)) =>
+          when(col(groupCol) === g, lit(n)).otherwise(acc)
+        }
+        docs.withColumn("__q", quotaCol).filter(col("__q") > 0)
+      } else {
+        val s = docs.sparkSession
+        import s.implicits._
+        val quotaTable = quotas.toSeq.filter(_._2 > 0).toDF(groupCol, "__q")
+        // reselect in input order: Seq-join moves the key column first,
+        // and callers (and the CASE path) see docs' own column order
+        docs.join(broadcast(quotaTable), Seq(groupCol))
+          .select((docs.columns.map(col) :+ col("__q")).toIndexedSeq: _*)
+      }
+    Relational.twoPhaseTopN(quotaed, groupCol, idCol, col("__q"), salts)
       .drop("__q")
   }
 

@@ -14,8 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * opaque `binary` payloads with typed metadata, decoded/featurized
   * per partition in batches.
   *
-  * The image/audio codecs aren't in this environment, so `decodeStub`
-  * is a clearly-marked deterministic fake — but everything Spark-side
+  * PNG decodes for REAL (`javax.imageio` ships with the bare JVM —
+  * [[decodePng]]); the other codecs aren't in this environment, so
+  * [[decodeStub]] is a clearly-marked deterministic fake for them —
+  * but everything Spark-side
   * is real and load-bearing: the binary column, the schema of the
   * feature struct, partition-batched iteration (the `mapPartitions`
   * shape a Pandas-UDF/Arrow batch pipeline has on a cluster), and the
@@ -33,9 +35,51 @@ object Multimodal {
     StructField("content_md5", StringType, nullable = false),
     StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
-  /** STUB decode: a real implementation would parse the media header
-    * and run a feature extractor here. Deterministic fake: md5 + a
-    * 4-dim feature derived from byte statistics.
+  /** Decode dispatcher: REAL pixel decode for PNG (the one codec the
+    * bare JVM ships — `javax.imageio`, round-4 verdict #8); the
+    * deterministic stub for every other container (their codecs are
+    * absent in this environment). Both arms return the same
+    * (md5, feature-vector) shape, so the downstream schema and
+    * pipeline are codec-agnostic.
+    */
+  private[graft] def decode(payload: Array[Byte]): (String, Array[Double]) =
+    (if (parseHeader(payload)._2 == "png") decodePng(payload) else None)
+      .getOrElse(decodeStub(payload))
+
+  /** REAL PNG decode via `javax.imageio` — NOT a stub. Feature layout:
+    * [width, height, mean R, mean G, mean B] over all pixels (0-255
+    * scale), the plumbing-sized stand-in for a model embedding. A
+    * payload ImageIO can't actually decode (truncated/corrupt body
+    * behind a valid magic) falls back to the stub rather than failing
+    * the pipeline — malformed blobs are data, not bugs, at 100 TB.
+    */
+  private[graft] def decodePng(payload: Array[Byte]): Option[(String, Array[Double])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(payload).map("%02x".format(_)).mkString
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0.0, 0.0, 0.0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w.toLong * h, 1L).toDouble
+        Some((hex, Array(w.toDouble, h.toDouble, sr / n, sg / n, sb / n)))
+      }
+    } catch { case _: Throwable => None }
+
+  /** STUB decode for codecs absent from this environment: md5 + a
+    * 4-dim feature derived from byte statistics, deterministic so
+    * tests are stable.
     */
   private def decodeStub(payload: Array[Byte]): (String, Array[Double]) = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -59,7 +103,7 @@ object Multimodal {
       // batch shape: decode in groups, as an Arrow/Pandas batch would
       it.map(row => (row.getLong(0), row.getBinary(1)))
         .grouped(256).flatMap(_.iterator.map { case (id, payload) =>
-          val (hex, feat) = decodeStub(payload)
+          val (hex, feat) = decode(payload)
           new GenericInternalRow(Array[Any](id, payload.length.toLong,
             UTF8String.fromString(hex), new GenericArrayData(feat))): InternalRow
         })

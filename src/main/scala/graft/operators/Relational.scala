@@ -221,17 +221,23 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), r4(sum(col("value"))).as("sum_value"))
       .orderBy("w", "event_type")
 
-  /** JSON extraction from the props column. Filter FIRST on the raw
-    * extraction, re-derive the column for survivors only: projecting
-    * then filtering makes predicate pushdown restate the JSON parse in
-    * the filter, parsing every row twice (same shape as Curate's
-    * gates).
+  /** JSON extraction from the props column — exactly ONE parse per
+    * row (round-4 verdict #2: the previous filter-then-select form
+    * restated the parse in both the Filter and the Project).
+    * Project-then-filter alone does not fix it:
+    * `PushPredicateThroughNonJoin` substitutes the alias back into the
+    * pushed-down predicate, recreating the double parse. The 1-element
+    * `explode` is the optimizer barrier — predicates referencing
+    * generator output never push through a Generate, so the parse
+    * stays in one scan-stage projection and the filter consumes its
+    * result. PlanAuditSpec counts the `get_json_object` calls in the
+    * optimized plan.
     */
   def jsonExtract(s: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("long")
     Tables.events(s, dir)
-      .filter(k > 90)
-      .select(col("event_id"), k.as("k"))
+      .select(col("event_id"), explode(array(k)).as("k"))
+      .filter(col("k") > 90)
       .orderBy("event_id")
   }
 

@@ -834,8 +834,15 @@ object Similarity {
     val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
       val cx = bc.value
       val blas = BLAS.getInstance()
-      val tileF = new Array[Float](math.min(tr, cx.n) * cx.dim)  // decoded corpus tile
-      val tileScores = new Array[Float](512 * math.min(tr, cx.n))
+      // clamp the tile width ONCE and bound both buffers in Long math:
+      // a caller passing tileRows ≥ ~4.2M against a corpus that large
+      // would otherwise overflow Int and throw
+      // NegativeArraySizeException instead of a clear error
+      val tw0 = math.min(tr, cx.n)
+      require(tw0.toLong * cx.dim <= Int.MaxValue && tw0.toLong * 512L <= Int.MaxValue,
+        s"tileRows $tw0 × max(dim ${cx.dim}, batch 512) exceeds a JVM array — lower tileRows")
+      val tileF = new Array[Float](tw0 * cx.dim)  // decoded corpus tile
+      val tileScores = new Array[Float](512 * tw0)
       it.map(_.copy()).grouped(512).flatMap { batch0 =>
         val nullFlags = batch0.map(_.isNullAt(embIdx))
         val batch = batch0.iterator.zip(nullFlags.iterator)

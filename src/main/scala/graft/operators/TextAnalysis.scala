@@ -414,7 +414,8 @@ object TextAnalysis {
   def unigramModel(
       reference: DataFrame,
       textCol: String,
-      vocabSize: Int = 1 << 20): (java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double], Double) = {
+      vocabSize: Int = 1 << 20,
+      requireUncut: Boolean = false): (java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double], Double) = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     // persisted across the two actions (totals agg + top-V collect) —
     // otherwise the full reference-corpus token count runs twice
@@ -427,6 +428,13 @@ object TextAnalysis {
         sum("c").as("n"), count(lit(1)).as("v")).collect()
       require(!totals.isNullAt(0), "unigramModel: reference corpus has no tokens")
       val n = totals.getLong(0); val v = totals.getLong(1)
+      // oracle-parity guard (round-4 advisor): the text_perplexity
+      // DuckDB oracle models the FULL reference vocabulary, which only
+      // matches this model while no token is cut. The gate query opts
+      // in; production callers scoring against a capped vocab don't.
+      if (requireUncut) require(v <= vocabSize,
+        s"unigramModel: $v distinct reference tokens exceed vocabSize=$vocabSize — " +
+          "the uncut-vocabulary oracle no longer matches; raise vocabSize or drop the oracle row")
       val denom = (n + v + 1).toDouble
       val log2 = (x: Double) => math.log(x) / math.log(2.0)
       val vocab = counts.orderBy(col("c").desc, col("tok").asc).limit(vocabSize).collect()

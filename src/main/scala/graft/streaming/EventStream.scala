@@ -249,13 +249,16 @@ object EventStream {
       embCol: String,
       corpus: graft.operators.CorpusIndex,
       k: Int,
-      metric: graft.operators.Metric): DataFrame = {
+      metric: graft.operators.Metric,
+      corpusTile: Int = 16384): DataFrame = {
+    require(corpusTile >= 1, s"corpusTile must be >= 1, got $corpusTile")
     val spark = queries.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(corpus)
     val kk = math.min(math.max(k, 0), corpus.n)
     val higher = metric.higherIsBetter
     val m = metric
+    val ct = corpusTile
     queries
       .filter(col(embCol).isNotNull)
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
@@ -263,6 +266,16 @@ object EventStream {
       .mapPartitions { it =>
         val cx = bc.value
         val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+        // score matrix is batch × TILE, not batch × corpus: the serving
+        // path previously materialized 512 × |corpus| doubles per
+        // micro-batch (~16 GB at a 4M-vector index — round-4 advisor),
+        // inheriting the untiled batch shape while being pitched for
+        // large static indexes. Tiling the corpus dimension with a
+        // running top-k (same scheme as topkSq8) bounds per-task memory
+        // at 512 × corpusTile doubles regardless of index size; the
+        // GEMM reads each tile in place via the offset dgemm variant.
+        val tw0 = math.min(ct, math.max(cx.n, 1))
+        val scores = new Array[Double](512 * tw0)
         it.grouped(512).flatMap { batch =>
           val mRows = batch.length
           val q = new Array[Double](mRows * cx.dim)
@@ -277,45 +290,59 @@ object EventStream {
             while (d < cx.dim) { val v = emb(d); sq += v * v; d += 1 }
             qSq(i) = sq; qNorms(i) = math.sqrt(sq); i += 1
           }
-          val scores = new Array[Double](mRows * cx.n)
-          if (mRows > 0) blas.dgemm("T", "N", cx.n, mRows, cx.dim, 1.0, cx.data, cx.dim,
-            q, cx.dim, 0.0, scores, cx.n)
-          batch.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
-            val base = qi * cx.n
-            val selIdx = new Array[Int](math.max(kk, 1))
-            val selScore = new Array[Double](math.max(kk, 1))
-            var size = 0
-            var j = if (kk == 0) cx.n else 0
-            while (j < cx.n) {
-              val s = m match {
-                case graft.operators.Metric.Dot => scores(base + j)
-                case graft.operators.Metric.Cosine =>
-                  if (qNorms(qi) <= 1e-10 || cx.norms(j) <= 1e-10) 0.0
-                  else scores(base + j) / (qNorms(qi) * cx.norms(j))
-                case graft.operators.Metric.Euclidean =>
-                  math.sqrt(math.max(0.0, qSq(qi) + cx.sqNorms(j) - 2.0 * scores(base + j)))
-              }
-              val beatsWorst = size < kk || {
-                val w = selScore(size - 1)
-                if (higher) s > w || (s == w && cx.ids(j) < cx.ids(selIdx(size - 1)))
-                else s < w || (s == w && cx.ids(j) < cx.ids(selIdx(size - 1)))
-              }
-              if (beatsWorst) {
-                var pos = if (size < kk) size else kk - 1
-                while (pos > 0 && {
-                  val ps = selScore(pos - 1)
-                  if (higher) s > ps || (s == ps && cx.ids(j) < cx.ids(selIdx(pos - 1)))
-                  else s < ps || (s == ps && cx.ids(j) < cx.ids(selIdx(pos - 1)))
-                }) {
-                  selScore(pos) = selScore(pos - 1); selIdx(pos) = selIdx(pos - 1); pos -= 1
+          // running top-k per query, carried across corpus tiles
+          val selIdx = new Array[Int](mRows * math.max(kk, 1))
+          val selScore = new Array[Double](mRows * math.max(kk, 1))
+          val sizes = new Array[Int](mRows)
+          var t0 = 0
+          while (t0 < cx.n && mRows > 0 && kk > 0) {
+            val tw = math.min(tw0, cx.n - t0)
+            blas.dgemm("T", "N", tw, mRows, cx.dim, 1.0,
+              cx.data, t0 * cx.dim, cx.dim, q, 0, cx.dim, 0.0, scores, 0, tw)
+            var qi = 0
+            while (qi < mRows) {
+              val base = qi * tw
+              val selBase = qi * kk
+              var j = 0
+              while (j < tw) {
+                val g = t0 + j // global corpus position
+                val s = m match {
+                  case graft.operators.Metric.Dot => scores(base + j)
+                  case graft.operators.Metric.Cosine =>
+                    if (qNorms(qi) <= 1e-10 || cx.norms(g) <= 1e-10) 0.0
+                    else scores(base + j) / (qNorms(qi) * cx.norms(g))
+                  case graft.operators.Metric.Euclidean =>
+                    math.sqrt(math.max(0.0, qSq(qi) + cx.sqNorms(g) - 2.0 * scores(base + j)))
                 }
-                selScore(pos) = s; selIdx(pos) = j
-                if (size < kk) size += 1
+                val size = sizes(qi)
+                val beatsWorst = size < kk || {
+                  val w = selScore(selBase + size - 1)
+                  if (higher) s > w || (s == w && cx.ids(g) < cx.ids(selIdx(selBase + size - 1)))
+                  else s < w || (s == w && cx.ids(g) < cx.ids(selIdx(selBase + size - 1)))
+                }
+                if (beatsWorst) {
+                  var pos = if (size < kk) size else kk - 1
+                  while (pos > 0 && {
+                    val ps = selScore(selBase + pos - 1)
+                    if (higher) s > ps || (s == ps && cx.ids(g) < cx.ids(selIdx(selBase + pos - 1)))
+                    else s < ps || (s == ps && cx.ids(g) < cx.ids(selIdx(selBase + pos - 1)))
+                  }) {
+                    selScore(selBase + pos) = selScore(selBase + pos - 1)
+                    selIdx(selBase + pos) = selIdx(selBase + pos - 1)
+                    pos -= 1
+                  }
+                  selScore(selBase + pos) = s; selIdx(selBase + pos) = g
+                  if (size < kk) sizes(qi) = size + 1
+                }
+                j += 1
               }
-              j += 1
+              qi += 1
             }
-            (0 until size).iterator.map(r =>
-              (qid, r + 1, cx.ids(selIdx(r)), selScore(r)))
+            t0 += tw
+          }
+          batch.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+            (0 until sizes(qi)).iterator.map(r =>
+              (qid, r + 1, cx.ids(selIdx(qi * kk + r)), selScore(qi * kk + r)))
           }
         }
       }

@@ -96,6 +96,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(6L)._2 == "unknown") // stub fallback
   }
 
+  test("PNG decode is REAL: javax.imageio pixel stats, exact on a known fixture") {
+    // render a known image: left half pure red, right half pure blue
+    val (w, h) = (8, 4)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    // real decode: [width, height, meanR, meanG, meanB] — exact values
+    val (hex, feat) = Multimodal.decode(png)
+    assert(feat.toSeq == Seq(8.0, 4.0, 127.5, 0.0, 127.5))
+    // md5 is over the payload bytes, same contract as the stub arm
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(hex == md.digest(png).map("%02x".format(_)).mkString)
+    // non-PNG payloads still take the deterministic stub arm:
+    // feature(0) = byte_len is the stub's signature layout
+    val txt = "just text".getBytes("UTF-8")
+    assert(Multimodal.decode(txt)._2.head == txt.length.toDouble)
+    // a PNG magic with a corrupt body falls back to the stub, not a crash
+    val corrupt = png.take(24)
+    assert(Multimodal.decode(corrupt)._2.length == 4)
+  }
+
   test("header-parse edge cases: JPEG fill bytes/TEM, ISO-BMFF brands") {
     import spark.implicits._
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray

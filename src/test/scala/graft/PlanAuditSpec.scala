@@ -220,6 +220,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-N should be TakeOrdered, not sort+limit")
   }
 
+  test("q_json_extract: exactly one get_json_object per row — filter can't re-push the parse") {
+    val opt = SparkEntry.queries("q_json_extract")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val parses = "get_json_object".r.findAllIn(opt).length
+    assert(parses == 1,
+      s"expected exactly one JSON parse in the optimized plan, saw $parses:\n$opt")
+  }
+
   test("q_pivot: explicit values avoid the distinct-values job; aggs stay partial") {
     val p = plan("q_pivot")
     assert(p.contains("partial_sum"), "no map-side partial aggregation")
