@@ -31,15 +31,22 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = synth(spark, nDocs).cache()
-    val n = docs.count() // materialize generation outside the timings
-    println(s"corpus: $n docs")
+    // SPARK_GRAFT_SMOKE_EMB_ONLY=1 skips the text-dedup family — the
+    // embedding stages are independent, and a 4M full pass does not
+    // fit one sitting when only the embedding envelopes are being
+    // re-measured
+    val embOnly = sys.env.get("SPARK_GRAFT_SMOKE_EMB_ONLY").contains("1")
 
     def timed(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val out = body
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($out rows)")
     }
+
+    if (!embOnly) {
+    val docs = synth(spark, nDocs).cache()
+    val n = docs.count() // materialize generation outside the timings
+    println(s"corpus: $n docs")
 
     timed("exact dedup (md5 groupBy)") {
       Dedup.exact(docs, "doc_id", "text").count()
@@ -81,6 +88,7 @@ object ScaleSmoke {
         "doc_id", "text", n = 5).count()
     }
     docs.unpersist()
+    }
 
     // embedding near-dup at the same corpus size: 64-dim vectors with
     // the same planted 1 % exact + 1 % near (one nudged coordinate →
@@ -105,9 +113,9 @@ object ScaleSmoke {
     // cell-count scaling (the auto 2·ln(cells) rule adds a log factor
     // of candidate duplication on top).
     val nCells = math.max(64L, math.ceil(math.sqrt(nDocs.toDouble)).toLong).toInt
-    timed(s"semantic dedup pairs ($nCells k-means cells = ceil(sqrt(n)), assign=2, verified cos >= 0.95)") {
+    timed(s"semantic dedup pairs ($nCells k-means cells = ceil(sqrt(n)), assign=2, auto cell cap, verified cos >= 0.95)") {
       Dedup.semanticPairs(emb, "doc_id", "vec", threshold = 0.95,
-        nCells = nCells, assign = 2, maxTrain = 8192, maxCellSize = 4000).count()
+        nCells = nCells, assign = 2, maxTrain = 8192).count()
     }
     // SQ8 top-k at a 1M-vector index: the f64 index would be
     // 1M×64×8 = 512 MB broadcast; SQ8 ships 64 MB. Throughput should
@@ -128,6 +136,54 @@ object ScaleSmoke {
     }
     sqQueries.unpersist()
     emb.unpersist()
+
+    // SQ8 + blocked composition at the BROADCAST ENVELOPE (round-4
+    // verdict #6): a 256-d corpus at 4M docs is 4.1 GB as f32 / 8.2 GB
+    // as f64 — past any realistic per-executor broadcast budget —
+    // while the 8 SQ8 blocks ship ~128 MB each. Ground truth for
+    // recall is the blocked EXACT kernel on the same block split, so
+    // the comparison isolates quantization loss. Opt-in — and it needs
+    // a BIG driver heap: block collects materialize boxed rows before
+    // packing, the exact pass holds every block's f64+f32 pack plus
+    // its broadcast copy, and local-mode executors share the heap
+    // (a 24g first attempt GC-thrashed to a standstill at 4M×256):
+    //   SPARK_GRAFT_SMOKE_SQ8_DOCS=4000000 SPARK_DRIVER_MEM=64g \
+    //     sbt "runMain graft.ScaleSmoke"
+    val sq8EnvDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SQ8_DOCS", "0").toLong
+    if (sq8EnvDocs > 0) {
+      val dim = 256
+      val blocks = 8
+      // cached: both topkBlocked passes collect every hash-mod block,
+      // and without the cache each of the 16 collects re-runs the
+      // 256-hash-per-row synthetic generation
+      val corpus = synthEmb(spark, sq8EnvDocs, dim)
+        .select(col("doc_id"), col("vec").cast("array<float>").as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.count()
+      val queries = synthEmb(spark, 1000L, dim)
+        .select((col("doc_id") + 1000000000L).as("qid"),
+          col("vec").cast("array<double>").as("vec")).cache()
+      queries.count()
+      var t = System.nanoTime()
+      val sq8Hits = Similarity.topkBlocked(queries, "vec", "qid", corpus,
+          "doc_id", "vec", 10, Metric.Cosine, numBlocks = blocks, quantized = true)
+        .select(col("qid"), col("index"), lit(1).as("hit"))
+        .cache()
+      val nSq8 = sq8Hits.count()
+      println(f"sq8+blocked topk (1k q x $sq8EnvDocs x ${dim}d, $blocks blocks, " +
+        f"build+search): ${(System.nanoTime() - t) / 1e9}%.2f s ($nSq8 rows)")
+      t = System.nanoTime()
+      val r = Similarity.topkBlocked(queries, "vec", "qid", corpus,
+          "doc_id", "vec", 10, Metric.Cosine, numBlocks = blocks)
+        .select(col("qid"), col("index"))
+        .join(sq8Hits, Seq("qid", "index"), "left")
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("h")).head()
+      println(f"blocked exact baseline (same split): ${(System.nanoTime() - t) / 1e9}%.2f s; " +
+        f"sq8 recall@10 = ${r.getLong(1).toDouble / r.getLong(0)}%.4f")
+      sq8Hits.unpersist()
+      queries.unpersist()
+      corpus.unpersist()
+    }
     spark.stop()
   }
 
@@ -135,15 +191,15 @@ object ScaleSmoke {
     * coordinates from xxhash64(seed·64 + i); same dup plan as [[synth]]
     * (1 % exact copies, 1 % near copies with coordinate 7 nudged).
     */
-  private def synthEmb(spark: SparkSession, nDocs: Long): DataFrame = {
+  private def synthEmb(spark: SparkSession, nDocs: Long, dim: Int = 64): DataFrame = {
     val seed = when(col("id") % 100 === 7, col("id") - lit(7))
       .when(col("id") % 100 === 13, col("id") - lit(13))
       .otherwise(col("id"))
     val nudge = col("id") % 100 === 13
     spark.range(nDocs).toDF("id").withColumn("__seed", seed)
       .select(col("id").as("doc_id"),
-        transform(sequence(lit(0), lit(63)), i =>
-          (pmod(xxhash64(col("__seed") * 64 + i), lit(10000)).cast("double") / 5000.0 - 1.0)
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (pmod(xxhash64(col("__seed") * dim + i), lit(10000)).cast("double") / 5000.0 - 1.0)
             + when(nudge && i === 7, lit(0.05)).otherwise(lit(0.0))).as("vec"))
   }
 
