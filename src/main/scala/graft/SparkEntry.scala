@@ -658,6 +658,23 @@ object SparkEntry {
     }),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
 
+    // line-level boilerplate removal (CCNet/RefinedWeb): the corpus
+    // has no newlines by construction, so the gate plants a universal
+    // footer line (df = n_docs/2 per variant ≫ the cut) and a per-doc
+    // unique line (df = 1) — exactly the footer must vanish from
+    // every document, pinned by md5 of the rebuilt text against
+    // DuckDB replaying the same split/df-cut/rebuild
+    "text_boilerplate" -> ((s, dir) => {
+      val salted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit("\nboiler footer v"), (col("doc_id") % 2).cast("string"),
+          lit("\nunique line "), col("doc_id").cast("string")).as("text"))
+      TextAnalysis.removeBoilerplateLines(salted, "doc_id", "text", maxDocFreq = 20)
+        .select(col("id").as("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // substring-level fingerprints (rolling-hash winnowing) — rows-only
     // gate; WinnowSpec asserts the shared-substring guarantee
     "text_winnow" -> ((s, dir) =>
@@ -950,6 +967,24 @@ object SparkEntry {
     "dedup_overlap_gate" ->
       """SELECT count(*) AS n_planted, CAST(1 AS BOOLEAN) AS all_detected
         |FROM documents WHERE doc_id < 1000 AND doc_id % 100 = 0""".stripMargin,
+
+    // line-level boilerplate removal: DuckDB replays the same plant,
+    // per-doc-distinct df count, df-cut, and ordered rebuild
+    "text_boilerplate" ->
+      """WITH salted AS (
+        |  SELECT doc_id, text || chr(10) || 'boiler footer v' || CAST(doc_id % 2 AS VARCHAR)
+        |              || chr(10) || 'unique line ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents
+        |), sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM salted),
+        |lines AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM sp),
+        |freq AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY 1) WHERE c > 20),
+        |kept AS (SELECT l.doc_id, l.line, l.pos FROM lines l ANTI JOIN freq f USING (line)),
+        |rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean, count(*) AS n_kept
+        |            FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, md5(COALESCE(r.clean, '')) AS clean_md5,
+        |       CAST(len(s.ls) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM sp s LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_union" ->
       """SELECT status, count(*) AS cnt FROM (

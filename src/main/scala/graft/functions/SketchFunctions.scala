@@ -703,6 +703,75 @@ case class TokenNll(
     copy(tokens = newChild)
 }
 
+/** Byte-level line filter behind [[FilterBoilerplateLines]] — static
+  * so codegen is a one-line call (the LangStats pattern).
+  */
+object LineFilter {
+  /** Split `t` on '\n' (byte-safe: 0x0A can't occur inside a UTF-8
+    * multi-byte sequence), drop lines present in `set`, re-join the
+    * survivors with '\n'. Returns struct(clean, n_removed). An empty
+    * input is one empty line — same contract as SQL string_split.
+    */
+  def filter(t: UTF8String, set: java.util.HashSet[UTF8String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = t.getBytes
+    val n = bytes.length
+    val out = new java.io.ByteArrayOutputStream(n)
+    var removed = 0
+    var kept = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == '\n') {
+        val line = UTF8String.fromBytes(bytes, start, i - start)
+        if (set.contains(line)) removed += 1
+        else {
+          if (kept > 0) out.write('\n')
+          out.write(bytes, start, i - start)
+          kept += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](UTF8String.fromBytes(out.toByteArray), removed))
+  }
+}
+
+/** Scan-stage line-level boilerplate removal: drop every line of the
+  * text that appears in the BROADCAST frequent-line set (the
+  * CCNet/RefinedWeb "remove lines shared by many documents" op).
+  * Like [[BloomMightContain]], the expression holds only the
+  * broadcast handle — the set ships once per executor — and unlike a
+  * bloom filter membership is EXACT (a false positive would delete a
+  * good line). Output: struct<clean: string, n_removed: int>.
+  */
+case class FilterBoilerplateLines(
+    child: Expression,
+    lines: org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]])
+    extends UnaryExpression {
+  override def prettyName: String = "filter_boilerplate_lines"
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${dt.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    LineFilter.filter(v.asInstanceOf[UTF8String], lines.value)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("linesBc", lines,
+      "org.apache.spark.broadcast.Broadcast")
+    val setVar = ctx.addMutableState("java.util.HashSet", "boilerLines",
+      v => s"$v = (java.util.HashSet) $ref.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LineFilter.filter($c, $setVar);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   import ColumnBridge.{column => C, expression => E}
 
@@ -727,4 +796,8 @@ object SketchFunctions {
       c: Column,
       bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
     C(BloomMightContain(E(c), bloom))
+  def filter_boilerplate_lines(
+      c: Column,
+      lines: org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]]): Column =
+    C(FilterBoilerplateLines(E(c), lines))
 }

@@ -243,6 +243,51 @@ object TextAnalysis {
       .select(col("id"), col("pos"), col("fp"))
       .orderBy("id", "pos")
 
+  /** Line-level BOILERPLATE removal (CCNet / RefinedWeb style): drop
+    * every line that occurs in more than `maxDocFreq` distinct
+    * documents — site-wide footers, cookie banners, nav text — while
+    * keeping every other line in place, order and duplicates intact.
+    *
+    * Plan shape (the "train small, scrub 100 TB" split every scorer
+    * here uses): pass 1 aggregates per-doc-distinct lines to doc
+    * frequencies — the ONLY corpus shuffle, carrying (line, count)
+    * with map-side combine — and collects just the frequent
+    * survivors, which are SMALL by definition (boilerplate is what
+    * repeats; `maxBoilerplate` guards the degenerate corpus where
+    * everything does). Pass 2 rebuilds each document inside its scan
+    * stage via the broadcast exact-membership set
+    * ([[graft.functions.FilterBoilerplateLines]] — codegen'd, no
+    * join, no second shuffle; PlanAuditSpec asserts the rebuild side
+    * is exchange-free). Output: (id, text_clean, n_removed).
+    */
+  def removeBoilerplateLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Long,
+      maxBoilerplate: Int = 1 << 20): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val frequent = docs
+      .select(explode(array_distinct(split(col(textCol), "\n", -1))).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("line")
+      .collect()
+    require(frequent.length <= maxBoilerplate,
+      s"${frequent.length} boilerplate lines exceed maxBoilerplate=$maxBoilerplate — " +
+        "raise maxDocFreq (the corpus repeats more than boilerplate)")
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      frequent.length * 2)
+    frequent.foreach(r =>
+      set.add(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+    val bc = docs.sparkSession.sparkContext.broadcast(set)
+    docs
+      .select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.filter_boilerplate_lines(col(textCol), bc).as("__f"))
+      .select(col("id"), col("__f.clean").as("text_clean"),
+        col("__f.n_removed").cast("long").as("n_removed"))
+  }
+
   /** BM25 keyword search (Robertson/Spärck Jones, the Lucene-style
     * `ln(1 + (N − df + ½)/(df + ½))` idf — always positive): top-N
     * documents for a bag of query terms. One corpus pass computes

@@ -27,6 +27,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r2.isNullAt(r2.fieldIndex("top_2gram_frac")))
   }
 
+  test("boilerplate lines: df-cut removal, order + duplicates preserved, empty-doc case") {
+    // footer appears in 3 docs (> maxDocFreq 2); "keep" lines do not
+    val docs = Seq(
+      (1L, "keep one\nFOOTER\nkeep one\nkeep two"),
+      (2L, "FOOTER\nkeep three"),
+      (3L, "alpha\nFOOTER"),
+      (4L, "FOOTER")) // every line boilerplate -> becomes empty
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // order preserved AND the duplicated non-boilerplate line survives twice
+    assert(out(1L) == (("keep one\nkeep one\nkeep two", 1L)))
+    assert(out(2L) == (("keep three", 1L)))
+    assert(out(3L) == (("alpha", 1L)))
+    assert(out(4L) == (("", 1L)))
+    // maxDocFreq above the footer's df: nothing removed, text unchanged
+    val none = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", maxDocFreq = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(none.values.forall(_ == 0L))
+  }
+
+  test("boilerplate rebuild is scan-stage: no join, no exchange in the scoring plan") {
+    // parquet-backed (a local Seq relation constant-folds the whole
+    // pipeline into a LocalTableScan and there is no plan to audit)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), concat(col("text"), lit("\nFOOTER")).as("text"))
+    val cleaned = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", maxDocFreq = 20)
+    val p = cleaned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), s"rebuild side must not join:\n$p")
+    assert(!"\\(\\d+\\) Exchange".r.findFirstIn(p).isDefined,
+      s"rebuild side must not shuffle:\n$p")
+    assert(p.contains("filter_boilerplate_lines"), "broadcast-set expression missing")
+  }
+
   test("repetition plan: scan-stage projection, only the output sort shuffles") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = TextAnalysis.repetition(docs, "doc_id", "text")
