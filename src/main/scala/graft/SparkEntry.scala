@@ -658,6 +658,24 @@ object SparkEntry {
     }),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
 
+    // within-doc duplicate-line removal: the corpus is single-line by
+    // construction, so the gate plants a repeated line around a
+    // unique one — the repeat must vanish, first occurrence and order
+    // kept, md5-pinned against DuckDB's replay of the same
+    // keep-first lambda
+    "text_line_dedup" -> ((s, dir) => {
+      val salted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit("\nrepeated line"),
+          lit("\nunique "), col("doc_id").cast("string"),
+          lit("\nrepeated line"),
+          lit("\nrepeated line")).as("text"))
+      TextAnalysis.dedupLinesWithinDoc(salted, "doc_id", "text")
+        .select(col("id").as("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // line-level boilerplate removal (CCNet/RefinedWeb): the corpus
     // has no newlines by construction, so the gate plants a universal
     // footer line (df = n_docs/2 per variant ≫ the cut) and a per-doc
@@ -967,6 +985,21 @@ object SparkEntry {
     "dedup_overlap_gate" ->
       """SELECT count(*) AS n_planted, CAST(1 AS BOOLEAN) AS all_detected
         |FROM documents WHERE doc_id < 1000 AND doc_id % 100 = 0""".stripMargin,
+
+    // within-doc line dedup: DuckDB replays the same plant and the
+    // same keep-first positional lambda
+    "text_line_dedup" ->
+      """WITH salted AS (
+        |  SELECT doc_id, text || chr(10) || 'repeated line'
+        |              || chr(10) || 'unique ' || CAST(doc_id AS VARCHAR)
+        |              || chr(10) || 'repeated line'
+        |              || chr(10) || 'repeated line' AS text
+        |  FROM documents
+        |), sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM salted)
+        |SELECT doc_id,
+        |  md5(array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10))) AS clean_md5,
+        |  CAST(len(ls) - len(list_filter(ls, (x, i) -> list_position(ls, x) = i)) AS BIGINT) AS n_removed
+        |FROM sp ORDER BY doc_id""".stripMargin,
 
     // line-level boilerplate removal: DuckDB replays the same plant,
     // per-doc-distinct df count, df-cut, and ordered rebuild

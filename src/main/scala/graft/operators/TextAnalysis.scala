@@ -288,6 +288,27 @@ object TextAnalysis {
         col("__f.n_removed").cast("long").as("n_removed"))
   }
 
+  /** WITHIN-document duplicate-line removal — the intra-doc half of
+    * the RefinedWeb/CCNet line cleanup ([[removeBoilerplateLines]] is
+    * the cross-doc half): each line keeps its FIRST occurrence, later
+    * repeats are dropped, everything else stays in order. Pure
+    * scan-stage array math (`filter` with the positional lambda — no
+    * UDF, no shuffle, nothing leaves the document); the keep-first
+    * scan is O(lines²) per document, which is bytes-bounded at any
+    * sane document size and never leaves the task. Output:
+    * (id, text_clean, n_removed).
+    */
+  def dedupLinesWithinDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ls = split(col(textCol), "\n", -1)
+    docs
+      .withColumn("__ls", ls)
+      .withColumn("__kept",
+        expr("filter(__ls, (x, i) -> array_position(__ls, x) == i + 1)"))
+      .select(col(idCol).as("id"),
+        concat_ws("\n", col("__kept")).as("text_clean"),
+        (size(col("__ls")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** BM25 keyword search (Robertson/Spärck Jones, the Lucene-style
     * `ln(1 + (N − df + ½)/(df + ½))` idf — always positive): top-N
     * documents for a bag of query terms. One corpus pass computes

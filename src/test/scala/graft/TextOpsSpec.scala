@@ -48,6 +48,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(none.values.forall(_ == 0L))
   }
 
+  test("within-doc line dedup: keep-first, order preserved, zero-shuffle plan") {
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb\na"),
+      (2L, "only"),
+      (3L, "x\nx")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesWithinDoc(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a\nb\nc", 3L)))
+    assert(out(2L) == (("only", 0L)))
+    assert(out(3L) == (("x", 1L)))
+    // parquet-backed plan: pure projection, no exchange at all
+    val real = TextAnalysis.dedupLinesWithinDoc(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+    val p = real.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!"\\(\\d+\\) Exchange".r.findFirstIn(p).isDefined && !p.contains("Join"),
+      s"within-doc dedup must be scan-stage:\n$p")
+  }
+
   test("boilerplate rebuild is scan-stage: no join, no exchange in the scoring plan") {
     // parquet-backed (a local Seq relation constant-folds the whole
     // pipeline into a LocalTableScan and there is no plan to audit)
