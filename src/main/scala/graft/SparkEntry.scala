@@ -288,6 +288,19 @@ object SparkEntry {
             .as("all_detected"))
     }),
 
+    // SEMANTIC decontamination: the train split loses every vector
+    // within cosine 0.3 of any eval vector — the embedding-space
+    // analogue of dedup_decontaminate (paraphrase leakage that shares
+    // no n-gram); eval index broadcast, train never shuffles vectors
+    "dedup_decontaminate_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val isTrain = Curate.hashBucket(col("vec_id")) < 90
+      Dedup.decontaminateSemantic(emb.filter(isTrain), emb.filter(!isTrain),
+          "vec_id", "embedding", threshold = 0.3)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
+
     // benchmark decontamination: the train split loses every doc
     // sharing a word 5-gram with the eval split. Broadcast-semi-join
     // shape — eval grams broadcast, the train corpus never shuffles
@@ -1214,6 +1227,24 @@ object SparkEntry {
         |FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
         |WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.7
         |ORDER BY id1, id2""".stripMargin,
+
+    // semantic decontamination: DuckDB recomputes the contaminated
+    // set with an exact cosine join over the same md5 hash carve
+    "dedup_decontaminate_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    (ascii(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) * 31
+        |     + ascii(substr(md5(CAST(vec_id AS VARCHAR)), 2, 1))) % 100 < 90 AS is_train
+        |  FROM embeddings
+        |), bad AS (
+        |  SELECT DISTINCT t.vec_id
+        |  FROM e t JOIN e v
+        |    ON NOT v.is_train
+        |   AND round(list_cosine_similarity(t.v, v.v), 4) + 0.0 >= 0.3
+        |  WHERE t.is_train
+        |)
+        |SELECT t.vec_id, t.label FROM e t ANTI JOIN bad USING (vec_id)
+        |WHERE t.is_train ORDER BY vec_id""".stripMargin,
 
     "dedup_decontaminate" ->
       """WITH d AS (

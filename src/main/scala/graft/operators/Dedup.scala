@@ -782,6 +782,40 @@ object Dedup {
     dropDuplicatesByPairs(emb, idCol,
       semanticPairs(emb, idCol, embCol, threshold, nCells, assign))
 
+  /** SEMANTIC decontamination — the embedding-space analogue of
+    * [[decontaminate]]: drop every `train` row whose embedding lies
+    * within cosine `threshold` of ANY `eval` embedding (paraphrased
+    * benchmark leakage that shares no n-gram — the gap the lexical
+    * form can't see; modern release decontamination runs both).
+    *
+    * Same scale shape as the lexical form: the eval side is a
+    * benchmark suite — SMALL by construction — so its packed f64
+    * index BROADCASTS and every train partition scores it in one
+    * GEMM (top-1 is all the decision needs, [[Similarity.topkFlat]]
+    * with k = 1); the train corpus never shuffles embeddings. Only
+    * the contaminated id set crosses an exchange, returning as an
+    * anti-join that AQE broadcasts when it is small. The contract
+    * filters on the ROUNDED cosine like every oracle query.
+    */
+  def decontaminateSemantic(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double): DataFrame = {
+    val cx = Similarity.collectCorpus(
+      eval.select(col(idCol), col(embCol).cast("array<double>").as(embCol)),
+      idCol, embCol)
+    val top1 = Similarity.topkFlat(
+      train.select(col(idCol).as("__tid"),
+        col(embCol).cast("array<double>").as(embCol)),
+      embCol, cx, 1, Metric.Cosine)
+    val bad = top1
+      .filter(round(col("score"), 4) + lit(0.0) >= threshold)
+      .select(col("__tid").as(idCol)) // k = 1 → at most one row per train id
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: drop every `train` document that
     * shares at least one word n-gram with any `eval` document (the
     * 13-gram test-set-overlap rule of GPT-3 appendix C / Brown et al.

@@ -382,6 +382,22 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.length == 39, "anchor star must cover every other member once")
   }
 
+  test("decontaminateSemantic: near-eval vectors dropped, orthogonal kept, columns intact") {
+    val evalDf = Seq((100L, Array(1.0, 0.0, 0.0))).toDF("id", "emb")
+    val train = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),   // cos 1.0   → dropped
+      (2L, Array(0.9, 0.1, 0.0)),   // cos 0.994 → dropped
+      (3L, Array(0.0, 1.0, 0.0)),   // cos 0.0   → kept
+      (4L, Array(0.0, -1.0, 0.5)))  // cos 0.0   → kept
+      .toDF("id", "emb")
+    val kept = Dedup.decontaminateSemantic(train, evalDf, "id", "emb", threshold = 0.5)
+    assert(kept.columns.toSeq == Seq("id", "emb")) // train schema preserved
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // threshold above every cosine: nothing dropped
+    val none = Dedup.decontaminateSemantic(train, evalDf, "id", "emb", threshold = 1.1)
+    assert(none.count() == 4)
+  }
+
   test("decontaminate drops exactly the train docs sharing a word n-gram with eval") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -175,6 +175,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "batch-vs-corpus band join not broadcast")
   }
 
+  test("round-5 sweep: no cartesian/NLJ in line cleanup, error gates, semantic decontamination") {
+    // (text_winnow_gate / dedup_overlap_gate attach their 1-row
+    // aggregate via crossJoin — the same accepted single-row NLJ the
+    // older gates use — so they are exempt like their siblings)
+    for (q <- Seq("text_boilerplate", "text_line_dedup", "dedup_decontaminate_semantic",
+      "q_distinct_approx_gate", "q_quantiles_approx_gate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("dedup_decontaminate_semantic: train embeddings never cross an exchange") {
+    // eval index is broadcast; the only shuffled rows are contaminated
+    // ids and the final sort — same audit as the ann paths
+    val p = plan("dedup_decontaminate_semantic")
+    val exchanges = p.split("\\(\\d+\\) Exchange").drop(1).map(_.linesIterator
+      .filter(_.trim.startsWith("Input")).take(1).mkString)
+    val bad = exchanges.filter(_.contains("embedding"))
+    assert(bad.isEmpty, s"train embeddings ride an exchange: ${bad.mkString(" | ")}")
+  }
+
   test("round-4 sweep: no cartesian/NLJ in sq8, bloom, perplexity, bm25, cube, quota") {
     for (q <- Seq("ann_sq8_recall", "dedup_incremental_bloom", "text_perplexity",
       "text_bm25", "q_cube", "q_source_quota")) {
