@@ -266,8 +266,26 @@ object TextAnalysis {
       textCol: String,
       maxDocFreq: Long,
       maxBoilerplate: Int = 1 << 20): DataFrame = {
+    val bc = trainBoilerplateSet(docs, textCol, maxDocFreq, maxBoilerplate)
+    docs
+      .select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.filter_boilerplate_lines(col(textCol), bc).as("__f"))
+      .select(col("id"), col("__f.clean").as("text_clean"),
+        col("__f.n_removed").cast("long").as("n_removed"))
+  }
+
+  /** The frequent-line set behind [[removeBoilerplateLines]], exposed
+    * so a STREAMING pipeline can train it once on the landed corpus
+    * and scrub arriving batches against it
+    * ([[graft.streaming.EventStream.cleanLines]]).
+    */
+  def trainBoilerplateSet(
+      reference: DataFrame,
+      textCol: String,
+      maxDocFreq: Long,
+      maxBoilerplate: Int = 1 << 20): org.apache.spark.broadcast.Broadcast[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val frequent = docs
+    val frequent = reference
       .select(explode(array_distinct(split(col(textCol), "\n", -1))).as("line"))
       .groupBy("line").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
@@ -280,12 +298,7 @@ object TextAnalysis {
       frequent.length * 2)
     frequent.foreach(r =>
       set.add(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
-    val bc = docs.sparkSession.sparkContext.broadcast(set)
-    docs
-      .select(col(idCol).as("id"),
-        graft.functions.SketchFunctions.filter_boilerplate_lines(col(textCol), bc).as("__f"))
-      .select(col("id"), col("__f.clean").as("text_clean"),
-        col("__f.n_removed").cast("long").as("n_removed"))
+    reference.sparkSession.sparkContext.broadcast(set)
   }
 
   /** WITHIN-document duplicate-line removal — the intra-doc half of

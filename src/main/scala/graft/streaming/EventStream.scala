@@ -89,6 +89,29 @@ object EventStream {
       tsCol, textCol)
   }
 
+  /** Streaming LINE CLEANUP — the ingest-time form of
+    * [[graft.operators.TextAnalysis.removeBoilerplateLines]] +
+    * [[graft.operators.TextAnalysis.dedupLinesWithinDoc]]: both are
+    * stateless scan-stage transforms, so they apply to a stream
+    * unchanged. The boilerplate set is trained ONCE on a static
+    * reference corpus (the landed data — a stream can't see global
+    * line frequencies) and broadcast; within-doc dedup needs no state
+    * at all. StreamingSpec pins batch parity on the replayed stream.
+    */
+  def cleanLines(
+      docs: DataFrame,
+      textCol: String,
+      boilerplate: org.apache.spark.broadcast.Broadcast[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]]): DataFrame = {
+    val noBoiler = graft.functions.SketchFunctions
+      .filter_boilerplate_lines(col(textCol), boilerplate)("clean")
+    val ls = split(noBoiler, "\n", -1)
+    docs
+      .withColumn("__ls", ls)
+      .withColumn(textCol + "_clean",
+        concat_ws("\n", expr("filter(__ls, (x, i) -> array_position(__ls, x) == i + 1)")))
+      .drop("__ls")
+  }
+
   /** Streaming NEAR-dup dedup on the 64-bit SimHash fingerprint: docs
     * whose fingerprint collides with one already seen inside the
     * watermark horizon are dropped — catches reformatted/lightly-

@@ -230,6 +230,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming line cleanup equals the batch boilerplate + within-doc pipeline") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def salt(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      concat(col("text"), lit("\nshared footer"),
+        lit("\nu"), col("doc_id").cast("string"),
+        lit("\nu"), col("doc_id").cast("string"),
+        lit("\nshared footer")).as("text"))
+    val batchDocs = salt(Tables.documents(spark, dir))
+    // boilerplate set trained once on the landed corpus
+    val set = graft.operators.TextAnalysis.trainBoilerplateSet(batchDocs, "text", 20)
+    val streamed = {
+      val raw = salt(spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+      val q = EventStream.cleanLines(raw, "text", set)
+        .select("doc_id", "text_clean")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("clean_lines_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("clean_lines_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val batch = {
+      val noBoiler = graft.operators.TextAnalysis
+        .removeBoilerplateLines(batchDocs, "doc_id", "text", maxDocFreq = 20)
+      graft.operators.TextAnalysis
+        .dedupLinesWithinDoc(noBoiler, "id", "text_clean")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the planted footer is gone and the duplicated unique line collapsed
+    assert(streamed.values.forall(t => !t.contains("shared footer")))
+  }
+
   test("streaming decontamination via foreachBatch equals the batch operator") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
