@@ -53,7 +53,19 @@ object Multimodal {
     * behind a valid magic) falls back to the stub rather than failing
     * the pipeline — malformed blobs are data, not bugs, at 100 TB.
     */
-  private[graft] def decodePng(payload: Array[Byte]): Option[(String, Array[Double])] =
+  private[graft] def decodePng(payload: Array[Byte]): Option[(String, Array[Double])] = {
+    // Bound the raster from the ALREADY-PARSED IHDR before ImageIO
+    // allocates it: a decompression-bomb PNG declares a huge canvas in
+    // a tiny file, and the resulting OutOfMemoryError is fatal — it
+    // must not be caught and reported as "malformed data" (that would
+    // mask genuine executor heap exhaustion; round-5 advice). 64M px
+    // ≈ 256 MB of ARGB, a sane per-row ceiling.
+    if (payload.length >= 24) {
+      def be32(i: Int): Long =
+        ((payload(i) & 0xFF).toLong << 24) | ((payload(i + 1) & 0xFF) << 16) |
+          ((payload(i + 2) & 0xFF) << 8) | (payload(i + 3) & 0xFF)
+      if (be32(16) * be32(20) > (64L << 20)) return None
+    }
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
@@ -75,7 +87,8 @@ object Multimodal {
         val n = math.max(w.toLong * h, 1L).toDouble
         Some((hex, Array(w.toDouble, h.toDouble, sr / n, sg / n, sb / n)))
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** STUB decode for codecs absent from this environment: md5 + a
     * 4-dim feature derived from byte statistics, deterministic so
