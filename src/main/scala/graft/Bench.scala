@@ -46,7 +46,8 @@ object Bench {
     "dedup_simhash_xcheck", "topk_blocked", "vec_range_join",
     "dedup_semantic", "dedup_semantic_recall", "dedup_decontaminate",
     "dedup_incremental", "dedup_incremental_recall",
-    "text_quality_model", "text_bm25", "dedup_spans", "q_fuzzy_join")
+    "text_quality_model", "text_bm25", "dedup_spans", "q_fuzzy_join",
+    "q_dsir_weights", "q_dsir_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

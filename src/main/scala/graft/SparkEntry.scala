@@ -196,6 +196,35 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("epoch"))
         .orderBy("source", "doc_id", "epoch")),
 
+    // DSIR importance weights: target = the doc_id%3==0 third of the
+    // corpus (stand-in for "looks like Wikipedia"), raw = everything;
+    // hashed uni+bigram bucket distributions, per-doc log importance
+    // weight. DuckDB replays the md5-Horner bucket, the add-one
+    // smoothing, and the log-ratio sum from the same parquet
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ratios = Curate.dsirLogRatios(
+        docs.filter(col("doc_id") % 3 === 0), docs, "text", nBuckets = 4096)
+      Curate.dsirWeights(docs, "doc_id", "text", ratios)
+        .select(col("id"), col("n_feats"),
+          (round(col("log_w"), 4) + lit(0.0)).as("log_w"))
+        .orderBy("id")
+    }),
+
+    // DSIR resampling: Gumbel-top-50 over the same weights —
+    // deterministic noise from the id's hash bucket, rank key rounded
+    // for cross-engine parity
+    "q_dsir_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ratios = Curate.dsirLogRatios(
+        docs.filter(col("doc_id") % 3 === 0), docs, "text", nBuckets = 4096)
+      Curate.dsirResample(docs, "doc_id", "text", ratios, n = 50)
+        .select(col("id"), col("n_feats"),
+          (round(col("log_w"), 4) + lit(0.0)).as("log_w"),
+          (col("key") + lit(0.0)).as("key"))
+        .orderBy(col("key").desc, col("id"))
+    }),
+
     // training-mix sampler: explicit per-source quotas, unlisted
     // sources dropped
     "q_mixture" -> ((s, dir) =>
@@ -310,6 +339,29 @@ object SparkEntry {
       Dedup.decontaminate(docs.filter(isTrain), docs.filter(!isTrain),
           "doc_id", "text", n = 5)
         .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // SPAN-level decontamination: instead of dropping whole train
+    // docs that share an eval n-gram, remove just the contaminated
+    // spans (GPT-3 appendix-C remediation). The corpus is unique word
+    // soup, so the gate plants two eval passages into known train
+    // docs (%7 → p1, %11 → p2, %77 → both contiguously — whose
+    // boundary-crossing windows are also eval windows and must also
+    // vanish); md5-pinned rebuild vs DuckDB replaying windows →
+    // coverage → ordered rebuild
+    "dedup_decontaminate_spans" -> ((s, dir) => {
+      val p1 = "alpha beta gamma delta epsilon zeta eta theta"
+      val p2 = "omega psi chi phi upsilon tau sigma rho"
+      val train = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" " + p1)).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" " + p2)).otherwise(lit(""))
+        ).as("text"))
+      val eval = s.range(1).select(lit(p1 + " " + p2).as("text"))
+      Dedup.decontaminateSpans(train, eval, "doc_id", "text", l = 6)
+        .select(col("id").as("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_tokens"), col("n_dropped"))
         .orderBy("doc_id")
     }),
 
@@ -639,7 +691,82 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // interpolated-BIGRAM perplexity (CCNet's actual filter is an
+    // n-gram KenLM — this is the same family): trained on the even-id
+    // half so odd docs exercise OOV tokens and unseen bigrams; both
+    // model maps broadcast, zero shuffle on the scoring side
+    "text_perplexity2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = TextAnalysis.bigramModel(docs.filter(col("doc_id") % 2 === 0), "text",
+        requireUncut = true)
+      TextAnalysis.bigramNll(docs, "doc_id", "text", model, lambda = 0.7)
+        .select(col("id"), col("n_tokens"),
+          (round(col("bits_per_token"), 4) + lit(0.0)).as("bits_per_token"))
+        .orderBy("id")
+    }),
+
     "text_langid" -> (TextAnalysis.langId _),
+
+    // compression-ratio quality signal: per-doc deflate ratio —
+    // rows-only (DuckDB has no deflate); the GATE below carries the
+    // cross-engine evidence
+    "text_compress" -> ((s, dir) =>
+      TextAnalysis.compressionRatio(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bytes"), col("comp_bytes"),
+          col("ratio"))
+        .orderBy("doc_id")),
+
+    // compression-signal gate: both engines construct the same two
+    // variants per doc — a 12×-repeated prefix (templated spam shape)
+    // and a 4-chained-md5 string (high-entropy shape). DuckDB pins
+    // n_docs; Spark proves the deflate signal SEPARATES the groups
+    // (worst repetitive ratio < best random ratio), emitted as the
+    // pinned boolean. Ratios are compared within the run, never
+    // pinned as absolute constants (zlib-version-proof).
+    "text_compress_gate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val rep = d.select(col("doc_id"),
+        repeat(substring(col("text"), 1, 40), 12).as("text"))
+      val rnd = d.select(col("doc_id"),
+        concat(md5(col("doc_id").cast("string")),
+          md5(concat(col("doc_id").cast("string"), lit("x"))),
+          md5(concat(col("doc_id").cast("string"), lit("y"))),
+          md5(concat(col("doc_id").cast("string"), lit("z")))).as("text"))
+      val worstRep = TextAnalysis.compressionRatio(rep, "doc_id", "text")
+        .agg(max("ratio").as("__mr"))
+      val bestRnd = TextAnalysis.compressionRatio(rnd, "doc_id", "text")
+        .agg(min("ratio").as("__mn"))
+      d.agg(count(lit(1)).cast("long").as("n_docs"))
+        .crossJoin(worstRep).crossJoin(bestRnd)
+        .select(col("n_docs"), (col("__mr") < col("__mn")).as("separated"))
+    }),
+
+    // URL-keyed dedup (RefinedWeb/C4 stage one): the corpus has no
+    // URL column, so the gate derives one per doc — even ids get the
+    // messy tracking-param/WWW/default-port/trailing-slash form, odd
+    // ids the clean form of the SAME logical page (mod-class
+    // construction makes ~10 docs collide per canonical key at
+    // sf0.01) — and the canonicalizer must fold both variants into
+    // one key. DuckDB replays the canonicalization with its own
+    // regexp/list functions — an independent implementation, not a
+    // shortcut to the constructor
+    "text_url_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val did = col("doc_id")
+      // logical page id: doc 2k and 2k+1 are the SAME page in the two
+      // surface forms, so the fold across variants is actually tested
+      val k = floor(did / 2).cast("long")
+      val url = when(did % 2 === 0,
+        concat(lit("HTTP://WWW.Site"), (k % 40).cast("string"),
+          lit(".COM:80/p"), (k % 11).cast("string"),
+          lit("/?utm_source=feed&b="), (k % 3).cast("string"),
+          lit("&a="), (k % 5).cast("string"), lit("#frag")))
+        .otherwise(concat(lit("http://site"), (k % 40).cast("string"),
+          lit(".com/p"), (k % 11).cast("string"),
+          lit("?a="), (k % 5).cast("string"),
+          lit("&b="), (k % 3).cast("string")))
+      TextAnalysis.urlDuplicates(d.select(did.as("id"), url.as("url")), "id", "url")
+    }),
 
     // corpus heavy hitters: top-50 normalized tokens by count
     "text_top_tokens" -> ((s, dir) =>
@@ -670,6 +797,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+
+    // exact-substring dedup (Lee et al. '21 ExactSubstr): the corpus
+    // is unique word soup, so the gate plants a shared 10-token
+    // passage in every 7th doc (its 8-token windows are duplicated
+    // across ~70 docs and must vanish from ALL of them) plus a
+    // per-doc unique tail (never removed); md5-pinned rebuild against
+    // DuckDB replaying windows → df-cut → coverage → ordered rebuild
+    "dedup_spans" -> ((s, dir) => {
+      val salted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          when(col("doc_id") % 7 === 0,
+            lit("alpha beta gamma delta epsilon zeta eta theta iota kappa "))
+            .otherwise(lit("")),
+          lit("uniq"), col("doc_id").cast("string")).as("text"))
+      Dedup.removeDuplicatedSpans(salted, "doc_id", "text", l = 8)
+        .select(col("id").as("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_tokens"), col("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
+    // fuzzy self-join (entity resolution): customer names differ by
+    // digit typos — every pair within levenshtein 1, Ed-Join prefix
+    // filter vs DuckDB's brute-force self-join
+    "q_fuzzy_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("id"),
+          lower(col("c_name")).as("name"))
+      Relational.fuzzyJoinPairs(c, "id", "name", maxDist = 1, q = 3)
+    }),
 
     // within-doc duplicate-line removal: the corpus is single-line by
     // construction, so the gate plants a repeated line around a
@@ -1031,6 +1187,68 @@ object SparkEntry {
         |       CAST(len(s.ls) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
         |FROM sp s LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // compression gate: DuckDB can't deflate — it pins the doc count
+    // and the expected separation verdict; Spark supplies the measured
+    // boolean (see the query comment)
+    "text_compress_gate" ->
+      """SELECT count(*) AS n_docs, CAST(1 AS BOOLEAN) AS separated
+        |FROM documents""".stripMargin,
+
+    // exact-substring dedup: DuckDB replays the same plant, window
+    // enumeration, distinct-doc df-cut, positional coverage, and
+    // ordered rebuild
+    "dedup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' ' ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN 'alpha beta gamma delta epsilon zeta eta theta iota kappa '
+        |         ELSE '' END || 'uniq' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS tk
+        |  FROM d
+        |), w AS (
+        |  SELECT doc_id, unnest(ws) AS win, generate_subscripts(ws, 1) AS pos
+        |  FROM (SELECT doc_id, CASE WHEN len(tk) >= 8
+        |          THEN [array_to_string(tk[i : i + 7], ' ') FOR i IN range(1, len(tk) - 7 + 1)]
+        |          ELSE [] END AS ws FROM t)
+        |), dup AS (
+        |  SELECT win FROM (SELECT win, count(DISTINCT doc_id) AS c FROM w GROUP BY 1)
+        |  WHERE c >= 2
+        |), cover AS (
+        |  SELECT DISTINCT w.doc_id, w.pos FROM w JOIN dup USING (win)
+        |), tok AS (
+        |  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM t
+        |), kept AS (
+        |  SELECT tk2.doc_id, tk2.tok, tk2.i FROM tok tk2
+        |  WHERE NOT EXISTS (SELECT 1 FROM cover c
+        |                    WHERE c.doc_id = tk2.doc_id
+        |                      AND tk2.i BETWEEN c.pos AND c.pos + 7)
+        |), reb AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, md5(COALESCE(r.clean, '')) AS clean_md5,
+        |       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |       CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // fuzzy join: DuckDB brute-forces the levenshtein self-join (the
+    // oracle-parity naive form; the Spark side must prove its Ed-Join
+    // prefix filter is LOSSLESS against it)
+    "q_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey AS id, lower(c_name) AS name FROM customer)
+        |SELECT a.id AS id1, b.id AS id2,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM c a JOIN c b
+        |  ON a.id < b.id
+        | AND abs(length(a.name) - length(b.name)) <= 1
+        | AND levenshtein(a.name, b.name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_union" ->
       """SELECT status, count(*) AS cnt FROM (
@@ -1660,6 +1878,142 @@ object SparkEntry {
         |) s USING (doc_id)
         |ORDER BY id""".stripMargin,
 
+    // interpolated bigram LM over the even-id half: p_uni add-one
+    // smoothed, p_bi MLE conditional (unseen → 0), per-token
+    // 0.7·p_bi + (1−0.7)·p_uni — written as (1 - 0.7) so the double
+    // matches Scala's `1.0 - lambda` bit for bit; first token scores
+    // unigram-only
+    "text_perplexity2" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+        |  FROM documents
+        |), doc_toks AS (
+        |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM norm
+        |), counts AS (
+        |  SELECT tok, count(*) AS c FROM doc_toks WHERE doc_id % 2 = 0 GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS denom FROM counts
+        |), bi AS (
+        |  SELECT a.tok AS h, b.tok AS t, count(*) AS c
+        |  FROM doc_toks a JOIN doc_toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.doc_id % 2 = 0
+        |  GROUP BY 1, 2
+        |), bip AS (
+        |  SELECT h, t, CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY h) AS p FROM bi
+        |), tokp AS (
+        |  SELECT d.doc_id, d.i, d.tok,
+        |         CASE WHEN c.c IS NULL THEN 1.0 / tot.denom
+        |              ELSE (c.c + 1) / tot.denom END AS puni
+        |  FROM doc_toks d LEFT JOIN counts c ON d.tok = c.tok CROSS JOIN tot
+        |), scored AS (
+        |  SELECT cur.doc_id,
+        |         -log2(CASE WHEN prev.tok IS NULL THEN cur.puni
+        |               ELSE 0.7 * coalesce(bp.p, 0) + (1 - 0.7) * cur.puni END) AS nll
+        |  FROM tokp cur
+        |  LEFT JOIN tokp prev ON prev.doc_id = cur.doc_id AND prev.i = cur.i - 1
+        |  LEFT JOIN bip bp ON bp.h = prev.tok AND bp.t = cur.tok
+        |)
+        |SELECT norm.doc_id AS id, CAST(len(norm.toks) AS BIGINT) AS n_tokens,
+        |       round(s.bits, 4) + 0.0 AS bits_per_token
+        |FROM norm LEFT JOIN (
+        |  SELECT doc_id, avg(nll) AS bits FROM scored GROUP BY doc_id
+        |) s USING (doc_id)
+        |ORDER BY id""".stripMargin,
+
+    // span-level decontamination: DuckDB replays the plant, the eval
+    // window set, positional coverage, and the ordered rebuild
+    "dedup_decontaminate_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' alpha beta gamma delta epsilon zeta eta theta' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' omega psi chi phi upsilon tau sigma rho' ELSE '' END AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS tk
+        |  FROM d
+        |), ev AS (
+        |  SELECT regexp_split_to_array(trim(regexp_replace(lower(
+        |    'alpha beta gamma delta epsilon zeta eta theta omega psi chi phi upsilon tau sigma rho'),
+        |    '[^a-z0-9]+', ' ', 'g')), '\s+') AS tk
+        |), evw AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(tk) >= 6
+        |    THEN [array_to_string(tk[i : i + 5], ' ') FOR i IN range(1, len(tk) - 4)]
+        |    ELSE [] END) AS win
+        |  FROM ev
+        |), w AS (
+        |  SELECT doc_id, unnest(ws) AS win, generate_subscripts(ws, 1) AS pos
+        |  FROM (SELECT doc_id, CASE WHEN len(tk) >= 6
+        |          THEN [array_to_string(tk[i : i + 5], ' ') FOR i IN range(1, len(tk) - 4)]
+        |          ELSE [] END AS ws FROM t)
+        |), cover AS (
+        |  SELECT DISTINCT w.doc_id, w.pos FROM w JOIN evw USING (win)
+        |), tok AS (
+        |  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM t
+        |), kept AS (
+        |  SELECT tk2.doc_id, tk2.tok, tk2.i FROM tok tk2
+        |  WHERE NOT EXISTS (SELECT 1 FROM cover c
+        |                    WHERE c.doc_id = tk2.doc_id
+        |                      AND tk2.i BETWEEN c.pos AND c.pos + 5)
+        |), reb AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, md5(COALESCE(r.clean, '')) AS clean_md5,
+        |       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |       CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // URL dedup: DuckDB replays the canonicalization with its own
+    // regexp/list functions against the same raw URL strings
+    "text_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'HTTP://WWW.Site' || CAST((doc_id // 2) % 40 AS VARCHAR) ||
+        |           '.COM:80/p' || CAST((doc_id // 2) % 11 AS VARCHAR) ||
+        |           '/?utm_source=feed&b=' || CAST((doc_id // 2) % 3 AS VARCHAR) ||
+        |           '&a=' || CAST((doc_id // 2) % 5 AS VARCHAR) || '#frag'
+        |      ELSE 'http://site' || CAST((doc_id // 2) % 40 AS VARCHAR) ||
+        |           '.com/p' || CAST((doc_id // 2) % 11 AS VARCHAR) ||
+        |           '?a=' || CAST((doc_id // 2) % 5 AS VARCHAR) ||
+        |           '&b=' || CAST((doc_id // 2) % 3 AS VARCHAR)
+        |    END AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS rawhost,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+        |  FROM u
+        |), canon AS (
+        |  SELECT id,
+        |    CASE WHEN scheme = '' OR rawhost = '' THEN lower(url) ELSE
+        |      scheme || '://' ||
+        |      CASE WHEN scheme = 'http'
+        |             THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':80$', '')
+        |           WHEN scheme = 'https'
+        |             THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':443$', '')
+        |           ELSE regexp_replace(rawhost, '^www\.', '') END ||
+        |      CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |           ELSE regexp_replace(rawpath, '/+$', '') END ||
+        |      CASE WHEN array_to_string(list_sort(list_filter(str_split(rawq, '&'),
+        |                   x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') = '' THEN ''
+        |           ELSE '?' || array_to_string(list_sort(list_filter(str_split(rawq, '&'),
+        |                   x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') END
+        |    END AS canon_url
+        |  FROM parts
+        |)
+        |SELECT canon_url, count(*) AS n_docs, min(id) AS keep_id
+        |FROM canon GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY canon_url""".stripMargin,
+
     "curate_full" -> curateFullOracle,
 
     "q_split" ->
@@ -1672,5 +2026,97 @@ object SparkEntry {
         |)
         |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DSIR weights: DuckDB replays the hashed uni+bigram features,
+    // the md5-Horner bucket, add-one smoothing on both bucket
+    // distributions, and the per-doc log-ratio sum. Every doc's
+    // buckets appear in the raw counts by construction, so the ratio
+    // join is never lossy.
+    "q_dsir_weights" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS tk
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, unnest(tk) AS g FROM norm
+        |  UNION ALL
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i : i + 1], ' ') FOR i IN range(1, len(tk))]
+        |    ELSE [] END) AS g
+        |  FROM norm
+        |), fb AS (
+        |  SELECT doc_id,
+        |    ((((ascii(substr(md5(g), 1, 1)) * 31 + ascii(substr(md5(g), 2, 1))) * 31
+        |      + ascii(substr(md5(g), 3, 1))) * 31 + ascii(substr(md5(g), 4, 1))) * 31
+        |      + ascii(substr(md5(g), 5, 1))) % 4096 AS b
+        |  FROM feats
+        |), tc AS (
+        |  SELECT b, count(*) AS c FROM fb WHERE doc_id % 3 = 0 GROUP BY b
+        |), rc AS (
+        |  SELECT b, count(*) AS c FROM fb GROUP BY b
+        |), tot AS (
+        |  SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM tc) + 4096 AS tn,
+        |         (SELECT CAST(sum(c) AS DOUBLE) FROM rc) + 4096 AS rn
+        |), ratio AS (
+        |  SELECT rc.b,
+        |         ln((coalesce(tc.c, 0) + 1) / tot.tn) - ln((rc.c + 1) / tot.rn) AS lr
+        |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+        |), dw AS (
+        |  SELECT fb.doc_id, count(*) AS n, sum(r.lr) AS w
+        |  FROM fb JOIN ratio r USING (b)
+        |  GROUP BY fb.doc_id
+        |)
+        |SELECT n2.doc_id AS id, CAST(coalesce(d.n, 0) AS BIGINT) AS n_feats,
+        |       round(coalesce(d.w, 0.0), 4) + 0.0 AS log_w
+        |FROM norm n2 LEFT JOIN dw d USING (doc_id)
+        |ORDER BY id""".stripMargin,
+
+    // DSIR resample: same weights + deterministic Gumbel noise from
+    // the id's 2-hex-char hash bucket (the q_split formula), rank key
+    // rounded to 4 decimals on both sides
+    "q_dsir_sample" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS tk
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, unnest(tk) AS g FROM norm
+        |  UNION ALL
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i : i + 1], ' ') FOR i IN range(1, len(tk))]
+        |    ELSE [] END) AS g
+        |  FROM norm
+        |), fb AS (
+        |  SELECT doc_id,
+        |    ((((ascii(substr(md5(g), 1, 1)) * 31 + ascii(substr(md5(g), 2, 1))) * 31
+        |      + ascii(substr(md5(g), 3, 1))) * 31 + ascii(substr(md5(g), 4, 1))) * 31
+        |      + ascii(substr(md5(g), 5, 1))) % 4096 AS b
+        |  FROM feats
+        |), tc AS (
+        |  SELECT b, count(*) AS c FROM fb WHERE doc_id % 3 = 0 GROUP BY b
+        |), rc AS (
+        |  SELECT b, count(*) AS c FROM fb GROUP BY b
+        |), tot AS (
+        |  SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM tc) + 4096 AS tn,
+        |         (SELECT CAST(sum(c) AS DOUBLE) FROM rc) + 4096 AS rn
+        |), ratio AS (
+        |  SELECT rc.b,
+        |         ln((coalesce(tc.c, 0) + 1) / tot.tn) - ln((rc.c + 1) / tot.rn) AS lr
+        |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+        |), dw AS (
+        |  SELECT fb.doc_id, count(*) AS n, sum(r.lr) AS w
+        |  FROM fb JOIN ratio r USING (b)
+        |  GROUP BY fb.doc_id
+        |), keyed AS (
+        |  SELECT n2.doc_id AS id, CAST(coalesce(d.n, 0) AS BIGINT) AS n_feats,
+        |         round(coalesce(d.w, 0.0), 4) + 0.0 AS log_w,
+        |         round(coalesce(d.w, 0.0)
+        |           - ln(-ln(((ascii(substr(md5(CAST(n2.doc_id AS VARCHAR)), 1, 1)) * 31
+        |                    + ascii(substr(md5(CAST(n2.doc_id AS VARCHAR)), 2, 1))) % 100
+        |                    + 0.5) / 100.0)), 4) + 0.0 AS key
+        |  FROM norm n2 LEFT JOIN dw d USING (doc_id)
+        |)
+        |SELECT id, n_feats, log_w, key FROM keyed
+        |ORDER BY key DESC, id LIMIT 50""".stripMargin,
   )
 }

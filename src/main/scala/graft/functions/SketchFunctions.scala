@@ -737,6 +737,289 @@ object LineFilter {
   }
 }
 
+/** Byte-level keep-first line scan behind [[DedupLinesWithinDoc]] —
+  * static so codegen is a one-line call (the LineFilter pattern).
+  */
+object LineKeepFirst {
+  /** Split `t` on '\n' (byte-safe), keep each line's FIRST occurrence,
+    * drop later repeats, re-join survivors with '\n' — O(lines) via a
+    * per-row HashSet, replacing the `filter(.., array_position)`
+    * lambda whose O(lines²) scan could stall a task on a pathological
+    * many-line document (round-5 advice). Returns
+    * struct(clean, n_removed).
+    */
+  def keepFirst(t: UTF8String): InternalRow = {
+    val bytes = t.getBytes
+    val n = bytes.length
+    val out = new java.io.ByteArrayOutputStream(n)
+    val seen = new java.util.HashSet[UTF8String]()
+    var removed = 0
+    var kept = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == '\n') {
+        val line = UTF8String.fromBytes(bytes, start, i - start)
+        if (!seen.add(line)) removed += 1
+        else {
+          if (kept > 0) out.write('\n')
+          out.write(bytes, start, i - start)
+          kept += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](UTF8String.fromBytes(out.toByteArray), removed))
+  }
+}
+
+/** Scan-stage WITHIN-document duplicate-line removal (keep-first,
+  * order intact) — the intra-doc half of the RefinedWeb/CCNet line
+  * cleanup. Output: struct<clean: string, n_removed: int>.
+  */
+case class DedupLinesWithinDoc(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "dedup_lines_within_doc"
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${dt.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    LineKeepFirst.keepFirst(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LineKeepFirst.keepFirst($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Byte-level duplicated-span scrub behind [[RemoveDupSpans]] —
+  * static so codegen is a one-line call (the LineFilter pattern).
+  */
+object SpanScrub {
+  /** `t` is NORMALIZED text (single-space separated). Every token
+    * covered by ANY L-token window present in `set` is dropped; the
+    * survivors re-join with ' '. Window strings are rebuilt with a
+    * reused builder — O(tokens·L) bytes hashed per document, the
+    * honest cost of exact string membership (a rolling-hash prefilter
+    * would still need the string to confirm). Returns
+    * struct(clean, n_tokens, n_dropped).
+    */
+  def scrub(t: UTF8String, l: Int, set: java.util.HashSet[UTF8String]): InternalRow = {
+    val s = t.toString
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    if (n < l || set.isEmpty)
+      return new GenericInternalRow(Array[Any](t, n, 0))
+    val covered = new Array[Boolean](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + l <= n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < l) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      if (set.contains(UTF8String.fromString(sb.toString))) {
+        var c = i; while (c < i + l) { covered(c) = true; c += 1 }
+      }
+      i += 1
+    }
+    val out = new java.lang.StringBuilder(s.length)
+    var kept = 0
+    var dropped = 0
+    i = 0
+    while (i < n) {
+      if (covered(i)) dropped += 1
+      else { if (kept > 0) out.append(' '); out.append(toks(i)); kept += 1 }
+      i += 1
+    }
+    new GenericInternalRow(
+      Array[Any](UTF8String.fromString(out.toString), n, dropped))
+  }
+}
+
+/** Scan-stage duplicated-span removal (the ExactSubstr rebuild pass):
+  * drop every token covered by an L-token window in the BROADCAST
+  * duplicated-window set. Like [[FilterBoilerplateLines]], the
+  * expression holds only the broadcast handle and membership is
+  * EXACT. Output: struct<clean: string, n_tokens: int, n_dropped: int>.
+  */
+case class RemoveDupSpans(
+    child: Expression,
+    l: Int,
+    wins: org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]])
+    extends UnaryExpression {
+  override def prettyName: String = "remove_dup_spans"
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_dropped", IntegerType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${dt.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    SpanScrub.scrub(v.asInstanceOf[UTF8String], l, wins.value)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winsBc", wins,
+      "org.apache.spark.broadcast.Broadcast")
+    val setVar = ctx.addMutableState("java.util.HashSet", "dupWins",
+      v => s"$v = (java.util.HashSet) $ref.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SpanScrub.scrub($c, $l, $setVar);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Deflate size probe behind [[DeflateStats]] — static for codegen. */
+object DeflateProbe {
+  /** raw UTF-8 length + deflate(default level, raw mode) output length.
+    * Deterministic for a fixed JDK zlib level/strategy — ratios are
+    * compared WITHIN a run (gates plant both group variants), never
+    * pinned as absolute constants across JVM versions.
+    */
+  def stats(t: UTF8String): InternalRow = {
+    val bytes = t.getBytes
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      new GenericInternalRow(Array[Any](bytes.length, total.toInt))
+    } finally d.end()
+  }
+}
+
+/** Scan-stage compression probe: struct<n_bytes: int, comp_bytes: int>
+  * of the UTF-8 text under raw deflate. The compression RATIO is the
+  * classic cheap quality signal (used alongside the Gopher gates):
+  * near-random gibberish compresses badly, templated/repetitive spam
+  * compresses extremely well — both tails are worth gating before
+  * training. Zero shuffle; the deflate cost is O(bytes) per row and
+  * stays in the scan stage.
+  */
+case class DeflateStats(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "deflate_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("comp_bytes", IntegerType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${dt.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    DeflateProbe.stats(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DeflateProbe.stats($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Interpolated-bigram scoring loop behind [[TokenNll2]] — static so
+  * codegen is a one-line call (the LineKeepFirst pattern).
+  */
+object BigramScore {
+  /** Average bits/token of `arr` under λ·p_bi + (1−λ)·p_uni.
+    * `uni` maps token → PROBABILITY (add-one smoothed); `bi` maps the
+    * space-joined bigram "head tail" → MLE conditional probability
+    * c(h,t)/Σ_t c(h,·). The first token (no left context) and any
+    * token after a null scores unigram-only; unseen bigrams
+    * contribute 0 to the interpolation (the unigram floor keeps the
+    * log finite — λ < 1 is required by the caller). Empty arrays
+    * score null, matching SQL `avg` over zero rows.
+    */
+  def score(
+      arr: ArrayData,
+      bi: java.util.HashMap[UTF8String, java.lang.Double],
+      uni: java.util.HashMap[UTF8String, java.lang.Double],
+      oovProb: Double,
+      lambda: Double): Any = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    // -log(p)/log(2), matching unigramModel's bit convention (and the
+    // DuckDB oracle's log2) to the ulp behavior that already
+    // round-trips the text_perplexity gate
+    val ln2 = math.log(2.0)
+    var sum = 0.0
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) { sum += -math.log(oovProb) / ln2; prev = null }
+      else {
+        val tok = arr.getUTF8String(i)
+        val up = uni.get(tok)
+        val puni = if (up == null) oovProb else up.doubleValue()
+        val p =
+          if (prev == null) puni
+          else {
+            val bp = bi.get(UTF8String.fromString(prev.toString + " " + tok.toString))
+            lambda * (if (bp == null) 0.0 else bp.doubleValue()) + (1.0 - lambda) * puni
+          }
+        sum += -math.log(p) / ln2
+        prev = tok
+      }
+      i += 1
+    }
+    java.lang.Double.valueOf(sum / n)
+  }
+}
+
+/** Average bits/token under a BROADCAST interpolated-bigram language
+  * model — the n-gram upgrade of [[TokenNll]] (CCNet filters with a
+  * 5-gram KenLM; a bigram with unigram backoff is the same family,
+  * built from two distributed counts). Zero shuffle at scoring time:
+  * both maps ship once per executor and every document scores inside
+  * its scan stage.
+  */
+case class TokenNll2(
+    tokens: Expression,
+    bi: org.apache.spark.broadcast.Broadcast[java.util.HashMap[UTF8String, java.lang.Double]],
+    uni: org.apache.spark.broadcast.Broadcast[java.util.HashMap[UTF8String, java.lang.Double]],
+    oovProb: Double,
+    lambda: Double) extends UnaryExpression {
+  override def child: Expression = tokens
+  override def prettyName: String = "token_nll2"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    BigramScore.score(v.asInstanceOf[ArrayData], bi.value, uni.value, oovProb, lambda)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val biRef = ctx.addReferenceObj("biBc", bi,
+      "org.apache.spark.broadcast.Broadcast")
+    val uniRef = ctx.addReferenceObj("uniBc", uni,
+      "org.apache.spark.broadcast.Broadcast")
+    val biVar = ctx.addMutableState("java.util.HashMap", "biMap",
+      v => s"$v = (java.util.HashMap) $biRef.value();")
+    val uniVar = ctx.addMutableState("java.util.HashMap", "uniMap",
+      v => s"$v = (java.util.HashMap) $uniRef.value();")
+    nullSafeCodeGen(ctx, ev, c => {
+      val o = ctx.freshName("o")
+      s"""
+         |Object $o = graft.functions.BigramScore.score($c, $biVar, $uniVar, ${oovProb}D, ${lambda}D);
+         |if ($o == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $o).doubleValue(); }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(tokens = newChild)
+}
+
 /** Scan-stage line-level boilerplate removal: drop every line of the
   * text that appears in the BROADCAST frequent-line set (the
   * CCNet/RefinedWeb "remove lines shared by many documents" op).
@@ -792,6 +1075,13 @@ object SketchFunctions {
       vocab: org.apache.spark.broadcast.Broadcast[java.util.HashMap[UTF8String, java.lang.Double]],
       oovNll: Double): Column =
     C(TokenNll(E(tokens), vocab, oovNll))
+  def token_nll2(
+      tokens: Column,
+      bi: org.apache.spark.broadcast.Broadcast[java.util.HashMap[UTF8String, java.lang.Double]],
+      uni: org.apache.spark.broadcast.Broadcast[java.util.HashMap[UTF8String, java.lang.Double]],
+      oovProb: Double,
+      lambda: Double): Column =
+    C(TokenNll2(E(tokens), bi, uni, oovProb, lambda))
   def bloom_might_contain(
       c: Column,
       bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
@@ -800,4 +1090,11 @@ object SketchFunctions {
       c: Column,
       lines: org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]]): Column =
     C(FilterBoilerplateLines(E(c), lines))
+  def dedup_lines_within_doc(c: Column): Column = C(DedupLinesWithinDoc(E(c)))
+  def remove_dup_spans(
+      c: Column,
+      l: Int,
+      wins: org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]]): Column =
+    C(RemoveDupSpans(E(c), l, wins))
+  def deflate_stats(c: Column): Column = C(DeflateStats(E(c)))
 }

@@ -73,6 +73,24 @@ object TextFunctions {
     }
   }
 
+  /** word n-grams with MULTIPLICITY (every occurrence, in order) —
+    * [[wordGrams]] without the `array_distinct`. Language-model
+    * counts need occurrences (c(h,t) is how often the bigram was
+    * SAID, not in how many docs it appears); dedup/decontamination
+    * want the distinct form (a window matches or it doesn't).
+    * DuckDB: [array_to_string(tk[i : i + n - 1], ' ')
+    *           FOR i IN range(1, greatest(len(tk) - n + 1, 0) + 1)]
+    */
+  def wordGramsAll(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    letBound(toks) { t =>
+      when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+
   /** count of tokens from `list` present in `toks`.
     * DuckDB: len(list_filter(toks, x -> list_contains([...], x)))
     */

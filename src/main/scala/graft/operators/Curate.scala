@@ -290,4 +290,113 @@ object Curate {
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("split")
+
+  // ===== DSIR importance resampling (Xie et al. NeurIPS '23) =====
+
+  /** Engine-portable feature bucket in [0, nBuckets) from the md5 hex
+    * of a gram — Horner ×31 over the ascii codes of the first five hex
+    * chars (the [[hashBucket]] construction, widened from 2 to 5 chars
+    * so thousands of buckets stay distinguishable; max pre-mod value
+    * ≈ 102·31⁴ < 2³⁰, exact in any engine's 64-bit int). The md5 hex
+    * is [[graft.functions.TextFunctions.letBound]] — five bare
+    * references would re-hash the gram five times per row.
+    */
+  def featureBucket(gram: Column, nBuckets: Int): Column =
+    graft.functions.TextFunctions.letBound(md5(gram)) { h =>
+      pmod((1 to 5).map(i => ascii(substring(h, i, 1)))
+        .reduceLeft((acc, a) => acc * 31 + a), lit(nBuckets))
+    }
+
+  /** Hashed-ngram feature stream of a document — word unigrams AND
+    * bigrams WITH multiplicity (DSIR §3.1 hashes n-gram occurrences
+    * into a fixed bucket space; occurrence counts, not presence, are
+    * the bag), as one concatenated gram array over the normalized
+    * whitespace tokens.
+    */
+  private def featureGrams(textCol: Column): Column =
+    graft.functions.TextFunctions.letBound(
+      tokens(normalize(textCol))) { t =>
+      concat(wordGramsAll(t, 1), wordGramsAll(t, 2))
+    }
+
+  /** Train DSIR's bucketed importance log-ratios: hash every target /
+    * raw feature occurrence into `nBuckets`, add-one smooth both
+    * bucket distributions, return log(p_target[b] / p_raw[b]) as a
+    * plain Array (position = bucket id).
+    *
+    * The 100 TB shape: both passes are scan-stage gram explosion into
+    * a `nBuckets`-bounded groupBy — the only shuffle rows are (bucket,
+    * partial count), and the collect is exactly `nBuckets` longs per
+    * side regardless of corpus size. The returned array is plan-sized
+    * (8·nBuckets bytes), so scoring can embed it as a literal and
+    * never pay a broadcast or a join.
+    */
+  def dsirLogRatios(
+      target: DataFrame, raw: DataFrame, textCol: String,
+      nBuckets: Int = 4096): Array[Double] = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [2, 2^20], got $nBuckets")
+    def bucketCounts(df: DataFrame): Map[Int, Long] =
+      df.select(explode(featureGrams(col(textCol))).as("g"))
+        .select(featureBucket(col("g"), nBuckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tc = bucketCounts(target)
+    val rc = bucketCounts(raw)
+    val tN = tc.values.sum.toDouble + nBuckets
+    val rN = rc.values.sum.toDouble + nBuckets
+    Array.tabulate(nBuckets) { b =>
+      math.log((tc.getOrElse(b, 0L) + 1) / tN) -
+        math.log((rc.getOrElse(b, 0L) + 1) / rN)
+    }
+  }
+
+  /** Per-document DSIR importance weight: Σ over the doc's hashed
+    * feature occurrences of the bucket's log-ratio. Zero-shuffle
+    * scoring — the ratio table rides the plan as an array literal and
+    * the sum is a scan-stage `aggregate` over the gram array, so
+    * scoring 100 TB is exactly one read of it (the "train tiny
+    * distributions on the clean side, score the world while reading
+    * it" shape shared with [[TextAnalysis.unigramNll]]).
+    * Output: (id, n_feats, log_w).
+    */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      ratios: Array[Double]): DataFrame = {
+    val rlit = lit(ratios)
+    docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.letBound(
+        featureGrams(col(textCol))) { gs =>
+        struct(
+          size(gs).cast("long").as("n"),
+          aggregate(gs, lit(0.0),
+            (acc, g) => acc + element_at(rlit, featureBucket(g, ratios.length) + 1))
+            .as("w"))
+      }.as("__s"))
+      .select(col("id"), col("__s.n").as("n_feats"), col("__s.w").as("log_w"))
+  }
+
+  /** DSIR resampling: the paper samples WITHOUT replacement ∝ the
+    * importance weights, which is exactly Gumbel-top-k — rank by
+    * log_w + Gumbel noise and keep the top `n`. The noise here is
+    * DETERMINISTIC (inverse-CDF of the [[hashBucket]] uniform over the
+    * id, u = (bucket + 0.5)/100), so reruns, engines, and partitions
+    * agree on the sample; ties (ids sharing a noise bucket and weight)
+    * break by id. The rank key is ROUNDED to 4 decimals (the
+    * [[TextAnalysis.bm25]] convention) so the selected set does not
+    * depend on sub-1e-4 float-summation order — a distributed sampler
+    * whose membership flips with partition count is not deterministic.
+    * One TakeOrdered — no full sort, no shuffle of the corpus.
+    */
+  def dsirResample(
+      docs: DataFrame, idCol: String, textCol: String,
+      ratios: Array[Double], n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val gumbel = -log(-log((hashBucket(col("id")) + 0.5) / 100.0))
+    dsirWeights(docs, idCol, textCol, ratios)
+      .withColumn("key", round(col("log_w") + gumbel, 4) + 0.0)
+      .orderBy(col("key").desc, col("id").asc)
+      .limit(n)
+      .select("id", "n_feats", "log_w", "key")
+  }
 }

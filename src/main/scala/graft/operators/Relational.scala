@@ -236,6 +236,13 @@ object Relational {
   def jsonExtract(s: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("long")
     Tables.events(s, dir)
+      // LOAD-BEARING: this 1-element explode is the optimizer barrier
+      // described above — do NOT "simplify" it to a plain projection,
+      // or predicate pushdown re-substitutes the JSON parse into the
+      // filter and the parse runs twice per row. If a future Spark
+      // adds a rule eliminating trivial Generates, PlanAuditSpec's
+      // parse count fails and this needs a new barrier (e.g. a
+      // non-deterministic wrapper).
       .select(col("event_id"), explode(array(k)).as("k"))
       .filter(col("k") > 90)
       .orderBy("event_id")
@@ -433,4 +440,79 @@ object Relational {
         max(col("ts")).as("session_end"))
       .select("user_id", "session_start", "session_end", "n_events")
       .orderBy("user_id", "session_start")
+
+  /** FUZZY self-join (entity resolution): all pairs of rows whose
+    * strings are within levenshtein `maxDist` — the record-linkage op
+    * (near-identical names/titles/URLs differing by typos or ids).
+    *
+    * An all-pairs levenshtein is O(n²·len²) — the blocking here is
+    * Ed-Join's prefix filter (Xiao et al. VLDB'08, positional q-grams;
+    * same family as the Jaccard prefix filter in
+    * [[Dedup.ngramJaccardPairs]]): `maxDist` edits destroy at most
+    * q·maxDist of a string's q-grams, so any pair within distance
+    * must share one of each side's (q·maxDist + 1) RAREST grams under
+    * a global (df, gram) order. Only those prefix grams are index
+    * keys; candidates are additionally length-filtered
+    * (|len₁ − len₂| ≤ maxDist) and verified with the built-in
+    * `levenshtein` — lossless for strings of ≥ q·(maxDist+1) chars
+    * (shorter strings can lose every gram to edits; they are joined
+    * within their ±maxDist LENGTH BAND instead, a bounded block
+    * because the band of a short string is itself short). Fan-out is
+    * Σ df² over prefix grams — rare grams by construction. Output:
+    * (id1, id2, dist), id1 < id2.
+    */
+  def fuzzyJoinPairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int,
+      q: Int = 3): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    import graft.functions.TextFunctions.charShingles
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("len", length(col("s")))
+    val minLen = q * (maxDist + 1)
+    val long = base.filter(col("len") >= minLen)
+    // positional q-grams are the Ed-Join unit; charShingles is
+    // DISTINCT per string, which only SHRINKS df (a gram lost to
+    // distinctness was a duplicate — edits destroy occurrences, and
+    // the pigeonhole argument needs any q·d+1 grams, distinct or not)
+    val sh = long.select(col("id"), explode(charShingles(col("s"), q)).as("g"))
+    val dfs = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df").asc, col("g").asc)
+    val prefix = sh.join(dfs, Seq("g"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= q * maxDist + 1)
+      .join(long.select(col("id"), col("len")), Seq("id"))
+      .select("id", "g", "len")
+    val candLong = prefix.select(col("id").as("id1"), col("g"), col("len").as("l1"))
+      .join(prefix.select(col("id").as("id2"), col("g"), col("len").as("l2")), Seq("g"))
+      .filter(col("id1") < col("id2") &&
+        abs(col("l1") - col("l2")) <= maxDist)
+      .select("id1", "id2").distinct()
+    // short strings: every candidate in the ±maxDist length band (the
+    // band of a ≤ minLen-char string is itself tiny, so this block is
+    // bounded). The band condition is EXPLODED to exact-length keys so
+    // the join is an equi-join — a |l1−l2| ≤ d predicate would plan as
+    // a nested-loop join, the shape the plan audit bans.
+    val short = base.filter(col("len") < minLen)
+    val candShort = short.select(col("id").as("id1"),
+        explode(sequence(greatest(col("len") - maxDist, lit(0)),
+          col("len") + maxDist)).as("lk"))
+      .join(base.select(col("id").as("id2"), col("len").as("lk")), Seq("lk"))
+      .filter(col("id1") =!= col("id2"))
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+      .distinct()
+    val cand = candLong.union(candShort).distinct()
+    val strs = base.select(col("id"), col("s"))
+    cand
+      .join(strs.select(col("id").as("id1"), col("s").as("s1")), Seq("id1"))
+      .join(strs.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id1", "id2", "dist")
+      .orderBy("id1", "id2")
+  }
 }

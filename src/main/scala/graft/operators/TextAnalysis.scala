@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language ID, quality
@@ -191,6 +192,30 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** COMPRESSION-RATIO quality signal: deflated bytes / raw UTF-8
+    * bytes of the RAW text, rounded to 4. Both tails of the ratio are
+    * the classic cheap pre-training gates: templated/repeated spam
+    * compresses far below normal prose, near-random gibberish barely
+    * compresses at all. One codegen'd scan-stage expression
+    * ([[graft.functions.DeflateStats]]) — zero shuffle, O(bytes) per
+    * row; the 100 TB shape is identical to the other scan-stage
+    * scorers (score while reading, gate inline). Ratios are
+    * deterministic for a fixed JDK zlib but are only ever COMPARED
+    * within a run — gates plant both group variants rather than
+    * pinning absolute ratios across zlib versions.
+    * Output: (id, n_bytes, comp_bytes, ratio).
+    */
+  def compressionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.deflate_stats(col(textCol)).as("__c"))
+      .select(col("id"),
+        col("__c.n_bytes").cast("long").as("n_bytes"),
+        col("__c.comp_bytes").cast("long").as("comp_bytes"),
+        (round(col("__c.comp_bytes") /
+          greatest(col("__c.n_bytes"), lit(1)), 4) + lit(0.0)).as("ratio"))
+      .orderBy("id")
+
   /** Fixed-size token-window CHUNKING with overlap — the
     * context-window preparation step (RAG indexing, long-doc training
     * prep): each document explodes into windows of `chunkTokens`
@@ -278,6 +303,15 @@ object TextAnalysis {
     * so a STREAMING pipeline can train it once on the landed corpus
     * and scrub arriving batches against it
     * ([[graft.streaming.EventStream.cleanLines]]).
+    *
+    * OWNERSHIP: the returned `Broadcast` belongs to the caller. It is
+    * reclaimed by the ContextCleaner once unreachable (the one-shot
+    * batch path holds it only through the returned plan), but a
+    * long-running STREAMING driver that RETRAINS periodically must
+    * `destroy()` the previous handle when swapping in a new one —
+    * otherwise each retrain leaks a set on the driver and every
+    * executor for as long as the old handle stays referenced
+    * (round-5 advice).
     */
   def trainBoilerplateSet(
       reference: DataFrame,
@@ -304,23 +338,21 @@ object TextAnalysis {
   /** WITHIN-document duplicate-line removal — the intra-doc half of
     * the RefinedWeb/CCNet line cleanup ([[removeBoilerplateLines]] is
     * the cross-doc half): each line keeps its FIRST occurrence, later
-    * repeats are dropped, everything else stays in order. Pure
-    * scan-stage array math (`filter` with the positional lambda — no
-    * UDF, no shuffle, nothing leaves the document); the keep-first
-    * scan is O(lines²) per document, which is bytes-bounded at any
-    * sane document size and never leaves the task. Output:
-    * (id, text_clean, n_removed).
+    * repeats are dropped, everything else stays in order. One
+    * scan-stage codegen expression
+    * ([[graft.functions.DedupLinesWithinDoc]] — no UDF, no shuffle,
+    * nothing leaves the document), O(lines) per document via a
+    * per-row hash set: the earlier `filter(.., array_position)`
+    * lambda form was O(lines²) per document, which a pathological
+    * many-line document could turn into a single stalled task
+    * (round-5 advice). Output: (id, text_clean, n_removed).
     */
-  def dedupLinesWithinDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ls = split(col(textCol), "\n", -1)
+  def dedupLinesWithinDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .withColumn("__ls", ls)
-      .withColumn("__kept",
-        expr("filter(__ls, (x, i) -> array_position(__ls, x) == i + 1)"))
       .select(col(idCol).as("id"),
-        concat_ws("\n", col("__kept")).as("text_clean"),
-        (size(col("__ls")) - size(col("__kept"))).cast("long").as("n_removed"))
-  }
+        graft.functions.SketchFunctions.dedup_lines_within_doc(col(textCol)).as("__d"))
+      .select(col("id"), col("__d.clean").as("text_clean"),
+        col("__d.n_removed").cast("long").as("n_removed"))
 
   /** BM25 keyword search (Robertson/Spärck Jones, the Lucene-style
     * `ln(1 + (N − df + ½)/(df + ½))` idf — always positive): top-N
@@ -547,4 +579,151 @@ object TextAnalysis {
         graft.functions.SketchFunctions.token_nll(toks, bc, model._2).as("bits_per_token"))
       .orderBy("id")
   }
+
+  /** Interpolated-BIGRAM language model trained on a reference corpus
+    * — the n-gram upgrade of [[unigramModel]] (CCNet's actual filter
+    * is a 5-gram KenLM; same family, two distributed counts instead
+    * of one). Per-token probability while scoring:
+    *
+    *   p(t₁)        = p_uni(t₁)
+    *   p(tᵢ | tᵢ₋₁) = λ·p_bi(tᵢ | tᵢ₋₁) + (1−λ)·p_uni(tᵢ)
+    *
+    * with p_uni add-one smoothed exactly as [[unigramModel]] and
+    * p_bi = c(h,t)/Σc(h,·) the MLE conditional (unseen bigram → 0;
+    * the unigram floor keeps the log finite, so no bigram smoothing
+    * constant to tune). Training is two distributed counts (tokens,
+    * space-joined 2-grams of
+    * [[graft.functions.TextFunctions.wordGramsAll]] — the
+    * WITH-multiplicity form: c(h,t) is how often the bigram was said,
+    * not its doc frequency, so the distinct [[wordGrams]] would bias
+    * every repeated bigram's conditional);
+    * both collected sides are bounded — unigrams by `vocabSize`, the
+    * bigram table by `maxBigrams` (top by count desc, gram asc,
+    * deterministic). `requireUncut` opts the oracle gate into the
+    * uncut-model guard, like [[unigramModel]]. Returns
+    * (bigram prob map, unigram prob map, oov probability).
+    */
+  def bigramModel(
+      reference: DataFrame,
+      textCol: String,
+      vocabSize: Int = 1 << 20,
+      maxBigrams: Int = 1 << 22,
+      requireUncut: Boolean = false): (
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double],
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double],
+      Double) = {
+    require(vocabSize >= 1 && maxBigrams >= 1)
+    val toks = tokens(normalize(col(textCol)))
+    val uniCounts = reference
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .persist()
+    val biProbs = reference
+      .select(explode(wordGramsAll(toks, 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .withColumn("h", substring_index(col("g"), " ", 1))
+      .withColumn("p", col("c") / sum("c").over(Window.partitionBy("h")))
+      .persist()
+    try {
+      val Array(totals) = uniCounts.agg(
+        sum("c").as("n"), count(lit(1)).as("v")).collect()
+      require(!totals.isNullAt(0), "bigramModel: reference corpus has no tokens")
+      val n = totals.getLong(0); val v = totals.getLong(1)
+      if (requireUncut) {
+        require(v <= vocabSize,
+          s"bigramModel: $v distinct tokens exceed vocabSize=$vocabSize — uncut oracle breaks")
+        val nBi = biProbs.count()
+        require(nBi <= maxBigrams,
+          s"bigramModel: $nBi distinct bigrams exceed maxBigrams=$maxBigrams — uncut oracle breaks")
+      }
+      val denom = (n + v + 1).toDouble
+      val U = org.apache.spark.unsafe.types.UTF8String.fromString _
+      val vocab = uniCounts.orderBy(col("c").desc, col("tok").asc).limit(vocabSize).collect()
+      val uniMap = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double](
+        vocab.length * 2)
+      vocab.foreach(r => uniMap.put(U(r.getString(0)),
+        java.lang.Double.valueOf((r.getLong(1) + 1).toDouble / denom)))
+      val bigrams = biProbs.orderBy(col("c").desc, col("g").asc).limit(maxBigrams)
+        .select("g", "p").collect()
+      val biMap = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double](
+        bigrams.length * 2)
+      bigrams.foreach(r => biMap.put(U(r.getString(0)),
+        java.lang.Double.valueOf(r.getDouble(1))))
+      (biMap, uniMap, 1.0 / denom)
+    } finally { uniCounts.unpersist(); biProbs.unpersist() }
+  }
+
+  /** Per-document bits/token under a broadcast [[bigramModel]] —
+    * zero-shuffle scoring via [[graft.functions.TokenNll2]], same
+    * 100 TB shape as [[unigramNll]] (train on the clean reference,
+    * score the dirty corpus while reading it). `lambda` is the
+    * bigram interpolation weight, required < 1 so the unigram floor
+    * keeps every token's probability positive. Output:
+    * (id, n_tokens, bits_per_token).
+    */
+  def bigramNll(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: (
+          java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double],
+          java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double],
+          Double),
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0.0 && lambda < 1.0, s"lambda must be in [0, 1), got $lambda")
+    val sc = docs.sparkSession.sparkContext
+    val biBc = sc.broadcast(model._1)
+    val uniBc = sc.broadcast(model._2)
+    val toks = tokens(normalize(col(textCol)))
+    docs.select(col(idCol).as("id"),
+        size(toks).cast("long").as("n_tokens"),
+        graft.functions.SketchFunctions.token_nll2(toks, biBc, uniBc, model._3, lambda)
+          .as("bits_per_token"))
+      .orderBy("id")
+  }
+
+  /** URL canonicalization — the first-stage key of every web-corpus
+    * dedup (RefinedWeb/C4 dedupe by URL before any content pass):
+    * lowercase scheme and host, strip a leading `www.`, drop default
+    * ports (:80 http, :443 https), strip trailing slashes off the
+    * path (bare or emptied path → `/`), drop the fragment, and keep
+    * only non-tracking query params (`utm_*` and
+    * empties dropped) SORTED so param order doesn't split a key.
+    * Pure built-in column functions end to end — regexp parts +
+    * array `filter`/`array_sort` — so the whole key derivation stays
+    * inside whole-stage codegen and the only shuffle a URL-dedup pays
+    * is its final groupBy on the canonical key.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawHost = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val noWww = regexp_replace(rawHost, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val noSlash = regexp_replace(rawPath, "/+$", "")
+    val path = when(noSlash === "", lit("/")).otherwise(noSlash)
+    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(rawQuery, "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    val query = concat_ws("&", params)
+    when(scheme === "" || rawHost === "", lower(url)) // unparseable: degrade, don't null out
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
+  /** URL-keyed duplicate groups: canonicalize, group, keep groups of
+    * ≥ 2 — the "same page fetched under tracking-param / www / port
+    * variants" report. One shuffle (the groupBy on the canonical
+    * key); min id is the kept representative, the rest are the drop
+    * candidates. Output: (canon_url, n_docs, keep_id).
+    */
+  def urlDuplicates(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), canonicalUrl(col(urlCol)).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"), min("id").as("keep_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("canon_url")
 }

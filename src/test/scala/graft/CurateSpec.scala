@@ -53,4 +53,61 @@ class CurateSpec extends AnyFunSuite {
     assert(counts.length == 5000)
     assert(counts.forall(r => r.getLong(1) <= (r.getString(0).drop(1).toInt % 17 + 1)))
   }
+
+  // ===== DSIR importance resampling =====
+
+  private def corpus(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("dsirWeights: target-like docs score above raw-like docs, hand-checked bucket math") {
+    // target speaks "alpha beta"; raw background speaks "spam junk"
+    val target = corpus((0L, "alpha beta alpha"), (1L, "beta alpha beta"))
+    val raw = corpus((0L, "alpha beta alpha"), (1L, "beta alpha beta"),
+      (2L, "spam junk spam"), (3L, "junk spam junk"))
+    val ratios = Curate.dsirLogRatios(target, raw, "text", nBuckets = 64)
+    assert(ratios.length == 64)
+    val w = Curate.dsirWeights(raw, "doc_id", "text", ratios)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // docs made of target-side grams must outweigh pure-background docs
+    assert(w(0L) > w(2L) && w(1L) > w(3L),
+      s"target-like docs should outweigh background: $w")
+    // hand-check one bucket: every occurrence of gram "alpha" lands in
+    // ONE bucket; its log-ratio is ln((t+1)/tN) - ln((r+1)/rN)
+    val tN = 2 * 5 + 64.0 // 5 grams per 3-token doc (3 uni + 2 bi), 2 target docs
+    val rN = 4 * 5 + 64.0
+    // "alpha" occurrences: target 3, raw 3; but other grams share the
+    // bucket only if md5 collides in 64 buckets — tolerate by bounding
+    // instead of pinning: weight of doc 0 is a sum of 5 such terms
+    assert(w(0L) > 0 && w(2L) < 0,
+      s"sign check failed: target-like positive, background negative: $w")
+    assert(math.abs(w(0L)) < 5 * (math.log(rN / tN) + math.log(6)),
+      "weights in plausible smoothed range")
+  }
+
+  test("dsirWeights: scoring is a zero-shuffle scan (ratio table rides the plan)") {
+    val target = corpus((0L, "alpha beta gamma"))
+    val raw = corpus((0L, "alpha beta gamma"), (1L, "delta epsilon zeta"))
+    val ratios = Curate.dsirLogRatios(target, raw, "text", nBuckets = 128)
+    val plan = Curate.dsirWeights(raw, "doc_id", "text", ratios)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring should not shuffle:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"scoring should not join:\n$plan")
+  }
+
+  test("dsirResample: deterministic Gumbel-top-k, stable under repartitioning") {
+    val target = corpus((0L, "alpha beta gamma"), (1L, "alpha gamma beta"))
+    val raw = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "alpha beta gamma alpha" else "spam junk noise words")).toDF("doc_id", "text")
+    val ratios = Curate.dsirLogRatios(target, raw, "text", nBuckets = 256)
+    val a = Curate.dsirResample(raw, "doc_id", "text", ratios, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Curate.dsirResample(raw.repartition(7), "doc_id", "text", ratios, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample membership must not depend on partitioning")
+    // the Gumbel noise spans ~[-0.8, 1.5] bits over u in {0.005..0.995};
+    // with a decisive weight gap, target-like docs dominate the sample
+    val evens = a.count(_ % 2 == 0)
+    assert(evens >= 8, s"importance weighting should dominate the sample: $a")
+  }
 }

@@ -519,4 +519,63 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((100L, 1L)))
   }
+
+  test("removeDuplicatedSpans: shared span vanishes from all docs, unique text intact") {
+    val passage = "one two three four five six seven eight" // exactly L=8 tokens
+    val base = Seq(
+      (1L, s"alpha start $passage tail1 end"),
+      (2L, s"beta begin $passage tail2 fin"),
+      (3L, "gamma wholly unique document body here")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(base, "doc_id", "text", l = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("alpha start tail1 end", 12L, 8L)))
+    assert(out(2L) == (("beta begin tail2 fin", 12L, 8L)))
+    assert(out(3L) == (("gamma wholly unique document body here", 6L, 0L)))
+  }
+
+  test("removeDuplicatedSpans: overlapping duplicated windows merge to a maximal span") {
+    // a shared 10-token run: its three 8-token windows overlap and the
+    // union covers all 10 tokens in both docs
+    val run = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val base = Seq(
+      (1L, s"u1 $run u2"),
+      (2L, s"v1 $run v2")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(base, "doc_id", "text", l = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out(1L) == (("u1 u2", 10L)))
+    assert(out(2L) == (("v1 v2", 10L)))
+  }
+
+  test("removeDuplicatedSpans: within-doc repetition alone is NOT a duplicated span (doc frequency, not occurrences)") {
+    val span = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val base = Seq(
+      (1L, s"$span middle $span"), // twice in ONE doc
+      (2L, "entirely different words in this document body")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(base, "doc_id", "text", l = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) == 0L && out(2L) == 0L)
+  }
+
+  test("decontaminateSpans: eval span excised from train, near-miss and unique text intact") {
+    val leak = "q1 q2 q3 q4 q5 q6" // an eval question, L=6 tokens
+    val eval = Seq((100L, s"intro $leak outro")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"body starts $leak body ends"),       // quoted verbatim -> excised
+      (2L, "q1 q2 q3 q4 q5 DIFFERENT trailing"),  // 5/6 overlap -> no 6-window match, kept
+      (3L, s"$leak"),                             // doc IS the leak -> empty clean
+      (4L, "wholly unrelated training document")).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(train, eval, "doc_id", "text", l = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("body starts body ends", 10L, 6L)))
+    assert(out(2L) == (("q1 q2 q3 q4 q5 different trailing", 7L, 0L)))
+    assert(out(3L) == (("", 6L, 6L)))
+    assert(out(4L) == (("wholly unrelated training document", 4L, 0L)))
+    // the eval windows CROSSING into context ("intro q1 ... q5" etc.)
+    // are in the set too — a train doc quoting leak+outro loses both
+    val t2 = Seq((9L, s"head $leak outro more words here")).toDF("doc_id", "text")
+    val o2 = Dedup.decontaminateSpans(t2, eval, "doc_id", "text", l = 6)
+      .collect().head
+    assert(o2.getString(1) == "head more words here")
+    assert(o2.getLong(3) == 7L) // leak + outro covered
+  }
 }

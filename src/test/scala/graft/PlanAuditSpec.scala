@@ -262,4 +262,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchangeCount == 3,
       s"pivot should shuffle 3x (pre-agg, pivot agg, sort), saw $exchangeCount")
   }
+
+  test("dedup_spans: the rebuild pass is a zero-shuffle scan (broadcast window set)") {
+    // the df/recovery jobs run eagerly at construction; the RETURNED
+    // plan is pass 2 only — corpus text must rebuild inside its scan
+    // stage, one sort exchange for the deterministic output order
+    val p = plan("dedup_spans")
+    val exchangeCount = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchangeCount <= 1,
+      s"span rebuild should shuffle only for the output sort, saw $exchangeCount")
+    assert(p.contains("remove_dup_spans"), "rebuild not using the scan-stage expression")
+  }
+
+  test("text_compress: deflate scoring is scan-stage — only the output sort shuffles") {
+    val p = plan("text_compress")
+    val exchangeCount = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchangeCount <= 1,
+      s"compression scoring should shuffle only for the sort, saw $exchangeCount")
+    assert(p.contains("deflate_stats"), "not using the scan-stage deflate expression")
+  }
+
+  test("q_fuzzy_join: Ed-Join candidate generation is equi-join only — no cartesian/NLJ") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), "fuzzy join has a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "fuzzy join has a nested-loop join")
+  }
+
+  test("dedup_decontaminate_spans: train-side scrub is a zero-shuffle scan") {
+    // the eval window set collects at construction; the RETURNED plan
+    // scrubs the train corpus in its scan stage — one sort exchange
+    val p = plan("dedup_decontaminate_spans")
+    val exchangeCount = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchangeCount <= 1,
+      s"span scrub should shuffle only for the output sort, saw $exchangeCount")
+    assert(p.contains("remove_dup_spans"), "scrub not using the scan-stage expression")
+  }
+
+  test("text_perplexity2: scoring side is a zero-shuffle scan under broadcast maps") {
+    val p = plan("text_perplexity2")
+    val exchangeCount = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchangeCount <= 1,
+      s"bigram scoring should shuffle only for the output sort, saw $exchangeCount")
+    assert(p.contains("token_nll2"), "not scoring via the scan-stage bigram expression")
+  }
+
+  test("text_url_dedup: one exchange for the canonical-key groupBy (plus sort)") {
+    // canonicalization must stay inside the scan stage: the only data
+    // shuffles are the groupBy on canon_url and the output sort
+    val p = plan("text_url_dedup")
+    val exchangeCount = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchangeCount <= 2,
+      s"url dedup should shuffle for groupBy + sort only, saw $exchangeCount")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

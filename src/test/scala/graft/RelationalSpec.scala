@@ -91,4 +91,45 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("fuzzyJoinPairs: lossless vs brute force, incl. short strings and d=2") {
+    import spark.implicits._
+    // seeded corpus of base words + typo mutations + short strings
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdefgh"
+    def word(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val bases = (0 until 30).map(_ => word(8 + rnd.nextInt(8)))
+    val mutated = bases.flatMap { b =>
+      val sb = new StringBuilder(b)
+      sb.setCharAt(rnd.nextInt(b.length), alphabet(rnd.nextInt(alphabet.length)))
+      Seq(b, sb.toString, b + alphabet(rnd.nextInt(alphabet.length)).toString)
+    }
+    val shorts = Seq("ab", "ac", "abc", "xy", "x", "abcd", "bcd")
+    val strs = (mutated ++ shorts).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = Relational.fuzzyJoinPairs(df, "id", "s", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // brute force in plain scala
+      def lev(a: String, b: String): Int = {
+        val dp = Array.tabulate(a.length + 1)(i => i)
+        for (j <- 1 to b.length) {
+          var prev = dp(0); dp(0) = j
+          for (i <- 1 to a.length) {
+            val cur = dp(i)
+            dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+              prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+            prev = cur
+          }
+        }
+        dp(a.length)
+      }
+      val want = (for {
+        (i1, s1) <- strs; (i2, s2) <- strs if i1 < i2
+        dd = lev(s1, s2) if dd <= d
+      } yield (i1, i2, dd.toLong)).toSet
+      assert(got == want, s"maxDist=$d: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty)
+    }
+  }
 }

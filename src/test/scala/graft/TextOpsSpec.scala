@@ -297,4 +297,84 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[Double]("bits_per_token")).toMap
     assert(math.abs(outFull(2L) - -log2(3.0 / 10)) < 1e-12)
   }
+
+  test("compressionRatio: deterministic, repetitive << random, bounds sane") {
+    val rep = "spam template line " * 40
+    val rnd = new scala.util.Random(5)
+    val noise = (0 until 760).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val df = Seq((1L, rep), (2L, noise), (3L, rep)).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == out(3L), "same text must give identical stats")
+    assert(out(1L)._1 == rep.getBytes("UTF-8").length.toLong)
+    val (ratioRep, ratioRnd) = (out(1L)._3, out(2L)._3)
+    assert(ratioRep > 0.0 && ratioRnd > 0.0)
+    assert(ratioRep < 0.2, s"repeated template should crush: $ratioRep")
+    assert(ratioRnd > 0.5, s"random letters should resist: $ratioRnd")
+  }
+
+  test("dedupLinesWithinDoc: keep-first at scale-ish line counts (O(lines) path)") {
+    // 20k lines, 1k distinct -> the old O(lines^2) lambda took minutes;
+    // the hash-set expression is linear
+    val lines = (0 until 20000).map(i => s"line ${i % 1000}").mkString("\n")
+    val df = Seq((1L, lines)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = TextAnalysis.dedupLinesWithinDoc(df, "doc_id", "text").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.head.getLong(2) == 19000L)
+    assert(out.head.getString(1).split("\n").length == 1000)
+    assert(secs < 30.0, s"keep-first took $secs s — not linear?")
+  }
+
+  test("bigram LM: hand-computed interpolated bits/token, unseen-bigram and OOV paths") {
+    // reference: "a b a b c" -> unigram counts {a:2, b:2, c:1}, N=5, V=3, denom=9
+    //   p_uni(a)=3/9, p_uni(b)=3/9, p_uni(c)=2/9, p_uni(oov)=1/9
+    // bigrams: {a b:2, b a:1, b c:1} -> heads: a:2, b:2
+    //   p(b|a)=1, p(a|b)=1/2, p(c|b)=1/2
+    val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramModel(ref, "text")
+    val lam = 0.7
+    val docs = Seq(
+      (1L, "a b"),   // first tok unigram-only; then lam*1 + (1-lam)*p_uni(b)
+      (2L, "a c"),   // bigram (a,c) unseen -> lam*0 + (1-lam)*p_uni(c)
+      (3L, "zz a"),  // OOV head: p_uni(oov); bigram (zz,a) unseen
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(docs, "doc_id", "text", model, lam)
+      .collect().map(r => (r.getLong(0), r)).toMap
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    def b1 = -log2(3.0 / 9)
+    assert(math.abs(out(1L).getAs[Double]("bits_per_token")
+      - (b1 + -log2(lam * 1.0 + (1 - lam) * (3.0 / 9))) / 2) < 1e-12)
+    assert(math.abs(out(2L).getAs[Double]("bits_per_token")
+      - (b1 + -log2((1 - lam) * (2.0 / 9))) / 2) < 1e-12)
+    assert(math.abs(out(3L).getAs[Double]("bits_per_token")
+      - (-log2(1.0 / 9) + -log2((1 - lam) * (3.0 / 9))) / 2) < 1e-12)
+    // empty text: tokens("") = [""] — a 1-token OOV doc, same as unigramNll
+    assert(!out(4L).isNullAt(out(4L).fieldIndex("bits_per_token")))
+    // a fluent in-distribution pair scores fewer bits than an OOV pair
+    assert(out(1L).getAs[Double]("bits_per_token") < out(3L).getAs[Double]("bits_per_token"))
+  }
+
+  test("canonicalUrl: variants fold, distinct pages don't, junk degrades to lower(url)") {
+    val urls = Seq(
+      (1L, "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
+      (2L, "http://example.com/a/b?a=1&b=2"),     // same page, clean form
+      (3L, "https://example.com/a/b?a=1&b=2"),    // different scheme -> different page
+      (4L, "https://Example.com:443/"),           // default port + bare path
+      (5L, "https://example.com"),                // no path at all
+      (6L, "not a url at all")).toDF("id", "url")
+    val out = urls.select(col("id"), TextAnalysis.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "http://example.com/a/b?a=1&b=2")
+    assert(out(1L) == out(2L))
+    assert(out(3L) == "https://example.com/a/b?a=1&b=2")
+    assert(out(3L) != out(2L))
+    assert(out(4L) == "https://example.com/")
+    assert(out(4L) == out(5L))
+    assert(out(6L) == "not a url at all")
+    val dups = TextAnalysis.urlDuplicates(urls, "id", "url").collect()
+    assert(dups.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set(("http://example.com/a/b?a=1&b=2", 2L, 1L),
+          ("https://example.com/", 2L, 4L)))
+  }
 }
