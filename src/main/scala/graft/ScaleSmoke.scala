@@ -76,6 +76,15 @@ object ScaleSmoke {
     timed("simhash pairs WIDE (2x32-bit chunks + 1-bit probes)") {
       Dedup.simhashPairsWide(docs, "doc_id", "text").count()
     }
+    // exact-substring dedup at scale: the planted copies give ~380k
+    // duplicated 8-token windows (~20 MB broadcast — well inside the
+    // maxDupWindows valve); pass 1 shuffles only (hash, count), pass 2
+    // is the zero-shuffle scan rebuild
+    timed("exact-substring dedup (ExactSubstr, L=8, df-cut + scan rebuild)") {
+      Dedup.removeDuplicatedSpans(docs, "doc_id", "text", l = 8)
+        .agg(sum("n_dropped")).head
+      n
+    }
     // decontamination at scale: a 10k-doc "benchmark suite" carved
     // from the corpus by hash; eval grams broadcast, the train side
     // streams through the scan-stage semi-join (SURVEY §4 claim)

@@ -771,6 +771,23 @@ object SparkEntry {
     // corpus heavy hitters: top-50 normalized tokens by count
     "text_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), "doc_id", "text", k = 50)),
+
+    // collocations: top-50 adjacent word pairs by PMI, count >= 20
+    "text_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 20, k = 50)),
+
+    // per-label mean embedding + nearest-centroid (Rocchio)
+    // assignment through the broadcast GEMM kernel at k=1; DuckDB
+    // recomputes centroids positionally and scores all label
+    // candidates with list_cosine_similarity
+    "emb_centroid_assign" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.centroidAssign(e, "vec_id", "embedding", "label")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("pred"), (round(col("score"), 4) + lit(0.0)).as("score"))
+        .orderBy("vec_id")
+    }),
     "text_quality" -> (TextAnalysis.quality _),
 
     // Gopher-style repetition signals: top-token / duplicate-bigram /
@@ -1647,6 +1664,60 @@ object SparkEntry {
         |)
         |SELECT token, count(*) AS n FROM toks WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+    // PMI collocations: DuckDB replays occurrence counts, the PMI
+    // formula, and the rounded-score ranking
+    "text_pmi" ->
+      """WITH norm AS (
+        |  SELECT regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS tk
+        |  FROM documents
+        |), tot AS (
+        |  SELECT CAST(sum(len(tk)) AS DOUBLE) AS nu,
+        |         CAST(sum(greatest(len(tk) - 1, 0)) AS DOUBLE) AS nb
+        |  FROM norm
+        |), uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(tk) AS w FROM norm) WHERE w <> '' GROUP BY w
+        |), bi AS (
+        |  SELECT g, count(*) AS c12 FROM (
+        |    SELECT unnest(CASE WHEN len(tk) >= 2
+        |      THEN [array_to_string(tk[i : i + 1], ' ') FOR i IN range(1, len(tk))]
+        |      ELSE [] END) AS g
+        |    FROM norm)
+        |  GROUP BY g HAVING count(*) >= 20
+        |)
+        |SELECT g AS bigram, c12, u1.c AS c1, u2.c AS c2,
+        |       round(ln((c12 / tot.nb) / ((u1.c / tot.nu) * (u2.c / tot.nu))), 4)
+        |         + 0.0 AS pmi
+        |FROM bi JOIN uni u1 ON split_part(g, ' ', 1) = u1.w
+        |        JOIN uni u2 ON split_part(g, ' ', 2) = u2.w
+        |        CROSS JOIN tot
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+
+    // nearest-centroid assignment: DuckDB recomputes per-label mean
+    // vectors positionally and scores every (vector, centroid) pair
+    "emb_centroid_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings
+        |), pos AS (
+        |  SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM e
+        |), cent AS (
+        |  SELECT label, array_agg(m ORDER BY i) AS c FROM (
+        |    SELECT label, i, avg(v) AS m FROM pos GROUP BY label, i)
+        |  GROUP BY label
+        |), best AS (
+        |  SELECT e.vec_id, e.label, cent.label AS cand,
+        |         list_cosine_similarity(e.emb, cent.c) AS s,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_cosine_similarity(e.emb, cent.c) DESC,
+        |                                     cent.label ASC) AS rn
+        |  FROM e CROSS JOIN cent
+        |)
+        |SELECT vec_id, label, cand AS pred, round(s, 4) + 0.0 AS score
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

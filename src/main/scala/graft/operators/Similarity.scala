@@ -1041,4 +1041,50 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // ===== per-group centroids + nearest-centroid assignment =====
+
+  /** Per-group MEAN embedding — the vector aggregation every
+    * embedding-organized corpus needs (topic centroids, per-source
+    * "semantic fingerprints", Rocchio class prototypes). Uses MLlib's
+    * `Summarizer` aggregator, so the mean is a true partial-aggregate:
+    * each partition folds its vectors locally and only `numGroups`
+    * partial sums cross the exchange — never a per-element explode
+    * (the posexplode form shuffles n·dim rows, 64× the corpus here).
+    * Input arrays are cast to f64 BEFORE summing (the f32 kernel
+    * gotcha: float partial sums would diverge from any f64 oracle).
+    * Output: (groupCol, centroid: array<double>).
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, embCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    df.filter(col(embCol).isNotNull)
+      .groupBy(groupCol)
+      .agg(Summarizer.mean(
+        array_to_vector(col(embCol).cast(ArrayType(DoubleType)))).as("__m"))
+      .select(col(groupCol),
+        vector_to_array(col("__m"), "float64").as("centroid"))
+  }
+
+  /** Nearest-centroid assignment (Rocchio classification / cluster
+    * labeling): compute [[groupCentroids]], then label every vector
+    * with its highest-cosine centroid through the SAME broadcast GEMM
+    * kernel as `pmm.topk` at k=1 — centroids are a tiny corpus by
+    * construction, so assignment is one zero-shuffle scan of the
+    * vectors (the plan shape that labels 100 TB of embeddings in one
+    * read). Ties break to the lowest group id (kernel contract).
+    * Output: every input column + (pred: long, score: double).
+    */
+  def centroidAssign(
+      df: DataFrame, idCol: String, embCol: String, groupCol: String): DataFrame = {
+    val cents = groupCentroids(df, groupCol, embCol)
+    val cx = collectCorpus(
+      cents.select(col(groupCol).cast(LongType).as("id"), col("centroid")),
+      "id", "centroid")
+    topkFlat(
+        df.select(col(idCol), col(groupCol),
+          col(embCol).cast(ArrayType(DoubleType)).as("__e")),
+        "__e", cx, 1, Metric.Cosine)
+      .select(col(idCol), col(groupCol), col("index").as("pred"), col("score"))
+  }
 }

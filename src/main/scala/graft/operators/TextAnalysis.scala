@@ -115,6 +115,53 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top word ASSOCIATIONS by pointwise mutual information — the
+    * collocation detector of corpus analysis (Church & Hanks '90;
+    * "new york" scores high because its parts rarely occur apart):
+    *
+    *   pmi(w1,w2) = ln( (c12/Nb) / ((c1/Nu)·(c2/Nu)) )
+    *
+    * with c12 the adjacent-bigram occurrence count (Nb total
+    * bigrams), c(w) the unigram occurrence counts (Nu total tokens).
+    * `minCount` suppresses the low-count PMI pathology (a hapax pair
+    * of two hapax words scores ln(Nu²/Nb) — maximal — on one
+    * observation). Rank on the 4-decimal-rounded score, ties by
+    * gram, for cross-engine determinism.
+    *
+    * Plan shape: two occurrence counts (shuffles bounded by vocab /
+    * distinct-bigram cardinality, with map-side partial aggregation),
+    * the surviving ≥ minCount bigrams join their parts' unigram
+    * counts, and the result is a TakeOrdered top-k — corpus text
+    * crosses no exchange.
+    */
+  def pmiPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k > 0, s"k must be > 0, got $k")
+    val toks = tokens(normalize(col(textCol)))
+    val uni = docs.select(explode(toks).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = docs.select(explode(wordGramsAll(toks, 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val totals = docs.agg(
+      sum(size(toks)).cast("double").as("nu"),
+      sum(greatest(size(toks) - 1, lit(0))).cast("double").as("nb")).head()
+    val nu = totals.getDouble(0); val nb = totals.getDouble(1)
+    bi
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .select(col("g").as("bigram"), col("c12"), col("c1"), col("c2"),
+        (round(log((col("c12") / nb) / ((col("c1") / nu) * (col("c2") / nu))), 4)
+          + lit(0.0)).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** PII patterns as (name, regex, replacement). Conservative,
     * lookaround-free character-class regexes chosen to mean the same
     * thing under Java (Spark) and RE2 (DuckDB/engines at large):

@@ -238,4 +238,31 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(blocked == full)
   }
+
+  test("groupCentroids: hand-computed means, partial-agg plan (no per-element explode)") {
+    val df = Seq(
+      (0L, 0L, Array(1.0f, 0.0f)), (1L, 0L, Array(3.0f, 2.0f)),
+      (2L, 1L, Array(0.0f, 4.0f))).toDF("id", "grp", "emb")
+    val cents = Similarity.groupCentroids(df, "grp", "emb")
+    val m = cents.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(m(0L) == Seq(2.0, 1.0) && m(1L) == Seq(0.0, 4.0))
+    val plan = cents.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"centroid agg must not explode elements:\n$plan")
+    assert(plan.contains("Exchange"), "group agg needs its one key exchange")
+  }
+
+  test("centroidAssign: separated clusters label correctly; repartition-stable") {
+    // grp 0 points near +x, grp 1 near +y; a mislabeled straggler (id 5)
+    // sits in the +x cluster and must be PREDICTED 0 despite label 1
+    val df = Seq(
+      (0L, 0L, Array(10.0f, 0.5f)), (1L, 0L, Array(9.0f, -0.5f)),
+      (2L, 0L, Array(11.0f, 0.0f)), (3L, 1L, Array(0.5f, 10.0f)),
+      (4L, 1L, Array(-0.5f, 9.0f)), (5L, 1L, Array(10.0f, 0.2f))).toDF("id", "grp", "emb")
+    val out = Similarity.centroidAssign(df, "id", "emb", "grp")
+      .select($"id", $"pred").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+    val re = Similarity.centroidAssign(df.repartition(5), "id", "emb", "grp")
+      .select($"id", $"pred").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == out)
+  }
 }

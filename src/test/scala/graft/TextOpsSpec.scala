@@ -377,4 +377,23 @@ class TextOpsSpec extends AnyFunSuite {
       Set(("http://example.com/a/b?a=1&b=2", 2L, 1L),
           ("https://example.com/", 2L, 4L)))
   }
+
+  test("pmiPairs: hand-computed PMI, min-count filter, occurrence (not doc) counts") {
+    // Nu = 12 tokens, Nb = 9 bigrams; "new york" occurs twice, every
+    // other bigram once → pmi(new york) = ln((2/9)/((2/12)^2)) = ln 8
+    val docs = Seq(
+      (0L, "new york a b"), (1L, "new york c d"), (2L, "e f g h")).toDF("id", "text")
+    val out = TextAnalysis.pmiPairs(docs, "id", "text", minCount = 2, k = 10).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "new york" && r.getLong(1) == 2L &&
+      r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(math.abs(r.getDouble(4) - math.rint(math.log(8.0) * 1e4) / 1e4) < 1e-12)
+    // multiplicity check: a doc repeating a bigram counts every occurrence
+    val rep = Seq((0L, "x y x y"), (1L, "x y z w")).toDF("id", "text")
+    val c12 = TextAnalysis.pmiPairs(rep, "id", "text", minCount = 3, k = 10)
+      .collect()
+    assert(c12.length == 1 && c12.head.getString(0) == "x y" &&
+      c12.head.getLong(1) == 3L, "x y occurs 3 times across docs (2 + 1)")
+  }
 }
