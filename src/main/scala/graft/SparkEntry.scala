@@ -600,6 +600,34 @@ object SparkEntry {
         .select(col("n_queries"), recallAtLeast(0.95).as("sq8_recall_ok"))
     }),
 
+    // PQ recall gate: 16-subspace product quantization (16 bytes/vec
+    // = 32× under f64) — pure-ADC top-10 must clear 0.6, and the
+    // SQ8-sidecar shortlist-100 rerank must clear 0.9 (the two-stage
+    // coarse-then-refine contract). Exact kernel is the ground truth;
+    // DuckDB pins n_queries and the expected booleans.
+    "ann_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val cx = corpus(s, dir)
+      val pq = Similarity.quantizePq(cx, m = 16)
+      val brute = Similarity.topkFlat(q, "embedding", cx, 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      def recallOf(hits: DataFrame, floor: Double) = brute
+        .join(hits.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"), recallAtLeast(floor).as("ok"))
+      val adc = recallOf(
+        Similarity.topkPqFlat(q, "embedding", pq, 10, Metric.Cosine), 0.6)
+      val rerank = recallOf(
+        Similarity.topkPqFlat(q, "embedding", pq, 10, Metric.Cosine, shortlist = 100), 0.9)
+      adc.select(col("n_queries"), col("ok").as("pq_adc_ok"))
+        .crossJoin(rerank.select(col("ok").as("pq_rerank_ok")))
+    }),
+
     // trained BPE tokenization (rows-only: the merge list is
     // deterministic but no SQL engine replays the greedy merge loop;
     // TextOpsSpec pins the hand-computed merge sequence, word
@@ -1871,6 +1899,11 @@ object SparkEntry {
 
     "ann_sq8_recall" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS sq8_recall_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_pq_recall" ->
+      """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS pq_adc_ok,
+        |       CAST(1 AS BOOLEAN) AS pq_rerank_ok
         |FROM embeddings""".stripMargin,
 
     // DuckDB independently recomputes the total normalized character

@@ -982,6 +982,377 @@ object Similarity {
       .drop("rank0", "m", embCol)
   }
 
+  // ===== PQ (product quantization, Jégou et al. TPAMI '11) =====
+
+  /** Product-quantized corpus envelope: `m` subspace codebooks of 256
+    * centroids each → `m` BYTES per vector (a 256-d f64 corpus
+    * compresses 2048/m ×; m=32 → 64×), plus the EXACT per-vector
+    * norms (8+8 bytes) so cosine/euclidean rank against true vector
+    * lengths, and an optional SQ8 sidecar for shortlist reranking
+    * (n·dim more bytes — still 8× under f64; `sq8 = None` drops it
+    * for the pure-ADC envelope).
+    */
+  final case class CorpusIndexPq(
+      ids: Array[Long],
+      codes: Array[Byte],       // n * m, row-major subspace codes
+      n: Int,
+      dim: Int,
+      m: Int,                   // subspaces; sub = dim / m
+      codebooks: Array[Float],  // m * 256 * sub, [subspace][centroid][d]
+      norms: Array[Double],
+      sqNorms: Array[Double],
+      sq8: Option[CorpusIndexSq8]) extends Serializable
+
+  /** Train PQ codebooks and encode a packed [[CorpusIndex]].
+    * Driver-side like [[quantizeSq8]]: per-subspace Lloyd k-means on a
+    * strided `trainSample` (deterministic — no RNG: init centroids are
+    * strided sample rows, ties to the lowest centroid), then every
+    * row encodes to its nearest centroid per subspace via a parallel
+    * stream (encode is the O(n·256·dim) step; training is
+    * sample-bounded). Empty clusters keep their previous centroid —
+    * codes stay valid. `withRerank` packs the SQ8 sidecar for
+    * [[topkPq]]'s shortlist rerank.
+    */
+  def quantizePq(
+      cx: CorpusIndex,
+      m: Int,
+      trainSample: Int = 16384,
+      iters: Int = 10,
+      withRerank: Boolean = true): CorpusIndexPq = {
+    require(m >= 1 && m <= cx.dim && cx.dim % m == 0,
+      s"m must divide dim: dim=${cx.dim}, m=$m")
+    require(trainSample >= 256, s"trainSample must be >= 256, got $trainSample")
+    val sub = cx.dim / m
+    val k = math.min(256, cx.n)
+    val step = math.max(1, cx.n / trainSample)
+    val sampleIdx = (0 until cx.n by step).toArray
+    val sn = sampleIdx.length
+    val codebooks = new Array[Float](m * 256 * sub)
+    var j = 0
+    while (j < m) {
+      // gather the subspace slice of the sample
+      val pts = new Array[Double](sn * sub)
+      var s = 0
+      while (s < sn) {
+        val src = sampleIdx(s) * cx.dim + j * sub
+        var d = 0
+        while (d < sub) { pts(s * sub + d) = cx.data(src + d); d += 1 }
+        s += 1
+      }
+      // strided deterministic init
+      val cent = new Array[Double](k * sub)
+      var c = 0
+      while (c < k) {
+        val src = ((c.toLong * sn) / k).toInt * sub
+        var d = 0
+        while (d < sub) { cent(c * sub + d) = pts(src + d); d += 1 }
+        c += 1
+      }
+      val assign = new Array[Int](sn)
+      var it = 0
+      while (it < iters) {
+        var s2 = 0
+        while (s2 < sn) {
+          var best = 0; var bestD = Double.MaxValue
+          var c2 = 0
+          while (c2 < k) {
+            var dist = 0.0; var d = 0
+            while (d < sub) {
+              val diff = pts(s2 * sub + d) - cent(c2 * sub + d)
+              dist += diff * diff; d += 1
+            }
+            if (dist < bestD) { bestD = dist; best = c2 }
+            c2 += 1
+          }
+          assign(s2) = best
+          s2 += 1
+        }
+        val sums = new Array[Double](k * sub)
+        val cnts = new Array[Int](k)
+        var s3 = 0
+        while (s3 < sn) {
+          val a = assign(s3); cnts(a) += 1
+          var d = 0
+          while (d < sub) { sums(a * sub + d) += pts(s3 * sub + d); d += 1 }
+          s3 += 1
+        }
+        var c3 = 0
+        while (c3 < k) {
+          if (cnts(c3) > 0) {
+            var d = 0
+            while (d < sub) { cent(c3 * sub + d) = sums(c3 * sub + d) / cnts(c3); d += 1 }
+          } // empty cluster: keep previous centroid
+          c3 += 1
+        }
+        it += 1
+      }
+      var c4 = 0
+      while (c4 < k) {
+        var d = 0
+        while (d < sub) {
+          codebooks((j * 256 + c4) * sub + d) = cent(c4 * sub + d).toFloat
+          d += 1
+        }
+        c4 += 1
+      }
+      j += 1
+    }
+    // encode every row: nearest centroid per subspace (parallel — this
+    // is the n·256·dim step)
+    val codes = new Array[Byte](cx.n * m)
+    val kf = k
+    java.util.stream.IntStream.range(0, cx.n).parallel().forEach { i =>
+      var j2 = 0
+      while (j2 < m) {
+        val src = i * cx.dim + j2 * sub
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kf) {
+          val cb = (j2 * 256 + c) * sub
+          var dist = 0.0; var d = 0
+          while (d < sub) {
+            val diff = cx.data(src + d) - codebooks(cb + d)
+            dist += diff * diff; d += 1
+          }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        codes(i * m + j2) = best.toByte
+        j2 += 1
+      }
+    }
+    // exact norms from the uncompressed pack (ranking uses true
+    // vector lengths, only the dot is approximated)
+    val norms = new Array[Double](cx.n)
+    val sqNorms = new Array[Double](cx.n)
+    var i2 = 0
+    while (i2 < cx.n) {
+      var sq = 0.0; var d = 0
+      while (d < cx.dim) { val v = cx.data(i2 * cx.dim + d); sq += v * v; d += 1 }
+      sqNorms(i2) = sq; norms(i2) = math.sqrt(sq)
+      i2 += 1
+    }
+    CorpusIndexPq(cx.ids, codes, cx.n, cx.dim, m, codebooks, norms, sqNorms,
+      if (withRerank) Some(quantizeSq8(cx)) else None)
+  }
+
+  def collectCorpusPq(
+      corpus: DataFrame, idCol: String, embCol: String, m: Int,
+      withRerank: Boolean = true): CorpusIndexPq =
+    quantizePq(collectCorpus(corpus, idCol, embCol), m, withRerank = withRerank)
+
+  /** Per-query top-k against a PQ corpus — same contract, tie rules,
+    * and null propagation as [[topk]]. Scoring is asymmetric distance
+    * computation (ADC): each query builds an m×256 table of partial
+    * dots against the codebooks (256·dim multiplies), then every
+    * corpus vector scores in m ADDS from its codes — no GEMM over the
+    * corpus at all, the compute shape that makes billion-vector scans
+    * cheap. With `shortlist > 0` (requires the SQ8 sidecar) the ADC
+    * ranking picks `shortlist` candidates and the final top-k reranks
+    * them against SQ8-decoded vectors — the two-stage
+    * coarse-then-refine shape (DiskANN/IVF-ADC) that restores
+    * near-exact recall while still never touching an uncompressed
+    * vector.
+    */
+  def topkPq(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexPq,
+      k: Int,
+      metric: Metric,
+      shortlist: Int = 0,
+      outputCol: String = "matches"): DataFrame = {
+    require(shortlist == 0 || shortlist >= k,
+      s"shortlist must be 0 (off) or >= k, got $shortlist (k=$k)")
+    require(shortlist == 0 || corpus.sq8.nonEmpty,
+      "shortlist rerank needs the SQ8 sidecar — build the index with withRerank = true")
+    val spark = queries.sparkSession
+    val bc = broadcastOf(spark, corpus)
+    val schema = queries.schema
+    val embIdx = schema.fieldIndex(embCol)
+    val embIsF32 = schema(embCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case dt => throw new IllegalArgumentException(
+        s"Query column $embCol must be array<float>/array<double>, got ${dt.simpleString}")
+    }
+    val fieldTypes = schema.fields.map(_.dataType)
+    val outSchema = StructType(schema.fields :+ StructField(outputCol,
+      ArrayType(StructType(Seq(
+        StructField("index", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))), containsNull = false),
+      nullable = true))
+    val kk = math.min(math.max(k, 0), corpus.n)
+    val sl = if (shortlist == 0) 0 else math.min(shortlist, corpus.n)
+    val cap = math.max(if (sl > 0) sl else kk, 1)
+    val higher = metric.higherIsBetter
+    val mt = metric
+
+    val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
+      val cx = bc.value
+      val sub = cx.dim / cx.m
+      val lut = new Array[Float](cx.m * 256)
+      val qf = new Array[Double](cx.dim)
+      val selIdx = new Array[Int](cap)
+      val selScore = new Array[Double](cap)
+      val sq8 = cx.sq8.orNull
+      it.map { row0 =>
+        val row = row0.copy()
+        val isNull = row.isNullAt(embIdx)
+        val result: AnyRef = if (isNull || kk == 0) {
+          if (isNull) null else new GenericArrayData(new Array[Any](0))
+        } else {
+          val emb = row.getArray(embIdx)
+          if (emb.numElements() != cx.dim) throw new IllegalArgumentException(
+            s"Dimension mismatch: query has ${emb.numElements()} elements, corpus has ${cx.dim}")
+          var qSq = 0.0
+          var d0 = 0
+          if (embIsF32) {
+            val fa = emb.toFloatArray()
+            while (d0 < cx.dim) { val v = fa(d0).toDouble; qf(d0) = v; qSq += v * v; d0 += 1 }
+          } else {
+            val da = emb.toDoubleArray()
+            while (d0 < cx.dim) { val v = da(d0); qf(d0) = v; qSq += v * v; d0 += 1 }
+          }
+          val qNorm = math.sqrt(qSq)
+          // ADC table: lut[j*256+c] = <q_subj, codebook[j][c]>
+          var j = 0
+          while (j < cx.m) {
+            var c = 0
+            while (c < 256) {
+              val cb = (j * 256 + c) * sub
+              var acc = 0.0; var d = 0
+              while (d < sub) { acc += qf(j * sub + d) * cx.codebooks(cb + d); d += 1 }
+              lut(j * 256 + c) = acc.toFloat
+              c += 1
+            }
+            j += 1
+          }
+          // pass 1: ADC ranking into the shortlist/top-k buffer
+          var size = 0
+          var g = 0
+          while (g < cx.n) {
+            var dot = 0.0
+            var j2 = 0
+            val base = g * cx.m
+            while (j2 < cx.m) {
+              dot += lut(j2 * 256 + (cx.codes(base + j2) & 0xFF)); j2 += 1
+            }
+            val s = mt match {
+              case Metric.Dot => dot
+              case Metric.Cosine =>
+                if (qNorm <= 1e-10 || cx.norms(g) <= 1e-10) 0.0
+                else dot / (qNorm * cx.norms(g))
+              case Metric.Euclidean =>
+                math.sqrt(math.max(0.0, qSq + cx.sqNorms(g) - 2.0 * dot))
+            }
+            val beatsWorst = size < cap || {
+              val w = selScore(size - 1)
+              if (higher) s > w || (s == w && cx.ids(g) < cx.ids(selIdx(size - 1)))
+              else s < w || (s == w && cx.ids(g) < cx.ids(selIdx(size - 1)))
+            }
+            if (beatsWorst) {
+              var pos = if (size < cap) size else cap - 1
+              while (pos > 0 && {
+                val ps = selScore(pos - 1)
+                if (higher) s > ps || (s == ps && cx.ids(g) < cx.ids(selIdx(pos - 1)))
+                else s < ps || (s == ps && cx.ids(g) < cx.ids(selIdx(pos - 1)))
+              }) {
+                selScore(pos) = selScore(pos - 1); selIdx(pos) = selIdx(pos - 1)
+                pos -= 1
+              }
+              selScore(pos) = s; selIdx(pos) = g
+              if (size < cap) size += 1
+            }
+            g += 1
+          }
+          // pass 2 (optional): rerank the shortlist against the SQ8
+          // sidecar — dims decode on the fly, no tile buffer needed
+          // for a ≤ shortlist-sized candidate set
+          val (outIdx, outScore, outSize) =
+            if (sl == 0) (selIdx, selScore, math.min(size, kk))
+            else {
+              val rIdx = new Array[Int](math.min(size, sl))
+              val rScore = new Array[Double](rIdx.length)
+              var rSize = 0
+              var ci = 0
+              while (ci < math.min(size, sl)) {
+                val g2 = selIdx(ci)
+                var dot = 0.0
+                val src = g2 * cx.dim
+                var d = 0
+                while (d < cx.dim) {
+                  dot += qf(d) * (sq8.dimMin(d) +
+                    (sq8.codes(src + d) & 0xFF) * sq8.dimScale(d))
+                  d += 1
+                }
+                val s = mt match {
+                  case Metric.Dot => dot
+                  case Metric.Cosine =>
+                    if (qNorm <= 1e-10 || cx.norms(g2) <= 1e-10) 0.0
+                    else dot / (qNorm * cx.norms(g2))
+                  case Metric.Euclidean =>
+                    math.sqrt(math.max(0.0, qSq + cx.sqNorms(g2) - 2.0 * dot))
+                }
+                val beatsWorst = rSize < kk || {
+                  val w = rScore(rSize - 1)
+                  if (higher) s > w || (s == w && cx.ids(g2) < cx.ids(rIdx(rSize - 1)))
+                  else s < w || (s == w && cx.ids(g2) < cx.ids(rIdx(rSize - 1)))
+                }
+                if (beatsWorst) {
+                  var pos = if (rSize < kk) rSize else kk - 1
+                  while (pos > 0 && {
+                    val ps = rScore(pos - 1)
+                    if (higher) s > ps || (s == ps && cx.ids(g2) < cx.ids(rIdx(pos - 1)))
+                    else s < ps || (s == ps && cx.ids(g2) < cx.ids(rIdx(pos - 1)))
+                  }) {
+                    rScore(pos) = rScore(pos - 1); rIdx(pos) = rIdx(pos - 1)
+                    pos -= 1
+                  }
+                  rScore(pos) = s; rIdx(pos) = g2
+                  if (rSize < kk) rSize += 1
+                }
+                ci += 1
+              }
+              (rIdx, rScore, rSize)
+            }
+          val structs = new Array[Any](outSize)
+          var r = 0
+          while (r < outSize) {
+            structs(r) = InternalRow(cx.ids(outIdx(r)), outScore(r)); r += 1
+          }
+          new GenericArrayData(structs)
+        }
+        val vals = new Array[Any](fieldTypes.length + 1)
+        var f = 0
+        while (f < fieldTypes.length) { vals(f) = row.get(f, fieldTypes(f)); f += 1 }
+        vals(fieldTypes.length) = result
+        new GenericInternalRow(vals): InternalRow
+      }
+    }
+    InternalRowBridge.fromInternalRdd(spark, outRdd, outSchema)
+  }
+
+  /** [[topkPq]] then explode+unnest — the flat (rank, index, score)
+    * shape of [[topkFlat]].
+    */
+  def topkPqFlat(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexPq,
+      k: Int,
+      metric: Metric,
+      shortlist: Int = 0): DataFrame = {
+    val withMatches = topkPq(queries, embCol, corpus, k, metric, shortlist, "matches")
+    withMatches
+      .select((withMatches.columns.filter(_ != "matches").map(col).toSeq :+
+        posexplode(col("matches")).as(Seq("rank0", "m"))): _*)
+      .withColumn("rank", col("rank0") + 1)
+      .withColumn("index", col("m.index"))
+      .withColumn("score", col("m.score"))
+      .drop("rank0", "m", embCol)
+  }
+
   /** `quantized = true` runs each block through the SQ8 path: each
     * block quantizes INSIDE its collect task and the f64 pack is
     * dropped there, so peak driver memory is the ≤ 8 in-flight
