@@ -949,13 +949,19 @@ object Dedup {
     * token ever crosses an exchange, the shape that lets one pass
     * scrub 100 TB while reading it.
     */
-  def decontaminateSpans(
-      train: DataFrame,
+  /** Train the broadcast L-token window set of an eval suite — the
+    * static half of [[decontaminateSpans]], exposed so a STREAMING
+    * scrub ([[graft.streaming.EventStream.scrubSpans]]) can train once
+    * and apply per microbatch. OWNERSHIP: the returned Broadcast
+    * belongs to the caller (destroy() on retrain — the
+    * [[TextAnalysis.trainBoilerplateSet]] contract).
+    */
+  def spanWindowSet(
       eval: DataFrame,
-      idCol: String,
       textCol: String,
       l: Int,
-      maxEvalWindows: Int = 1 << 22): DataFrame = {
+      maxEvalWindows: Int = 1 << 22): org.apache.spark.broadcast.Broadcast[
+      java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] = {
     require(l >= 2, s"span length must be >= 2 tokens, got $l")
     val evalWins = eval
       .select(explode(wordGrams(tokens(normalize(col(textCol))), l)).as("win"))
@@ -968,7 +974,17 @@ object Dedup {
       math.max(evalWins.length * 2, 16))
     evalWins.foreach(r => set.add(
       org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
-    val bc = train.sparkSession.sparkContext.broadcast(set)
+    eval.sparkSession.sparkContext.broadcast(set)
+  }
+
+  def decontaminateSpans(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int,
+      maxEvalWindows: Int = 1 << 22): DataFrame = {
+    val bc = spanWindowSet(eval, textCol, l, maxEvalWindows)
     train
       .select(col(idCol).as("id"), remove_dup_spans(normalize(col(textCol)), l, bc).as("__s"))
       .select(col("id"), col("__s.clean").as("text_clean"),

@@ -112,6 +112,40 @@ object EventStream {
       .drop("__ls")
   }
 
+  /** Streaming URL dedup — the ingest-time form of
+    * [[graft.operators.TextAnalysis.canonicalUrl]]: canonicalize the
+    * URL (a stateless scan expression) and keep the FIRST doc per
+    * canonical key inside the watermark horizon. The crawl-frontier
+    * shape: state is one (key, ts) per distinct canonical URL in the
+    * horizon, evicted by the watermark.
+    */
+  def dedupDocsByUrl(docs: DataFrame, tsCol: String, urlCol: String): DataFrame =
+    docs
+      .withColumn("canon_url",
+        graft.operators.TextAnalysis.canonicalUrl(col(urlCol)))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("canon_url")
+
+  /** Streaming SPAN scrub — the ingest-time form of
+    * [[graft.operators.Dedup.decontaminateSpans]]: the eval window
+    * set is static and broadcast (trained once from the benchmark
+    * suite), so the scrub is a stateless scan-stage map — the same
+    * [[graft.functions.RemoveDupSpans]] expression, applied to an
+    * unbounded stream unchanged. StreamingSpec pins batch parity.
+    */
+  def scrubSpans(
+      docs: DataFrame,
+      textCol: String,
+      l: Int,
+      evalWindows: org.apache.spark.broadcast.Broadcast[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]]): DataFrame = {
+    import graft.functions.TextFunctions.normalize
+    docs.withColumn("__s", graft.functions.SketchFunctions
+        .remove_dup_spans(normalize(col(textCol)), l, evalWindows))
+      .withColumn(textCol + "_clean", col("__s.clean"))
+      .withColumn("n_dropped", col("__s.n_dropped").cast("long"))
+      .drop("__s")
+  }
+
   /** Streaming NEAR-dup dedup on the 64-bit SimHash fingerprint: docs
     * whose fingerprint collides with one already seen inside the
     * watermark horizon are dropped — catches reformatted/lightly-

@@ -336,4 +336,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == want)
     assert(want.nonEmpty)
   }
+
+  test("streaming URL dedup keeps one doc per canonical key (batch-parity key set)") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def withUrl(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("HTTP://WWW.Ex"), (col("doc_id") % 20).cast("string"),
+          lit(".COM:80/p?utm_x=1&a=1#f")))
+        .otherwise(concat(lit("http://ex"), (col("doc_id") % 20).cast("string"),
+          lit(".com/p?a=1"))).as("url"))
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val raw = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = EventStream.dedupDocsByUrl(withUrl(raw), "ts", "url")
+      .select("canon_url")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("url_dedup_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("url_dedup_out").collect().map(_.getString(0))
+    // exactly one survivor per canonical key; both surface forms of
+    // the same page fold to ONE key (20 keys total)
+    assert(streamed.length == streamed.distinct.length)
+    val batchKeys = withUrl(Tables.documents(spark, dir))
+      .select(graft.operators.TextAnalysis.canonicalUrl(col("url")).as("k"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(streamed.toSet == batchKeys && batchKeys.size == 20)
+  }
+
+  test("streaming span scrub equals the batch decontaminateSpans rebuild") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val plant = "alpha beta gamma delta epsilon zeta"
+    def salt(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" " + plant)).otherwise(lit(""))).as("text"))
+    val evalDf = { import spark.implicits._; Seq(plant).toDF("text") }
+    val wins = graft.operators.Dedup.spanWindowSet(evalDf, "text", l = 4)
+    try {
+      val raw = spark.readStream
+        .schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = EventStream.scrubSpans(salt(raw), "text", 4, wins)
+        .select("doc_id", "text_clean", "n_dropped")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("scrub_spans_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table("scrub_spans_out").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      val want = graft.operators.Dedup.decontaminateSpans(
+          salt(Tables.documents(spark, dir)), evalDf, "doc_id", "text", l = 4)
+        .select("id", "text_clean", "n_dropped").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(streamed == want)
+      assert(want.values.exists(_._2 > 0), "planted spans must be dropped somewhere")
+    } finally wins.destroy()
+  }
 }
