@@ -800,6 +800,29 @@ object SparkEntry {
     "text_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), "doc_id", "text", k = 50)),
 
+    // HTML -> text extraction: each doc wrapped in a page template
+    // (style/script elements, nav boilerplate, entities, comments, a
+    // bare `<` inside script text) — the extractor must drop the
+    // chrome, keep block structure as lines, and unescape entities.
+    // DuckDB replays the same construction and the same Java∩RE2
+    // regex chain; md5-pinned
+    "text_html_extract" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><style>p{margin:0}</style>"),
+        lit("<script>var x = 1 < 2;</script></head><body>"),
+        lit("<div class=\"nav\">Home &amp; <b>links</b></div>"),
+        lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<ul><li>tag &lt;x&gt;</li><li>a&nbsp;b</li></ul>"),
+        lit("<!-- comment --></body></html>"))
+      TextAnalysis.extractHtml(
+          d.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .select(col("id").as("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_lines"))
+        .orderBy("doc_id")
+    }),
+
     // collocations: top-50 adjacent word pairs by PMI, count >= 20
     "text_pmi" -> ((s, dir) =>
       TextAnalysis.pmiPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -1692,6 +1715,48 @@ object SparkEntry {
         |)
         |SELECT token, count(*) AS n FROM toks WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+    // HTML extraction: DuckDB replays the template construction and
+    // the identical regex chain (RE2 'g' flag = Spark's replace-all)
+    "text_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<!DOCTYPE html><html><head><style>p{margin:0}</style>' ||
+        |    '<script>var x = 1 < 2;</script></head><body>' ||
+        |    '<div class="nav">Home &amp; <b>links</b></div>' ||
+        |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+        |    '<p>' || text || '</p>' ||
+        |    '<ul><li>tag &lt;x&gt;</li><li>a&nbsp;b</li></ul>' ||
+        |    '<!-- comment --></body></html>' AS html
+        |  FROM documents
+        |), x AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(regexp_replace(
+        |      html,
+        |      '(?is)<(script|style)\b[^>]*>.*?</(script|style)>', '', 'g'),
+        |      '(?s)<!--.*?-->', '', 'g'),
+        |      '(?i)<!doctype[^>]*>', '', 'g'),
+        |      '(?i)</(p|div|h1|h2|h3|h4|h5|h6|li|tr)>|<br[^>]*>', chr(10), 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'),
+        |      '&amp;', '&', 'g'),
+        |      '[ \t]+', ' ', 'g'),
+        |      '(?m)^ +| +$', '', 'g'),
+        |      '\n{2,}', chr(10), 'g'),
+        |    chr(10) || ' ') AS t
+        |  FROM h
+        |)
+        |SELECT doc_id, md5(t) AS text_md5,
+        |       CASE WHEN t = '' THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(len(str_split(t, chr(10))) AS BIGINT) END AS n_lines
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     // PMI collocations: DuckDB replays occurrence counts, the PMI
     // formula, and the rounded-score ranking

@@ -192,6 +192,60 @@ object TextAnalysis {
     docs.select(col(idCol) +: counts :+ redactedText(col(textCol)).as("text_redacted"): _*)
   }
 
+  /** HTML → text extraction — the stage-zero of every web corpus
+    * (C4/RefinedWeb start from markup, not text). A regex-chain
+    * extractor in the [[piiPatterns]] tradition: every pattern is
+    * written in the Java∩RE2 common dialect so Spark and any
+    * RE2-based engine (DuckDB included) transform identically —
+    * engine-parity IS the contract, the oracle replays this chain.
+    *
+    *  1. drop `<script>`/`<style>` elements wholesale ((?is) — their
+    *     text is code, not content), then comments and doctypes;
+    *  2. closing block tags (p, div, headings, li, tr, br) become
+    *     newlines so block structure survives as line structure;
+    *  3. every remaining tag is stripped;
+    *  4. the five HTML entities that appear in real text unescape
+    *     (amp last, so `&amp;lt;` → `&lt;` stays escaped once — the
+    *     standard single-pass order);
+    *  5. whitespace normalizes: runs of spaces/tabs collapse, blank
+    *     lines drop, edges trim.
+    *
+    * Pure `regexp_replace` built-ins — a zero-shuffle scan-stage map,
+    * the only admissible shape for "parse 100 TB of crawl".
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)>", "")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", "")
+    val noDoctype = regexp_replace(noComment, "(?i)<!doctype[^>]*>", "")
+    val blocks = regexp_replace(noDoctype,
+      "(?i)</(p|div|h1|h2|h3|h4|h5|h6|li|tr)>|<br[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val unesc = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (e, r)) =>
+      // entity strings contain no regex metacharacters — usable as
+      // patterns verbatim in both dialects
+      regexp_replace(c, e, r)
+    }
+    val collapsed = regexp_replace(unesc, "[ \\t]+", " ")
+    val trimmed = regexp_replace(collapsed, "(?m)^ +| +$", "")
+    trim(regexp_replace(trimmed, "\\n{2,}", "\n"), "\n ")
+  }
+
+  /** Per-doc HTML extraction: (id, text, n_lines) — text is the
+    * extracted content, n_lines its block-line count.
+    */
+  def extractHtml(docs: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.letBound(htmlToText(col(htmlCol))) { t =>
+        struct(t.as("text"),
+          when(t === "", lit(0L))
+            .otherwise(size(split(t, "\n", -1)).cast("long")).as("n_lines"))
+      }.as("__h"))
+      .select(col("id"), col("__h.text").as("text"), col("__h.n_lines").as("n_lines"))
+
   /** Most-frequent-element count of a string array, computed as the
     * longest run in the sorted array — one `array_sort` + one linear
     * `aggregate` pass, no explode/shuffle, so the whole repetition

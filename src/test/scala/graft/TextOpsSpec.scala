@@ -378,6 +378,30 @@ class TextOpsSpec extends AnyFunSuite {
           ("https://example.com/", 2L, 4L)))
   }
 
+  test("htmlToText: chrome dropped, blocks become lines, entities unescape, script-with-< survives") {
+    val html =
+      """<!DOCTYPE html><html><head><style>p { color: red }</style>
+        |<script type="text/js">if (1 < 2) { x(); }</script></head>
+        |<body><div>Nav &amp; Home</div><!-- secret -->
+        |<h1>Title</h1><p>one&nbsp;two &lt;tag&gt; &#39;q&#39;</p>
+        |<ul><li>alpha</li><li>beta</li></ul></body></html>""".stripMargin
+    val out = TextAnalysis.extractHtml(
+        Seq((1L, html)).toDF("id", "html"), "id", "html")
+      .collect().head
+    val text = out.getString(1)
+    val lines = text.split("\n").toSeq
+    assert(lines == Seq("Nav & Home", "Title", "one two <tag> 'q'", "alpha", "beta"),
+      s"got lines: $lines")
+    assert(out.getLong(2) == 5L)
+    assert(!text.contains("color") && !text.contains("secret") && !text.contains("x()"))
+    // empty page extracts to zero lines, not one empty line
+    val empty = TextAnalysis.extractHtml(
+        Seq((2L, "<html><head><script>a<b</script></head><body></body></html>"))
+          .toDF("id", "html"), "id", "html")
+      .collect().head
+    assert(empty.getString(1) == "" && empty.getLong(2) == 0L)
+  }
+
   test("pmiPairs: hand-computed PMI, min-count filter, occurrence (not doc) counts") {
     // Nu = 12 tokens, Nb = 9 bigrams; "new york" occurs twice, every
     // other bigram once → pmi(new york) = ln((2/9)/((2/12)^2)) = ln 8
