@@ -263,11 +263,24 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
+      maxDist: Int = 3): DataFrame =
+    hammingPairs(simhashSignatures(docs, idCol, textCol), "id", "simhash", maxDist)
+
+  /** All pairs of 64-bit fingerprints within hamming `maxDist` — the
+    * signature-level core of [[simhashPairs]], reusable for ANY 64-bit
+    * perceptual fingerprint (image aHash —
+    * [[Multimodal.imageNearDupPairs]] — audio chromaprints, …). Same
+    * pigeonhole-chunk join geometry and exact verify.
+    */
+  def hammingPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 16,
       s"maxDist must be in [0, 16], got $maxDist (chunks of < 4 bits bucket everything together)")
     val nChunks = maxDist + 1
-    val sig = simhashSignatures(docs, idCol, textCol)
+    val sig = sigs.select(col(idCol).as("id"), col(sigCol).as("simhash"))
     val chunkCols = (0 until nChunks).map { c =>
       val start = c * 64 / nChunks
       val width = (c + 1) * 64 / nChunks - start

@@ -53,7 +53,11 @@ object Multimodal {
     * behind a valid magic) falls back to the stub rather than failing
     * the pipeline — malformed blobs are data, not bugs, at 100 TB.
     */
-  private[graft] def decodePng(payload: Array[Byte]): Option[(String, Array[Double])] = {
+  /** PNG → BufferedImage with the decompression-bomb guard — the
+    * shared decode front of [[decodePng]] and [[imageHashes]].
+    */
+  private[graft] def decodeImage(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     // Bound the raster from the ALREADY-PARSED IHDR before ImageIO
     // allocates it: a decompression-bomb PNG declares a huge canvas in
     // a tiny file, and the resulting OutOfMemoryError is fatal — it
@@ -66,8 +70,13 @@ object Multimodal {
           ((payload(i + 2) & 0xFF) << 8) | (payload(i + 3) & 0xFF)
       if (be32(16) * be32(20) > (64L << 20)) return None
     }
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private[graft] def decodePng(payload: Array[Byte]): Option[(String, Array[Double])] = {
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = decodeImage(payload).orNull
       if (img == null) None
       else {
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -123,6 +132,87 @@ object Multimodal {
     }
     InternalRowBridge.fromInternalRdd(s, outRdd, featureSchema).orderBy("doc_id")
   }
+
+  // ---- perceptual image hashing (REAL decode, PNG) ----------------------
+
+  /** 64-bit AVERAGE-HASH (aHash) perceptual fingerprint: box-average
+    * the grayscale image onto an 8×8 grid, threshold each cell at the
+    * grid mean, read row-major bits. Re-encodes, small noise, and
+    * minor edits move a few bits; unrelated images differ in ~32 —
+    * the standard first-tier image near-dup signal (same family as
+    * pHash/dHash; average-hash chosen because it is exactly
+    * reproducible with integer box sums — no DCT/resample kernel to
+    * pin down across platforms). Deterministic: pure arithmetic over
+    * `getRGB`, no Graphics2D rescaling.
+    */
+  private[graft] def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(7, y * 8 / math.max(h, 1))
+      var x = 0
+      while (x < w) {
+        val gx = math.min(7, x * 8 / math.max(w, 1))
+        val rgb = img.getRGB(x, y)
+        val gray = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+        val c = gy * 8 + gx
+        sums(c) += gray; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = new Array[Double](64)
+    var i = 0; var total = 0.0
+    while (i < 64) {
+      cells(i) = if (counts(i) > 0) sums(i) / counts(i) else 0.0
+      total += cells(i); i += 1
+    }
+    val mean = total / 64.0
+    var bits = 0L; i = 0
+    while (i < 64) { if (cells(i) >= mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  val imageHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = true)))
+
+  /** Per-row perceptual hash of a binary image column — REAL decode
+    * (PNG via `javax.imageio`; null for payloads no available codec
+    * decodes, which downstream near-dup simply skips — undecodable
+    * blobs are data, not bugs). Scan-stage `mapPartitions` on
+    * InternalRow, the same batch shape as [[features]].
+    */
+  def imageHashes(docs: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val in = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      col(payloadCol).as("payload"))
+    val outRdd = InternalRowBridge.toInternalRdd(in).mapPartitions { it =>
+      it.map(row => (row.getLong(0), row.getBinary(1)))
+        .grouped(256).flatMap(_.iterator.map { case (id, payload) =>
+          val hash = decodeImage(payload).map(aHash64)
+          new GenericInternalRow(Array[Any](id,
+            hash.map(java.lang.Long.valueOf).orNull)): InternalRow
+        })
+    }
+    InternalRowBridge.fromInternalRdd(docs.sparkSession, outRdd, imageHashSchema)
+  }
+
+  /** IMAGE near-duplicate pairs: perceptual aHash + the same
+    * pigeonhole hamming join the text SimHash path uses
+    * ([[Dedup.hammingPairs]]) — one decode scan, then candidates are
+    * (id, fingerprint) rows only; pixels never cross an exchange.
+    * The multimodal half of corpus dedup: re-encoded/lightly-edited
+    * images that byte-level exact dedup cannot see.
+    */
+  def imageNearDupPairs(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      maxDist: Int = 5): DataFrame =
+    Dedup.hammingPairs(
+      imageHashes(docs, idCol, payloadCol).filter(col("ahash").isNotNull),
+      "doc_id", "ahash", maxDist)
 
   // ---- media metadata + frame sampling (decode STUBBED) -----------------
 

@@ -135,4 +135,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L)._1 == "audio" && got(2L)._2 == "m4a")
     assert(got(3L)._1 == "image" && got(3L)._2 == "heic")
   }
+
+  private def renderPng(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  test("image aHash: re-encode-stable, noise-robust, unrelated images far apart") {
+    // a horizontal gradient; a copy with sparse noise; its inverse
+    def grad(x: Int, y: Int) = { val v = x * 255 / 63; (v << 16) | (v << 8) | v }
+    val base = renderPng(64, 32)(grad)
+    val noisy = renderPng(64, 32)((x, y) =>
+      if ((x * 31 + y * 17) % 97 == 0) 0x808080 else grad(x, y))
+    val inverse = renderPng(64, 32)((x, y) => grad(63 - x, y))
+    def hashOf(png: Array[Byte]) =
+      Multimodal.aHash64(Multimodal.decodeImage(png).get)
+    val (hb, hn, hi) = (hashOf(base), hashOf(noisy), hashOf(inverse))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hb, hn) <= 4, s"noisy copy drifted ${ham(hb, hn)} bits")
+    assert(ham(hb, hi) >= 20, s"unrelated image only ${ham(hb, hi)} bits away")
+    // re-encoding the same pixels must hash identically
+    assert(hashOf(renderPng(64, 32)(grad)) == hb)
+  }
+
+  test("imageNearDupPairs: finds the edited copy, skips undecodable blobs, pixels stay in the scan") {
+    import spark.implicits._
+    def grad(x: Int, y: Int) = { val v = y * 255 / 31; (v << 16) | (v << 8) | v }
+    val base = renderPng(64, 32)(grad)
+    val edited = renderPng(64, 32)((x, y) =>
+      if (x < 3 && y < 3) 0xFFFFFF else grad(x, y))
+    val other = renderPng(64, 32)((x, y) => grad(x, 31 - y))
+    val junk = "not an image".getBytes("UTF-8")
+    val df = Seq((1L, base), (2L, edited), (3L, other), (4L, junk))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(df, "doc_id", "payload", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the edited-copy pair, got $pairs")
+    // undecodable rows surface as null hashes, not failures
+    val hashes = Multimodal.imageHashes(df, "doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hashes(4L).isEmpty && hashes(1L).nonEmpty)
+  }
 }

@@ -315,4 +315,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"url dedup should shuffle for groupBy + sort only, saw $exchangeCount")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("text_html_extract: extraction is a zero-shuffle scan (only the output sort exchanges)") {
+    val p = plan("text_html_extract")
+    val exchangeCount = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchangeCount <= 1,
+      s"html extraction should shuffle only for the sort, saw $exchangeCount")
+    assert(!p.contains("Generate"), "html extraction must not explode")
+  }
+
+  test("text_pmi: vocab-bounded shuffles, no cartesian, top-k via TakeOrdered") {
+    val p = plan("text_pmi")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "pmi top-k should be TakeOrdered, not a global sort")
+  }
+
+  test("emb_centroid_assign: no join in the assignment — centroids ride the broadcast kernel") {
+    val p = plan("emb_centroid_assign")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"assignment should be kernel-side, not a join:\n$p")
+  }
 }
