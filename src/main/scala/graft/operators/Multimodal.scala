@@ -214,6 +214,118 @@ object Multimodal {
       imageHashes(docs, idCol, payloadCol).filter(col("ahash").isNotNull),
       "doc_id", "ahash", maxDist)
 
+  // ---- perceptual audio hashing (REAL decode, PCM WAV) ------------------
+
+  /** Decode a PCM WAV payload to mono samples in [-1, 1] — REAL audio
+    * decode, no codec needed (PCM is just bytes behind a RIFF chunk
+    * walk): 8-bit unsigned and 16-bit signed little-endian, any
+    * channel count (averaged to mono). Returns None for anything else
+    * (compressed WAV, truncated chunks, non-WAV) — undecodable blobs
+    * are data, not bugs.
+    */
+  private[graft] def decodeWav(p: Array[Byte]): Option[Array[Double]] = {
+    def u8(i: Int) = p(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String) = p.length >= i + 4 &&
+      (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, bits)
+    var data: Option[(Int, Int)] = None     // (offset, length)
+    while (pos + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = le32(pos + 4)
+      if (size < 0 || size > Int.MaxValue - 8) return None
+      val body = pos + 8
+      if (tag(pos, "fmt ") && body + 16 <= p.length)
+        fmt = Some((le16(body), le16(body + 2), le16(body + 14)))
+      else if (tag(pos, "data"))
+        data = Some((body, math.min(size.toInt, p.length - body)))
+      pos = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((1, ch, bits)), Some((off, len)))
+          if ch >= 1 && (bits == 8 || bits == 16) =>
+        val bytesPerFrame = ch * bits / 8
+        val n = len / bytesPerFrame
+        if (n == 0) return None
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0; var c = 0
+          while (c < ch) {
+            val sOff = off + i * bytesPerFrame + c * bits / 8
+            acc +=
+              (if (bits == 8) (u8(sOff) - 128) / 128.0
+               else {
+                 val v = (u8(sOff) | (p(sOff + 1).toInt << 8)).toShort
+                 v / 32768.0
+               })
+            c += 1
+          }
+          out(i) = acc / ch
+          i += 1
+        }
+        Some(out)
+      case _ => None
+    }
+  }
+
+  /** 64-bit audio ENERGY-ENVELOPE fingerprint: the mono signal splits
+    * into 64 equal frames, each frame's RMS energy thresholds at the
+    * mean frame energy, bits read in time order. Amplitude-scale
+    * invariant (threshold at the signal's own mean) and robust to
+    * light noise; unrelated material differs in ~32 bits — the
+    * first-tier audio near-dup signal (the chromaprint family's
+    * coarse ancestor, built on the REAL PCM decode above).
+    */
+  private[graft] def audioHash64(samples: Array[Double]): Long = {
+    val n = samples.length
+    val energy = new Array[Double](64)
+    var f = 0
+    while (f < 64) {
+      val from = (f.toLong * n / 64).toInt
+      val to = math.max(((f + 1).toLong * n / 64).toInt, from + 1)
+      var acc = 0.0; var i = from
+      while (i < to && i < n) { acc += samples(i) * samples(i); i += 1 }
+      energy(f) = math.sqrt(acc / math.max(to - from, 1))
+      f += 1
+    }
+    val mean = energy.sum / 64.0
+    var bits = 0L; f = 0
+    while (f < 64) { if (energy(f) >= mean) bits |= (1L << f); f += 1 }
+    bits
+  }
+
+  /** Per-row audio fingerprint of a binary column (REAL PCM WAV
+    * decode; null for undecodable payloads). Same scan shape as
+    * [[imageHashes]].
+    */
+  def audioHashes(docs: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val in = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      col(payloadCol).as("payload"))
+    val outRdd = InternalRowBridge.toInternalRdd(in).mapPartitions { it =>
+      it.map(row => (row.getLong(0), row.getBinary(1)))
+        .grouped(256).flatMap(_.iterator.map { case (id, payload) =>
+          val hash = decodeWav(payload).map(audioHash64)
+          new GenericInternalRow(Array[Any](id,
+            hash.map(java.lang.Long.valueOf).orNull)): InternalRow
+        })
+    }
+    InternalRowBridge.fromInternalRdd(docs.sparkSession, outRdd, imageHashSchema)
+  }
+
+  /** AUDIO near-duplicate pairs — [[audioHashes]] +
+    * [[Dedup.hammingPairs]], the audio half of [[imageNearDupPairs]].
+    */
+  def audioNearDupPairs(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      maxDist: Int = 5): DataFrame =
+    Dedup.hammingPairs(
+      audioHashes(docs, idCol, payloadCol).filter(col("ahash").isNotNull),
+      "doc_id", "ahash", maxDist)
+
   // ---- media metadata + frame sampling (decode STUBBED) -----------------
 
   val mediaMetaSchema: StructType = StructType(Seq(

@@ -180,4 +180,64 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(hashes(4L).isEmpty && hashes(1L).nonEmpty)
   }
+
+  private def renderWav(samples: Array[Double], channels: Int = 1): Array[Byte] = {
+    val n = samples.length
+    val dataLen = n * 2 * channels
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(8000)
+    bb.putInt(8000 * 2 * channels); bb.putShort((2 * channels).toShort); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach { s =>
+      val v = math.max(-1.0, math.min(1.0, s))
+      (0 until channels).foreach(_ => bb.putShort((v * 32767).toShort))
+    }
+    bb.array()
+  }
+
+  test("audio fingerprint: REAL PCM decode, scale-invariant hash, unrelated audio far apart") {
+    // beep pattern: loud frames 0-31, quiet 32-63 (of the 64 hash frames)
+    val n = 6400
+    val beepFirst = Array.tabulate(n)(i =>
+      if (i < n / 2) math.sin(i * 0.7) * 0.9 else math.sin(i * 0.7) * 0.01)
+    val beepLast = Array.tabulate(n)(i =>
+      if (i >= n / 2) math.sin(i * 0.7) * 0.9 else math.sin(i * 0.7) * 0.01)
+    val samples = Multimodal.decodeWav(renderWav(beepFirst)).get
+    assert(samples.length == n)
+    assert(math.abs(samples(10) - math.sin(10 * 0.7) * 0.9) < 1e-3, "16-bit round-trip")
+    val h1 = Multimodal.audioHash64(samples)
+    // half-volume copy hashes identically (mean-threshold scale invariance)
+    val hHalf = Multimodal.audioHash64(
+      Multimodal.decodeWav(renderWav(beepFirst.map(_ * 0.5))).get)
+    assert(h1 == hHalf, "amplitude scaling must not move the fingerprint")
+    // stereo render of the same material decodes to the same mono signal
+    val hStereo = Multimodal.audioHash64(
+      Multimodal.decodeWav(renderWav(beepFirst, channels = 2)).get)
+    assert(java.lang.Long.bitCount(h1 ^ hStereo) <= 2)
+    // opposite envelope is ~all 64 bits away (energy bits invert)
+    val h2 = Multimodal.audioHash64(
+      Multimodal.decodeWav(renderWav(beepLast)).get)
+    assert(java.lang.Long.bitCount(h1 ^ h2) >= 32)
+    // non-WAV and compressed-format payloads decode to None
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeWav("plain text".getBytes).isEmpty)
+  }
+
+  test("audioNearDupPairs: finds the lightly-noised re-render, not different material") {
+    import spark.implicits._
+    val n = 6400
+    val rnd = new scala.util.Random(11)
+    val a = Array.tabulate(n)(i => math.sin(i * 0.3) * (if ((i / 100) % 3 == 0) 0.9 else 0.05))
+    val aNoisy = a.map(v => v + rnd.nextGaussian() * 0.01)
+    val b = Array.tabulate(n)(i => math.sin(i * 0.3) * (if ((i / 100) % 3 == 2) 0.9 else 0.05))
+    val df = Seq(
+      (1L, renderWav(a)), (2L, renderWav(aNoisy)), (3L, renderWav(b)),
+      (4L, "junk".getBytes)).toDF("doc_id", "payload")
+    val pairs = Multimodal.audioNearDupPairs(df, "doc_id", "payload", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the noised re-render pair, got $pairs")
+  }
 }
