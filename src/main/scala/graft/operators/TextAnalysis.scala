@@ -822,6 +822,9 @@ object TextAnalysis {
     */
   def urlDuplicates(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
     docs
+      // docs with NO url are not duplicates of each other — a null
+      // key must not form a group
+      .filter(col(urlCol).isNotNull)
       .select(col(idCol).as("id"), canonicalUrl(col(urlCol)).as("canon_url"))
       .groupBy("canon_url")
       .agg(count(lit(1)).as("n_docs"), min("id").as("keep_id"))

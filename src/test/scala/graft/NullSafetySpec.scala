@@ -104,4 +104,40 @@ class NullSafetySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(u == Set(1L, 3L))
   }
+
+  test("null text/url: round-6 ops propagate or drop nulls, never crash") {
+    // exact-substring dedup: the null doc passes through with null
+    // clean text
+    val spans = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", l = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(spans(2L).isEmpty && spans(1L).nonEmpty)
+    // fuzzy join: null strings generate no grams and no pairs
+    val fz = graft.operators.Relational.fuzzyJoinPairs(
+      Seq((1L, "abcdef"), (2L, null.asInstanceOf[String]), (3L, "abcdxf"))
+        .toDF("id", "s"), "id", "s", maxDist = 1).collect()
+    assert(fz.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
+    // DSIR: null text scores zero features
+    val ratios = graft.operators.Curate.dsirLogRatios(
+      docs.filter($"text".isNotNull), docs.filter($"text".isNotNull), "text", 64)
+    val w = graft.operators.Curate.dsirWeights(docs, "doc_id", "text", ratios)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(2L) == 0L && w(1L) > 0L)
+    // HTML extraction: null html extracts to null text
+    val h = TextAnalysis.extractHtml(
+      Seq((1L, "<p>hi</p>"), (2L, null.asInstanceOf[String])).toDF("id", "html"),
+      "id", "html")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(h(2L).isEmpty && h(1L).contains("hi"))
+    // URL dedup: null URLs form no group
+    val ud = TextAnalysis.urlDuplicates(
+      Seq((1L, "http://a.com/x"), (2L, null.asInstanceOf[String]),
+        (3L, "http://a.com/x"), (4L, null.asInstanceOf[String]))
+        .toDF("id", "url"), "id", "url").collect()
+    assert(ud.length == 1 && ud.head.getLong(1) == 2L)
+    // PMI: null text contributes no tokens, result unaffected
+    val pmi = TextAnalysis.pmiPairs(
+      Seq((1L, "x y x y x y"), (2L, null.asInstanceOf[String])).toDF("id", "text"),
+      "id", "text", minCount = 2, k = 5).collect()
+    assert(pmi.nonEmpty && pmi.head.getString(0) == "x y")
+  }
 }
