@@ -920,11 +920,15 @@ object Dedup {
       .select(xxhash64(col("win")).as("h"))
     val dupHashes = winHashes.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minDocFreq).select("h")
+    // limit BEFORE collect: the valve must bound driver memory, not
+    // just fire after an unbounded collect already materialized a
+    // degenerate corpus's window set
     val dupWins = docs.select(explode(winCol).as("win"))
       .join(broadcast(dupHashes), xxhash64(col("win")) === col("h"), "left_semi")
       .groupBy("win").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minDocFreq)
       .select("win")
+      .limit(maxDupWindows + 1)
       .collect()
     require(dupWins.length <= maxDupWindows,
       s"${dupWins.length} duplicated $l-token windows exceed maxDupWindows=$maxDupWindows — " +
@@ -976,9 +980,12 @@ object Dedup {
       maxEvalWindows: Int = 1 << 22): org.apache.spark.broadcast.Broadcast[
       java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] = {
     require(l >= 2, s"span length must be >= 2 tokens, got $l")
+    // limit BEFORE collect — same driver-memory valve as
+    // [[removeDuplicatedSpans]]
     val evalWins = eval
       .select(explode(wordGrams(tokens(normalize(col(textCol))), l)).as("win"))
       .distinct()
+      .limit(maxEvalWindows + 1)
       .collect()
     require(evalWins.length <= maxEvalWindows,
       s"${evalWins.length} distinct eval $l-token windows exceed maxEvalWindows=$maxEvalWindows — " +

@@ -999,8 +999,12 @@ object Similarity {
       dim: Int,
       m: Int,                   // subspaces; sub = dim / m
       codebooks: Array[Float],  // m * 256 * sub, [subspace][centroid][d]
-      norms: Array[Double],
-      sqNorms: Array[Double],
+      // norms are f32 ON PURPOSE: at m=16 the codes are 16 bytes/vec —
+      // f64 norm+sqNorm (16 more) would DOUBLE the envelope; f32 keeps
+      // it 24 and costs ~1e-7 relative norm error, noise next to the
+      // quantized dot itself
+      norms: Array[Float],
+      sqNorms: Array[Float],
       sq8: Option[CorpusIndexSq8]) extends Serializable
 
   /** Train PQ codebooks and encode a packed [[CorpusIndex]].
@@ -1122,14 +1126,15 @@ object Similarity {
       }
     }
     // exact norms from the uncompressed pack (ranking uses true
-    // vector lengths, only the dot is approximated)
-    val norms = new Array[Double](cx.n)
-    val sqNorms = new Array[Double](cx.n)
+    // vector lengths, only the dot is approximated); stored f32 —
+    // see the CorpusIndexPq field comment
+    val norms = new Array[Float](cx.n)
+    val sqNorms = new Array[Float](cx.n)
     var i2 = 0
     while (i2 < cx.n) {
       var sq = 0.0; var d = 0
       while (d < cx.dim) { val v = cx.data(i2 * cx.dim + d); sq += v * v; d += 1 }
-      sqNorms(i2) = sq; norms(i2) = math.sqrt(sq)
+      sqNorms(i2) = sq.toFloat; norms(i2) = math.sqrt(sq).toFloat
       i2 += 1
     }
     CorpusIndexPq(cx.ids, codes, cx.n, cx.dim, m, codebooks, norms, sqNorms,

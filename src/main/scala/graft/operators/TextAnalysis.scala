@@ -149,6 +149,13 @@ object TextAnalysis {
     val totals = docs.agg(
       sum(size(toks)).cast("double").as("nu"),
       sum(greatest(size(toks) - 1, lit(0))).cast("double").as("nb")).head()
+    // empty corpus (or all-null text): sum aggregates to null — no
+    // tokens means no collocations, not an NPE
+    if (totals.isNullAt(0) || totals.getDouble(0) == 0.0 ||
+        totals.isNullAt(1) || totals.getDouble(1) == 0.0)
+      return bi.select(col("g").as("bigram"), col("c12"),
+        col("c12").as("c1"), col("c12").as("c2"),
+        lit(0.0).as("pmi")).limit(0)
     val nu = totals.getDouble(0); val nb = totals.getDouble(1)
     bi
       .withColumn("w1", substring_index(col("g"), " ", 1))
