@@ -143,6 +143,23 @@ object ScaleSmoke {
     timed(s"sq8 topk (16k queries x $sqN x 64d, k=10, cosine)") {
       Similarity.topkSq8Flat(sqQueries, "vec", cx8, 10, Metric.Cosine).count()
     }
+    // PQ at the same index size: m=16 → 16 B codes + 8 B f32 norms
+    // per vector (24 MB vs SQ8's 64 MB vs f64's 512 MB); ADC-only
+    // search, then shortlist-100 rerank against the SQ8 sidecar
+    val t1 = System.nanoTime()
+    val cxPq = Similarity.quantizePq(
+      Similarity.collectCorpus(
+        sqCorpus.select(col("doc_id"), col("vec").cast("array<double>").as("vec")),
+        "doc_id", "vec"), m = 16)
+    println(f"pq pack ($sqN x 64d -> ${cxPq.codes.length / 1e6}%.0f MB codes, m=16): " +
+      f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+    timed(s"pq topk ADC-only (16k queries x $sqN x 64d, k=10, cosine)") {
+      Similarity.topkPqFlat(sqQueries, "vec", cxPq, 10, Metric.Cosine).count()
+    }
+    timed(s"pq topk + sq8 rerank, shortlist=100 (same shape)") {
+      Similarity.topkPqFlat(sqQueries, "vec", cxPq, 10, Metric.Cosine,
+        shortlist = 100).count()
+    }
     sqQueries.unpersist()
     emb.unpersist()
 
