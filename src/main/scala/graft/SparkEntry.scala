@@ -196,6 +196,15 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("epoch"))
         .orderBy("source", "doc_id", "epoch")),
 
+    // deterministic seeded corpus shuffle: data order is a
+    // hyperparameter — reruns and engines must produce the SAME
+    // permutation. DuckDB replays the md5 sort key
+    "q_shuffle" -> ((s, dir) =>
+      Curate.deterministicShuffle(
+          Tables.documents(s, dir).select("doc_id"), "doc_id", seed = 7L)
+        .select(col("position"), col("doc_id"))
+        .orderBy("position")),
+
     // DSIR importance weights: target = the doc_id%3==0 third of the
     // corpus (stand-in for "looks like Wikipedia"), raw = everything;
     // hashed uni+bigram bucket distributions, per-doc log importance
@@ -2195,6 +2204,12 @@ object SparkEntry {
         |)
         |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_shuffle" ->
+      """SELECT CAST(row_number() OVER (
+        |         ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |       AS BIGINT) AS position, doc_id
+        |FROM documents ORDER BY position""".stripMargin,
 
     // DSIR weights: DuckDB replays the hashed uni+bigram features,
     // the md5-Horner bucket, add-one smoothing on both bucket

@@ -291,6 +291,32 @@ object Curate {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("split")
 
+  /** DETERMINISTIC corpus shuffle — the seeded global permutation
+    * every pretraining run applies before sharding (data order is a
+    * hyperparameter; reruns and engines must agree on it). Sort key =
+    * md5(seed ‖ id): reproducible anywhere md5 exists, uniform, and
+    * seed-switchable without touching the data.
+    *
+    * Plan shape: ONE range-partitioned parallel sort (Spark's
+    * `orderBy` samples split points — no single-reducer hotspot),
+    * then global positions via `zipWithIndex` (a count job plus
+    * per-partition offsets — NOT a global `row_number()` window,
+    * which would funnel 100 TB through one task). Ties (md5
+    * collisions) break by id.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val key = md5(concat(lit(seed.toString), lit("|"), col(idCol).cast("string")))
+    val sorted = df.withColumn("__k", key).orderBy(col("__k"), col(idCol)).drop("__k")
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField("position", LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ idx)
+    }
+    sorted.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   // ===== DSIR importance resampling (Xie et al. NeurIPS '23) =====
 
   /** Engine-portable feature bucket in [0, nBuckets) from the md5 hex

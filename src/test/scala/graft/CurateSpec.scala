@@ -54,6 +54,24 @@ class CurateSpec extends AnyFunSuite {
     assert(counts.forall(r => r.getLong(1) <= (r.getString(0).drop(1).toInt % 17 + 1)))
   }
 
+  test("deterministicShuffle: contiguous positions, partition-count-independent, seed-switchable") {
+    val df = docs(500, 5)
+    val a = graft.operators.Curate.deterministicShuffle(df, "doc_id", seed = 7L)
+      .select("position", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.keys.toSeq.sorted == (0L until 500L), "positions must be a contiguous 0..n-1")
+    val b = graft.operators.Curate.deterministicShuffle(df.repartition(13), "doc_id", 7L)
+      .select("position", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "permutation must not depend on input partitioning")
+    val c = graft.operators.Curate.deterministicShuffle(df, "doc_id", seed = 8L)
+      .select("position", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a != c, "a different seed must produce a different permutation")
+    // and it is an actual shuffle, not the identity order
+    assert((0L until 500L).count(i => a(i) == i) < 50)
+  }
+
   // ===== DSIR importance resampling =====
 
   private def corpus(rows: (Long, String)*) =
