@@ -584,6 +584,28 @@ object SparkEntry {
         .select("n_queries", "lsh_recall_ok", "ivf_recall_ok")
     }),
 
+    // IVF + SQ8-rerank gate: the envelope-extended rerank (broadcast
+    // byte index instead of the f64 vector table) must hold the same
+    // recall floor as IVF-Flat at the same probes — a quantized-rerank
+    // regression (decode, binary-search id lookup, score rounding)
+    // turns this row red
+    "ann_ivfsq8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val brute = Similarity.topkFlat(q, "embedding", corpus(s, dir), 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      val approx = Ann.ivfSq8CosineTopK(q, "vec_id", q, "vec_id", "embedding",
+        k = 10, nProbe = 8)
+      brute
+        .join(approx.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"), recallAtLeast(0.8).as("ivfsq8_recall_ok"))
+    }),
+
     // SQ8 compression gate (same pattern as ann_recall): top-10 from
     // the scalar-quantized byte index must agree with the exact f64
     // kernel at >= 0.95 recall — a quantizer/decoder regression turns
@@ -1978,6 +2000,10 @@ object SparkEntry {
     "ann_pq_recall" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS pq_adc_ok,
         |       CAST(1 AS BOOLEAN) AS pq_rerank_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_ivfsq8_recall" ->
+      """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS ivfsq8_recall_ok
         |FROM embeddings""".stripMargin,
 
     // DuckDB independently recomputes the total normalized character

@@ -255,4 +255,59 @@ object Ann {
       qb.join(cb, Seq("cell")).select(col(qIdCol), col("index")), qIdCol)
     rerank(pairs, queries, qIdCol, corpus, cIdCol, embCol, k)
   }
+
+  /** IVF + SQ8-rerank ANN — [[ivfCosineTopK]] with the candidate
+    * rerank scored against the BROADCAST SQ8 INDEX instead of a
+    * broadcast f64 (id, vector) table. This closes the design-envelope
+    * gap [[rerank]]'s scaladoc documents: the f64 rerank is bounded by
+    * a ~1-2 GB broadcast of full vectors, while the SQ8 envelope holds
+    * 8× the corpus per broadcast gigabyte — same cells, same id-only
+    * candidate shuffle, rerank decode-and-dot is one codegen'd
+    * expression ([[Similarity.Sq8CosineAt]]) per candidate, O(dim)
+    * each, no LUT, no UDF. Scores are the quantized cosine (the SQ8
+    * grid error the `ann_sq8_recall` gate bounds), rounded like every
+    * ANN output.
+    */
+  def ivfSq8CosineTopK(
+      queries: DataFrame,
+      qIdCol: String,
+      corpus: DataFrame,
+      cIdCol: String,
+      embCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 5,
+      maxTrain: Int = 4096): DataFrame = {
+    val centroidCx = trainCellIndex(corpus, cIdCol, embCol, nCells, lloydIters, maxTrain)
+    def cells(df: DataFrame, idOut: String, probes: Int) =
+      Similarity.topkFlat(df, embCol, centroidCx, probes, Metric.Cosine)
+        .select(col(idOut), col("index").as("cell"))
+    val cb = cells(corpus.select(col(cIdCol).as("__cid"), col(embCol)), "__cid", 1)
+      .select(col("__cid").as("index"), col("cell"))
+    val qb = cells(queries.select(col(qIdCol), col(embCol)), qIdCol, nProbe)
+    val pairs = dedupPairs(
+      qb.join(cb, Seq("cell")).select(col(qIdCol), col("index")), qIdCol)
+    // SQ8 envelope of the corpus (one collect + pack, broadcast once)
+    val sq8 = Similarity.collectCorpusSq8(
+      corpus.select(col(cIdCol), col(embCol).cast("array<double>").as(embCol)),
+      cIdCol, embCol)
+    val bc = queries.sparkSession.sparkContext.broadcast(sq8)
+    val qe = queries.select(col(qIdCol),
+      col(embCol).cast("array<double>").as("qe"))
+    // qid join first (candidates are 16 B rows), then the scan-stage
+    // decode-and-dot — no vector and no f64 corpus table crosses any
+    // exchange (the rerank join-order rule, kept)
+    import org.apache.spark.sql.graft.ColumnBridge.{column => C, expression => E}
+    val cand = pairs
+      .join(qe, Seq(qIdCol))
+      .select(col(qIdCol), col("index"),
+        C(Similarity.Sq8CosineAt(E(col("index")), E(col("qe")), bc)).as("score"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("score").desc, col("index").asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col("index"),
+        (round(col("score"), 4) + lit(0.0)).as("score"))
+      .orderBy(qIdCol, "rank")
+  }
 }

@@ -1418,6 +1418,83 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ===== SQ8 point-lookup scoring (candidate rerank beyond the f64
+  // broadcast envelope) =====
+
+  /** Static scorer behind [[Sq8CosineAt]] (the codegen one-liner
+    * pattern). Decodes corpus row `id` from the SQ8 index and returns
+    * its cosine against `qe` — null when the id is not in the index,
+    * the kernel's zero-norm guard otherwise.
+    */
+  object Sq8Score {
+    def cosineAt(id: Long, qe: org.apache.spark.sql.catalyst.util.ArrayData,
+        cx: CorpusIndexSq8): Any = {
+      val pos = java.util.Arrays.binarySearch(cx.ids, id)
+      if (pos < 0) return null
+      val q = qe.toDoubleArray()
+      if (q.length != cx.dim) throw new IllegalArgumentException(
+        s"Dimension mismatch: query has ${q.length} elements, corpus has ${cx.dim}")
+      val off = pos * cx.dim
+      var dot = 0.0; var qsq = 0.0; var d = 0
+      while (d < cx.dim) {
+        val cv = cx.dimMin(d) + (cx.codes(off + d) & 0xFF) * cx.dimScale(d)
+        dot += q(d) * cv; qsq += q(d) * q(d)
+        d += 1
+      }
+      val qn = math.sqrt(qsq)
+      if (qn <= 1e-10 || cx.norms(pos) <= 1e-10) java.lang.Double.valueOf(0.0)
+      else java.lang.Double.valueOf(dot / (qn * cx.norms(pos)))
+    }
+  }
+
+  /** Cosine of a query embedding against ONE corpus row decoded from
+    * the broadcast SQ8 index — the candidate-rerank scorer that lets
+    * [[Ann.ivfSq8CosineTopK]] rerank against a corpus 8× past the f64
+    * broadcast envelope. Codegen'd; no UDF.
+    */
+  case class Sq8CosineAt(
+      idExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+      qeExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+      index: Broadcast[CorpusIndexSq8])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def left: Expression = idExpr
+    override def right: Expression = qeExpr
+    override def prettyName: String = "sq8_cosine_at"
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (LongType, ArrayType(DoubleType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires (bigint, array<double>), got " +
+              s"(${l.simpleString}, ${r.simpleString})")
+      }
+    override def nullSafeEval(id: Any, qe: Any): Any =
+      Sq8Score.cosineAt(id.asInstanceOf[Long],
+        qe.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], index.value)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sq8Bc", index,
+        "org.apache.spark.broadcast.Broadcast")
+      nullSafeCodeGen(ctx, ev, (idC, qeC) => {
+        val res = ctx.freshName("sq8res")
+        s"""Object $res = graft.operators.Similarity.Sq8Score$$.MODULE$$.cosineAt(
+           |  $idC, $qeC,
+           |  (graft.operators.Similarity.CorpusIndexSq8) $ref.value());
+           |if ($res == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((java.lang.Double) $res).doubleValue(); }
+           |""".stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(idExpr = newLeft, qeExpr = newRight)
+  }
+
   // ===== per-group centroids + nearest-centroid assignment =====
 
   /** Per-group MEAN embedding — the vector aggregation every

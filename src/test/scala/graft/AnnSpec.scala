@@ -81,4 +81,42 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(run() == run())
   }
+
+  test("IVF+SQ8 rerank: candidate sets match IVF-Flat, scores within the SQ8 grid, no f64 corpus table") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val flat = Ann.ivfCosineTopK(emb, "vec_id", emb, "vec_id", "embedding",
+        k = 10, nProbe = 8)
+      .select("vec_id", "index").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Ann.ivfSq8CosineTopK(emb, "vec_id", emb, "vec_id", "embedding",
+        k = 10, nProbe = 8)
+    val sq8Set = sq8.select("vec_id", "index").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same cells, same candidates — only the rerank scores differ by
+    // quantization error, so the selected sets agree near-completely
+    val agree = (flat & sq8Set).size.toDouble / flat.size
+    assert(agree >= 0.95, f"IVF-SQ8 diverged from IVF-Flat: agreement $agree%.3f")
+    // quantized scores stay within the SQ8 grid error of the exact
+    // cosine on a sample pair
+    val cx = Similarity.collectCorpus(emb, "vec_id", "embedding")
+    val exact = Similarity.topkFlat(emb.limit(20), "embedding", cx, 10, Metric.Cosine)
+      .select("vec_id", "index", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val qScores = sq8.select("vec_id", "index", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = exact.keySet & qScores.keySet
+    assert(shared.nonEmpty)
+    shared.foreach { k0 =>
+      assert(math.abs(exact(k0) - qScores(k0)) < 0.02,
+        s"quantized score off-grid at $k0: ${exact(k0)} vs ${qScores(k0)}")
+    }
+    // determinism
+    val again = Ann.ivfSq8CosineTopK(emb, "vec_id", emb, "vec_id", "embedding",
+        k = 10, nProbe = 8)
+      .select("vec_id", "index").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == sq8Set)
+  }
 }
