@@ -85,6 +85,16 @@ object ScaleSmoke {
         .agg(sum("n_dropped")).head
       n
     }
+    // DSIR at scale: train bucket distributions on a 10 % "target"
+    // carve + the full corpus (two nBuckets-bounded counts), then the
+    // zero-shuffle scoring scan over all 1M docs
+    timed("dsir importance weights (4096 buckets, train 10% target + raw, score all)") {
+      val ratios = graft.operators.Curate.dsirLogRatios(
+        docs.filter(pmod(xxhash64(col("doc_id")), lit(10)) === 0), docs, "text")
+      graft.operators.Curate.dsirWeights(docs, "doc_id", "text", ratios)
+        .agg(sum("log_w")).head
+      n
+    }
     // decontamination at scale: a 10k-doc "benchmark suite" carved
     // from the corpus by hash; eval grams broadcast, the train side
     // streams through the scan-stage semi-join (SURVEY §4 claim)
