@@ -1482,9 +1482,13 @@ object Similarity {
         "org.apache.spark.broadcast.Broadcast")
       nullSafeCodeGen(ctx, ev, (idC, qeC) => {
         val res = ctx.freshName("sq8res")
-        s"""Object $res = graft.operators.Similarity.Sq8Score$$.MODULE$$.cosineAt(
+        // Java binary names: Sq8Score and CorpusIndexSq8 are nested in
+        // `object Similarity`, so janino needs the `Similarity$…` form
+        // (the dotted form compiled nowhere and silently demoted this
+        // expression to interpreted eval)
+        s"""Object $res = graft.operators.Similarity$$Sq8Score$$.MODULE$$.cosineAt(
            |  $idC, $qeC,
-           |  (graft.operators.Similarity.CorpusIndexSq8) $ref.value());
+           |  (graft.operators.Similarity$$CorpusIndexSq8) $ref.value());
            |if ($res == null) { ${ev.isNull} = true; }
            |else { ${ev.value} = ((java.lang.Double) $res).doubleValue(); }
            |""".stripMargin
