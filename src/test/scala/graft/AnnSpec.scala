@@ -119,4 +119,24 @@ class AnnSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == sq8Set)
   }
+
+  test("Sq8CosineAt generates COMPILABLE code — no silent interpreted fallback") {
+    // calling the code generator directly throws on a janino compile
+    // error (the query path would silently fall back instead — which
+    // is exactly the regression this pins: the object-nested helper
+    // must be referenced by its Similarity$-form binary name)
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val emb = Tables.embeddings(spark, dir).limit(10)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val bc = spark.sparkContext.broadcast(
+      Similarity.collectCorpusSq8(emb, "vec_id", "embedding"))
+    val expr = Similarity.Sq8CosineAt(
+      BoundReference(0, LongType, nullable = false),
+      BoundReference(1, ArrayType(DoubleType), nullable = true), bc)
+    val proj = GenerateUnsafeProjection.generate(Seq(Alias(expr, "s")()))
+    assert(proj != null)
+  }
 }
