@@ -196,6 +196,16 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("epoch"))
         .orderBy("source", "doc_id", "epoch")),
 
+    // Z-order layout key: lakehouse multi-dim clustering — rows close
+    // in BOTH (custkey, orderkey) land contiguously; DuckDB replays
+    // the spread-bits arithmetic
+    "q_zorder" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          Relational.zValue(col("o_custkey"), col("o_orderkey")).as("z"))
+        .orderBy("z", "o_orderkey")
+        .limit(1000)),
+
     // deterministic seeded corpus shuffle: data order is a
     // hyperparameter — reruns and engines must produce the SAME
     // permutation. DuckDB replays the md5 sort key
@@ -2230,6 +2240,24 @@ object SparkEntry {
         |)
         |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // z-order: the spread-bits stages replayed with DuckDB's 64-bit
+    // integer operators (identical arithmetic by construction)
+    "q_zorder" ->
+      """WITH b0 AS (
+        |  SELECT o_orderkey, o_custkey % 65536 AS a, o_orderkey % 65536 AS b
+        |  FROM orders
+        |), s1 AS (
+        |  SELECT o_orderkey, (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b FROM b0
+        |), s2 AS (
+        |  SELECT o_orderkey, (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b FROM s1
+        |), s3 AS (
+        |  SELECT o_orderkey, (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM s2
+        |), s4 AS (
+        |  SELECT o_orderkey, (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM s3
+        |)
+        |SELECT o_orderkey, CAST(a | (b << 1) AS BIGINT) AS z
+        |FROM s4 ORDER BY z, o_orderkey LIMIT 1000""".stripMargin,
 
     "q_shuffle" ->
       """SELECT CAST(row_number() OVER (

@@ -441,6 +441,32 @@ object Relational {
       .select("user_id", "session_start", "session_end", "n_events")
       .orderBy("user_id", "session_start")
 
+  /** Z-ORDER curve value of two 16-bit keys — the multi-dimensional
+    * layout key behind lakehouse Z-ORDER clustering (Delta/Iceberg):
+    * sort-then-write by `zValue(a, b)` and rows close in BOTH
+    * dimensions land in the same files/row groups, so min-max stats
+    * prune scans filtered on either or both. Bit interleave via the
+    * standard spread-bits magic masks — pure 64-bit integer
+    * arithmetic (`&`, `|`, `<<`), identical in any engine, so the
+    * layout key is oracle-checkable and portable. Inputs are taken
+    * mod 2¹⁶ (callers range-scale first for true min-max Z-order).
+    *
+    * Locality guarantee (pinned by RelationalSpec): fixing the high
+    * h bits of both keys fixes the high 2h bits of z — every
+    * (2^(16-h))² tile occupies ONE contiguous z range.
+    */
+  def zValue(a: Column, b: Column): Column = {
+    def spread(x0: Column): Column = {
+      val x1 = x0.bitwiseAND(lit(0xFFFFL))
+      val x2 = x1.bitwiseOR(shiftleft(x1, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val x3 = x2.bitwiseOR(shiftleft(x2, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val x4 = x3.bitwiseOR(shiftleft(x3, 2)).bitwiseAND(lit(0x33333333L))
+      x4.bitwiseOR(shiftleft(x4, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(pmod(a.cast("long"), lit(65536L)))
+      .bitwiseOR(shiftleft(spread(pmod(b.cast("long"), lit(65536L))), 1))
+  }
+
   /** FUZZY self-join (entity resolution): all pairs of rows whose
     * strings are within levenshtein `maxDist` — the record-linkage op
     * (near-identical names/titles/URLs differing by typos or ids).

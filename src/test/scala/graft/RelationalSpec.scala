@@ -132,4 +132,32 @@ class RelationalSpec extends AnyFunSuite {
       assert(want.nonEmpty)
     }
   }
+
+  test("zValue: tile contiguity — fixing high bits of both keys fixes a contiguous z range") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a 64×64 grid of points in 16×16 tiles: every tile must own a
+    // contiguous, non-overlapping z range (the property that makes
+    // min-max row-group stats prune two-dimensional filters)
+    val pts = spark.range(64L * 64)
+      .select((col("id") % 64).as("a"), (col("id") / 64).as("b"))
+      .withColumn("z", graft.operators.Relational.zValue(col("a"), col("b")))
+      .withColumn("tile", concat((col("a") / 16).cast("long").cast("string"), lit("_"),
+        (col("b") / 16).cast("long").cast("string")))
+    val ranges = pts.groupBy("tile")
+      .agg(min("z").as("lo"), max("z").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ranges.length == 16 && ranges.forall(_._4 == 256))
+    val sorted = ranges.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array((_, _, hi1, _), (_, lo2, _, _)) =>
+        assert(hi1 < lo2, s"tile z ranges overlap: $hi1 >= $lo2")
+      case _ =>
+    }
+    // and the curve actually interleaves: z(1,0)=1, z(0,1)=2, z(1,1)=3
+    val small = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L)).toDF("a", "b")
+      .withColumn("z", graft.operators.Relational.zValue(col("a"), col("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(small == Map((0L, 0L) -> 0L, (1L, 0L) -> 1L, (0L, 1L) -> 2L, (1L, 1L) -> 3L))
+  }
 }
