@@ -140,7 +140,8 @@ class RelationalSpec extends AnyFunSuite {
     // contiguous, non-overlapping z range (the property that makes
     // min-max row-group stats prune two-dimensional filters)
     val pts = spark.range(64L * 64)
-      .select((col("id") % 64).as("a"), (col("id") / 64).as("b"))
+      .select((col("id") % 64).as("a"),
+        floor(col("id") / 64).cast("long").as("b"))
       .withColumn("z", graft.operators.Relational.zValue(col("a"), col("b")))
       .withColumn("tile", concat((col("a") / 16).cast("long").cast("string"), lit("_"),
         (col("b") / 16).cast("long").cast("string")))

@@ -144,4 +144,31 @@ class SinkSpec extends AnyFunSuite {
     assert(back.count() == df.count())
     assert(back.join(df, Seq("doc_id", "text", "lang"), "left_anti").isEmpty)
   }
+
+  test("writeZOrdered: a two-dimensional box filter touches fewer files than natural order") {
+    import org.apache.spark.sql.functions._
+    // 256×256 grid of (a, b) points, 64 files each layout
+    val grid = spark.range(256L * 256)
+      .select((col("id") % 256).as("a"),
+        floor(col("id") / 256).cast("long").as("b"))
+    val zOut = tmpDir("sink-zorder")
+    Sink.writeZOrdered(grid, zOut, "a", "b", numFiles = 64)
+    val natOut = tmpDir("sink-natural")
+    // natural layout: row-major order (sorted by a then b)
+    grid.repartitionByRange(64, col("a"), col("b"))
+      .sortWithinPartitions("a", "b").write.parquet(natOut)
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("a").between(100, 131) && col("b").between(100, 131))
+        .select(input_file_name()).distinct().count()
+    val (zf, nf) = (filesTouched(zOut), filesTouched(natOut))
+    // the 32×32 box is 1/64 of the space: z-order confines it to a few
+    // tiles; row-major order smears it across every a-stripe it spans
+    assert(zf < nf, s"z-order should touch fewer files: z=$zf natural=$nf")
+    assert(zf <= 8, s"box should land in few z files, got $zf")
+    // both layouts return the identical rows
+    val zRows = spark.read.parquet(zOut)
+      .filter(col("a").between(100, 131) && col("b").between(100, 131)).count()
+    assert(zRows == 32L * 32)
+  }
 }
