@@ -907,6 +907,22 @@ object SparkEntry {
     }),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
 
+    // corpus-wide exact-paragraph dedup (RefinedWeb keep-first): the
+    // corpus is single-paragraph, so the gate plants a shared
+    // paragraph in every 9th doc (survives only in the first) plus a
+    // unique tail paragraph (always survives); md5-pinned rebuild
+    "dedup_paragraphs" -> ((s, dir) => {
+      val salted = Tables.documents(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 9 === 0,
+          lit("\n\nshared paragraph alpha beta gamma")).otherwise(lit("")),
+        lit("\n\ntail "), col("doc_id").cast("string")).as("text"))
+      TextAnalysis.dedupParagraphs(salted, "doc_id", "text")
+        .select(col("id").as("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_paras"), col("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
     // exact-substring dedup (Lee et al. '21 ExactSubstr): the corpus
     // is unique word soup, so the gate plants a shared 10-token
     // passage in every 7th doc (its 8-token windows are duplicated
@@ -1303,6 +1319,37 @@ object SparkEntry {
     "text_compress_gate" ->
       """SELECT count(*) AS n_docs, CAST(1 AS BOOLEAN) AS separated
         |FROM documents""".stripMargin,
+
+    // paragraph dedup: DuckDB replays the plant, the keep-first
+    // window, and the ordered rebuild
+    "dedup_paragraphs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 9 = 0
+        |         THEN chr(10) || chr(10) || 'shared paragraph alpha beta gamma'
+        |         ELSE '' END ||
+        |    chr(10) || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, unnest(ps) AS p, generate_subscripts(ps, 1) AS pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS ps FROM d)
+        |), nz AS (
+        |  SELECT doc_id, p, pos,
+        |         row_number() OVER (PARTITION BY p ORDER BY doc_id, pos) AS rn
+        |  FROM ex WHERE trim(p) <> ''
+        |), reb AS (
+        |  SELECT doc_id,
+        |         count(*) AS n_paras,
+        |         sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped,
+        |         string_agg(CASE WHEN rn = 1 THEN p END, chr(10) || chr(10)
+        |                    ORDER BY pos) AS clean
+        |  FROM nz GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, md5(COALESCE(r.clean, '')) AS clean_md5,
+        |       CAST(COALESCE(r.n_paras, 0) AS BIGINT) AS n_paras,
+        |       CAST(COALESCE(r.n_dropped, 0) AS BIGINT) AS n_dropped
+        |FROM d LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // exact-substring dedup: DuckDB replays the same plant, window
     // enumeration, distinct-doc df-cut, positional coverage, and

@@ -199,6 +199,46 @@ object TextAnalysis {
     docs.select(col(idCol) +: counts :+ redactedText(col(textCol)).as("text_redacted"): _*)
   }
 
+  /** Corpus-wide EXACT-PARAGRAPH dedup, keep-first (the
+    * RefinedWeb/MassiveText paragraph pass — between document-level
+    * exact dedup and span-level ExactSubstr in granularity): every
+    * paragraph (blank-line-separated block) that appeared earlier in
+    * the corpus — lower (doc, pos) lexicographically — is removed;
+    * the first occurrence and all unique paragraphs survive in
+    * order. Output: (id, text_clean, n_paras, n_dropped).
+    *
+    * Plan shape: one shuffle keyed on the paragraph string decides
+    * winners (`row_number` over (doc, pos)), one groupBy rebuilds —
+    * paragraph text rides those two exchanges, the
+    * [[removeBoilerplateLines]] trade at paragraph granularity. For
+    * corpora where even paragraphs must not shuffle, the hash-only
+    * df + broadcast-set rebuild of [[Dedup.removeDuplicatedSpans]]
+    * is the same operation one granularity down.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n{2,}", -1)).as(Seq("pos", "p")))
+      .filter(trim(col("p")) =!= "")
+    val w = Window.partitionBy(col("p")).orderBy(col("id").asc, col("pos").asc)
+    val kept = ex.withColumn("rn", row_number().over(w))
+    val rebuilt = kept
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws("\n\n",
+          transform(array_sort(collect_list(
+              when(col("rn") === 1, struct(col("pos"), col("p"))))),
+            s => s.getField("p"))).as("text_clean"))
+    docs.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** HTML → text extraction — the stage-zero of every web corpus
     * (C4/RefinedWeb start from markup, not text). A regex-chain
     * extractor in the [[piiPatterns]] tradition: every pattern is

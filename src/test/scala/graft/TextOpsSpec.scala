@@ -402,6 +402,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(empty.getString(1) == "" && empty.getLong(2) == 0L)
   }
 
+  test("dedupParagraphs: keep-first across corpus, order intact, within-doc repeats dropped") {
+    val docs = Seq(
+      (1L, "alpha one\n\nshared para\n\nbeta one"),
+      (2L, "shared para\n\ngamma two\n\nshared para"), // both copies lose to doc 1
+      (3L, "delta three\n\n\n\n  \n\nepsilon three")   // blank/whitespace paras skipped
+    ).toDF("id", "text")
+    val out = TextAnalysis.dedupParagraphs(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha one\n\nshared para\n\nbeta one", 3L, 0L)))
+    assert(out(2L) == (("gamma two", 3L, 2L)),
+      "both copies of the shared para (incl. the within-doc repeat) must drop")
+    assert(out(3L)._1 == "delta three\n\nepsilon three" && out(3L)._3 == 0L)
+  }
+
   test("pmiPairs: hand-computed PMI, min-count filter, occurrence (not doc) counts") {
     // Nu = 12 tokens, Nb = 9 bigrams; "new york" occurs twice, every
     // other bigram once → pmi(new york) = ln((2/9)/((2/12)^2)) = ln 8
