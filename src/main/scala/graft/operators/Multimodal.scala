@@ -176,6 +176,48 @@ object Multimodal {
     bits
   }
 
+  /** 64-bit DIFFERENCE-HASH (dHash): box-average onto a 9×8 grid,
+    * bit = cell brighter than its right neighbor. The standard
+    * complement to [[aHash64]] — aHash thresholds against the global
+    * mean (weak on smooth global gradients, strong on layout), dHash
+    * encodes local gradients (insensitive to global brightness
+    * shifts). Production image dedup runs both and cross-checks, the
+    * [[Dedup.simhashPairsAuto]] pattern one modality over.
+    */
+  private[graft] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](72)
+    val counts = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(7, y * 8 / math.max(h, 1))
+      var x = 0
+      while (x < w) {
+        val gx = math.min(8, x * 9 / math.max(w, 1))
+        val rgb = img.getRGB(x, y)
+        val gray = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+        val c = gy * 9 + gx
+        sums(c) += gray; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    def cell(i: Int): Double = if (counts(i) > 0) sums(i) / counts(i) else 0.0
+    var bits = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (cell(gy * 9 + gx) > cell(gy * 9 + gx + 1))
+          bits |= (1L << (gy * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
   val imageHashSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("ahash", LongType, nullable = true)))
@@ -186,13 +228,17 @@ object Multimodal {
     * blobs are data, not bugs). Scan-stage `mapPartitions` on
     * InternalRow, the same batch shape as [[features]].
     */
-  def imageHashes(docs: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  def imageHashes(docs: DataFrame, idCol: String, payloadCol: String,
+      method: String = "ahash"): DataFrame = {
+    require(Set("ahash", "dhash").contains(method),
+      s"method must be ahash or dhash, got $method")
+    val useD = method == "dhash"
     val in = docs.select(col(idCol).cast(LongType).as("doc_id"),
       col(payloadCol).as("payload"))
     val outRdd = InternalRowBridge.toInternalRdd(in).mapPartitions { it =>
       it.map(row => (row.getLong(0), row.getBinary(1)))
         .grouped(256).flatMap(_.iterator.map { case (id, payload) =>
-          val hash = decodeImage(payload).map(aHash64)
+          val hash = decodeImage(payload).map(i => if (useD) dHash64(i) else aHash64(i))
           new GenericInternalRow(Array[Any](id,
             hash.map(java.lang.Long.valueOf).orNull)): InternalRow
         })
@@ -209,9 +255,9 @@ object Multimodal {
     */
   def imageNearDupPairs(
       docs: DataFrame, idCol: String, payloadCol: String,
-      maxDist: Int = 5): DataFrame =
+      maxDist: Int = 5, method: String = "ahash"): DataFrame =
     Dedup.hammingPairs(
-      imageHashes(docs, idCol, payloadCol).filter(col("ahash").isNotNull),
+      imageHashes(docs, idCol, payloadCol, method).filter(col("ahash").isNotNull),
       "doc_id", "ahash", maxDist)
 
   // ---- perceptual audio hashing (REAL decode, PCM WAV) ------------------

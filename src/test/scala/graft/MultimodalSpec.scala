@@ -181,6 +181,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hashes(4L).isEmpty && hashes(1L).nonEmpty)
   }
 
+  test("image dHash: brightness-shift invariant where aHash is gradient-weak; methods cross-check") {
+    // a vertical step pattern; a +40-brightness copy; an unrelated checker
+    def step(x: Int, y: Int) = { val v = if ((x / 8) % 2 == 0) 40 else 200; (v << 16) | (v << 8) | v }
+    def stepBright(x: Int, y: Int) = { val v = (if ((x / 8) % 2 == 0) 80 else 240); (v << 16) | (v << 8) | v }
+    def checker(x: Int, y: Int) = { val v = if (((x / 8) + (y / 4)) % 2 == 0) 30 else 220; (v << 16) | (v << 8) | v }
+    def h(png: Array[Byte], d: Boolean) = {
+      val img = Multimodal.decodeImage(png).get
+      if (d) Multimodal.dHash64(img) else Multimodal.aHash64(img)
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (p1, p2, p3) = (renderPng(64, 32)(step), renderPng(64, 32)(stepBright),
+      renderPng(64, 32)(checker))
+    // dHash: global brightness shift leaves every local gradient sign
+    // unchanged → identical fingerprint
+    assert(h(p1, d = true) == h(p2, d = true), "dHash must ignore a global brightness shift")
+    assert(ham(h(p1, d = true), h(p3, d = true)) >= 16, "unrelated pattern must be far in dHash")
+    // cross-check: BOTH methods find the same near-dup pair on the
+    // image set (the simhash-xcheck pattern, one modality over)
+    import spark.implicits._
+    val df = Seq((1L, p1), (2L, p2), (3L, p3)).toDF("doc_id", "payload")
+    val viaA = Multimodal.imageNearDupPairs(df, "doc_id", "payload", maxDist = 6)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaD = Multimodal.imageNearDupPairs(df, "doc_id", "payload", maxDist = 6,
+        method = "dhash")
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaD == Set((1L, 2L)), s"dhash pairs: $viaD")
+    assert(viaA == viaD, s"methods disagree: ahash=$viaA dhash=$viaD")
+  }
+
   private def renderWav(samples: Array[Double], channels: Int = 1): Array[Byte] = {
     val n = samples.length
     val dataLen = n * 2 * channels
