@@ -38,15 +38,25 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects; read nanos as long and convert to a
-    * microsecond timestamp (what DuckDB also does on CAST).
+  /** The generator's `ts` encoding has varied across testdata drops:
+    * TIMESTAMP(NANOS) (which Spark's vectorized parquet reader
+    * rejects — read nanos as long, divide to micros) and plain
+    * TIMESTAMP_NTZ micros. Normalize BOTH to session-timezone
+    * TimestampType (session tz is pinned UTC) so every downstream
+    * operator sees one type and the same instants regardless of the
+    * drop. DuckDB reads the same file natively, so oracle parity
+    * holds on either encoding.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -13,25 +13,35 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Parquet schema of events with ts as raw nanos (see Tables.events:
-    * Spark's reader rejects TIMESTAMP(NANOS), so streams read the long
-    * and convert to a microsecond timestamp).
+  /** Parquet schema of events with `ts` as `tsType` — the generator's
+    * ts encoding has varied across testdata drops (TIMESTAMP(NANOS),
+    * which Spark reads as raw long under `nanosAsLong`, vs plain
+    * TIMESTAMP micros), and a stream needs an explicit schema.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Unbounded read of the events table (file-replay in tests; a real
     * deployment points this at a bucket/queue of arriving files).
+    * One batch footer read discovers which ts encoding this drop
+    * uses, then the stream normalizes to TimestampType exactly like
+    * `Tables.events` — the streaming and batch halves of every
+    * parity spec must see the same instants.
     */
   def read(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-hour event-time windows per event_type with a 1-hour
