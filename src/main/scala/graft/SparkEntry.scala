@@ -103,6 +103,20 @@ object SparkEntry {
         .orderBy("vec_id", "index")
     }),
 
+    "matmul_scores" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding")).filter(col("vec_id") < 100)
+      // the reference's flatten=True buffer: ONE row holding the
+      // row-major score concatenation — serialized to scaled-integer
+      // CSV for the gate, the matmul_rows pattern (pandas can't hash
+      // array cells; integer→string formatting is engine-identical)
+      Similarity.matmulScores(q, "vec_id", "embedding", corpus(s, dir))
+        .select(col("n_queries"), col("n_corpus"),
+          array_join(transform(col("scores"),
+            x => round(x * 10000, 0).cast("long").cast("string")), ",").as("scores"))
+    }),
+
     "matmul_rows" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // cast queries to f64 so the f64 GEMM path runs (oracle casts too)
@@ -1151,6 +1165,17 @@ object SparkEntry {
         |       round(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) + 0.0 AS score
         |FROM embeddings q CROSS JOIN embeddings c
         |WHERE q.vec_id < 100 ORDER BY vec_id, "index"""".stripMargin,
+
+    "matmul_scores" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         CAST(CAST(round(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+        |              CAST(c.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) AS VARCHAR) AS v
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 100)
+        |SELECT count(DISTINCT qid) AS n_queries, count(DISTINCT cid) AS n_corpus,
+        |       string_agg(v, ',' ORDER BY qid, cid) AS scores
+        |FROM s""".stripMargin,
 
     "matmul_rows" ->
       """SELECT q.vec_id AS vec_id,
@@ -2251,7 +2276,7 @@ object SparkEntry {
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS rawhost,
         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
-        |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+        |    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS rawq
         |  FROM u
         |), canon AS (
         |  SELECT id,

@@ -444,6 +444,35 @@ object Similarity {
       .drop("pos", embCol)
   }
 
+  /** The reference's `flatten=True` BUFFER shape (reference
+    * `python/polars_matmul/__init__.py:121-187` hands numpy one bare
+    * row-major score allocation): ONE row
+    * (n_queries, n_corpus, scores) where `scores` is the row-major
+    * concatenation of each query's corpus-score row — queries in
+    * ascending `idCol` order, corpus position j ↔ sorted corpus id j
+    * (the [[matmul]] contract), so `scores[qi * n_corpus + j]` indexes
+    * exactly like the reference buffer. Deliberately driver-shaped:
+    * the result is one n_q·n_c-element array, the same single
+    * allocation the reference returns — numpy-interop ergonomics, not
+    * an at-scale operator (that's [[matmulFlat]], which keeps pairs
+    * relational). The GEMM itself still runs distributed; only the
+    * final concatenation is a single-task aggregation, so the
+    * broadcast-corpus envelope (~1-2 GB) plus |q|·|c| doubles of
+    * result bound the caller. A null query embedding nulls the WHOLE
+    * buffer (`flatten` null propagation) — a corrupted input is
+    * visible, never silently position-shifted.
+    */
+  def matmulScores(
+      queries: DataFrame, idCol: String, embCol: String,
+      corpus: CorpusIndex): DataFrame =
+    matmul(queries.select(col(idCol).as("__qid"), col(embCol)), embCol, corpus, "__s")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("__qid"), col("__s")))),
+          x => x.getField("__s"))).as("scores"))
+      .select(col("n_queries"), lit(corpus.n.toLong).as("n_corpus"), col("scores"))
+
   /** All pairs (id1 < id2) with cosine ≥ threshold, via the GEMM
     * kernel: the corpus is broadcast once, each query partition runs a
     * blocked dgemm against it, and ONLY qualifying pairs materialize —

@@ -207,9 +207,19 @@ object TextAnalysis {
     * the first occurrence and all unique paragraphs survive in
     * order. Output: (id, text_clean, n_paras, n_dropped).
     *
-    * Plan shape: one shuffle keyed on the paragraph string decides
-    * winners (`row_number` over (doc, pos)), one groupBy rebuilds —
-    * paragraph text rides those two exchanges, the
+    * Plan shape — built to survive the skew that paragraph dedup
+    * EXISTS to fix: the paragraphs that dominate a web corpus are
+    * universal boilerplate (cookie banners, license footers), so the
+    * hot key is the expected case. Winners are decided by
+    * `groupBy(p).agg(min(struct(id, pos)))` — partial-aggregatable,
+    * so a paragraph present in every document combines map-side and
+    * crosses the exchange as one row per map partition (a
+    * `row_number` window keyed on `p`, the round-6 shape, put the
+    * entire occurrence set of the hot key in ONE task, and AQE
+    * cannot split a window partition the way it splits a skewed
+    * join). Each occurrence then decides keep/drop by joining its
+    * paragraph's winner back — an AQE-splittable equi-join — and one
+    * groupBy(id) rebuilds. Paragraph text rides two exchanges, the
     * [[removeBoilerplateLines]] trade at paragraph granularity. For
     * corpora where even paragraphs must not shuffle, the hash-only
     * df + broadcast-set rebuild of [[Dedup.removeDuplicatedSpans]]
@@ -220,16 +230,19 @@ object TextAnalysis {
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n{2,}", -1)).as(Seq("pos", "p")))
       .filter(trim(col("p")) =!= "")
-    val w = Window.partitionBy(col("p")).orderBy(col("id").asc, col("pos").asc)
-    val kept = ex.withColumn("rn", row_number().over(w))
+    val winners = ex.groupBy("p")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+    val kept = ex.join(winners, Seq("p"))
+      .withColumn("keep",
+        col("id") === col("w.id") && col("pos") === col("w.pos"))
     val rebuilt = kept
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_paras"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
         concat_ws("\n\n",
           transform(array_sort(collect_list(
-              when(col("rn") === 1, struct(col("pos"), col("p"))))),
+              when(col("keep"), struct(col("pos"), col("p"))))),
             s => s.getField("p"))).as("text_clean"))
     docs.select(col(idCol).as("id"))
       .join(rebuilt, Seq("id"), "left")
@@ -852,7 +865,11 @@ object TextAnalysis {
     val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     val noSlash = regexp_replace(rawPath, "/+$", "")
     val path = when(noSlash === "", lit("/")).otherwise(noSlash)
-    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    // query = between the FIRST '?' and the fragment, extracted from
+    // the pre-fragment substring: a bare `\?([^#]*)` would match a
+    // '?' living inside the fragment and resurrect it as a query
+    // (http://h/p#sec?x=1 must canonicalize with no query at all)
+    val rawQuery = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     val params = array_sort(filter(split(rawQuery, "&"),
       p => p =!= "" && !p.startsWith("utm_")))
     val query = concat_ws("&", params)

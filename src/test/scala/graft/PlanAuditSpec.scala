@@ -111,6 +111,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scanIdx >= 0 && filterIdx >= 0 && windowIdx >= 0)
   }
 
+  test("dedup_paragraphs: winner selection is partial-aggregated, never a paragraph-keyed window") {
+    val p = plan("dedup_paragraphs")
+    // the round-6 shape — row_number over Window.partitionBy(p) — put a
+    // universal boilerplate paragraph's ENTIRE occurrence set in one
+    // task, and AQE cannot split a window partition (round-6 verdict
+    // #2). The rebuilt winner is groupBy(p).agg(min(struct(id,pos))):
+    // a partial aggregate that combines the hot key map-side, then an
+    // AQE-splittable equi-join decides keep/drop.
+    assert(!p.contains("Window"),
+      s"dedup_paragraphs must not plan a window (skew cliff):\n$p")
+    assert(p.contains("partial_min"),
+      "paragraph winner must partial-aggregate map-side")
+  }
+
   test("dedup_exact: only (hash, id) reaches the shuffle, with map-side combine") {
     val p = plan("dedup_exact")
     assert(p.contains("hashpartitioning(content_hash"),

@@ -79,6 +79,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("matmulScores: the flatten=True buffer — row-major indexing, null query nulls the buffer") {
+    val qRows = Seq((3L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 1.0)))
+    val cRows = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val c = corpusOf(cRows)
+    val row = Similarity.matmulScores(queriesDf(qRows), "qid", "embedding", c).head
+    assert(row.getLong(0) == 3 && row.getLong(1) == 2)
+    val buf = row.getSeq[Double](2)
+    assert(buf.length == 3 * 2, "buffer must be n_queries*n_corpus")
+    // row-major by ASCENDING query id: qid 1, 2, 3; scores[qi*nC + j]
+    assert(buf == Seq(0.0, 1.0, 1.0, 1.0, 1.0, 0.0),
+      s"row-major buffer mismatch: $buf")
+    // a null query embedding nulls the WHOLE buffer — visible, never
+    // silently position-shifted
+    val withNull = queriesDf(qRows :+ (9L, null.asInstanceOf[Seq[Double]]))
+    val nr = Similarity.matmulScores(withNull, "qid", "embedding", c).head
+    assert(nr.getLong(0) == 4 && nr.isNullAt(2))
+  }
+
   test("matmulFlat yields |Q|*|C| rows in (index, score) form") {
     val q = queriesDf(Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 1.0))))
     val c = corpusOf(Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))))
