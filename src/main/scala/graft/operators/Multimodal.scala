@@ -14,8 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * opaque `binary` payloads with typed metadata, decoded/featurized
   * per partition in batches.
   *
-  * PNG decodes for REAL (`javax.imageio` ships with the bare JVM —
-  * [[decodePng]]); the other codecs aren't in this environment, so
+  * PNG, JPEG, and GIF decode for REAL (`javax.imageio` ships all
+  * three with the bare JVM — [[decodePixels]]); the other codecs
+  * aren't in this environment, so
   * [[decodeStub]] is a clearly-marked deterministic fake for them —
   * but everything Spark-side
   * is real and load-bearing: the binary column, the schema of the
@@ -35,46 +36,57 @@ object Multimodal {
     StructField("content_md5", StringType, nullable = false),
     StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
-  /** Decode dispatcher: REAL pixel decode for PNG (the one codec the
-    * bare JVM ships — `javax.imageio`, round-4 verdict #8); the
+  /** Containers `javax.imageio` decodes natively on a bare JVM — the
+    * formats whose pixels are REAL, not stubbed. A web crawl is mostly
+    * JPEG, so stopping at PNG (rounds 4-6) left the dominant format
+    * invisible to image near-dup.
+    */
+  private val imageioFormats = Set("png", "jpeg", "gif")
+
+  /** Decode dispatcher: REAL pixel decode for the formats the bare
+    * JVM ships codecs for (PNG/JPEG/GIF via `javax.imageio`); the
     * deterministic stub for every other container (their codecs are
     * absent in this environment). Both arms return the same
     * (md5, feature-vector) shape, so the downstream schema and
     * pipeline are codec-agnostic.
     */
   private[graft] def decode(payload: Array[Byte]): (String, Array[Double]) =
-    (if (parseHeader(payload)._2 == "png") decodePng(payload) else None)
+    (if (imageioFormats(parseHeader(payload)._2)) decodePixels(payload) else None)
       .getOrElse(decodeStub(payload))
 
-  /** REAL PNG decode via `javax.imageio` — NOT a stub. Feature layout:
-    * [width, height, mean R, mean G, mean B] over all pixels (0-255
-    * scale), the plumbing-sized stand-in for a model embedding. A
-    * payload ImageIO can't actually decode (truncated/corrupt body
-    * behind a valid magic) falls back to the stub rather than failing
-    * the pipeline — malformed blobs are data, not bugs, at 100 TB.
-    */
-  /** PNG → BufferedImage with the decompression-bomb guard — the
-    * shared decode front of [[decodePng]] and [[imageHashes]].
+  /** Image bytes → BufferedImage with the decompression-bomb guard —
+    * the shared decode front of [[decodePixels]] and [[imageHashes]].
     */
   private[graft] def decodeImage(
       payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
-    // Bound the raster from the ALREADY-PARSED IHDR before ImageIO
-    // allocates it: a decompression-bomb PNG declares a huge canvas in
-    // a tiny file, and the resulting OutOfMemoryError is fatal — it
-    // must not be caught and reported as "malformed data" (that would
-    // mask genuine executor heap exhaustion; round-5 advice). 64M px
-    // ≈ 256 MB of ARGB, a sane per-row ceiling.
-    if (payload.length >= 24) {
-      def be32(i: Int): Long =
-        ((payload(i) & 0xFF).toLong << 24) | ((payload(i + 1) & 0xFF) << 16) |
-          ((payload(i + 2) & 0xFF) << 8) | (payload(i + 3) & 0xFF)
-      if (be32(16) * be32(20) > (64L << 20)) return None
-    }
+    // Bound the raster from the ALREADY-PARSED container header before
+    // ImageIO allocates it: a decompression-bomb image declares a huge
+    // canvas in a tiny file, and the resulting OutOfMemoryError is
+    // fatal — it must not be caught and reported as "malformed data"
+    // (that would mask genuine executor heap exhaustion; round-5
+    // advice). The dimensions come from [[parseHeader]]'s per-format
+    // parse (PNG IHDR / JPEG SOF walk / GIF LSD), NOT from fixed byte
+    // offsets — round 6 read PNG IHDR offsets unconditionally, so any
+    // JPEG/GIF whose arbitrary bytes at 16..23 multiplied past the
+    // ceiling was spuriously rejected (round-6 advice). A format whose
+    // dims the header parse can't see gets no guard (its decode risk
+    // is bounded by what ImageIO recognizes at all). 64M px ≈ 256 MB
+    // of ARGB, a sane per-row ceiling.
+    val (_, _, w, h, _) = parseHeader(payload)
+    if (w.toLong * h > (64L << 20)) return None
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  private[graft] def decodePng(payload: Array[Byte]): Option[(String, Array[Double])] = {
+  /** REAL pixel decode via `javax.imageio` (PNG/JPEG/GIF) — NOT a
+    * stub. Feature layout: [width, height, mean R, mean G, mean B]
+    * over all pixels (0-255 scale), the plumbing-sized stand-in for a
+    * model embedding. A payload ImageIO can't actually decode
+    * (truncated/corrupt body behind a valid magic) falls back to the
+    * stub rather than failing the pipeline — malformed blobs are
+    * data, not bugs, at 100 TB.
+    */
+  private[graft] def decodePixels(payload: Array[Byte]): Option[(String, Array[Double])] = {
     try {
       val img = decodeImage(payload).orNull
       if (img == null) None
@@ -218,15 +230,20 @@ object Multimodal {
     bits
   }
 
+  /** Fingerprint column is named `sig`, method-neutrally: the same
+    * schema carries aHash, dHash, AND the audio energy hash — round 6
+    * called it `ahash`, which lied to downstream callers about what a
+    * dHash/audio fingerprint was (round-6 advice).
+    */
   val imageHashSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("ahash", LongType, nullable = true)))
+    StructField("sig", LongType, nullable = true)))
 
   /** Per-row perceptual hash of a binary image column — REAL decode
-    * (PNG via `javax.imageio`; null for payloads no available codec
-    * decodes, which downstream near-dup simply skips — undecodable
-    * blobs are data, not bugs). Scan-stage `mapPartitions` on
-    * InternalRow, the same batch shape as [[features]].
+    * (PNG/JPEG/GIF via `javax.imageio`; null for payloads no available
+    * codec decodes, which downstream near-dup simply skips —
+    * undecodable blobs are data, not bugs). Scan-stage `mapPartitions`
+    * on InternalRow, the same batch shape as [[features]].
     */
   def imageHashes(docs: DataFrame, idCol: String, payloadCol: String,
       method: String = "ahash"): DataFrame = {
@@ -257,8 +274,8 @@ object Multimodal {
       docs: DataFrame, idCol: String, payloadCol: String,
       maxDist: Int = 5, method: String = "ahash"): DataFrame =
     Dedup.hammingPairs(
-      imageHashes(docs, idCol, payloadCol, method).filter(col("ahash").isNotNull),
-      "doc_id", "ahash", maxDist)
+      imageHashes(docs, idCol, payloadCol, method).filter(col("sig").isNotNull),
+      "doc_id", "sig", maxDist)
 
   // ---- perceptual audio hashing (REAL decode, PCM WAV) ------------------
 
@@ -369,8 +386,8 @@ object Multimodal {
       docs: DataFrame, idCol: String, payloadCol: String,
       maxDist: Int = 5): DataFrame =
     Dedup.hammingPairs(
-      audioHashes(docs, idCol, payloadCol).filter(col("ahash").isNotNull),
-      "doc_id", "ahash", maxDist)
+      audioHashes(docs, idCol, payloadCol).filter(col("sig").isNotNull),
+      "doc_id", "sig", maxDist)
 
   // ---- media metadata + frame sampling (decode STUBBED) -----------------
 
@@ -394,7 +411,7 @@ object Multimodal {
     * only remaining stub, standing in for exotic containers.
     * Returns (kind, format, width, height, n_frames).
     */
-  private[operators] def parseHeader(p: Array[Byte]): (String, String, Int, Int, Int) = {
+  private[graft] def parseHeader(p: Array[Byte]): (String, String, Int, Int, Int) = {
     def u8(i: Int) = p(i) & 0xFF
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int) = (u8(i).toLong << 24 | u8(i + 1) << 16 | u8(i + 2) << 8 | u8(i + 3)).toInt

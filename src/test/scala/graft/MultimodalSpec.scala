@@ -136,13 +136,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L)._1 == "image" && got(3L)._2 == "heic")
   }
 
-  private def renderPng(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+  private def render(fmt: String, w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
     val bos = new java.io.ByteArrayOutputStream()
-    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    assert(javax.imageio.ImageIO.write(img, fmt, bos))
     bos.toByteArray
+  }
+
+  private def renderPng(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] =
+    render("png", w, h)(pixel)
+
+  test("JPEG and GIF pixels decode for REAL (javax.imageio), exact/near-exact stats") {
+    // GIF: black/white survive ANY palette quantization exactly (the
+    // writer's default palette mangles saturated primaries, and the
+    // JDK round-trip corrupts the last row of TINY rasters — 64x32 is
+    // verified exact) — left half black, right half white
+    val gif = render("gif", 64, 32)((x, _) => if (x < 32) 0x000000 else 0xFFFFFF)
+    assert(Multimodal.parseHeader(gif)._2 == "gif")
+    val (_, gfeat) = Multimodal.decode(gif)
+    assert(gfeat.toSeq == Seq(64.0, 32.0, 127.5, 127.5, 127.5),
+      s"gif decoded ${gfeat.toSeq}")
+    // JPEG is lossy: pin dimensions exactly, channel means to ±3 on a
+    // solid mid-gray (a constant Y plane is the JPEG best case)
+    val jpeg = render("jpg", 8, 4)((_, _) => 0x808080)
+    assert(Multimodal.parseHeader(jpeg)._2 == "jpeg")
+    val (_, jfeat) = Multimodal.decode(jpeg)
+    assert(jfeat.length == 5, "jpeg must take the REAL pixel arm (5-dim), not the 4-dim stub")
+    assert(jfeat(0) == 8.0 && jfeat(1) == 4.0)
+    (2 to 4).foreach(i => assert(math.abs(jfeat(i) - 0x80) <= 3.0,
+      s"jpeg channel mean ${jfeat(i)} drifted from 128"))
+  }
+
+  test("decompression-bomb guard is per-format: JPEG metadata bytes can't spuriously reject") {
+    // Splice a COM segment whose 0xFF payload puts huge values at byte
+    // offsets 16..23 — the round-6 guard read PNG IHDR offsets
+    // unconditionally and rejected exactly this payload as a "bomb"
+    val base = render("jpg", 64, 32)((x, y) => { val v = x * 4; (v << 16) | (v << 8) | v })
+    val com = Array(0xFF, 0xFE, 0x00, 26).map(_.toByte) ++ Array.fill(24)(0xFF.toByte)
+    val spliced = base.take(2) ++ com ++ base.drop(2)
+    assert(Multimodal.parseHeader(spliced) == (("image", "jpeg", 64, 32, 1)))
+    assert(Multimodal.decodeImage(spliced).nonEmpty,
+      "valid JPEG rejected by a PNG-offset bomb guard")
+    // a REAL declared bomb is still refused before allocation: a PNG
+    // IHDR announcing 100000x100000 (10 Gpx) in a tiny payload
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val bomb = b(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0x00, 0x01, 0x86, 0xA0, 0x00, 0x01, 0x86, 0xA0, 8, 2, 0, 0, 0)
+    assert(Multimodal.decodeImage(bomb).isEmpty)
+  }
+
+  test("imageNearDupPairs finds a PNG↔JPEG re-encode of the same image — the web-dup case") {
+    import spark.implicits._
+    def halves(x: Int, y: Int) = { val v = if (x < 32) 30 else 220; (v << 16) | (v << 8) | v }
+    def checker(x: Int, y: Int) = { val v = if (((x / 8) + (y / 4)) % 2 == 0) 30 else 220; (v << 16) | (v << 8) | v }
+    val df = Seq(
+      (1L, render("png", 64, 32)(halves)),
+      (2L, render("jpg", 64, 32)(halves)), // same pixels, lossy re-encode
+      (3L, render("gif", 64, 32)(checker)))
+      .toDF("doc_id", "payload")
+    for (m <- Seq("ahash", "dhash")) {
+      val pairs = Multimodal.imageNearDupPairs(df, "doc_id", "payload",
+          maxDist = 6, method = m)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), s"$m expected the re-encode pair only, got $pairs")
+    }
   }
 
   test("image aHash: re-encode-stable, noise-robust, unrelated images far apart") {
