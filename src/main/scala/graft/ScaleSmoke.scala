@@ -95,6 +95,23 @@ object ScaleSmoke {
         .agg(sum("log_w")).head
       n
     }
+    // paragraph dedup under the RefinedWeb hot key — the reason the
+    // operator exists: EVERY doc carries the same boilerplate
+    // paragraph (cookie banner), so the round-6 window-on-paragraph
+    // shape would put all n occurrences of it in ONE task. The rebuilt
+    // groupBy-min winner combines the hot key map-side (32 partial
+    // rows cross the exchange, not n) and the keep/drop equi-join is
+    // AQE-skew-splittable (round-6 verdict #2 done-criteria).
+    timed("paragraph dedup, ONE paragraph planted in all docs (hot-key)") {
+      val paraDocs = docs.select(col("doc_id"),
+        concat(lit("This site uses cookies. All rights reserved.\n\n"),
+          col("text"), lit("\n\nunique closing para "), col("doc_id")).as("text"))
+      val r = graft.operators.TextAnalysis
+        .dedupParagraphs(paraDocs, "doc_id", "text")
+        .agg(sum("n_dropped")).head.getLong(0)
+      require(r >= n - 1, s"hot paragraph must dedup to one keeper, dropped only $r")
+      r
+    }
     // decontamination at scale: a 10k-doc "benchmark suite" carved
     // from the corpus by hash; eval grams broadcast, the train side
     // streams through the scan-stage semi-join (SURVEY §4 claim)
@@ -185,6 +202,70 @@ object ScaleSmoke {
     // (a 24g first attempt GC-thrashed to a standstill at 4M×256):
     //   SPARK_GRAFT_SMOKE_SQ8_DOCS=4000000 SPARK_DRIVER_MEM=64g \
     //     sbt "runMain graft.ScaleSmoke"
+    // Dense-keyspace fuzzy-join degradation, QUANTIFIED (round-6
+    // verdict #5): fixed-length zero-padded ids are the worst case for
+    // Ed-Join gram selectivity — every string draws its q-grams from
+    // one tiny digit alphabet, so even the RAREST prefix grams carry
+    // high df and candidate fan-out (Σ df²) degrades toward the
+    // length-band block. The zipfian-ish md5-word case alongside is
+    // the shape the committed BASELINE numbers measure. Opt-in:
+    //   SPARK_GRAFT_SMOKE_FUZZY=50000 sbt "runMain graft.ScaleSmoke"
+    val fuzzyN = sys.env.getOrElse("SPARK_GRAFT_SMOKE_FUZZY", "0").toLong
+    if (fuzzyN > 0) {
+      import graft.operators.Relational
+      val zipf = spark.range(fuzzyN).select(col("id"),
+        substring(md5(concat(col("id"), lit("-z"))), 1, 12).as("s")).cache()
+      val dense = spark.range(fuzzyN).select(col("id"),
+        concat(lit("doc-"), lpad(col("id").cast("string"), 8, "0")).as("s")).cache()
+      zipf.count(); dense.count()
+      for ((name, df) <- Seq("zipfian md5-words" -> zipf, "dense zero-padded ids" -> dense)) {
+        timed(s"fuzzy-join candidates, $name ($fuzzyN strings, d=1)") {
+          Relational.fuzzyJoinCandidates(df, "id", "s", maxDist = 1).count()
+        }
+        timed(s"fuzzy-join verified pairs, $name ($fuzzyN strings, d=1)") {
+          Relational.fuzzyJoinPairs(df, "id", "s", maxDist = 1).count()
+        }
+      }
+      zipf.unpersist(); dense.unpersist()
+    }
+
+    // End-to-end CAPSTONE at 10M docs (round-6 verdict #7): the
+    // curate_full shape — near-dup pair graph → stars CC → scan-stage
+    // quality gates → deterministic split — with per-stage walls, so
+    // superlinear creep vs the 1M per-operator numbers is visible.
+    // Opt-in (needs ~20 min of one sitting):
+    //   SPARK_GRAFT_SMOKE_CAPSTONE=10000000 sbt "runMain graft.ScaleSmoke"
+    val capDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_CAPSTONE", "0").toLong
+    if (capDocs > 0) {
+      import graft.operators.Curate
+      // same dup plan as synth, plus a constant English function-word
+      // tail so the language/stop-ratio gate has real markers to count
+      // (md5-hex words carry none) — the tail is identical everywhere,
+      // so the planted exact/near dup structure is unchanged
+      val docs = synth(spark, capDocs)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" the of and to in is that it was")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCap = docs.count()
+      println(s"capstone corpus: $nCap docs")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed("capstone 1/4: minhash+LSH near-dup pairs") { pairs.count() }
+      val keep = Dedup.dropDuplicatesByPairs(docs, "doc_id", pairs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed("capstone 2/4: stars CC + min-id representative keep") { keep.count() }
+      val gated = Curate.gateDocs(keep, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed("capstone 3/4: language+quality gate over survivors (scan-stage)") {
+        gated.count()
+      }
+      timed("capstone 4/4: deterministic split + per-split counts") {
+        Curate.split(gated, "doc_id", trainPct = 80)
+          .groupBy("split").count().count()
+      }
+      gated.unpersist(); keep.unpersist(); pairs.unpersist(); docs.unpersist()
+    }
+
     val sq8EnvDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SQ8_DOCS", "0").toLong
     if (sq8EnvDocs > 0) {
       val dim = 256

@@ -767,11 +767,21 @@ object Dedup {
       if (maxCellSize > 0) maxCellSize
       else math.min(Int.MaxValue.toLong,
         math.max(4096L, 4L * assigns * n / math.max(cells, 1))).toInt
-    // explicit nCells with the default maxTrain still raises the train
-    // sample to cover the requested cells (k-means needs ≥ k points)
+    // explicit nCells with the DEFAULT maxTrain raises the train
+    // sample to cover the requested cells (k-means needs ≥ k points) —
+    // but an EXPLICIT maxTrain is the caller's driver-collect budget
+    // and is never silently exceeded: asking for more cells than the
+    // budget can train fails fast instead (round-6 advice).
     val trainSample =
-      if (nCells > 0) math.max(maxTrain, math.min(1 << 16, cells))
-      else effTrain
+      if (nCells > 0) {
+        if (maxTrain != 4096) {
+          require(cells <= maxTrain,
+            s"nCells=$cells needs a train sample of ≥ $cells vectors but the " +
+              s"explicit maxTrain=$maxTrain caps the driver collect below it — " +
+              "raise maxTrain or lower nCells")
+          maxTrain
+        } else math.max(4096, math.min(1 << 16, cells))
+      } else effTrain
     val cx = Ann.trainCellIndex(emb, idCol, embCol, cells, lloydIters, trainSample)
     // the assignment pass CARRIES the vector (duplicated under an
     // alias — topkFlat consumes/drops `embCol` but keeps every other

@@ -467,27 +467,14 @@ object Relational {
       .bitwiseOR(shiftleft(spread(pmod(b.cast("long"), lit(65536L))), 1))
   }
 
-  /** FUZZY self-join (entity resolution): all pairs of rows whose
-    * strings are within levenshtein `maxDist` — the record-linkage op
-    * (near-identical names/titles/URLs differing by typos or ids).
-    *
-    * An all-pairs levenshtein is O(n²·len²) — the blocking here is
-    * Ed-Join's prefix filter (Xiao et al. VLDB'08, positional q-grams;
-    * same family as the Jaccard prefix filter in
-    * [[Dedup.ngramJaccardPairs]]): `maxDist` edits destroy at most
-    * q·maxDist of a string's q-grams, so any pair within distance
-    * must share one of each side's (q·maxDist + 1) RAREST grams under
-    * a global (df, gram) order. Only those prefix grams are index
-    * keys; candidates are additionally length-filtered
-    * (|len₁ − len₂| ≤ maxDist) and verified with the built-in
-    * `levenshtein` — lossless for strings of ≥ q·(maxDist+1) chars
-    * (shorter strings can lose every gram to edits; they are joined
-    * within their ±maxDist LENGTH BAND instead, a bounded block
-    * because the band of a short string is itself short). Fan-out is
-    * Σ df² over prefix grams — rare grams by construction. Output:
-    * (id1, id2, dist), id1 < id2.
+  /** The Ed-Join CANDIDATE stage of [[fuzzyJoinPairs]] — (id1, id2)
+    * pairs sharing a rare prefix gram (or a length band, short
+    * strings), before levenshtein verification. Exposed so the scale
+    * smoke can price candidate fan-out (Σ df² over prefix grams)
+    * separately from verify cost on adversarial keyspaces — the
+    * dense-keyspace degradation BASELINE.md documents.
     */
-  def fuzzyJoinPairs(
+  private[graft] def fuzzyJoinCandidates(
       df: DataFrame,
       idCol: String,
       strCol: String,
@@ -531,7 +518,37 @@ object Relational {
       .select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"))
       .distinct()
-    val cand = candLong.union(candShort).distinct()
+    candLong.union(candShort).distinct()
+  }
+
+  /** FUZZY self-join (entity resolution): all pairs of rows whose
+    * strings are within levenshtein `maxDist` — the record-linkage op
+    * (near-identical names/titles/URLs differing by typos or ids).
+    *
+    * An all-pairs levenshtein is O(n²·len²) — the blocking here is
+    * Ed-Join's prefix filter (Xiao et al. VLDB'08, positional q-grams;
+    * same family as the Jaccard prefix filter in
+    * [[Dedup.ngramJaccardPairs]]): `maxDist` edits destroy at most
+    * q·maxDist of a string's q-grams, so any pair within distance
+    * must share one of each side's (q·maxDist + 1) RAREST grams under
+    * a global (df, gram) order. Only those prefix grams are index
+    * keys; candidates are additionally length-filtered
+    * (|len₁ − len₂| ≤ maxDist) and verified with the built-in
+    * `levenshtein` — lossless for strings of ≥ q·(maxDist+1) chars
+    * (shorter strings can lose every gram to edits; they are joined
+    * within their ±maxDist LENGTH BAND instead, a bounded block
+    * because the band of a short string is itself short). Fan-out is
+    * Σ df² over prefix grams — rare grams by construction. Output:
+    * (id1, id2, dist), id1 < id2.
+    */
+  def fuzzyJoinPairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int,
+      q: Int = 3): DataFrame = {
+    val cand = fuzzyJoinCandidates(df, idCol, strCol, maxDist, q)
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
     val strs = base.select(col("id"), col("s"))
     cand
       .join(strs.select(col("id").as("id1"), col("s").as("s1")), Seq("id1"))

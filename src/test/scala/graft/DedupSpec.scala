@@ -340,6 +340,19 @@ class DedupSpec extends AnyFunSuite {
     assert(sem1 == sem2, "seeded k-means + capped buckets must be deterministic")
   }
 
+  test("semanticPairs: explicit maxTrain is a hard driver-collect budget, never silently raised") {
+    val emb = Tables.embeddings(spark, dir)
+    // nCells above an EXPLICIT maxTrain must fail fast, not quietly
+    // collect nCells vectors past the caller's budget (round-6 advice)
+    val e = intercept[IllegalArgumentException](
+      Dedup.semanticPairs(emb, "vec_id", "embedding", 0.3,
+        nCells = 512, maxTrain = 256))
+    assert(e.getMessage.contains("maxTrain"))
+    // explicit nCells within an explicit budget still works
+    assert(Dedup.semanticPairs(emb, "vec_id", "embedding", 0.3,
+      nCells = 16, maxTrain = 256).count() >= 0)
+  }
+
   test("dropSemanticDuplicates: kept set is pair-free, dropped ids were paired") {
     val emb = Tables.embeddings(spark, dir)
     val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet

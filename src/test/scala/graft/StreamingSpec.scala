@@ -268,6 +268,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.forall(t => !t.contains("shared footer")))
   }
 
+  test("boilerplate broadcast lifecycle: retrain-and-destroy cycle a streaming driver runs") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def salt(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      concat(col("text"), lit("\nshared footer")).as("text"))
+    val batchDocs = salt(Tables.documents(spark, dir))
+    def runScrub(set: org.apache.spark.broadcast.Broadcast[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]],
+        name: String): Map[Long, String] = {
+      val raw = salt(spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+      val q = EventStream.cleanLines(raw, "text", set)
+        .select("doc_id", "text_clean")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    // epoch 1: train, scrub a stream
+    val set1 = graft.operators.TextAnalysis.trainBoilerplateSet(batchDocs, "text", 20)
+    val out1 = runScrub(set1, "bp_epoch1")
+    assert(out1.nonEmpty && out1.values.forall(t => !t.contains("shared footer")))
+    // epoch 2 (the periodic-retrain tick): train the replacement FIRST,
+    // then destroy the old handle — the contract trainBoilerplateSet's
+    // scaladoc places on a long-running driver (round-6 verdict #8).
+    val set2 = graft.operators.TextAnalysis.trainBoilerplateSet(batchDocs, "text", 20)
+    set1.destroy()
+    // the destroyed epoch-1 handle is actually gone, not just dropped
+    intercept[org.apache.spark.SparkException](set1.value)
+    // the epoch-2 handle scrubs a fresh stream identically
+    val out2 = runScrub(set2, "bp_epoch2")
+    assert(out2 == out1)
+    set2.destroy()
+  }
+
   test("streaming decontamination via foreachBatch equals the batch operator") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
