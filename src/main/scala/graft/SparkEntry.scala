@@ -1055,6 +1055,30 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, dir).select("doc_id", "byte_len", "content_md5")),
 
+    // driver-visible IMAGE near-dup gate: a planted corpus whose pair
+    // structure is exact by construction (see Multimodal
+    // .syntheticImages) — PNG↔JPEG re-encodes and noisy copies pair
+    // within their group, nothing pairs across groups, junk blobs are
+    // skipped, and the aHash and dHash methods must emit the SAME pair
+    // set (the simhash-xcheck pattern, one modality over). A red row
+    // here is a decode or fingerprint regression, not a value
+    // mismatch.
+    "multimodal_neardup_gate" -> ((s, dir) => {
+      val imgs = Multimodal.syntheticImages(s)
+      def pairsOf(m: String) =
+        Multimodal.imageNearDupPairs(imgs, "doc_id", "payload", maxDist = 6, method = m)
+          .select("id1", "id2")
+      val a = pairsOf("ahash")
+      val d = pairsOf("dhash")
+      // symmetric difference — empty iff the two methods agree exactly
+      val disagree = a.union(d).except(a.intersect(d))
+      a.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(floor(col("id1") / 4) =!= floor(col("id2") / 4), 1L)
+            .otherwise(0L)).as("cross_group"))
+        .crossJoin(disagree.agg(count(lit(1)).as("method_disagreements")))
+    }),
+
     // composed curation job: dedup representative + langid + quality
     // gates in one pass (SURVEY §2.3 capstone)
     "curate" -> (Curate.curate(_, _)),
@@ -2033,6 +2057,15 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |       md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // pinned constants: 6 groups × 3 decodable pairs, zero cross-group
+    // pairs, zero aHash/dHash disagreements — exact by the planted
+    // corpus's construction (rotated ramps ≥16 bits apart; JPEG error
+    // can't cross any threshold margin)
+    "multimodal_neardup_gate" ->
+      """SELECT CAST(18 AS BIGINT) AS n_pairs,
+        |       CAST(0 AS BIGINT) AS cross_group,
+        |       CAST(0 AS BIGINT) AS method_disagreements""".stripMargin,
 
     "curate" ->
       """WITH reps AS (

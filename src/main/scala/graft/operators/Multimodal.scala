@@ -277,6 +277,56 @@ object Multimodal {
       imageHashes(docs, idCol, payloadCol, method).filter(col("sig").isNotNull),
       "doc_id", "sig", maxDist)
 
+  /** Deterministic planted image corpus for the driver-visible
+    * near-dup GATE (`multimodal_neardup_gate`): `nGroups` groups of 4
+    * docs — a PNG original, its JPEG RE-ENCODE (the real-world web-dup
+    * case: same pixels, different container), a sparse-noise copy, and
+    * an undecodable junk blob. Every group's pattern is a rotation of
+    * one 8-level brightness ramp painted in 8-px columns:
+    * - adjacent columns differ by ≥ 30 gray levels, so JPEG error
+    *   (±2-3 on block-aligned flat fields) can flip no dHash gradient
+    *   sign and no aHash mean-threshold bit;
+    * - distinct rotations are ≥ 16 fingerprint bits apart (each
+    *   column shift moves 2 threshold bits × 8 grid rows), far past
+    *   any near-dup cutoff.
+    * So by CONSTRUCTION: each group contributes exactly its 3
+    * decodable pairs, zero pairs cross groups, junk decodes to null,
+    * and aHash/dHash agree — the constants the gate's oracle pins.
+    * Driver-side render of 4·nGroups tiny images — bounded by
+    * construction, like the corpus index.
+    */
+  def syntheticImages(spark: SparkSession, nGroups: Int = 6): DataFrame = {
+    require(nGroups >= 1 && nGroups <= 8, s"rotations support 1..8 groups, got $nGroups")
+    val levels = Array(15, 45, 75, 105, 150, 180, 210, 240)
+    def render(g: Int, fmt: String, noise: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 64) {
+          val v =
+            if (noise && (x * 13 + y * 7) % 101 == 0) 128
+            else levels((x / 8 + g) % 8)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = (0 until nGroups).flatMap { g =>
+      Seq(
+        (4L * g, render(g, "png", noise = false)),
+        (4L * g + 1, render(g, "jpg", noise = false)),
+        (4L * g + 2, render(g, "png", noise = true)),
+        (4L * g + 3, s"not an image $g".getBytes("UTF-8")))
+    }
+    spark.createDataFrame(rows).toDF("doc_id", "payload")
+  }
+
   // ---- perceptual audio hashing (REAL decode, PCM WAV) ------------------
 
   /** Decode a PCM WAV payload to mono samples in [-1, 1] — REAL audio

@@ -270,6 +270,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaA == viaD, s"methods disagree: ahash=$viaA dhash=$viaD")
   }
 
+  test("syntheticImages: planted pair structure is exact — the neardup gate's contract") {
+    val imgs = Multimodal.syntheticImages(spark)
+    assert(imgs.count() == 24)
+    val expected = (0 until 6).flatMap { g =>
+      val b = 4L * g
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    }.toSet
+    for (m <- Seq("ahash", "dhash")) {
+      val pairs = Multimodal.imageNearDupPairs(imgs, "doc_id", "payload",
+          maxDist = 6, method = m)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == expected, s"$m pairs: ${pairs -- expected} extra, ${expected -- pairs} missing")
+    }
+    // the junk blob in each group decodes to null and never pairs
+    val sigs = Multimodal.imageHashes(imgs, "doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert((0 until 6).forall(g => sigs(4L * g + 3)), "junk must be null-sig")
+  }
+
   private def renderWav(samples: Array[Double], channels: Int = 1): Array[Byte] = {
     val n = samples.length
     val dataLen = n * 2 * channels
