@@ -56,6 +56,8 @@ object ScaleSmoke {
       n
     }
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8).cache()
+    if (sys.env.get("SPARK_GRAFT_PROBE_EXPLAIN").contains("1"))
+      pairs.explain("formatted")
     timed("minhash+LSH near-dup pairs (banded, capped, verified)") {
       pairs.count()
     }

@@ -133,9 +133,44 @@ object Dedup {
         ps.map(_._1), ps.map(_._2)).as("sig"))
   }
 
+  /** Banding geometry derived from the similarity threshold: the most
+    * selective (fewest-bands) divisor split of `numPerms` whose
+    * S-curve midpoint (1/b)^(1/r) stays ≤ threshold − 0.05, i.e. the
+    * highest rows-per-band that still catches threshold-level pairs
+    * with high probability. Why this matters AT SCALE and not in unit
+    * tests: a band of r rows collides for an UNRELATED pair with
+    * probability s^r, where s is the background cross-doc Jaccard of
+    * the corpus (never 0 in practice — English 5-grams, templated
+    * text, or a synthetic hex alphabet all give s in the 0.001–0.05
+    * range). Spurious candidates therefore grow as n²·b·s^r: with the
+    * legacy fixed r=4 (b=32), a measured s≈0.002 corpus produced 286k
+    * false candidates at 1M docs, 2.97M at 4M, and 15.6M at 10M —
+    * quadratic, exactly n²·b·s⁴, and every one of them paid for a
+    * Jaccard verify. At r=8 the same corpus's term is n²·16·s⁸ ≈
+    * 2e-8 pairs at 10M — the quadratic wall is gone for any n that
+    * fits a cluster. Recall at the threshold itself stays high: for
+    * τ=0.8, (b=16, r=8) detects s=0.80 pairs with p≈0.95, s=0.85 with
+    * p≈0.994, s=0.9 with p≈0.9999. The 0.05 margin keeps a midpoint
+    * from landing ON the threshold (recall there would be ~50%):
+    * τ=0.7 resolves to (32, 4) — midpoint 0.42 — not (16, 8) whose
+    * 0.707 midpoint would halve recall at exactly 0.7.
+    */
+  def lshBands(numPerms: Int, threshold: Double): Int = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val divisors = (1 to numPerms).filter(numPerms % _ == 0)
+    divisors
+      .filter(b => math.pow(1.0 / b, b.toDouble / numPerms) <= threshold - 0.05)
+      .minOption
+      // thresholds below every midpoint (τ ≲ 0.06): max recall is all
+      // that's left — single-row bands
+      .getOrElse(numPerms)
+  }
+
   /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
     * Output: (id1, id2, jaccard) for verified pairs ≥ threshold.
-    * bands × rowsPerBand must equal numPerms.
+    * bands × rowsPerBand must equal numPerms; `bands = 0` (default)
+    * derives the geometry from the threshold via [[lshBands]] — pass
+    * an explicit count only to reproduce a fixed legacy geometry.
     *
     * `maxBucketSize` is the skew valve (SURVEY §4): a degenerate
     * (band, hash) bucket — e.g. every empty/boilerplate doc in the
@@ -154,10 +189,11 @@ object Dedup {
       threshold: Double,
       shingleN: Int = 5,
       numPerms: Int = 128,
-      bands: Int = 32,
+      bands: Int = 0,
       maxBucketSize: Int = 1000,
       seed: Long = 42L): DataFrame = {
-    require(numPerms % bands == 0, "bands must divide numPerms")
+    val b = if (bands > 0) bands else lshBands(numPerms, threshold)
+    require(numPerms % b == 0, "bands must divide numPerms")
     require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val ps = perms(numPerms, seed)
     // Signature + band hashes fused in ONE expression
@@ -170,9 +206,50 @@ object Dedup {
     val banded = docs.select(col(idCol).as("id"),
         posexplode(minhash_band_hashes(
           charShingles(normalize(col(textCol)), shingleN),
-          ps.map(_._1), ps.map(_._2), bands)).as(Seq("band", "bh")))
+          ps.map(_._1), ps.map(_._2), b)).as(Seq("band", "bh")))
     val cand = cappedBucketPairs(banded, Seq("band", "bh"), maxBucketSize)
     verifyJaccard(docs, idCol, textCol, cand, shingleN, threshold)
+  }
+
+  /** The candidate half of [[minhashPairs]] (banding + capped bucket
+    * pairs, NO Jaccard verify) — exposed for scale diagnostics
+    * ([[graft.tools.MinhashScaleProbe]]) so sub-stage walls can be
+    * attributed instead of guessed. Same args, same candidate set the
+    * verify stage sees.
+    */
+  private[graft] def minhashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int = 5,
+      numPerms: Int = 128,
+      bands: Int = 0,
+      maxBucketSize: Int = 1000,
+      seed: Long = 42L): DataFrame = {
+    val b = if (bands > 0) bands else lshBands(numPerms, threshold)
+    cappedBucketPairs(
+      minhashBanded(docs, idCol, textCol, shingleN, numPerms, b, seed),
+      Seq("band", "bh"), maxBucketSize)
+  }
+
+  /** The exploded (id, band, bh) rows [[minhashCandidates]] buckets on
+    * — exposed for bucket-distribution diagnostics.
+    */
+  private[graft] def minhashBanded(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      numPerms: Int = 128,
+      bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val ps = perms(numPerms, seed)
+    docs.select(col(idCol).as("id"),
+      posexplode(minhash_band_hashes(
+        charShingles(normalize(col(textCol)), shingleN),
+        ps.map(_._1), ps.map(_._2), bands)).as(Seq("band", "bh")))
   }
 
   /** Within-bucket candidate pairs with the skew valve shared by every
@@ -222,8 +299,15 @@ object Dedup {
       threshold: Double): DataFrame = {
     // materialize the (expensive) candidate pipeline once: it feeds
     // three subtrees below (two join sides + the semi-filter id
-    // universe), which would otherwise re-run LSH banding three times
-    val cand = candidates.localCheckpoint()
+    // universe), which would otherwise re-run LSH banding three times.
+    // LAZY checkpoint: eager (the default) runs the whole banding
+    // pipeline at OPERATOR-CALL time — work before any action breaks
+    // lazy composition, and it silently escaped every `timed {}` block
+    // that wrapped only the action (ScaleSmoke under-reported this
+    // stage 5x for three rounds). Laziness changes nothing about
+    // reuse: the checkpoint materializes once at the first action and
+    // all three subtrees read it.
+    val cand = candidates.localCheckpoint(eager = false)
     val candIds = cand.select(col("id1").as("id"))
       .unionAll(cand.select(col("id2").as("id")))
       .distinct()
@@ -464,10 +548,11 @@ object Dedup {
     import graft.functions.SketchFunctions.winnow_fingerprints
     // materialized once: the frame feeds the df aggregation AND both
     // self-join sides — without the checkpoint every document would be
-    // fingerprinted three times
+    // fingerprinted three times. Lazy for the same reason as
+    // [[verifyJaccard]]: no work before the caller's first action.
     val fps = docs.select(col(idCol).as("id"),
         explode(array_distinct(winnow_fingerprints(normalize(col(textCol)), k, w))).as("fp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val kept =
       if (maxDocFreq > 0) {
         val df = fps.groupBy("fp").agg(count(lit(1)).as("df"))
@@ -1174,18 +1259,23 @@ object Dedup {
       corpus: DataFrame,
       idCol: String,
       textCol: String,
+      threshold: Double = 0.8,
       shingleN: Int = 5,
       numPerms: Int = 128,
-      bands: Int = 32,
+      bands: Int = 0,
       maxBucketSize: Int = 1000,
       seed: Long = 42L): DataFrame = {
-    require(numPerms % bands == 0, "bands must divide numPerms")
+    // the table BAKES IN the banding geometry: probe it with the same
+    // (numPerms, threshold) — or the same explicit bands — as built,
+    // else the (band, bh) join keys silently never match
+    val b = if (bands > 0) bands else lshBands(numPerms, threshold)
+    require(numPerms % b == 0, "bands must divide numPerms")
     require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
     val ps = perms(numPerms, seed)
     val banded = corpus.select(col(idCol).as("id"),
       posexplode(minhash_band_hashes(
         charShingles(normalize(col(textCol)), shingleN),
-        ps.map(_._1), ps.map(_._2), bands)).as(Seq("band", "bh")))
+        ps.map(_._1), ps.map(_._2), b)).as(Seq("band", "bh")))
     val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
     banded
       .withColumn("bsize", count(lit(1)).over(bw))
@@ -1217,14 +1307,18 @@ object Dedup {
       threshold: Double,
       shingleN: Int = 5,
       numPerms: Int = 128,
-      bands: Int = 32,
+      bands: Int = 0,
       seed: Long = 42L): DataFrame = {
-    require(numPerms % bands == 0, "bands must divide numPerms")
+    // bands must match the geometry `corpusBands` was BUILT with — the
+    // auto default stays consistent because both sides derive it from
+    // the same (numPerms, threshold)
+    val b = if (bands > 0) bands else lshBands(numPerms, threshold)
+    require(numPerms % b == 0, "bands must divide numPerms")
     val ps = perms(numPerms, seed)
     val newBands = newDocs.select(col(idCol).as("new_id"),
       posexplode(minhash_band_hashes(
         charShingles(normalize(col(textCol)), shingleN),
-        ps.map(_._1), ps.map(_._2), bands)).as(Seq("band", "bh")))
+        ps.map(_._1), ps.map(_._2), b)).as(Seq("band", "bh")))
     val cand = corpusBands.select(col("band"), col("bh"), col("id").as("corpus_id"))
       .join(broadcast(newBands), Seq("band", "bh"))
       // a batch doc that also landed in the corpus matches itself on
@@ -1246,13 +1340,15 @@ object Dedup {
       threshold: Double,
       shingleN: Int = 5,
       numPerms: Int = 128,
-      bands: Int = 32,
+      bands: Int = 0,
       maxBucketSize: Int = 1000,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L): DataFrame = {
+    val b = if (bands > 0) bands else lshBands(numPerms, threshold)
     minhashNewVsBandsPairs(newDocs,
-      minhashBandTable(corpus, idCol, textCol, shingleN, numPerms, bands,
+      minhashBandTable(corpus, idCol, textCol, threshold, shingleN, numPerms, b,
         maxBucketSize, seed),
-      corpus, idCol, textCol, threshold, shingleN, numPerms, bands, seed)
+      corpus, idCol, textCol, threshold, shingleN, numPerms, b, seed)
+  }
 
   /** One-call incremental append: within-batch near-dup reps
     * ([[minhashPairs]] + [[dropDuplicatesByPairs]], which subsumes

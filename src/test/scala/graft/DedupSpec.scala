@@ -518,8 +518,10 @@ class DedupSpec extends AnyFunSuite {
   test("minhashBandTable: over-cap buckets degrade to the min-id anchor, detection survives") {
     val boiler = "identical boilerplate header repeated verbatim across every landed page"
     val corpus = (1L to 20L).map(i => (i, boiler)).toDF("doc_id", "text")
+    // built and probed at the same threshold — the auto geometry is
+    // part of the table contract
     val bandTable = Dedup.minhashBandTable(corpus, "doc_id", "text",
-      maxBucketSize = 5)
+      threshold = 0.9, maxBucketSize = 5)
     // every doc is identical -> each band is ONE bucket of 20 > cap,
     // so exactly one (anchor) row per band survives
     val perBand = bandTable.groupBy("band").count().collect()
