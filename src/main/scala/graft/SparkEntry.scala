@@ -474,6 +474,23 @@ object SparkEntry {
         .select(col("n_exact"), recallAtLeast(0.9).as("recall_ok"))
     }),
 
+    // same gate at τ=0.8, which is the threshold the auto-geometry
+    // ([[Dedup.lshBands]]) maps to the NEW (16 bands × 8 rows) split —
+    // τ=0.7 above keeps the legacy (32 × 4) — so this row is the
+    // driver-visible proof that the corpus-scale banding change (round
+    // 7: kills the n²·b·s⁴ false-candidate term) did not trade away
+    // recall at its own threshold
+    "dedup_minhash_recall08" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.8)
+      val mh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8, shingleN = 5)
+      exact.select(col("id1"), col("id2"))
+        .join(mh.select(col("id1"), col("id2"), lit(1).as("hit")),
+          Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_exact"), recallAtLeast(0.9).as("recall_ok"))
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)),
 
@@ -1782,6 +1799,24 @@ object SparkEntry {
         |SELECT count(*) AS n_exact, CAST(1 AS BOOLEAN) AS recall_ok
         |FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
         |WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.7""".stripMargin,
+
+    "dedup_minhash_recall08" ->
+      """WITH docs AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 500
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([t[i : i + 4] FOR i IN
+        |    range(1, greatest(length(t) - 4, 1) + 1)])) AS s
+        |  FROM docs
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT count(*) AS n_exact, CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+        |WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) + 0.0 >= 0.8""".stripMargin,
 
     "dedup_embedding_lsh_recall" ->
       """SELECT count(*) AS n_exact, CAST(1 AS BOOLEAN) AS recall_ok

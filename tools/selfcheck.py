@@ -7,6 +7,9 @@ for f in glob.glob(f'{sfdir}/*.parquet'):
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 oracles = json.load(open(f'{outdir}/oracle_sql.json'))
 for name, sql in sorted(oracles.items()):
+    # a filtered Verify run (3rd arg) dumps only the named queries
+    if not glob.glob(f'{outdir}/{name}/*.parquet'):
+        continue
     got = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
     exp = con.sql(sql).df()
     # driver-style: sort columns by name, then compare value multisets
