@@ -535,6 +535,27 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((100L, 1L)))
   }
 
+  test("lshBands: fewest-bands divisor split whose S-curve midpoint clears τ−0.05") {
+    // the two geometries the operators actually run
+    assert(Dedup.lshBands(128, 0.8) == 16) // midpoint (1/16)^(1/8) ≈ 0.707 ≤ 0.75
+    assert(Dedup.lshBands(128, 0.7) == 32) // midpoint (1/32)^(1/4) ≈ 0.420 ≤ 0.65; 16 would sit at 0.707 > 0.65
+    // a stricter threshold never gets MORE bands (more bands = lower
+    // midpoint = more background collisions): b is antitone in τ
+    val taus = Seq(0.1, 0.3, 0.5, 0.7, 0.8, 0.9, 0.99)
+    val bs = taus.map(Dedup.lshBands(128, _))
+    assert(bs == bs.sorted.reverse, s"bands not antitone in τ: ${taus.zip(bs)}")
+    // every chosen b divides numPerms and satisfies the midpoint bound
+    for ((t, b) <- taus.zip(bs)) {
+      assert(128 % b == 0)
+      if (b < 128) // the b=128 fallback is the τ-below-every-midpoint escape
+        assert(math.pow(1.0 / b, b / 128.0) <= t - 0.05)
+    }
+    // τ below every achievable midpoint: single-row bands (max recall)
+    assert(Dedup.lshBands(128, 0.01) == 128)
+    assertThrows[IllegalArgumentException](Dedup.lshBands(128, 0.0))
+    assertThrows[IllegalArgumentException](Dedup.lshBands(128, 1.5))
+  }
+
   test("removeDuplicatedSpans: shared span vanishes from all docs, unique text intact") {
     val passage = "one two three four five six seven eight" // exactly L=8 tokens
     val base = Seq(
