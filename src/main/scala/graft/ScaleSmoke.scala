@@ -268,6 +268,54 @@ object ScaleSmoke {
       gated.unpersist(); keep.unpersist(); pairs.unpersist(); docs.unpersist()
     }
 
+    // DEGENERATE hot-key corpus: every doc byte-identical — one
+    // content hash, one (band, bh) bucket per band holding ALL n rows,
+    // one LSH bucket per table. This is the corpus shape the round-7
+    // window→groupBy sweep exists for: the old content-keyed window
+    // forms (cappedBucketPairs, minIdReps, curate, Ann bucket cap)
+    // each serialized all n occurrences into ONE task here; the
+    // groupBy rebuilds combine the hot key map-side and the stats
+    // joins broadcast/split. Expected results are exact: 1 exact
+    // survivor, n−1 star pairs (all verified jaccard 1.0).
+    //   SPARK_GRAFT_SMOKE_HOTKEY=1000000 sbt "runMain graft.ScaleSmoke"
+    val hotDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_HOTKEY", "0").toLong
+    if (hotDocs > 0) {
+      val docs = spark.range(hotDocs).select(col("id").as("doc_id"),
+        lit("identical boilerplate page body repeated verbatim across " +
+          "the entire corpus the of and to in is that it was").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      timed(s"HOTKEY exact dedup ($hotDocs identical docs -> 1 survivor)") {
+        val n = Dedup.exact(docs, "doc_id", "text").count()
+        require(n == 1, s"expected 1 exact survivor, got $n"); n
+      }
+      timed(s"HOTKEY incremental exact (all-identical batch, minIdReps hot path)") {
+        val n = Dedup.exactIncremental(docs,
+          Dedup.contentHashes(docs.limit(0), "text"), "doc_id", "text").count()
+        require(n == 1, s"expected 1 incremental survivor, got $n"); n
+      }
+      timed(s"HOTKEY minhash+LSH pairs (star degrade -> n-1 pairs)") {
+        val n = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8).count()
+        require(n == hotDocs - 1, s"expected ${hotDocs - 1} star pairs, got $n"); n
+      }
+      // ANN bucket cap under the same degeneracy: all corpus vectors
+      // identical -> every table has ONE bucket of all n. Corpus kept
+      // to 200k because rerank broadcasts corpus vectors by design
+      // (~100 MB at 64-d f64); the capped candidate side is what this
+      // stage exercises.
+      val annN = math.min(hotDocs, 200000L)
+      val vec = array((0 until 64).map(i => lit(math.sin(i + 1.0))): _*)
+      val corpusV = spark.range(annN).select(col("id").as("vec_id"), vec.as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpusV.count()
+      timed(s"HOTKEY ann lsh topk ($annN identical corpus vectors, 100 queries)") {
+        val queriesV = spark.range(100).select(col("id").as("qid"), vec.as("emb"))
+        graft.operators.Ann.lshCosineTopK(
+          queriesV, "qid", corpusV, "vec_id", "emb", k = 10, dim = 64).count()
+      }
+      corpusV.unpersist(); docs.unpersist()
+    }
+
     val sq8EnvDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SQ8_DOCS", "0").toLong
     if (sq8EnvDocs > 0) {
       val dim = 256

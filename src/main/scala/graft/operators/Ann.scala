@@ -47,9 +47,16 @@ object Ann {
     * `maxBucketSize` caps the CORPUS side of every (table, bucket): a
     * degenerate bucket (e.g. a mass of zero/identical vectors) would
     * otherwise fan out |bucket| candidates per query landing in it.
-    * Oversized buckets keep a deterministic hash-ordered sample —
-    * an uninformative bucket contributes a bounded, unbiased slice
-    * instead of O(|bucket|) rows per probing query.
+    * Oversized buckets keep a deterministic salted-hash sample with
+    * EXPECTED size `maxBucketSize` (each member survives iff
+    * hash(index, table, bucket) mod bsize < cap — exact identity for
+    * at-cap buckets, an unbiased ≈cap slice past it). This is a
+    * filter on groupBy-computed sizes, NOT a bucket-keyed ranking
+    * window: the degenerate bucket the cap defuses is exactly the hot
+    * key a window would sort in ONE AQE-unsplittable task, while the
+    * size aggregate combines it map-side and the stats join is
+    * skew-splittable (the dedupParagraphs argument, applied to the
+    * ANN index).
     */
   def lshCosineTopK(
       queries: DataFrame,
@@ -77,10 +84,11 @@ object Ann {
     val qb = signatures(queries.select(col(qIdCol), col(embCol)), qIdCol, probes)
     val cbAll = signatures(
       corpus.select(col(cIdCol).as("index"), col(embCol)), "index", 1)
-    val bw = Window.partitionBy("table", "bucket")
-      .orderBy(xxhash64(col("index")), col("index"))
-    val cb = cbAll.withColumn("brn", row_number().over(bw))
-      .filter(col("brn") <= maxBucketSize).drop("brn")
+    val bsizes = cbAll.groupBy("table", "bucket").agg(count(lit(1)).as("bsize"))
+    val cb = cbAll.join(bsizes, Seq("table", "bucket"))
+      .filter(pmod(xxhash64(col("index"), col("table"), col("bucket")),
+        col("bsize")) < lit(maxBucketSize.toLong))
+      .drop("bsize")
     val pairs = dedupPairs(qb.join(cb, Seq("table", "bucket"))
       .select(col(qIdCol), col("index")), qIdCol)
     rerank(pairs, queries, qIdCol, corpus, cIdCol, embCol, k)

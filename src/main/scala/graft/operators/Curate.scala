@@ -80,25 +80,32 @@ object Curate {
       minWords: Long = 30L,
       minStopRatio: Double = 0.04): DataFrame = {
     val t = col("text")
-    val g = gateStruct(t)
-    // Gates run BEFORE the dedup window: exact copies share the text
+    // Gates run BEFORE the dedup: exact copies share the text
     // byte-for-byte, hence identical pred_lang/n_words/stop_ratio — a
     // content group passes or fails as a whole, so its surviving
-    // min-id representative is unchanged, while the window shuffle
+    // min-id representative is unchanged, while the dedup shuffle
     // carries only gate-passing rows (~6 % of the corpus here).
     // The predicate is let-bound inside gatePasses so the gate struct
-    // computes once; the output columns are re-derived AFTER the
-    // rn = 1 filter, on survivors only (projecting them pre-filter
-    // would make predicate pushdown restate the whole expression in
-    // the filter).
+    // computes once per input row. Winner selection is a
+    // partial-aggregatable groupBy-min(struct(id, text)), NOT a
+    // row_number window keyed on the content hash: a mass-duplicated
+    // gate-passing page is a hot hash whose whole occurrence set a
+    // window would hand to one AQE-unsplittable task, while the
+    // aggregate combines it to one candidate per map partition (the
+    // dedupParagraphs argument, at document granularity). The output
+    // columns are re-derived from the WINNER's text only — survivors,
+    // exactly like the old post-rn=1 projection.
     val passes = gatePasses(t, lang, minWords, minStopRatio)
-    val dedupW = Window.partitionBy(md5(t)).orderBy(col("doc_id"))
+    val wt = col("__w").getField("text")
+    val wg = gateStruct(wt)
     Tables.documents(s, dir)
       .filter(passes)
-      .withColumn("rn", row_number().over(dedupW))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), g.getField("pred_lang").as("pred_lang"),
-        g.getField("n_words").as("n_words"), g.getField("stop_ratio").as("stop_ratio"))
+      .groupBy(md5(t).as("__h"))
+      .agg(min(struct(col("doc_id"), t.as("text"))).as("__w"))
+      .select(col("__w").getField("doc_id").as("doc_id"),
+        wg.getField("pred_lang").as("pred_lang"),
+        wg.getField("n_words").as("n_words"),
+        wg.getField("stop_ratio").as("stop_ratio"))
       .orderBy("doc_id")
   }
 

@@ -257,15 +257,22 @@ object Dedup {
     * `cap` produce all (id1 < id2) pairs, larger buckets degrade to
     * O(|bucket|) STAR pairs anchored at the bucket min — bounded
     * fan-out, verify coverage for every member, and a connected pair
-    * graph for clustering. One shuffle on the bucket key: the window
-    * computing size/min leaves the data partitioned on exactly the
-    * self-join key.
+    * graph for clustering.
+    *
+    * The size/min stats come from a partial-aggregatable `groupBy`,
+    * NOT a window keyed on the bucket: the degenerate bucket this cap
+    * exists to defuse (every boilerplate/empty doc colliding in one
+    * (band, hash)) is precisely the key a bucket-keyed window would
+    * hand to ONE task — all n occurrences, unsplittable by AQE — the
+    * same cliff the round-7 `dedupParagraphs` rebuild removed one
+    * level up. With groupBy the hot bucket combines map-side (one
+    * partial row per input partition), and the join attaching stats
+    * back to members is an equi-join AQE CAN split.
     */
   private def cappedBucketPairs(sigs: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    val bw = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    val withStats = sigs
-      .withColumn("bsize", count(lit(1)).over(bw))
-      .withColumn("bmin", min("id").over(bw))
+    val stats = sigs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsize"), min("id").as("bmin"))
+    val withStats = sigs.join(stats, keys)
     val small = withStats.filter(col("bsize") <= cap)
     val candSmall = small.select(keys.map(col) :+ col("id").as("id1"): _*)
       .join(small.select(keys.map(col) :+ col("id").as("id2"): _*), keys)
@@ -1135,23 +1142,38 @@ object Dedup {
     * `corpusHashes` is any frame with a `content_hash` column —
     * [[contentHashes]] of the raw corpus, or (the scale form) the
     * persisted hash table. Plan shape: the batch shuffles once on its
-    * content hash; the representative window leaves it partitioned on
-    * exactly the anti-join key, so the join adds no batch-side
-    * exchange. The corpus side is hash-only rows (never text) and is
-    * exchange-free entirely when `corpusHashes` is a table bucketed on
-    * `content_hash` (asserted in SinkSpec).
+    * content hash; the representative aggregation leaves it
+    * partitioned on exactly the anti-join key, so the join adds no
+    * batch-side exchange. The corpus side is hash-only rows (never
+    * text) and is exchange-free entirely when `corpusHashes` is a
+    * table bucketed on `content_hash` (asserted in SinkSpec).
     */
   def exactIncremental(
       newDocs: DataFrame,
       corpusHashes: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("content_hash").orderBy(col(idCol))
-    newDocs.withColumn("content_hash", md5(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      textCol: String): DataFrame =
+    minIdReps(newDocs.withColumn("content_hash", md5(col(textCol))), idCol)
       .join(corpusHashes.select("content_hash"), Seq("content_hash"), "left_anti")
+
+  /** Min-id representative per `content_hash` via a partial-aggregatable
+    * `min(struct(id, row))` — NOT a hash-keyed `row_number` window. A
+    * mass-duplicated document (the boilerplate/empty-page case exact
+    * dedup exists for) is a hot content hash, and a window hands its
+    * entire occurrence set to ONE task, unsplittable by AQE; the
+    * aggregate combines it map-side to one candidate row per input
+    * partition. The whole row rides the aggregation buffer (one row
+    * per hash per partition — bounded), ids are unique so later struct
+    * fields never decide a comparison, and the result stays
+    * hash-partitioned on `content_hash` exactly like the window form.
+    * Output columns: `newDocs` order, then `content_hash`.
+    */
+  private def minIdReps(hashed: DataFrame, idCol: String): DataFrame = {
+    val cols = hashed.columns.filterNot(_ == "content_hash")
+    val ordered = idCol +: cols.filterNot(_ == idCol)
+    hashed.groupBy("content_hash")
+      .agg(min(struct(ordered.map(col): _*)).as("__w"))
+      .select(cols.map(c => col("__w").getField(c).as(c)) :+ col("content_hash"): _*)
   }
 
   /** Cross-source duplication matrix: for every pair of sources, how
@@ -1225,16 +1247,13 @@ object Dedup {
       idCol: String,
       textCol: String): DataFrame = {
     val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("content_hash").orderBy(col(idCol))
     // NULL text -> NULL hash -> NULL bloom result: coalesce(false)
     // routes those rows to the definitely-new branch, which is where
     // the exact path lands them too (an anti join on a NULL key never
     // matches) — without it BOTH filters drop the row and the bloom
     // path silently loses null-text documents
-    val reps = newDocs.withColumn("content_hash", md5(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val reps = minIdReps(
+        newDocs.withColumn("content_hash", md5(col(textCol))), idCol)
       .withColumn("__maybe", coalesce(
         graft.functions.SketchFunctions.bloom_might_contain(col("content_hash"), bc),
         lit(false)))
@@ -1276,10 +1295,12 @@ object Dedup {
       posexplode(minhash_band_hashes(
         charShingles(normalize(col(textCol)), shingleN),
         ps.map(_._1), ps.map(_._2), b)).as(Seq("band", "bh")))
-    val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-    banded
-      .withColumn("bsize", count(lit(1)).over(bw))
-      .withColumn("bmin", min("id").over(bw))
+    // groupBy-min stats, not a bucket-keyed window: the over-cap
+    // bucket being reduced to its anchor is exactly the hot key a
+    // window would serialize into one task (see cappedBucketPairs)
+    val stats = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bsize"), min("id").as("bmin"))
+    banded.join(stats, Seq("band", "bh"))
       .filter(col("bsize") <= maxBucketSize || col("id") === col("bmin"))
       .select("band", "bh", "id")
   }

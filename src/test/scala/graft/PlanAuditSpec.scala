@@ -101,14 +101,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("lang_marker_stats"), "curate lost the native gate expression")
     // plan shape: gate Filter sits directly on the parquet scan (its
     // condition references the raw text column), BEFORE the dedup
-    // window's exchange — the shuffle carries survivors only
+    // groupBy's exchange — the shuffle carries survivors only
     val exchangeCount = "\\(\\d+\\) Exchange".r.findAllIn(p).length
     assert(exchangeCount == 2,
-      s"curate should shuffle exactly twice (dedup window + final sort), saw $exchangeCount")
+      s"curate should shuffle exactly twice (dedup groupBy + final sort), saw $exchangeCount")
     val scanIdx = p.indexOf("Scan parquet")
     val filterIdx = p.indexOf("lang_marker_stats")
-    val windowIdx = p.indexOf("WindowGroupLimit")
-    assert(scanIdx >= 0 && filterIdx >= 0 && windowIdx >= 0)
+    assert(scanIdx >= 0 && filterIdx >= 0)
+    // winner selection is the partial-aggregatable groupBy-min(struct),
+    // never a content-hash-keyed row_number window: a mass-duplicated
+    // gate-passing page is a hot hash whose occurrence set a window
+    // serializes into ONE AQE-unsplittable task (the dedupParagraphs
+    // argument at document granularity, round 7)
+    assert(!p.contains("Window"),
+      s"curate must not plan a window (content-hash skew cliff):\n$p")
+    assert(p.contains("partial_min"),
+      "curate winner must partial-aggregate map-side")
+  }
+
+  test("round-7 window-skew sweep: no content-keyed window anywhere in the dedup/ANN paths") {
+    // The dedupParagraphs rule, applied everywhere a window used to
+    // key on CONTENT (hash, paragraph, LSH bucket): the hot key such
+    // windows serialize into one task is the expected case on a web
+    // corpus (boilerplate pages, degenerate buckets), and AQE cannot
+    // split a window partition. Every one of these paths now computes
+    // its per-key stats with a partial-aggregatable groupBy. Windows
+    // keyed on the QUERY or DOC id (per-query rank, per-doc gram
+    // order) are bounded by construction and stay.
+    for (q <- Seq("dedup_minhash", "dedup_incremental",
+      "dedup_incremental_bloom", "dedup_exact", "curate")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q plans a window — content-keyed skew cliff:\n$p")
+    }
+    // ann_lsh keeps its per-QUERY rank window (bounded by candidates
+    // per query); the (table, bucket) cap must not be one. The
+    // optimized logical plan prints each Window with its partition
+    // spec on one line.
+    val annWindows = SparkEntry.queries("ann_lsh")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+      .linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(annWindows.nonEmpty, "ann_lsh lost its per-query rank window")
+    assert(annWindows.forall(l => !l.contains("bucket")),
+      s"ann_lsh windows must not key on the LSH bucket: $annWindows")
   }
 
   test("dedup_paragraphs: winner selection is partial-aggregated, never a paragraph-keyed window") {
