@@ -805,9 +805,10 @@ object Dedup {
       nCells: Int = 0,
       assign: Int = 0,
       lloydIters: Int = 5,
-      maxTrain: Int = 4096,
+      maxTrain: Int = 0,
       maxCellSize: Int = 0): DataFrame = {
     require(assign >= 0, s"assign must be >= 0 (0 = auto), got $assign")
+    require(maxTrain >= 0, s"maxTrain must be >= 0 (0 = auto), got $maxTrain")
     require(maxCellSize >= 0, s"maxCellSize must be >= 0 (0 = auto), got $maxCellSize")
     // nCells = 0 (the default) auto-sizes to max(16, ceil(sqrt(n))) —
     // the IVF nlist rule. Assignment work is O(n·nCells) and the
@@ -820,16 +821,19 @@ object Dedup {
     lazy val n = emb.count() // one job, only when an auto knob needs it
     // The k-means train sample caps the cell count (more cells than
     // train vectors is meaningless). A FIXED cap would silently end
-    // the √n rule at n ≈ maxTrain² (~17M docs at the 4096 default) and
+    // the √n rule at n ≈ maxTrain² (~17M docs at a fixed 4096) and
     // revert within-cell GEMM to the O(n²/maxTrain) envelope the
-    // round-4 verdict flagged — so when the caller leaves maxTrain at
-    // its default, the sample GROWS with √n (≤ 65 536: a ≤ ~134 MB
-    // driver collect at 256-d f64, the bounded-collect budget), which
-    // keeps the rule honest out to n ≈ 4.3e9 docs. Past that, route to
-    // `embeddingPairsLsh` (O(n) hash assignment) — same guidance as
-    // `embeddingPairsExact`'s guard.
+    // round-4 verdict flagged — so with maxTrain = 0 (auto, the
+    // default) the sample GROWS with √n from a 4096 floor (≤ 65 536:
+    // a ≤ ~134 MB driver collect at 256-d f64, the bounded-collect
+    // budget), which keeps the rule honest out to n ≈ 4.3e9 docs.
+    // Past that, route to `embeddingPairsLsh` (O(n) hash assignment)
+    // — same guidance as `embeddingPairsExact`'s guard. An EXPLICIT
+    // maxTrain > 0 is the caller's hard driver-collect budget (no
+    // default-vs-explicit sentinel ambiguity: 0 is auto, anything
+    // else is a contract).
     lazy val effTrain =
-      if (maxTrain != 4096) maxTrain
+      if (maxTrain > 0) maxTrain
       else math.max(4096,
         math.min(1 << 16, math.ceil(math.sqrt(n.toDouble)).toInt))
     val cells =
@@ -859,14 +863,14 @@ object Dedup {
       if (maxCellSize > 0) maxCellSize
       else math.min(Int.MaxValue.toLong,
         math.max(4096L, 4L * assigns * n / math.max(cells, 1))).toInt
-    // explicit nCells with the DEFAULT maxTrain raises the train
-    // sample to cover the requested cells (k-means needs ≥ k points) —
-    // but an EXPLICIT maxTrain is the caller's driver-collect budget
-    // and is never silently exceeded: asking for more cells than the
-    // budget can train fails fast instead (round-6 advice).
+    // explicit nCells under AUTO maxTrain raises the train sample to
+    // cover the requested cells (k-means needs ≥ k points) — but an
+    // EXPLICIT maxTrain is the caller's driver-collect budget and is
+    // never silently exceeded: asking for more cells than the budget
+    // can train fails fast instead (round-6 advice).
     val trainSample =
       if (nCells > 0) {
-        if (maxTrain != 4096) {
+        if (maxTrain > 0) {
           require(cells <= maxTrain,
             s"nCells=$cells needs a train sample of ≥ $cells vectors but the " +
               s"explicit maxTrain=$maxTrain caps the driver collect below it — " +
