@@ -188,7 +188,12 @@ object SparkEntry {
     "q_case_agg" -> (Relational.caseAgg _),
     "q_events_window" -> (Relational.eventsWindow _),
     "q_json_extract" -> (Relational.jsonExtract _),
-    "q_asof_join" -> (Relational.asofClickPurchase _),
+    "q_asof_join" -> ((s, d) => Relational.asofClickPurchase(s, d)),
+    // the hot-key-splitting two-pass form against the SAME DuckDB
+    // native-ASOF oracle (1-hour buckets; correctness is
+    // width-independent, AsofSpec covers degenerate widths)
+    "q_asof_join_bucketed" -> ((s, d) =>
+      Relational.asofClickPurchase(s, d, bucketWidthMicros = 3600L * 1000000L)),
     "q_rolling" -> (Relational.rollingHour _),
     "q_stratified_sample" -> (Relational.stratifiedSampleOrders _),
     "q_pivot" -> (Relational.pivotStatus _),
@@ -1496,6 +1501,19 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "q_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |       round(r.value, 4) + 0.0 AS last_purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_join_bucketed" ->
       """WITH l AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |  FROM events WHERE event_type = 'click'

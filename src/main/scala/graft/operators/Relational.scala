@@ -269,6 +269,87 @@ object Relational {
   def asofJoin(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String): DataFrame = {
+    val p = asofPrep(left, right, keyCol, tsCol)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = p.union
+      .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    asofFinish(carried, p)
+  }
+
+  /** The 100 TB form of [[asofJoin]] — same semantics, hot key split.
+    * The single-pass window keys on the JOIN key, so one dominant key
+    * (the hot symbol in market data, the bot account in event logs)
+    * serializes its entire timeline into ONE task AQE cannot split —
+    * the only place in [[asofJoin]] where per-key work is unbounded.
+    * Per-key ORDER is inherent to as-of semantics, but it composes
+    * across time ranges, so this form runs the classic two-pass
+    * split: bucket the union by `floor(ts / bucketWidthMicros)`, run
+    * the same running-last window WITHIN (key, bucket) — per-task
+    * work is now bounded by one key's rows per bucket — then compute
+    * each bucket's carry-in from the per-(key, bucket) SUMMARY rows
+    * (one row per bucket: the second window is over a frame
+    * `timespan / bucketWidth` long, not row-scale) and join it back
+    * (AQE-splittable). `coalesce(within-bucket, carry-in)` is exactly
+    * the single-pass result: ties on (ts, side) are resolved
+    * identically because the summary keeps the within-bucket
+    * window's OWN last value at the bucket's max (ts, side).
+    *
+    * Pick `bucketWidthMicros` so a hot key's rows-per-bucket fit a
+    * task comfortably (e.g. an hour for event data); correctness
+    * does not depend on the choice — `AsofSpec` asserts equality
+    * with [[asofJoin]] across widths including degenerate ones.
+    */
+  def asofJoinBucketed(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      bucketWidthMicros: Long): DataFrame = {
+    require(bucketWidthMicros > 0, s"bucketWidthMicros must be > 0, got $bucketWidthMicros")
+    val p = asofPrep(left, right, keyCol, tsCol)
+    val tsNum = left.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col("__ts"))
+      case _: org.apache.spark.sql.types.NumericType => col("__ts").cast("long")
+      case t => throw new IllegalArgumentException(
+        s"asofJoinBucketed needs a timestamp or numeric ts column, got $t")
+    }
+    // floor() over double division is exact here: event-time micros
+    // (~1.7e15) sit far inside double's 2^53 integer range
+    val u = p.union.withColumn("__b", floor(tsNum / lit(bucketWidthMicros.toDouble)))
+    val w1 = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("__local", last(col("__rp"), ignoreNulls = true).over(w1))
+    // one summary row per (key, bucket): the running value at the
+    // bucket's last (ts, side) — max(struct) picks that row and
+    // carries its __local, so downstream buckets see exactly what the
+    // single-pass window would have carried across the boundary
+    val summaries = local.groupBy("__k", "__b")
+      .agg(max(struct(col("__ts"), col("__side"), col("__local"))).as("__e"))
+      .select(col("__k"), col("__b"), col("__e").getField("__local").as("__blast"))
+    val w2 = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = summaries
+      .withColumn("__carry", last(col("__blast"), ignoreNulls = true).over(w2))
+      .select("__k", "__b", "__carry")
+    val carried = local.join(carryIn, Seq("__k", "__b"))
+      .filter(col("__side") === 1)
+      .withColumn("__match", coalesce(col("__local"), col("__carry")))
+    asofFinish(carried, p)
+  }
+
+  /** Shared front of the as-of forms: null handling, side tagging,
+    * payload structs. `union` is the (key, ts, side, lp, rp) union
+    * both forms window over; `unmatchable` the null-key/ts left rows
+    * that survive with null payloads.
+    */
+  private case class AsofParts(
+      union: DataFrame, unmatchable: DataFrame,
+      leftCols: Seq[String], rightValueCols: Seq[String])
+
+  private def asofPrep(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String): AsofParts = {
     val rightValueCols = right.columns.filterNot(c => c == keyCol || c == tsCol)
     require(rightValueCols.nonEmpty, "right side has no payload columns")
     val leftCols = left.columns
@@ -294,29 +375,36 @@ object Relational {
     val rS = right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
         lit(0).as("__side"), lit(null).cast(lpType).as("__lp"), rp.as("__rp"))
-    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = lS.unionAll(rS)
-      .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-    val matched = carried.select(leftCols.map(c => col(s"__lp.$c").as(c)) ++
-      rightValueCols.map(c => col(s"__match.$c").as(c)): _*)
     val unmatchable = left.filter(!leftValid)
       .select(leftCols.map(col) ++
         rpType.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
-    matched.unionAll(unmatchable)
+    AsofParts(lS.unionAll(rS), unmatchable, leftCols.toSeq, rightValueCols.toSeq)
+  }
+
+  private def asofFinish(carried: DataFrame, p: AsofParts): DataFrame = {
+    val matched = carried.select(p.leftCols.map(c => col(s"__lp.$c").as(c)) ++
+      p.rightValueCols.map(c => col(s"__match.$c").as(c)): _*)
+    matched.unionAll(p.unmatchable)
   }
 
   /** Gate form of [[asofJoin]]: each click event matched to the user's
-    * most recent purchase at or before it.
+    * most recent purchase at or before it. `bucketWidthMicros > 0`
+    * routes through [[asofJoinBucketed]] — same oracle, so the
+    * hot-key-splitting form is driver-checked against DuckDB's native
+    * ASOF too.
     */
-  def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
+  def asofClickPurchase(
+      s: SparkSession, dir: String, bucketWidthMicros: Long = 0L): DataFrame = {
     val ev = Tables.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("value"))
-    asofJoin(clicks, purchases, "user_id", "ts")
+    val joined =
+      if (bucketWidthMicros > 0)
+        asofJoinBucketed(clicks, purchases, "user_id", "ts", bucketWidthMicros)
+      else asofJoin(clicks, purchases, "user_id", "ts")
+    joined
       .select(col("event_id"), col("user_id"), col("ts"),
         r4(col("value")).as("last_purchase_value"))
       .orderBy("event_id")

@@ -50,7 +50,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("similarity kernel: no |Q|x|C| join anywhere in the plan") {
     for (q <- Seq("topk_cosine", "matmul_flat", "topk_blocked",
-      "vec_range_join", "q_asof_join", "curate_full")) {
+      "vec_range_join", "q_asof_join", "q_asof_join_bucketed", "curate_full")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")

@@ -54,6 +54,38 @@ class RelationalSpec extends AnyFunSuite {
       Relational.asofJoin(left.withColumnRenamed("lid", "v"), right, "k", "t"))
     assert(e.getMessage.contains("collide"))
   }
+  test("asofJoinBucketed == asofJoin across widths, incl. degenerate buckets and nulls") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // deterministic but irregular timelines over 3 keys, including a
+    // HOT key with most of the rows (the case the form exists for),
+    // null keys/ts on both sides, and a key with no right rows
+    val left = (
+      (1 to 200).map(i => (Some(1L), 1000L + i, Some(ts(i * 7L % 997)))) ++
+        Seq((Some(2L), 2001L, Some(ts(150))), (Some(3L), 3001L, Some(ts(500))),
+          (None, 4001L, Some(ts(10))), (Some(1L), 4002L, None))
+      ).toDF("k", "lid", "t")
+    val right = (
+      (1 to 40).map(i => (Some(1L), Some(ts(i * 23L % 991)), i * 1.0)) ++
+        Seq((Some(2L), Some(ts(150)), 9.0),
+          (None, Some(ts(5)), 8.0), (Some(1L), None, 7.0))
+      ).toDF("k", "t", "v")
+    val want = Relational.asofJoin(left, right, "k", "t")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // widths in micros: 1s buckets (many), 100s (few), 1 HOUR (one
+    // bucket = degenerates to the single-pass shape), and 1 µs (every
+    // event its own bucket = pure carry-in path)
+    for (w <- Seq(1000000L, 100000000L, 3600L * 1000000L, 1L)) {
+      val got = Relational.asofJoinBucketed(left, right, "k", "t", w)
+        .collect().map(r => r.getLong(1) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      assert(got == want, s"bucketed(width=$w) diverges from single-pass")
+    }
+    intercept[IllegalArgumentException](
+      Relational.asofJoinBucketed(left, right, "k", "t", 0L))
+  }
+
   val dir = "/root/testdata/sf0.01"
 
   test("approx count-distinct lands within the 1% rsd envelope of the exact counts") {
