@@ -296,7 +296,11 @@ object ScaleSmoke {
       }
       timed(s"HOTKEY minhash+LSH pairs (star degrade -> n-1 pairs)") {
         val n = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8).count()
-        require(n == hotDocs - 1, s"expected ${hotDocs - 1} star pairs, got $n"); n
+        // above the 1000-member bucket cap the bucket degrades to
+        // n−1 star pairs; at or under it the small-bucket path emits
+        // all C(n,2) pairs — both are complete true-dup pair sets
+        val want = if (hotDocs > 1000) hotDocs - 1 else hotDocs * (hotDocs - 1) / 2
+        require(n == want, s"expected $want pairs, got $n"); n
       }
       // ANN bucket cap under the same degeneracy: all corpus vectors
       // identical -> every table has ONE bucket of all n. Corpus kept
@@ -313,6 +317,58 @@ object ScaleSmoke {
         graft.operators.Ann.lshCosineTopK(
           queriesV, "qid", corpusV, "vec_id", "emb", k = 10, dim = 64).count()
       }
+      // as-of join where ONE user owns every event (the bot-account
+      // hot key): the single-pass window sorts all n rows in one
+      // task; the bucketed two-pass bounds per-task work by
+      // rows-per-bucket (1-minute buckets at 1 event/sec ≈ 60 rows).
+      // Both timed — the delta IS the straggler the split removes.
+      // Sized independently (SPARK_GRAFT_SMOKE_HOTKEY_ASOF, default =
+      // the HOTKEY size): the crossover where the one-task sort
+      // starts paying spill is far past where the text stages get
+      // slow, so the asof stage wants its own, larger n.
+      val asofN = sys.env.getOrElse("SPARK_GRAFT_SMOKE_HOTKEY_ASOF",
+        hotDocs.toString).toLong
+      val ev = spark.range(asofN).select(
+          col("id").as("event_id"), lit(7L).as("user_id"),
+          timestamp_micros(col("id") * 1000000L).as("ts"),
+          when(col("id") % 10 === 0, lit("purchase")).otherwise(lit("click"))
+            .as("event_type"),
+          (col("id") % 100).cast("double").as("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ev.count()
+      val clicksH = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchasesH = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      // aggregate over the MATCHED payload: a bare count() lets
+      // column pruning delete the unused window/join and times an
+      // empty plan
+      timed(s"HOTKEY asof SINGLE-PASS ($hotDocs events, one user -> one window task)") {
+        graft.operators.Relational.asofJoin(
+            clicksH, purchasesH, "user_id", "ts")
+          .agg(count(col("value"))).head.getLong(0)
+      }
+      timed(s"HOTKEY asof BUCKETED two-pass (1-min buckets, same result)") {
+        graft.operators.Relational.asofJoinBucketed(
+            clicksH, purchasesH, "user_id", "ts", 60L * 1000000L)
+          .agg(count(col("value"))).head.getLong(0)
+      }
+      // sessionize under the same bot-account hot key (1 event/sec
+      // means a >30-min gap never fires: ONE session of n events —
+      // the assert pins the exact island structure)
+      timed(s"HOTKEY sessionize SINGLE-PASS ($asofN events, one user)") {
+        val r = graft.operators.Relational.sessionizeEvents(
+          ev.select("user_id", "ts", "event_id")).collect()
+        require(r.length == 1 && r(0).getLong(2) == asofN,
+          s"expected one $asofN-event session, got ${r.length} rows"); r.length
+      }
+      timed(s"HOTKEY sessionize BUCKETED two-pass (1-min buckets, same result)") {
+        val r = graft.operators.Relational.sessionizeEventsBucketed(
+          ev.select("user_id", "ts", "event_id"), 60L * 1000000L).collect()
+        require(r.length == 1 && r(0).getLong(2) == asofN,
+          s"expected one $asofN-event session, got ${r.length} rows"); r.length
+      }
+      ev.unpersist()
       corpusV.unpersist(); docs.unpersist()
     }
 

@@ -278,6 +278,11 @@ object SparkEntry {
     "q_profile" -> ((s, dir) => Profile.profile(
       Tables.documents(s, dir), Seq("doc_id", "lang", "n_chars", "source", "text"))),
     "q_sessionize" -> (Relational.sessionize _),
+    // the hot-key-split two-pass form against the SAME gaps-and-islands
+    // oracle (1-hour buckets; width-independent, RelationalSpec covers
+    // degenerate widths)
+    "q_sessionize_bucketed" -> ((s, d) =>
+      Relational.sessionizeBucketed(s, d, bucketWidthMicros = 3600L * 1000000L)),
     "q_sessionize_sw" -> (Relational.sessionizeWindow _),
 
     // ---- LLM-pipeline operators (SURVEY §2.3) ---------------------------
@@ -1594,6 +1599,26 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, ts, event_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL THEN 1
+        |              WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize_bucketed" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
         |         epoch_us(CAST(ts AS TIMESTAMP)) AS us

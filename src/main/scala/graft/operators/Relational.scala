@@ -413,9 +413,12 @@ object Relational {
   /** Sessionization: 30-min-gap sessions per user (gaps-and-islands,
     * integer micros math for engine parity). One shuffle on user_id.
     */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeEvents(Tables.events(s, dir))
+
+  def sessionizeEvents(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
+    events
       .select(col("user_id"), col("ts"), col("event_id"), unix_micros(col("ts")).as("us"))
       .withColumn("new_s",
         when(col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1L).otherwise(
@@ -521,6 +524,72 @@ object Relational {
     * [[sessionize]]; the streaming form is
     * graft.streaming.EventStream.sessionize.
     */
+  /** The hot-key-split form of [[sessionize]] — same gaps-and-islands
+    * semantics, per-task work bounded. The single-pass lag/cumsum
+    * windows key on `user_id`, so one bot account's entire timeline
+    * lands in ONE task (the [[asofJoinBucketed]] argument — per-key
+    * order is inherent to sessionization, but it composes across time
+    * ranges). Pass 1 runs the SAME lag/cumsum within
+    * (user, floor(us / bucketWidthMicros)); pass 2 reduces each
+    * bucket to one summary row (count of in-bucket breaks, first/last
+    * event time), windows over those summary rows — frame =
+    * timespan/width, not row-scale — to decide each bucket's
+    * first-row break (gap vs the previous non-empty bucket's last
+    * event) and its exclusive running break offset, and joins the
+    * offsets back on (user, bucket) (AQE-splittable). session_id =
+    * offset + first-row break + in-bucket running sum reproduces the
+    * single-pass numbering exactly; `RelationalSpec` asserts equality
+    * across widths including degenerate ones, and the shared oracle
+    * checks the driver shape against DuckDB.
+    */
+  def sessionizeBucketed(
+      s: SparkSession, dir: String, bucketWidthMicros: Long): DataFrame =
+    sessionizeEventsBucketed(Tables.events(s, dir), bucketWidthMicros)
+
+  def sessionizeEventsBucketed(
+      events: DataFrame, bucketWidthMicros: Long): DataFrame = {
+    require(bucketWidthMicros > 0,
+      s"bucketWidthMicros must be > 0, got $bucketWidthMicros")
+    val ev = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("b", floor(col("us") / lit(bucketWidthMicros.toDouble)))
+    val w1 = Window.partitionBy(col("user_id"), col("b"))
+      .orderBy(col("ts"), col("event_id"))
+    val local = ev
+      // break vs the PREVIOUS IN-BUCKET row; a bucket's first row
+      // (lag null) contributes 0 here — its break is decided from the
+      // summary carry, where the previous bucket's last event lives
+      .withColumn("new_s_local",
+        when(col("us") - lag(col("us"), 1).over(w1) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("local_cum", sum(col("new_s_local"))
+        .over(w1.rowsBetween(Window.unboundedPreceding, 0)))
+    val summaries = local.groupBy("user_id", "b")
+      .agg(sum(col("new_s_local")).as("n_breaks_local"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    // one row per non-empty (user, bucket): lag(1) IS the previous
+    // non-empty bucket, empty buckets simply have no row
+    val ws = Window.partitionBy(col("user_id")).orderBy(col("b"))
+    val offsets = summaries
+      .withColumn("prev_last_us", lag(col("last_us"), 1).over(ws))
+      .withColumn("first_break",
+        when(col("prev_last_us").isNull, 1L).otherwise(
+          when(col("first_us") - col("prev_last_us") > 1800000000L, 1L)
+            .otherwise(0L)))
+      .withColumn("offset", coalesce(
+        sum(col("first_break") + col("n_breaks_local"))
+          .over(ws.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("user_id", "b", "first_break", "offset")
+    local.join(offsets, Seq("user_id", "b"))
+      .withColumn("session_id",
+        col("offset") + col("first_break") + col("local_cum"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
   def sessionizeWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))

@@ -86,6 +86,34 @@ class RelationalSpec extends AnyFunSuite {
       Relational.asofJoinBucketed(left, right, "k", "t", 0L))
   }
 
+  test("sessionizeEventsBucketed == sessionizeEvents across widths, incl. degenerate") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // one HOT user with bursts separated by >30-min gaps placed so
+    // sessions cross bucket boundaries, plus a sparse user; gaps at
+    // 1801s/1800s probe the strict-> semantics at the boundary
+    val hot = (0 until 300).map { i =>
+      val burst = i / 30                       // 10 bursts of 30 events
+      (7L, ts(burst * 4000L + (i % 30) * 10L), 1000L + i)
+    }
+    val sparse = Seq(
+      (8L, ts(100), 1L), (8L, ts(1900), 2L),   // gap 1800s = NOT a break
+      (8L, ts(3702), 3L))                      // gap 1802s = break
+    val ev = (hot ++ sparse).toDF("user_id", "ts", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    val want = canon(Relational.sessionizeEvents(ev))
+    // sanity: the fixture really exercises multi-session structure
+    assert(want.map(_._2).max > 2)
+    for (w <- Seq(1000000L, 500L * 1000000L, 3600L * 1000000L, 1L)) {
+      val got = canon(Relational.sessionizeEventsBucketed(ev, w))
+      assert(got == want, s"bucketed(width=$w) diverges from single-pass")
+    }
+    intercept[IllegalArgumentException](
+      Relational.sessionizeEventsBucketed(ev, 0L))
+  }
+
   val dir = "/root/testdata/sf0.01"
 
   test("approx count-distinct lands within the 1% rsd envelope of the exact counts") {
