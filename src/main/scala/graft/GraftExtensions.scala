@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayCosine, ArrayDot, ArrayEuclidean, CharShingles, SimHash64, WinnowFingerprints}
+import graft.functions.{ArrayCosine, ArrayDot, ArrayEuclidean, CharEntropyStats, CharShingles, FixMojibake, SimHash64, UnicodeNormalize, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -53,6 +53,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("winnow_fingerprints",
       "winnow_fingerprints(text, k, w) - winnowing fingerprints (k-gram rolling hashes, window-w minima)") {
       es => WinnowFingerprints(es.head, intLit(es(1), "k"), intLit(es(2), "w"))
+    }
+    def strLit(e: Expression, what: String): String = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+    inject("unicode_normalize",
+      "unicode_normalize(text, 'NFC'|'NFKC'|'NFD'|'NFKD') - Unicode normalization") {
+      es => UnicodeNormalize(es.head, strLit(es(1), "form"))
+    }
+    inject("char_entropy_stats",
+      "char_entropy_stats(text) - struct<entropy: double, n_distinct: int> over codepoints") {
+      es => CharEntropyStats(es.head)
+    }
+    inject("fix_mojibake",
+      "fix_mojibake(text) - repair UTF-8 mis-decoded as windows-1252 (lossless provable case only)") {
+      es => FixMojibake(es.head)
     }
   }
 }

@@ -878,6 +878,60 @@ object SparkEntry {
       TextAnalysis.urlDuplicates(d.select(did.as("id"), url.as("url")), "id", "url")
     }),
 
+    // Unicode NFC normalization: the corpus is ASCII, so a decomposed
+    // suffix (e+COMBINING ACUTE, A+COMBINING RING, the fi-ligature
+    // that NFC must LEAVE alone) is planted on every doc — DuckDB
+    // replays the plant through its native nfc_normalize
+    "text_nfc" -> ((s, dir) => {
+      val plant = concat(col("text"),
+        lit(" caf"), lit("e\u0301"), lit(" A\u030A"), lit(" \uFB01x"))
+      val norm = TextAnalysis.normalizeUnicode(plant, "NFC")
+      Tables.documents(s, dir).select(col("doc_id"),
+          md5(norm).as("nfc_md5"),
+          (norm =!= plant).as("changed"),
+          length(norm).cast("long").as("nfc_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // char-entropy quality signal vs DuckDB's native entropy()
+    // aggregate over exploded characters — same -Σ p·log2 p
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(
+        Tables.documents(s, dir).filter(length(col("text")) > 0),
+        "doc_id", "text")),
+
+    // mojibake repair gate: every doc gets a planted cp1252-mangled
+    // suffix (built at plan time by the same UTF-8→cp1252 mis-decode
+    // that produces real-world mojibake); the gate counts docs whose
+    // repaired text equals the intended clean form
+    "text_mojibake_gate" -> ((s, dir) => {
+      val clean = "café — “naïve ñ ü …"
+      val mangled = new String(
+        clean.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.Charset.forName("windows-1252"))
+      val fixed = TextAnalysis.fixMojibake(concat(col("text"), lit(" "), lit(mangled)))
+      Tables.documents(s, dir)
+        .select((fixed === concat(col("text"), lit(" "), lit(clean))).as("ok"))
+        .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) === sum(when(col("ok"), 1L).otherwise(0L))).as("all_fixed"))
+    }),
+
+    // C4-style line filter: a planted multi-line suffix exercises all
+    // four rules (terminal punctuation, min words, lorem ipsum, curly
+    // braces); DuckDB replays the plant + rules with list functions
+    "text_c4_lines" -> ((s, dir) => {
+      val plant = concat(col("text"), lit("\nThis is a good sentence line." +
+        "\nshort\nA bad line with { code } inside." +
+        "\nLorem ipsum dolor sit amet here." +
+        "\nAnother proper sentence stays here!" +
+        "\nno terminal punctuation line\nOk okay fine?"))
+      val d = Tables.documents(s, dir).select(col("doc_id"), plant.as("t"))
+      TextAnalysis.c4LineFilter(d, "doc_id", "t")
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          col("n_lines"), col("n_kept"), col("keep_doc"))
+        .orderBy("doc_id")
+    }),
+
     // corpus heavy hitters: top-50 normalized tokens by count
     "text_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), "doc_id", "text", k = 50)),
@@ -2410,6 +2464,63 @@ object SparkEntry {
         |SELECT canon_url, count(*) AS n_docs, min(id) AS keep_id
         |FROM canon GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY canon_url""".stripMargin,
+
+    // NFC plant: ' caf' + e + U+0301 + ' A' + U+030A + ' ' + U+FB01 + 'x'
+    // (chr(769)/chr(778) are the combining marks; chr(64257) is the
+    // fi-ligature NFC must leave alone) — replayed through DuckDB's
+    // native nfc_normalize
+    "text_nfc" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' caf' || 'e' || chr(769) || ' A' || chr(778) ||
+        |      ' ' || chr(64257) || 'x' AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(nfc_normalize(t)) AS nfc_md5,
+        |  nfc_normalize(t) != t AS changed,
+        |  CAST(length(nfc_normalize(t)) AS BIGINT) AS nfc_chars
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "text_entropy" ->
+      """SELECT doc_id, round(entropy(c), 4) + 0.0 AS char_entropy,
+        |  count(DISTINCT c) AS n_distinct_chars
+        |FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |      FROM documents WHERE length(text) > 0)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the spark side proves every planted cp1252-mangled suffix
+    // repairs to its intended clean form; the oracle pins the corpus
+    // count and the all-fixed invariant
+    "text_mojibake_gate" ->
+      """SELECT count(*) AS n_docs, CAST(1 AS BOOLEAN) AS all_fixed
+        |FROM documents""".stripMargin,
+
+    "text_c4_lines" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || chr(10) || 'This is a good sentence line.' ||
+        |    chr(10) || 'short' ||
+        |    chr(10) || 'A bad line with { code } inside.' ||
+        |    chr(10) || 'Lorem ipsum dolor sit amet here.' ||
+        |    chr(10) || 'Another proper sentence stays here!' ||
+        |    chr(10) || 'no terminal punctuation line' ||
+        |    chr(10) || 'Ok okay fine?' AS t
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, list_transform(string_split(t, chr(10)), x -> trim(x)) AS ls
+        |  FROM p
+        |), k AS (
+        |  SELECT doc_id, ls,
+        |    list_filter(ls, x ->
+        |      regexp_matches(x, '[.!?"]$')
+        |      AND len(list_filter(regexp_split_to_array(x, '\s+'), w -> length(w) > 0)) >= 3
+        |      AND NOT contains(lower(x), 'lorem ipsum')
+        |      AND NOT contains(x, '{')) AS ks
+        |  FROM l
+        |)
+        |SELECT doc_id, md5(array_to_string(ks, chr(10))) AS clean_md5,
+        |  CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept,
+        |  len(ks) >= 3 AS keep_doc
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "curate_full" -> curateFullOracle,
 

@@ -894,4 +894,77 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min("id").as("keep_id"))
       .filter(col("n_docs") >= 2)
       .orderBy("canon_url")
+
+  /** Unicode NFC/NFKC normalization of a text column — the hygiene
+    * pass every web pipeline runs BEFORE hashing/dedup (CCNet §3,
+    * OSCAR): composed vs combining-mark spellings of the same glyph
+    * ("é" U+00E9 vs "e"+U+0301) must not fingerprint as different
+    * documents. Codegen'd expression with an `isNormalized`
+    * zero-allocation fast path, so on a mostly-ASCII crawl the cost
+    * is one scan per row inside the parquet scan stage — no shuffle.
+    */
+  def normalizeUnicode(textCol: Column, form: String = "NFC"): Column =
+    graft.functions.NormalizeFunctions.unicode_normalize(textCol, form)
+
+  /** Character-entropy quality signal:
+    * (id, char_entropy bits, n_distinct_chars). Very high entropy =
+    * binary/random spill; very low = repetition spam — both tails are
+    * drop candidates (Gopher's frequency heuristics, char-level).
+    * Single-pass codegen'd expression, scan stage, no shuffle.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = graft.functions.NormalizeFunctions.char_entropy_stats(col(textCol))
+    docs.select(col(idCol).as("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        (round(col("st.entropy"), 4) + lit(0.0)).as("char_entropy"),
+        col("st.n_distinct").cast("long").as("n_distinct_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Mojibake repair (ftfy's core fix): text whose UTF-8 bytes were
+    * once decoded as windows-1252 and re-encoded ("Ã©" → "é",
+    * "â€”" → "—"). Applied only when the cp1252→UTF-8 round trip is
+    * exact AND shrinks the string — the provable lossless case — so
+    * clean text (and all-ASCII text, via a byte-scan fast path)
+    * passes through untouched. Scan stage, no shuffle.
+    */
+  def fixMojibake(textCol: Column): Column =
+    graft.functions.NormalizeFunctions.fix_mojibake(textCol)
+
+  /** C4-style line-level cleanup (Raffel et al. 2020 §2.2, the
+    * "colossal clean" rules, deterministic subset): keep a line only
+    * if it (a) ends in terminal punctuation (. ! ? "), (b) has ≥
+    * `minWords` words, (c) doesn't contain "lorem ipsum"
+    * (case-insensitive), and (d) has no curly brace (code spill).
+    * Output: (id, clean text, n_lines, n_kept, keep_doc = kept ≥ 3
+    * lines — C4 drops pages with < 3 surviving sentences).
+    * Pure built-in array functions (split / transform / filter) —
+    * whole-stage codegen, scan stage, no shuffle.
+    */
+  def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), c4Struct(col(textCol), minWords).as("c4"))
+      .select(col("doc_id"), col("c4.clean").as("clean"),
+        col("c4.n_lines").as("n_lines"), col("c4.n_kept").as("n_kept"),
+        col("c4.keep_doc").as("keep_doc"))
+      .orderBy("doc_id")
+
+  /** Column form of the C4 rules — struct<clean, n_lines, n_kept,
+    * keep_doc>. A pure projection, so it drops into a streaming
+    * select unchanged (EventStream.hygiene reuses it verbatim).
+    */
+  def c4Struct(textCol: Column, minWords: Int = 3): Column = {
+    val lines = transform(split(textCol, "\n"), l => trim(l))
+    val keepLine = (l: Column) =>
+      l.rlike("[.!?\"]$") &&
+      size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minWords &&
+      !lower(l).contains("lorem ipsum") &&
+      !l.contains("{")
+    val kept = filter(lines, keepLine)
+    struct(
+      concat_ws("\n", kept).as("clean"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      (size(kept) >= 3).as("keep_doc"))
+  }
 }

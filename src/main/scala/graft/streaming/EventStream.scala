@@ -114,12 +114,31 @@ object EventStream {
       boilerplate: org.apache.spark.broadcast.Broadcast[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]]): DataFrame = {
     val noBoiler = graft.functions.SketchFunctions
       .filter_boilerplate_lines(col(textCol), boilerplate)("clean")
-    val ls = split(noBoiler, "\n", -1)
+    // keep-first via the same O(lines) hash-set expression the batch
+    // pipeline uses (the positional array_position lambda it replaced
+    // was O(lines²) — same pathology round-5 advice flagged in batch)
+    docs.withColumn(textCol + "_clean",
+      graft.functions.SketchFunctions.dedup_lines_within_doc(noBoiler)("clean"))
+  }
+
+  /** Streaming text hygiene — the ingest-time form of the
+    * normalization front door: mojibake repair → Unicode NFC →
+    * C4 line rules, all stateless codegen'd scan expressions
+    * ([[graft.operators.TextAnalysis.fixMojibake]] /
+    * `normalizeUnicode` / `c4Struct`), so the exact batch column
+    * logic drops into an unbounded stream unchanged. Emits
+    * `<textCol>_clean`, `n_kept`, and the C4 `keep_doc` flag;
+    * StreamingSpec pins batch parity.
+    */
+  def hygiene(docs: DataFrame, textCol: String, minWords: Int = 3): DataFrame = {
+    val fixed = graft.operators.TextAnalysis.normalizeUnicode(
+      graft.operators.TextAnalysis.fixMojibake(col(textCol)), "NFC")
     docs
-      .withColumn("__ls", ls)
-      .withColumn(textCol + "_clean",
-        concat_ws("\n", expr("filter(__ls, (x, i) -> array_position(__ls, x) == i + 1)")))
-      .drop("__ls")
+      .withColumn("__c4", graft.operators.TextAnalysis.c4Struct(fixed, minWords))
+      .withColumn(textCol + "_clean", col("__c4.clean"))
+      .withColumn("n_kept", col("__c4.n_kept"))
+      .withColumn("keep_doc", col("__c4.keep_doc"))
+      .drop("__c4")
   }
 
   /** Streaming URL dedup — the ingest-time form of

@@ -71,4 +71,19 @@ class GraftExtensionsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterA
     assert(e.getMessage.contains("integer literal") ||
       e.getCause != null && e.getCause.getMessage.contains("integer literal"))
   }
+
+  test("unicode hygiene functions work in plain SQL") {
+    val r = spark.sql(
+      """SELECT unicode_normalize('café', 'NFC') AS nfc,
+        |       unicode_normalize('ﬁx', 'NFKC') AS nfkc,
+        |       char_entropy_stats('abcd').entropy AS h,
+        |       char_entropy_stats('abcd').n_distinct AS nd,
+        |       fix_mojibake('cafÃ©') AS fixed
+      """.stripMargin).head()
+    assert(r.getString(0) == "café")
+    assert(r.getString(1) == "fix")
+    assert(r.getDouble(2) == 2.0)
+    assert(r.getInt(3) == 4)
+    assert(r.getString(4) == "café")
+  }
 }

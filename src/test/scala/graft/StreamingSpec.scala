@@ -268,6 +268,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.forall(t => !t.contains("shared footer")))
   }
 
+  test("streaming text hygiene (mojibake+NFC+C4) equals the batch pipeline") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val mangled = new String(
+      "café — naïve suffix sentence here.".getBytes("UTF-8"), "windows-1252")
+    def salt(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      concat(col("text"), lit("\n"), lit(mangled),
+        lit("\ncafe"), lit("\u0301 composed line stays here."),
+        lit("\nbad { brace } line.")).as("text"))
+    val streamed = {
+      val raw = salt(spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir))
+      val q = EventStream.hygiene(raw, "text")
+        .select("doc_id", "text_clean", "n_kept", "keep_doc")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("hygiene_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("hygiene_out").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    }
+    val batch = {
+      val fixed = salt(Tables.documents(spark, dir)).select(col("doc_id"),
+        graft.operators.TextAnalysis.normalizeUnicode(
+          graft.operators.TextAnalysis.fixMojibake(col("text")), "NFC").as("t"))
+      graft.operators.TextAnalysis.c4LineFilter(fixed, "doc_id", "t")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(3), r.getBoolean(4)))).toMap
+    }
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the mangled suffix was repaired then kept; the brace line is gone
+    assert(streamed.values.forall(_._1.contains("café — naïve suffix sentence here.")))
+    assert(streamed.values.forall(!_._1.contains("{")))
+  }
+
   test("boilerplate broadcast lifecycle: retrain-and-destroy cycle a streaming driver runs") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
