@@ -285,6 +285,41 @@ object SparkEntry {
       Relational.sessionizeBucketed(s, d, bucketWidthMicros = 3600L * 1000000L)),
     "q_sessionize_sw" -> (Relational.sessionizeWindow _),
 
+    // point-in-interval join: clicks landing inside the 10-minute
+    // incident window that every error event opens — the time-range
+    // join Spark would otherwise plan as a BroadcastNestedLoopJoin;
+    // here intervals explode into 10-min buckets and the join is an
+    // AQE-splittable equi-join on the bucket
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val iv = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("istart"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("iend"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      Relational.intervalJoin(clicks, "click_ts", iv, "istart", "iend",
+          bucketWidthMicros = 10L * 60 * 1000000)
+        .select("click_id", "error_id").orderBy("click_id", "error_id")
+    }),
+
+    // interval-overlap join: user sessions intersecting incident
+    // windows (which sessions were impacted) — both sides bucketed,
+    // pair dedup by the first-overlapping-bucket predicate, then a
+    // partial-aggregatable count
+    "q_interval_overlap" -> ((s, dir) => {
+      val sess = Relational.sessionize(s, dir)
+        .select(col("user_id"), col("session_id"),
+          col("session_start"), col("session_end"))
+      val iv = Tables.events(s, dir).filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("istart"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("iend"))
+      Relational.intervalOverlapJoin(sess, "session_start", "session_end",
+          iv, "istart", "iend", bucketWidthMicros = 3600L * 1000000)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_incidents"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // ---- LLM-pipeline operators (SURVEY §2.3) ---------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
@@ -1671,6 +1706,48 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS error_id, ts AS istart,
+        |         ts + INTERVAL 10 MINUTE AS iend
+        |  FROM events WHERE event_type = 'error'
+        |), c AS (
+        |  SELECT event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT click_id, error_id
+        |FROM c JOIN iv ON click_ts >= istart AND click_ts <= iend
+        |ORDER BY click_id, error_id""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, ts, event_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL THEN 1
+        |              WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d
+        |), sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |         min(ts) AS session_start, max(ts) AS session_end
+        |  FROM s GROUP BY 1, 2
+        |), iv AS (
+        |  SELECT event_id AS error_id, ts AS istart,
+        |         ts + INTERVAL 10 MINUTE AS iend
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT user_id, session_id, count(*) AS n_incidents
+        |FROM sess JOIN iv
+        |  ON session_start <= iend AND istart <= session_end
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sessionize_bucketed" ->
       """WITH e AS (

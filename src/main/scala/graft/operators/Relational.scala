@@ -715,4 +715,90 @@ object Relational {
       .select("id1", "id2", "dist")
       .orderBy("id1", "id2")
   }
+
+  private def tsNumeric(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _: org.apache.spark.sql.types.NumericType => col(c).cast("long")
+      case t => throw new IllegalArgumentException(
+        s"interval join needs a timestamp or numeric column, $c is $t")
+    }
+
+  private def requireDisjoint(a: DataFrame, b: DataFrame): Unit = {
+    val dup = a.columns.toSet.intersect(b.columns.toSet)
+    require(dup.isEmpty,
+      s"interval join requires disjoint column names; both sides have: ${dup.mkString(", ")}")
+  }
+
+  /** Point-in-interval join (time-range join): every (point, interval)
+    * pair with `startCol <= point ts <= endCol`, both bounds
+    * inclusive. The declarative form — `points.join(intervals,
+    * ts between start and end)` — has no equi-key, so Catalyst plans
+    * a BroadcastNestedLoopJoin: O(|points|·|intervals|) comparisons
+    * and a hard broadcast ceiling on the interval side. This form
+    * buys an equi-join: each interval explodes into the fixed-width
+    * time buckets it covers, each point carries its one bucket, and
+    * the shuffle keys on the bucket. A containing pair shares exactly
+    * the point's bucket — the interval covers it, the point is in it —
+    * so every pair joins EXACTLY once and no distinct pass is needed.
+    *
+    * Cost model: Σ ceil(len/width)+1 interval replicas cross the
+    * shuffle (ids + bounds, not payloads if the caller projects
+    * first); pick `bucketWidthMicros` near the typical interval
+    * length so replication stays ~2×. Width affects cost only, never
+    * results (`IntervalJoinSpec` pins equality across widths). A
+    * bursty bucket (incident storm hour) is ordinary equi-join skew —
+    * AQE splits it, unlike a window partition. Degenerate intervals
+    * (start > end) match nothing and are dropped at the scan.
+    */
+  def intervalJoin(
+      points: DataFrame, pointTsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidthMicros: Long): DataFrame = {
+    require(bucketWidthMicros > 0, s"bucketWidthMicros must be > 0, got $bucketWidthMicros")
+    requireDisjoint(points, intervals)
+    // floor() over double division is exact here: event-time micros
+    // (~1.7e15) sit far inside double's 2^53 integer range
+    val w = lit(bucketWidthMicros.toDouble)
+    val p = points.withColumn("__pb", floor(tsNumeric(points, pointTsCol) / w))
+    val iv = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__ib", explode(sequence(
+        floor(tsNumeric(intervals, startCol) / w),
+        floor(tsNumeric(intervals, endCol) / w))))
+    p.join(iv, col("__pb") === col("__ib")
+        && col(pointTsCol) >= col(startCol) && col(pointTsCol) <= col(endCol))
+      .drop("__pb", "__ib")
+  }
+
+  /** Interval-overlap join: every (a, b) pair whose closed intervals
+    * intersect (`aStart <= bEnd && bStart <= aEnd`). Same bucketed
+    * equi-join as [[intervalJoin]], but with BOTH sides exploded a
+    * pair can share many buckets — instead of a distinct shuffle over
+    * the output, the join keeps a pair only in its FIRST overlapping
+    * bucket, `floor(max(aStart, bStart) / width)`: max(start) lies
+    * inside both intervals whenever they overlap (it is ≤ min(end)),
+    * so that bucket is covered by both sides and each overlapping
+    * pair survives in exactly one bucket. Dedup is a predicate, not a
+    * shuffle. Width is cost-only, results are width-independent.
+    */
+  def intervalOverlapJoin(
+      a: DataFrame, aStartCol: String, aEndCol: String,
+      b: DataFrame, bStartCol: String, bEndCol: String,
+      bucketWidthMicros: Long): DataFrame = {
+    require(bucketWidthMicros > 0, s"bucketWidthMicros must be > 0, got $bucketWidthMicros")
+    requireDisjoint(a, b)
+    val w = lit(bucketWidthMicros.toDouble)
+    val ae = a.filter(col(aStartCol) <= col(aEndCol))
+      .withColumn("__ab", explode(sequence(
+        floor(tsNumeric(a, aStartCol) / w), floor(tsNumeric(a, aEndCol) / w))))
+    val be = b.filter(col(bStartCol) <= col(bEndCol))
+      .withColumn("__bb", explode(sequence(
+        floor(tsNumeric(b, bStartCol) / w), floor(tsNumeric(b, bEndCol) / w))))
+    val joined = ae.join(be, col("__ab") === col("__bb")
+      && col(aStartCol) <= col(bEndCol) && col(bStartCol) <= col(aEndCol))
+    val firstOverlapBucket =
+      floor(greatest(tsNumeric(a, aStartCol), tsNumeric(b, bStartCol)) / w)
+    joined.filter(col("__ab") === firstOverlapBucket).drop("__ab", "__bb")
+  }
 }

@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketed interval joins must equal the naive nested-loop join
+  * (crossJoin + filter) on every width — width is a cost knob, never a
+  * semantics knob — and handle the closed-bound edge cases: touching
+  * boundaries, zero-length intervals, degenerate start > end rows.
+  */
+class IntervalJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.create("local[4]", 4)
+
+  private def pts: DataFrame = {
+    import spark.implicits._
+    Seq((1L, 100L), (2L, 150L), (3L, 200L), (4L, 250L), (5L, 1000L), (6L, 99L))
+      .toDF("pid", "pt")
+  }
+
+  private def ivs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (10L, 100L, 200L),   // closed bounds: catches pt=100 and pt=200
+      (11L, 200L, 200L),   // zero-length: catches exactly pt=200
+      (12L, 260L, 990L),   // catches nothing
+      (13L, 300L, 250L),   // degenerate start > end: dropped
+      (14L, 0L, 5000L))    // long interval spanning many buckets
+      .toDF("iid", "istart", "iend")
+  }
+
+  private def naivePairs: Set[(Long, Long)] =
+    pts.crossJoin(ivs)
+      .filter(col("pt") >= col("istart") && col("pt") <= col("iend"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("intervalJoin equals the nested-loop join across widths, closed bounds") {
+    val expected = naivePairs
+    assert(expected.contains((1L, 10L)) && expected.contains((3L, 10L))) // both bounds in
+    assert(expected.contains((3L, 11L)))                                 // zero-length hit
+    assert(!expected.exists(_._2 == 13L))                                // degenerate gone
+    for (w <- Seq(1L, 7L, 100L, 1000L, 100000L)) {
+      val got = Relational.intervalJoin(pts, "pt", ivs, "istart", "iend", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"width $w")
+    }
+  }
+
+  test("intervalJoin emits each containing pair exactly once (no bucket double-count)") {
+    for (w <- Seq(1L, 7L, 100L)) {
+      val got = Relational.intervalJoin(pts, "pt", ivs, "istart", "iend", w)
+        .groupBy("pid", "iid").count().filter(col("count") > 1).count()
+      assert(got == 0L, s"width $w")
+    }
+  }
+
+  test("intervalOverlapJoin equals the nested-loop join across widths; touch counts") {
+    import spark.implicits._
+    val a = Seq((1L, 100L, 200L), (2L, 500L, 500L), (3L, 900L, 800L), (4L, 0L, 10000L))
+      .toDF("aid", "as", "ae")
+    val b = Seq((10L, 200L, 300L),   // touches a1 at exactly 200
+      (11L, 50L, 150L), (12L, 450L, 550L), (13L, 10001L, 10002L))
+      .toDF("bid", "bs", "be")
+    val expected = a.crossJoin(b)
+      .filter(col("as") <= col("ae") && col("bs") <= col("be")
+        && col("as") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.contains((1L, 10L)))  // boundary touch IS an overlap
+    assert(!expected.exists(_._1 == 3L))  // degenerate a row dropped
+    assert(!expected.exists(_._2 == 13L)) // disjoint b row
+    for (w <- Seq(1L, 7L, 64L, 1000L, 100000L)) {
+      val joined = Relational.intervalOverlapJoin(a, "as", "ae", b, "bs", "be", w)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(joined.toSet == expected, s"width $w")
+      assert(joined.length == joined.toSet.size, s"width $w: pair emitted twice")
+    }
+  }
+
+  test("timestamp columns route through unix_micros; mixed ts/long rejected cleanly") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val p = Seq((1L, ts(100)), (2L, ts(500))).toDF("pid", "pt")
+    val iv = Seq((10L, ts(90), ts(110))).toDF("iid", "istart", "iend")
+    val got = Relational.intervalJoin(p, "pt", iv, "istart", "iend", 60L * 1000000)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
+    val e = intercept[IllegalArgumentException] {
+      Relational.intervalJoin(p, "pt",
+        Seq((10L, "x", "y")).toDF("iid", "istart", "iend"), "istart", "iend", 1L)
+    }
+    assert(e.getMessage.contains("timestamp or numeric"))
+  }
+
+  test("overlapping column names are rejected up front") {
+    val e = intercept[IllegalArgumentException] {
+      Relational.intervalJoin(pts, "pt",
+        ivs.withColumnRenamed("iid", "pid"), "istart", "iend", 10L)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("the plan is an equi-join on the bucket — no nested-loop, no cartesian") {
+    val plan = Relational.intervalJoin(pts, "pt", ivs, "istart", "iend", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join planned a nested loop:\n$plan")
+    val plan2 = Relational.intervalOverlapJoin(
+        ivs.select(col("iid").as("aid"), col("istart").as("as"), col("iend").as("ae")),
+        "as", "ae", ivs.select(col("iid").as("bid"), col("istart").as("bs"),
+          col("iend").as("be")), "bs", "be", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("BroadcastNestedLoopJoin") && !plan2.contains("CartesianProduct"),
+      s"overlap join planned a nested loop:\n$plan2")
+  }
+}
