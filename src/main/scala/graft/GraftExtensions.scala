@@ -71,5 +71,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "fix_mojibake(text) - repair UTF-8 mis-decoded as windows-1252 (lossless provable case only)") {
       es => FixMojibake(es.head)
     }
+    // aggregate: the analyzer wraps a bare AggregateFunction in an
+    // AggregateExpression, so the builder returns it directly.
+    // NOT named approx_top_k: Spark 4 ships a builtin of that name
+    // (sketch-summable, but with no deterministic error bound in its
+    // output) which wins name resolution over session extensions
+    inject("mg_top_k",
+      "mg_top_k(token, k, capacity) - Misra-Gries frequent items: struct<items: array<struct<token, est>>, max_err>") {
+      es => graft.functions.MisraGriesAgg(es.head,
+        intLit(es(1), "k"), intLit(es(2), "capacity"))
+    }
   }
 }

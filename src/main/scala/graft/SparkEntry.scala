@@ -971,6 +971,23 @@ object SparkEntry {
     "text_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), "doc_id", "text", k = 50)),
 
+    // Misra-Gries sketch gate: the exact top-20 tokens must ALL be
+    // retained by the bounded-state sketch, each with its true count
+    // inside [est, est + max_err] (MG counters undercount by at most
+    // the accumulated decrement mass) — the deterministic guarantee,
+    // not a probabilistic one, so the gate pins exact booleans
+    "text_top_tokens_approx_gate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val exact = TextAnalysis.topTokens(d, "doc_id", "text", k = 20)
+      val approx = TextAnalysis.topTokensApprox(d, "doc_id", "text",
+        k = 4096, capacity = 4096)
+      exact.join(approx, Seq("token"), "left")
+        .agg(count(lit(1)).as("n_top"),
+          (count(col("est")) === count(lit(1))).as("all_present"),
+          (max(col("n") - col("est")).cast("long") <= max(col("max_err")) &&
+            min(col("n") - col("est")).cast("long") >= 0L).as("all_within_err"))
+    }),
+
     // HTML -> text extraction: each doc wrapped in a page template
     // (style/script elements, nav boilerplate, entities, comments, a
     // bare `<` inside script text) — the extractor must drop the
@@ -2061,6 +2078,14 @@ object SparkEntry {
         |)
         |SELECT token, count(*) AS n FROM toks WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+    // the spark side proves the sketch's deterministic retention +
+    // error bounds against its own exact top-20; the oracle pins the
+    // invariants
+    "text_top_tokens_approx_gate" ->
+      """SELECT CAST(20 AS BIGINT) AS n_top,
+        |  CAST(1 AS BOOLEAN) AS all_present,
+        |  CAST(1 AS BOOLEAN) AS all_within_err""".stripMargin,
 
     // HTML extraction: DuckDB replays the template construction and
     // the identical regex chain (RE2 'g' flag = Spark's replace-all)

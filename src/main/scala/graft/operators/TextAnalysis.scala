@@ -115,6 +115,29 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Sketch form of [[topTokens]]: Misra-Gries frequent-items via the
+    * native [[graft.functions.MisraGriesAgg]] aggregate. The exact
+    * pass shuffles one row per DISTINCT token — the full vocabulary
+    * crosses the exchange at 100 TB; the sketch is bounded state per
+    * partial buffer (`capacity` counters, mergeable map-side), so the
+    * shuffle carries ≤ `capacity` rows per partition whatever the
+    * vocabulary. Output: (token, est, max_err), est the undercounting
+    * estimate with `est ≤ true ≤ est + max_err`, and every token
+    * whose true count exceeds max_err guaranteed present.
+    * `text_top_tokens_approx_gate` pins those bounds against the
+    * exact top-k on the driver's corpus.
+    */
+  def topTokensApprox(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => C, expression => E}
+    val agg = graft.functions.MisraGriesAgg(E(col("token")), k, capacity)
+    docs.select(explode(tokens(normalize(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .agg(C(agg.toAggregateExpression()).as("sk"))
+      .select(explode(col("sk.items")).as("it"), col("sk.max_err").as("max_err"))
+      .select(col("it.token").as("token"), col("it.est").as("est"), col("max_err"))
+  }
+
   /** Top word ASSOCIATIONS by pointwise mutual information — the
     * collocation detector of corpus analysis (Church & Hanks '90;
     * "new york" scores high because its parts rarely occur apart):

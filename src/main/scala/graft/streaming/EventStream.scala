@@ -141,6 +141,40 @@ object EventStream {
       .drop("__c4")
   }
 
+  /** Streaming point-in-interval enrichment: tag each streamed event
+    * with the static intervals containing its timestamp (maintenance
+    * windows, incident windows, campaign flights) — the streaming twin
+    * of [[graft.operators.Relational.intervalJoin]]. The bucketed
+    * rewrite matters MORE here: a stream-static join in Structured
+    * Streaming must be an equi-join (a nested-loop range join is
+    * unsupported against an unbounded side), so exploding the static
+    * intervals into time buckets and equi-joining on the bucket is
+    * what makes the range predicate streamable at all. The exploded
+    * interval table is small and broadcast; each micro-batch pays a
+    * scan-stage hash lookup, no state, no watermark.
+    */
+  def intervalEnrich(events: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidthMicros: Long): DataFrame = {
+    require(bucketWidthMicros > 0, s"bucketWidthMicros must be > 0, got $bucketWidthMicros")
+    val w = lit(bucketWidthMicros.toDouble)
+    // cast-first tolerates the TIMESTAMP_NTZ encoding some of the
+    // testdata parquet carries (the Tables.events normalization,
+    // applied here because a readStream source bypasses Tables);
+    // containment compares the micros, never mixed timestamp types
+    def us(c: String) = unix_micros(col(c).cast("timestamp"))
+    val iv = broadcast(intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__su", us(startCol)).withColumn("__eu", us(endCol))
+      .withColumn("__ib", explode(sequence(
+        floor(col("__su") / w), floor(col("__eu") / w)))))
+    events.withColumn("__pu", us(tsCol))
+      .withColumn("__pb", floor(col("__pu") / w))
+      .join(iv, col("__pb") === col("__ib")
+        && col("__pu") >= col("__su") && col("__pu") <= col("__eu"))
+      .drop("__pb", "__ib", "__pu", "__su", "__eu")
+  }
+
   /** Streaming URL dedup — the ingest-time form of
     * [[graft.operators.TextAnalysis.canonicalUrl]]: canonicalize the
     * URL (a stateless scan expression) and keep the FIRST doc per

@@ -72,6 +72,17 @@ class GraftExtensionsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterA
       e.getCause != null && e.getCause.getMessage.contains("integer literal"))
   }
 
+  test("mg_top_k aggregate works in plain SQL") {
+    import spark.implicits._
+    Seq("a", "a", "b").toDF("t").createOrReplaceTempView("freq_in")
+    val r = spark.sql(
+      """SELECT sk.items AS items, sk.max_err AS e
+        |FROM (SELECT mg_top_k(t, 2, 8) AS sk FROM freq_in)""".stripMargin).head()
+    val items = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(items.map(x => (x.getString(0), x.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
+    assert(r.getLong(1) == 0L)
+  }
+
   test("unicode hygiene functions work in plain SQL") {
     val r = spark.sql(
       """SELECT unicode_normalize('café', 'NFC') AS nfc,

@@ -103,6 +103,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSet == batch)
   }
 
+  test("streaming interval enrichment equals the batch intervalJoin on file replay") {
+    val evSchema = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema
+    val iv = Tables.events(spark, dir).filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("istart"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("iend"))
+    val width = 10L * 60 * 1000000
+    val streamed = {
+      val raw = spark.readStream.schema(evSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val q = EventStream.intervalEnrich(raw, "click_ts", iv, "istart", "iend", width)
+        .select("click_id", "error_id")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("interval_out").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("interval_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val batch = {
+      val clicks = Tables.events(spark, dir).filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      graft.operators.Relational.intervalJoin(
+          clicks, "click_ts", iv, "istart", "iend", width)
+        .select("click_id", "error_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming as-of enrichment equals the batch asofJoin on file replay") {
     // clicks enriched with the latest purchase value — same pairing
     // the batch q_asof_join gate computes
