@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Metric, Similarity}
+import graft.operators.{Dedup, Metric, Relational, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,10 +37,15 @@ object ScaleSmoke {
     // re-measured
     val embOnly = sys.env.get("SPARK_GRAFT_SMOKE_EMB_ONLY").contains("1")
 
+    // SPARK_GRAFT_SMOKE_STAGES=<substring> re-measures one stage
+    // without paying for the whole pass
+    val stageFilter = sys.env.get("SPARK_GRAFT_SMOKE_STAGES")
     def timed(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val out = body
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($out rows)")
+      if (stageFilter.forall(name.contains)) {
+        val t0 = System.nanoTime()
+        val out = body
+        println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($out rows)")
+      }
     }
 
     if (!embOnly) {
@@ -113,6 +118,29 @@ object ScaleSmoke {
         .agg(sum("n_dropped")).head.getLong(0)
       require(r >= n - 1, s"hot paragraph must dedup to one keeper, dropped only $r")
       r
+    }
+    // bucketed interval join under an incident storm: 10% of events
+    // and 5% of intervals collapse into ONE hour of a 30-day span —
+    // the hot time buckets are ordinary equi-join skew (AQE splits
+    // them), unlike the BroadcastNestedLoopJoin Spark would plan for
+    // the raw BETWEEN predicate, which has no split at all. ~10M
+    // containment pairs at 1M events; count() forces the full join.
+    timed("interval join, incident storm (1h holds 10% of events, 5% of intervals)") {
+      val us = 1000000L
+      val hourUs = 3600L * us
+      val spanUs = 30L * 24 * hourUs
+      val storm = lit(100L * hourUs)
+      val ev = spark.range(nDocs).select(col("id").as("event_id"),
+        when(pmod(col("id"), lit(10)) < 1,
+          storm + pmod(xxhash64(col("id")), lit(hourUs)))
+          .otherwise(pmod(xxhash64(col("id"), lit(1)), lit(spanUs))).as("ts"))
+      val iv = spark.range(nDocs / 100).select(col("id").as("iv_id"),
+        when(pmod(col("id"), lit(20)) < 1,
+          storm + pmod(xxhash64(col("id"), lit(2)), lit(hourUs)))
+          .otherwise(pmod(xxhash64(col("id"), lit(3)), lit(spanUs))).as("s0"))
+        .select(col("iv_id"), col("s0").as("istart"),
+          (col("s0") + lit(600L * us)).as("iend"))
+      Relational.intervalJoin(ev, "ts", iv, "istart", "iend", 600L * us).count()
     }
     // decontamination at scale: a 10k-doc "benchmark suite" carved
     // from the corpus by hash; eval grams broadcast, the train side

@@ -206,6 +206,17 @@ object SparkEntry {
         .select(col("source"), col("rank"), col("doc_id"))
         .orderBy("source", "rank")),
 
+    // per-source winsorization: n_chars clamped into each source's
+    // [p5, p95] interpolated-percentile band — score calibration
+    // before mixing; exact percentiles for oracle parity (the scale
+    // default is the approx_percentile sketch)
+    "q_winsorize" -> ((s, dir) =>
+      Curate.winsorize(Tables.documents(s, dir), "source", "n_chars",
+          pLo = 0.05, pHi = 0.95, exact = true)
+        .select(col("doc_id"), col("source"),
+          (round(col("n_chars_w"), 2) + lit(0.0)).as("clamped"))
+        .orderBy("doc_id")),
+
     // mixture upsampling: per-source epoch factors (2.5 epochs of
     // src0, 1 of src1, half of src2), deterministic fractional slice
     "q_mixture_upsample" -> ((s, dir) =>
@@ -1696,6 +1707,18 @@ object SparkEntry {
         |)
         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
         |FROM ranked WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH q AS (
+        |  SELECT source,
+        |         quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
+        |         quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT doc_id, d.source,
+        |  round(least(greatest(CAST(d.n_chars AS DOUBLE), q.lo), q.hi), 2) + 0.0 AS clamped
+        |FROM documents d JOIN q ON d.source = q.source
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

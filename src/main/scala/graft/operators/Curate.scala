@@ -220,6 +220,37 @@ object Curate {
       docs: DataFrame, sourceCol: String, idCol: String, maxPerSource: Int): DataFrame =
     Relational.stratifiedSample(docs, sourceCol, idCol, maxPerSource)
 
+  /** Per-group winsorization: clamp `valCol` into the group's
+    * [pLo, pHi] interpolated-percentile band — the score-calibration
+    * pass before cross-source mixing (raw quality/length scores are
+    * not comparable across sources; a length cut tuned on web text
+    * guts a code corpus). Appends `<valCol>_w`.
+    *
+    * Plan: one aggregation computes the two percentiles per group —
+    * groups are sources, a handful — and the resulting tiny bounds
+    * table broadcast-joins back onto the scan, so the corpus itself
+    * crosses NO exchange. `exact = true` uses `percentile` (full
+    * value-frequency state per group, the oracle-parity form);
+    * default is `approx_percentile(accuracy)`, whose bounded sketch
+    * is the only state that survives a 100 TB group.
+    */
+  def winsorize(
+      df: DataFrame, groupCol: String, valCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(pLo >= 0 && pLo < pHi && pHi <= 1,
+      s"need 0 <= pLo < pHi <= 1, got pLo=$pLo pHi=$pHi")
+    val v = col(valCol).cast("double")
+    def pct(p: Double) =
+      if (exact) expr(s"percentile(cast($valCol as double), $p)")
+      else expr(s"approx_percentile(cast($valCol as double), $p, $accuracy)")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(pct(pLo).as("__lo"), pct(pHi).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(valCol + "_w", least(greatest(v, col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Data-MIXTURE sampler: per-group quotas (the training-mix op —
     * "200M docs of web, 50M of code, 10M of books"), deterministic by
     * the same md5-hash order as [[sourceQuota]]/`stratifiedSample`,

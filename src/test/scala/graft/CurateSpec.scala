@@ -128,4 +128,28 @@ class CurateSpec extends AnyFunSuite {
     val evens = a.count(_ % 2 == 0)
     assert(evens >= 8, s"importance weighting should dominate the sample: $a")
   }
+
+  test("winsorize: per-group clamp semantics; approx tracks exact; broadcast plan") {
+    // group a: 1..100 → p5=5.95, p95=95.05 (interpolated); outliers clamp
+    // group b: constant → lo = hi, everything clamps to the constant
+    val df = (1 to 100).map(v => ("a", v.toDouble)).toDF("g", "v")
+      .union(Seq(("b", 7.0), ("b", 7.0), ("b", 7.0)).toDF("g", "v"))
+    val exact = Curate.winsorize(df, "g", "v", 0.05, 0.95, exact = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    exact.filter(_._1 == "a").foreach { case (_, v, w) =>
+      if (v < 5.95) assert(w == 5.95)
+      else if (v > 95.05) assert(w == 95.05)
+      else assert(w == v)
+    }
+    exact.filter(_._1 == "b").foreach { case (_, _, w) => assert(w == 7.0) }
+    // the scale-default sketch path agrees within its rank-error band
+    val approx = Curate.winsorize(df, "g", "v", 0.05, 0.95)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    exact.foreach { case (g, v, w) =>
+      assert(math.abs(approx((g, v)) - w) <= 2.0, s"($g,$v): approx=${approx((g, v))} exact=$w")
+    }
+    // the bounds table must broadcast: the corpus side crosses no exchange
+    val plan = Curate.winsorize(df, "g", "v").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast bounds join:\n$plan")
+  }
 }
