@@ -751,11 +751,32 @@ object Relational {
     * AQE splits it, unlike a window partition. Degenerate intervals
     * (start > end) match nothing and are dropped at the scan.
     */
+  /** Guarded bucket-range column for the interval explodes: one
+    * malformed row (an interval of years against a width of seconds —
+    * the epoch-0 sentinel, the year-9999 "never expires" row) would
+    * otherwise blow the sequence() array limit with an opaque
+    * executor error mid-shuffle. `raise_error` names the row and the
+    * fix instead; the branch costs one comparison next to the explode.
+    */
+  private[graft] def bucketSeq(startU: Column, endU: Column, w: Column,
+      maxBuckets: Int): Column = {
+    val lo = floor(startU / w)
+    val hi = floor(endU / w)
+    when(hi - lo >= maxBuckets, raise_error(concat(
+        lit(s"interval spans >= $maxBuckets buckets (start micros "),
+        startU, lit(", end micros "), endU,
+        lit("); raise bucketWidthMicros toward the typical interval length, " +
+          "or raise maxBucketsPerInterval if the replication cost is intended"))))
+      .otherwise(sequence(lo, hi))
+  }
+
   def intervalJoin(
       points: DataFrame, pointTsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      bucketWidthMicros: Long): DataFrame = {
+      bucketWidthMicros: Long, maxBucketsPerInterval: Int = 10000): DataFrame = {
     require(bucketWidthMicros > 0, s"bucketWidthMicros must be > 0, got $bucketWidthMicros")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
     requireDisjoint(points, intervals)
     // floor() over double division is exact here: event-time micros
     // (~1.7e15) sit far inside double's 2^53 integer range
@@ -763,9 +784,9 @@ object Relational {
     val p = points.withColumn("__pb", floor(tsNumeric(points, pointTsCol) / w))
     val iv = intervals
       .filter(col(startCol) <= col(endCol))
-      .withColumn("__ib", explode(sequence(
-        floor(tsNumeric(intervals, startCol) / w),
-        floor(tsNumeric(intervals, endCol) / w))))
+      .withColumn("__ib", explode(bucketSeq(
+        tsNumeric(intervals, startCol), tsNumeric(intervals, endCol),
+        w, maxBucketsPerInterval)))
     p.join(iv, col("__pb") === col("__ib")
         && col(pointTsCol) >= col(startCol) && col(pointTsCol) <= col(endCol))
       .drop("__pb", "__ib")
@@ -785,16 +806,18 @@ object Relational {
   def intervalOverlapJoin(
       a: DataFrame, aStartCol: String, aEndCol: String,
       b: DataFrame, bStartCol: String, bEndCol: String,
-      bucketWidthMicros: Long): DataFrame = {
+      bucketWidthMicros: Long, maxBucketsPerInterval: Int = 10000): DataFrame = {
     require(bucketWidthMicros > 0, s"bucketWidthMicros must be > 0, got $bucketWidthMicros")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
     requireDisjoint(a, b)
     val w = lit(bucketWidthMicros.toDouble)
     val ae = a.filter(col(aStartCol) <= col(aEndCol))
-      .withColumn("__ab", explode(sequence(
-        floor(tsNumeric(a, aStartCol) / w), floor(tsNumeric(a, aEndCol) / w))))
+      .withColumn("__ab", explode(bucketSeq(
+        tsNumeric(a, aStartCol), tsNumeric(a, aEndCol), w, maxBucketsPerInterval)))
     val be = b.filter(col(bStartCol) <= col(bEndCol))
-      .withColumn("__bb", explode(sequence(
-        floor(tsNumeric(b, bStartCol) / w), floor(tsNumeric(b, bEndCol) / w))))
+      .withColumn("__bb", explode(bucketSeq(
+        tsNumeric(b, bStartCol), tsNumeric(b, bEndCol), w, maxBucketsPerInterval)))
     val joined = ae.join(be, col("__ab") === col("__bb")
       && col(aStartCol) <= col(bEndCol) && col(bStartCol) <= col(aEndCol))
     val firstOverlapBucket =

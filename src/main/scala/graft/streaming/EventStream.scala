@@ -155,7 +155,7 @@ object EventStream {
     */
   def intervalEnrich(events: DataFrame, tsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      bucketWidthMicros: Long): DataFrame = {
+      bucketWidthMicros: Long, maxBucketsPerInterval: Int = 10000): DataFrame = {
     require(bucketWidthMicros > 0, s"bucketWidthMicros must be > 0, got $bucketWidthMicros")
     val w = lit(bucketWidthMicros.toDouble)
     // cast-first tolerates the TIMESTAMP_NTZ encoding some of the
@@ -166,8 +166,8 @@ object EventStream {
     val iv = broadcast(intervals
       .filter(col(startCol) <= col(endCol))
       .withColumn("__su", us(startCol)).withColumn("__eu", us(endCol))
-      .withColumn("__ib", explode(sequence(
-        floor(col("__su") / w), floor(col("__eu") / w)))))
+      .withColumn("__ib", explode(graft.operators.Relational.bucketSeq(
+        col("__su"), col("__eu"), w, maxBucketsPerInterval))))
     events.withColumn("__pu", us(tsCol))
       .withColumn("__pb", floor(col("__pu") / w))
       .join(iv, col("__pb") === col("__ib")

@@ -70,7 +70,9 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(!expected.exists(_._1 == 3L))  // degenerate a row dropped
     assert(!expected.exists(_._2 == 13L)) // disjoint b row
     for (w <- Seq(1L, 7L, 64L, 1000L, 100000L)) {
-      val joined = Relational.intervalOverlapJoin(a, "as", "ae", b, "bs", "be", w)
+      // width 1 legitimately spans >10k buckets here: raise the budget
+      val joined = Relational.intervalOverlapJoin(a, "as", "ae", b, "bs", "be", w,
+          maxBucketsPerInterval = 100000)
         .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(joined.toSet == expected, s"width $w")
       assert(joined.length == joined.toSet.size, s"width $w: pair emitted twice")
@@ -90,6 +92,21 @@ class IntervalJoinSpec extends AnyFunSuite {
         Seq((10L, "x", "y")).toDF("iid", "istart", "iend"), "istart", "iend", 1L)
     }
     assert(e.getMessage.contains("timestamp or numeric"))
+  }
+
+  test("a runaway interval fails with a named error, not an opaque array blowup") {
+    import spark.implicits._
+    val iv = Seq((10L, 0L, Long.MaxValue / 2)).toDF("iid", "istart", "iend")
+    val e = intercept[Exception] {
+      Relational.intervalJoin(pts, "pt", iv, "istart", "iend", 10L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("bucketWidthMicros")), s"got: ${messages(e)}")
+    // the same interval with a matching width and an explicit budget passes
+    val ok = Relational.intervalJoin(pts, "pt", iv, "istart", "iend",
+      Long.MaxValue / 8, maxBucketsPerInterval = 10).count()
+    assert(ok == pts.count())
   }
 
   test("overlapping column names are rejected up front") {
