@@ -770,6 +770,27 @@ object Relational {
       .otherwise(sequence(lo, hi))
   }
 
+  /** Auto bucket width: the p75 interval length (one bounded
+    * approx_percentile job over just the two bound columns), so ≥75%
+    * of intervals replicate into ≤2 buckets and the worst replication
+    * is bounded by the guard. A FIXED default width would be the same
+    * trap as fixed LSH banding (round-7 discovery): right at one data
+    * shape, quadratic or starved at another — the data picks here.
+    * Zero-length/degenerate-heavy inputs clamp to 1s so the width
+    * stays positive.
+    */
+  def intervalAutoWidthMicros(
+      intervals: DataFrame, startCol: String, endCol: String): Long = {
+    val su = tsNumeric(intervals, startCol)
+    val eu = tsNumeric(intervals, endCol)
+    val p75 = intervals
+      .filter(col(startCol) <= col(endCol))
+      .select((eu - su).as("__len"))
+      .agg(expr("approx_percentile(__len, 0.75, 1000)"))
+      .head()
+    if (p75.isNullAt(0)) 1000000L else math.max(1000000L, p75.getLong(0))
+  }
+
   def intervalJoin(
       points: DataFrame, pointTsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,

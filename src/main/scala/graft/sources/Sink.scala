@@ -192,4 +192,38 @@ object Sink {
       .option("compression", compression)
       .json(path)
   }
+
+  /** Persist an SQ8 index — train/quantize ONCE, serve every later
+    * batch or stream without re-reading the raw embeddings (a real
+    * index outlives the job that built it; today's alternative
+    * re-collects and re-quantizes the corpus per session). Layout:
+    * `path/vectors/` parquet, one row per vector (idx, id, code
+    * binary, norm, sq_norm), split so partitions stay near 64 MB;
+    * `path/meta/` a one-row parquet with (n, dim, dim_min,
+    * dim_scale). The index is broadcast-envelope sized by contract,
+    * so driver-side materialization here matches how it is built and
+    * shipped; [[graft.sources.Source.readSq8Index]] restores a
+    * byte-identical [[graft.operators.Similarity.CorpusIndexSq8]]
+    * (round-trip pinned in SinkSpec).
+    */
+  def writeSq8Index(
+      spark: org.apache.spark.sql.SparkSession,
+      cx: graft.operators.Similarity.CorpusIndexSq8,
+      path: String,
+      overwrite: Boolean = false): Unit = {
+    import spark.implicits._
+    val mode = if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists
+    val rows = (0 until cx.n).map { j =>
+      (j, cx.ids(j),
+        java.util.Arrays.copyOfRange(cx.codes, j * cx.dim, (j + 1) * cx.dim),
+        cx.norms(j), cx.sqNorms(j))
+    }
+    val slices = math.max(1, (cx.n.toLong * cx.dim / (64L << 20)).toInt)
+    spark.sparkContext.parallelize(rows, slices)
+      .toDF("idx", "id", "code", "norm", "sq_norm")
+      .write.mode(mode).parquet(s"$path/vectors")
+    Seq((cx.n, cx.dim, cx.dimMin.toSeq, cx.dimScale.toSeq))
+      .toDF("n", "dim", "dim_min", "dim_scale")
+      .write.mode(mode).parquet(s"$path/meta")
+  }
 }

@@ -99,4 +99,41 @@ object Source {
   private def withCorrupt(schema: StructType, failFast: Boolean): StructType =
     if (failFast || schema.fieldNames.contains(CorruptCol)) schema
     else schema.add(CorruptCol, org.apache.spark.sql.types.StringType, nullable = true)
+
+  /** Restore an SQ8 index persisted by
+    * [[graft.sources.Sink.writeSq8Index]] — byte-identical to the
+    * written [[graft.operators.Similarity.CorpusIndexSq8]], so a
+    * serving session (batch or `topkServe` streaming driver) loads
+    * the trained index instead of re-collecting + re-quantizing raw
+    * embeddings. The collect is bounded by the same broadcast
+    * envelope the index lives in everywhere else.
+    */
+  def readSq8Index(
+      spark: SparkSession, path: String): graft.operators.Similarity.CorpusIndexSq8 = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val n = meta.getInt(0)
+    val dim = meta.getInt(1)
+    val dimMin = meta.getSeq[Float](2).toArray
+    val dimScale = meta.getSeq[Float](3).toArray
+    require(dimMin.length == dim && dimScale.length == dim,
+      s"corrupt index meta: dim=$dim but ${dimMin.length}/${dimScale.length} bounds")
+    val ids = new Array[Long](n)
+    val codes = new Array[Byte](n * dim)
+    val norms = new Array[Double](n)
+    val sqNorms = new Array[Double](n)
+    val rows = spark.read.parquet(s"$path/vectors")
+      .select("idx", "id", "code", "norm", "sq_norm").collect()
+    require(rows.length == n, s"corrupt index: meta n=$n but ${rows.length} vector rows")
+    rows.foreach { r =>
+      val j = r.getInt(0)
+      ids(j) = r.getLong(1)
+      val c = r.getAs[Array[Byte]](2)
+      require(c.length == dim, s"corrupt index: row $j has ${c.length} codes, dim=$dim")
+      System.arraycopy(c, 0, codes, j * dim, dim)
+      norms(j) = r.getDouble(3)
+      sqNorms(j) = r.getDouble(4)
+    }
+    graft.operators.Similarity.CorpusIndexSq8(
+      ids, codes, n, dim, dimMin, dimScale, norms, sqNorms)
+  }
 }

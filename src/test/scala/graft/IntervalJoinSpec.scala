@@ -109,6 +109,21 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(ok == pts.count())
   }
 
+  test("auto width picks the p75 interval length and yields identical results") {
+    val w = Relational.intervalAutoWidthMicros(ivs, "istart", "iend")
+    // lengths of the valid intervals: 100, 0, 730, 5000 → p75 >= 730,
+    // clamped to the 1s floor since these are tiny synthetic micros
+    assert(w == 1000000L)
+    import spark.implicits._
+    val real = Seq((1L, 0L, 3600L * 1000000L), (2L, 0L, 7200L * 1000000L),
+      (3L, 0L, 60L * 1000000L)).toDF("iid", "istart", "iend")
+    val w2 = Relational.intervalAutoWidthMicros(real, "istart", "iend")
+    assert(w2 == 7200L * 1000000L)
+    val auto = Relational.intervalJoin(pts, "pt", ivs, "istart", "iend", w)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == naivePairs)
+  }
+
   test("overlapping column names are rejected up front") {
     val e = intercept[IllegalArgumentException] {
       Relational.intervalJoin(pts, "pt",

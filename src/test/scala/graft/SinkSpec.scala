@@ -145,6 +145,36 @@ class SinkSpec extends AnyFunSuite {
     assert(back.join(df, Seq("doc_id", "text", "lang"), "left_anti").isEmpty)
   }
 
+  test("SQ8 index round-trip: byte-identical restore, identical search results") {
+    import spark.implicits._
+    import graft.operators.{Metric, Similarity}
+    val rnd = new scala.util.Random(31)
+    val corpus = (0L until 300L).map(i => i -> Seq.fill(24)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    val queries = (0L until 20L).map(i => i -> Seq.fill(24)(rnd.nextGaussian()))
+      .toDF("qid", "emb")
+    val built = Similarity.collectCorpusSq8(corpus, "id", "emb")
+    val out = tmpDir("sink-sq8")
+    Sink.writeSq8Index(spark, built, out)
+    val loaded = graft.sources.Source.readSq8Index(spark, out)
+    assert(loaded.n == built.n && loaded.dim == built.dim)
+    assert(loaded.ids.sameElements(built.ids))
+    assert(loaded.codes.sameElements(built.codes))
+    assert(loaded.dimMin.sameElements(built.dimMin))
+    assert(loaded.dimScale.sameElements(built.dimScale))
+    assert(loaded.norms.sameElements(built.norms))
+    assert(loaded.sqNorms.sameElements(built.sqNorms))
+    def res(cx: Similarity.CorpusIndexSq8) =
+      Similarity.topkSq8(queries, "emb", cx, k = 5, Metric.Cosine)
+        .selectExpr("qid", "inline(matches)").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res(loaded) == res(built))
+    // second write without overwrite refuses; with overwrite succeeds
+    intercept[Exception] { Sink.writeSq8Index(spark, built, out) }
+    Sink.writeSq8Index(spark, built, out, overwrite = true)
+    assert(graft.sources.Source.readSq8Index(spark, out).codes.sameElements(built.codes))
+  }
+
   test("writeZOrdered: a two-dimensional box filter touches fewer files than natural order") {
     import org.apache.spark.sql.functions._
     // 256×256 grid of (a, b) points, 64 files each layout
