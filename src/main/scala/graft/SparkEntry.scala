@@ -756,6 +756,34 @@ object SparkEntry {
         .crossJoin(rerank.select(col("ok").as("pq_rerank_ok")))
     }),
 
+    // IVF+PQ recall gate: the FAISS composition — spherical cells
+    // over unit vectors + residual PQ (m=16), search probes 8/16
+    // cells. ADC must clear 0.6 and the residual-SQ8 shortlist rerank
+    // 0.75 (measured 0.74/0.84 at sf0.01); exact kernel is ground
+    // truth, DuckDB pins the booleans.
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val cx = corpus(s, dir)
+      val ix = Similarity.quantizeIvfPq(cx, nCells = 16, m = 16)
+      val brute = Similarity.topkFlat(q, "embedding", cx, 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      def recallOf(hits: DataFrame, floor: Double) = brute
+        .join(hits.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"), recallAtLeast(floor).as("ok"))
+      val adc = recallOf(
+        Similarity.topkIvfPqFlat(q, "embedding", ix, 10, nProbe = 8), 0.6)
+      val rerank = recallOf(
+        Similarity.topkIvfPqFlat(q, "embedding", ix, 10, nProbe = 8, shortlist = 100), 0.75)
+      adc.select(col("n_queries"), col("ok").as("ivfpq_adc_ok"))
+        .crossJoin(rerank.select(col("ok").as("ivfpq_rerank_ok")))
+    }),
+
     // trained BPE tokenization (rows-only: the merge list is
     // deterministic but no SQL engine replays the greedy merge loop;
     // TextOpsSpec pins the hand-computed merge sequence, word
@@ -2372,6 +2400,11 @@ object SparkEntry {
     "ann_pq_recall" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS pq_adc_ok,
         |       CAST(1 AS BOOLEAN) AS pq_rerank_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_ivfpq_recall" ->
+      """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS ivfpq_adc_ok,
+        |       CAST(1 AS BOOLEAN) AS ivfpq_rerank_ok
         |FROM embeddings""".stripMargin,
 
     "ann_ivfsq8_recall" ->

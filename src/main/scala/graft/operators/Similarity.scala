@@ -1387,6 +1387,369 @@ object Similarity {
       .drop("rank0", "m", embCol)
   }
 
+  /** FAISS-style IVF+PQ composite (cosine): coarse spherical-k-means
+    * cells over UNIT-normalized vectors + product quantization of the
+    * RESIDUALS v̂ − c(v̂). Unit-normalizing first makes cosine exact in
+    * the index geometry — cos(q, v) = q·v̂ / |q| = (q·c + q·r) / |q| —
+    * so no per-vector norm sidecar is needed at all (zero-norm rows
+    * stay the zero vector: their residual is −c and the two terms
+    * cancel to the kernel's zero-score contract). Residuals are far
+    * more PQ-compressible than raw vectors (they live near the
+    * origin, the whole point of the FAISS composition), and search
+    * touches only `nProbe` cells' members instead of the full corpus.
+    * `cellOf` rides along so the shortlist rerank can reconstruct
+    * v̂ ≈ c + r̂ from the residual SQ8 sidecar.
+    */
+  final case class CorpusIndexIvfPq(
+      ids: Array[Long],
+      n: Int,
+      dim: Int,
+      m: Int,
+      nCells: Int,
+      centroids: Array[Double],   // nCells * dim, unit rows
+      codes: Array[Byte],         // n * m residual codes, original row order
+      codebooks: Array[Float],    // m * 256 * sub residual codebooks
+      cellOf: Array[Int],         // n
+      cellStart: Array[Int],      // nCells + 1 CSR offsets
+      cellMembers: Array[Int],    // n, row indices grouped by cell
+      sq8: Option[CorpusIndexSq8] // residual sidecar for shortlist rerank
+  ) extends Serializable
+
+  /** Train + encode an IVF+PQ index from a packed [[CorpusIndex]].
+    * Driver-side like [[quantizePq]] (the envelope contract): strided
+    * deterministic sample trains the spherical cells, every row
+    * assigns to its best cell by dot (ties to the lowest cell),
+    * residual PQ trains/encodes through the existing [[quantizePq]]
+    * machinery on the residual pack — whose norms are discarded; the
+    * unit-normalization already carried the length information out of
+    * the quantized part.
+    */
+  def quantizeIvfPq(
+      cx: CorpusIndex,
+      nCells: Int,
+      m: Int,
+      trainSample: Int = 16384,
+      iters: Int = 10,
+      withRerank: Boolean = true): CorpusIndexIvfPq = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    val dim = cx.dim
+    // unit-normalize (zero-norm rows stay zero)
+    val unit = new Array[Double](cx.n * dim)
+    java.util.stream.IntStream.range(0, cx.n).parallel().forEach { g =>
+      val nrm = cx.norms(g)
+      if (nrm > 1e-10) {
+        var d = 0
+        while (d < dim) { unit(g * dim + d) = cx.data(g * dim + d) / nrm; d += 1 }
+      }
+    }
+    // spherical k-means on a strided sample of the unit rows
+    val k = math.min(nCells, cx.n)
+    val step = math.max(1, cx.n / math.max(trainSample, k))
+    val sampleIdx = (0 until cx.n by step).toArray
+    val sn = sampleIdx.length
+    var cent = Array.tabulate(k) { c =>
+      val src = sampleIdx(((c.toLong * sn) / k).toInt) * dim
+      java.util.Arrays.copyOfRange(unit, src, src + dim)
+    }
+    def renorm(v: Array[Double]): Array[Double] = {
+      var sq = 0.0; var d = 0
+      while (d < dim) { sq += v(d) * v(d); d += 1 }
+      val nr = math.sqrt(sq)
+      if (nr <= 1e-10) v else { var d2 = 0; while (d2 < dim) { v(d2) /= nr; d2 += 1 }; v }
+    }
+    cent.foreach(renorm)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Int](k)
+      var s = 0
+      while (s < sn) {
+        val src = sampleIdx(s) * dim
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var d = 0
+          while (d < dim) { dot += unit(src + d) * cent(c)(d); d += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        var d2 = 0
+        while (d2 < dim) { sums(best)(d2) += unit(src + d2); d2 += 1 }
+        s += 1
+      }
+      cent = cent.indices.map { c =>
+        if (cnts(c) == 0) cent(c) else renorm(sums(c))
+      }.toArray
+      it += 1
+    }
+    val centroids = new Array[Double](k * dim)
+    cent.zipWithIndex.foreach { case (cv, c) =>
+      System.arraycopy(cv, 0, centroids, c * dim, dim)
+    }
+    // assign every row, build residual pack
+    val cellOf = new Array[Int](cx.n)
+    val res = new Array[Double](cx.n * dim)
+    java.util.stream.IntStream.range(0, cx.n).parallel().forEach { g =>
+      val src = g * dim
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < k) {
+        var dot = 0.0; var d = 0
+        while (d < dim) { dot += unit(src + d) * centroids(c * dim + d); d += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+        c += 1
+      }
+      cellOf(g) = best
+      var d2 = 0
+      while (d2 < dim) { res(src + d2) = unit(src + d2) - centroids(best * dim + d2); d2 += 1 }
+    }
+    val resNorms = new Array[Double](cx.n)
+    val resSq = new Array[Double](cx.n)
+    var g2 = 0
+    while (g2 < cx.n) {
+      var sq = 0.0; var d = 0
+      while (d < dim) { val v = res(g2 * dim + d); sq += v * v; d += 1 }
+      resSq(g2) = sq; resNorms(g2) = math.sqrt(sq)
+      g2 += 1
+    }
+    val resCx = CorpusIndex(cx.ids, res, null, cx.n, dim, resNorms, resSq)
+    val pq = quantizePq(resCx, m, trainSample, iters, withRerank)
+    // CSR: members grouped by cell
+    val cellStart = new Array[Int](k + 1)
+    var g3 = 0
+    while (g3 < cx.n) { cellStart(cellOf(g3) + 1) += 1; g3 += 1 }
+    var c5 = 0
+    while (c5 < k) { cellStart(c5 + 1) += cellStart(c5); c5 += 1 }
+    val fill = cellStart.clone()
+    val cellMembers = new Array[Int](cx.n)
+    var g4 = 0
+    while (g4 < cx.n) { val c = cellOf(g4); cellMembers(fill(c)) = g4; fill(c) += 1; g4 += 1 }
+    CorpusIndexIvfPq(cx.ids, cx.n, dim, m, k, centroids,
+      pq.codes, pq.codebooks, cellOf, cellStart, cellMembers, pq.sq8)
+  }
+
+  /** Per-query cosine top-k against an IVF+PQ index: probe the
+    * `nProbe` best cells by centroid dot, build the residual ADC
+    * table once per query, score each probed member in m adds plus
+    * the cell's centroid dot, all divided by |q| — cosine with no
+    * norm lookup. `shortlist > 0` reranks the ADC shortlist against
+    * the residual SQ8 sidecar (v̂ ≈ c + r̂). Output/ties/null contract
+    * of [[topkPq]].
+    */
+  def topkIvfPq(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexIvfPq,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0,
+      outputCol: String = "matches"): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(shortlist == 0 || shortlist >= k,
+      s"shortlist must be 0 (off) or >= k, got $shortlist (k=$k)")
+    require(shortlist == 0 || corpus.sq8.nonEmpty,
+      "shortlist rerank needs the SQ8 sidecar — build the index with withRerank = true")
+    val spark = queries.sparkSession
+    val bc = broadcastOf(spark, corpus)
+    val schema = queries.schema
+    val embIdx = schema.fieldIndex(embCol)
+    val embIsF32 = schema(embCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case dt => throw new IllegalArgumentException(
+        s"Query column $embCol must be array<float>/array<double>, got ${dt.simpleString}")
+    }
+    val fieldTypes = schema.fields.map(_.dataType)
+    val outSchema = StructType(schema.fields :+ StructField(outputCol,
+      ArrayType(StructType(Seq(
+        StructField("index", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))), containsNull = false),
+      nullable = true))
+    val kk = math.min(math.max(k, 0), corpus.n)
+    val sl = if (shortlist == 0) 0 else math.min(shortlist, corpus.n)
+    val cap = math.max(if (sl > 0) sl else kk, 1)
+
+    val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
+      val cx = bc.value
+      val np = math.min(nProbe, cx.nCells)
+      val sub = cx.dim / cx.m
+      val lut = new Array[Float](cx.m * 256)
+      val qf = new Array[Double](cx.dim)
+      val cellDot = new Array[Double](cx.nCells)
+      val probeIdx = new Array[Int](np)
+      val selIdx = new Array[Int](cap)
+      val selScore = new Array[Double](cap)
+      val sq8 = cx.sq8.orNull
+      it.map { row0 =>
+        val row = row0.copy()
+        val isNull = row.isNullAt(embIdx)
+        val result: AnyRef = if (isNull || kk == 0) {
+          if (isNull) null else new GenericArrayData(new Array[Any](0))
+        } else {
+          val emb = row.getArray(embIdx)
+          if (emb.numElements() != cx.dim) throw new IllegalArgumentException(
+            s"Dimension mismatch: query has ${emb.numElements()} elements, corpus has ${cx.dim}")
+          var qSq = 0.0
+          var d0 = 0
+          if (embIsF32) {
+            val fa = emb.toFloatArray()
+            while (d0 < cx.dim) { val v = fa(d0).toDouble; qf(d0) = v; qSq += v * v; d0 += 1 }
+          } else {
+            val da = emb.toDoubleArray()
+            while (d0 < cx.dim) { val v = da(d0); qf(d0) = v; qSq += v * v; d0 += 1 }
+          }
+          val qNorm = math.sqrt(qSq)
+          // centroid dots + top-nProbe probe set (ties to lowest cell)
+          var c = 0
+          while (c < cx.nCells) {
+            var dot = 0.0; var d = 0
+            val cb = c * cx.dim
+            while (d < cx.dim) { dot += qf(d) * cx.centroids(cb + d); d += 1 }
+            cellDot(c) = dot
+            c += 1
+          }
+          var pSize = 0
+          var c1 = 0
+          while (c1 < cx.nCells) {
+            val s = cellDot(c1)
+            val beats = pSize < np || s > cellDot(probeIdx(pSize - 1))
+            if (beats) {
+              var pos = if (pSize < np) pSize else np - 1
+              while (pos > 0 && s > cellDot(probeIdx(pos - 1))) {
+                probeIdx(pos) = probeIdx(pos - 1); pos -= 1
+              }
+              probeIdx(pos) = c1
+              if (pSize < np) pSize += 1
+            }
+            c1 += 1
+          }
+          // residual ADC table
+          var j = 0
+          while (j < cx.m) {
+            var cc = 0
+            while (cc < 256) {
+              val cb = (j * 256 + cc) * sub
+              var acc = 0.0; var d = 0
+              while (d < sub) { acc += qf(j * sub + d) * cx.codebooks(cb + d); d += 1 }
+              lut(j * 256 + cc) = acc.toFloat
+              cc += 1
+            }
+            j += 1
+          }
+          // scan probed cells' members
+          var size = 0
+          var pi = 0
+          while (pi < pSize) {
+            val cell = probeIdx(pi)
+            val qc = cellDot(cell)
+            var mi = cx.cellStart(cell)
+            val end = cx.cellStart(cell + 1)
+            while (mi < end) {
+              val g = cx.cellMembers(mi)
+              var dot = qc
+              var j2 = 0
+              val base = g * cx.m
+              while (j2 < cx.m) {
+                dot += lut(j2 * 256 + (cx.codes(base + j2) & 0xFF)); j2 += 1
+              }
+              val s = if (qNorm <= 1e-10) 0.0 else dot / qNorm
+              val beatsWorst = size < cap || {
+                val w = selScore(size - 1)
+                s > w || (s == w && cx.ids(g) < cx.ids(selIdx(size - 1)))
+              }
+              if (beatsWorst) {
+                var pos = if (size < cap) size else cap - 1
+                while (pos > 0 && {
+                  val ps = selScore(pos - 1)
+                  s > ps || (s == ps && cx.ids(g) < cx.ids(selIdx(pos - 1)))
+                }) {
+                  selScore(pos) = selScore(pos - 1); selIdx(pos) = selIdx(pos - 1)
+                  pos -= 1
+                }
+                selScore(pos) = s; selIdx(pos) = g
+                if (size < cap) size += 1
+              }
+              mi += 1
+            }
+            pi += 1
+          }
+          // optional SQ8-residual rerank: v̂ ≈ c(g) + r̂(g)
+          val (outIdx, outScore, outSize) =
+            if (sl == 0) (selIdx, selScore, math.min(size, kk))
+            else {
+              val rIdx = new Array[Int](math.min(size, sl))
+              val rScore = new Array[Double](rIdx.length)
+              var rSize = 0
+              var ci = 0
+              while (ci < math.min(size, sl)) {
+                val g = selIdx(ci)
+                var dot = cellDot(cx.cellOf(g))
+                val src = g * cx.dim
+                var d = 0
+                while (d < cx.dim) {
+                  dot += qf(d) * (sq8.dimMin(d) +
+                    (sq8.codes(src + d) & 0xFF) * sq8.dimScale(d))
+                  d += 1
+                }
+                val s = if (qNorm <= 1e-10) 0.0 else dot / qNorm
+                val beatsWorst = rSize < kk || {
+                  val w = rScore(rSize - 1)
+                  s > w || (s == w && cx.ids(g) < cx.ids(rIdx(rSize - 1)))
+                }
+                if (beatsWorst) {
+                  var pos = if (rSize < kk) rSize else kk - 1
+                  while (pos > 0 && {
+                    val ps = rScore(pos - 1)
+                    s > ps || (s == ps && cx.ids(g) < cx.ids(rIdx(pos - 1)))
+                  }) {
+                    rScore(pos) = rScore(pos - 1); rIdx(pos) = rIdx(pos - 1)
+                    pos -= 1
+                  }
+                  rScore(pos) = s; rIdx(pos) = g
+                  if (rSize < kk) rSize += 1
+                }
+                ci += 1
+              }
+              (rIdx, rScore, rSize)
+            }
+          val structs = new Array[Any](outSize)
+          var r = 0
+          while (r < outSize) {
+            structs(r) = InternalRow(cx.ids(outIdx(r)), outScore(r)); r += 1
+          }
+          new GenericArrayData(structs)
+        }
+        val vals = new Array[Any](fieldTypes.length + 1)
+        var f = 0
+        while (f < fieldTypes.length) { vals(f) = row.get(f, fieldTypes(f)); f += 1 }
+        vals(fieldTypes.length) = result
+        new GenericInternalRow(vals): InternalRow
+      }
+    }
+    InternalRowBridge.fromInternalRdd(spark, outRdd, outSchema)
+  }
+
+  /** [[topkIvfPq]] then explode+unnest — the flat (rank, index, score)
+    * shape of [[topkFlat]].
+    */
+  def topkIvfPqFlat(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexIvfPq,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0): DataFrame = {
+    val withMatches = topkIvfPq(queries, embCol, corpus, k, nProbe, shortlist, "matches")
+    withMatches
+      .select((withMatches.columns.filter(_ != "matches").map(col).toSeq :+
+        posexplode(col("matches")).as(Seq("rank0", "m"))): _*)
+      .withColumn("rank", col("rank0") + 1)
+      .withColumn("index", col("m.index"))
+      .withColumn("score", col("m.score"))
+      .drop("rank0", "m", embCol)
+  }
+
   /** `quantized = true` runs each block through the SQ8 path: each
     * block quantizes INSIDE its collect task and the f64 pack is
     * dropped there, so peak driver memory is the ≤ 8 in-flight

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Metric, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF+PQ composite index: recall against the exact kernel, the
+  * all-cells-probed ≥ few-cells-probed monotonicity, unit-norm
+  * score correctness, CSR integrity, and the exact-kernel contract
+  * edges (null query, k > corpus, dim mismatch, zero-norm rows).
+  */
+class IvfPqSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.create("local[4]", 4)
+  import spark.implicits._
+
+  private def randVecs(n: Int, dim: Int, seed: Long): Seq[(Long, Seq[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map(i => i -> Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def recall(exact: Set[(Long, Long)], got: Set[(Long, Long)]): Double =
+    got.intersect(exact).size.toDouble / exact.size
+
+  test("index integrity: CSR partitions the corpus; codes are m bytes per vector") {
+    val cx = Similarity.collectCorpus(randVecs(500, 32, 3).toDF("id", "emb"), "id", "emb")
+    val ix = Similarity.quantizeIvfPq(cx, nCells = 8, m = 8)
+    assert(ix.codes.length == 500 * 8)
+    assert(ix.cellStart.head == 0 && ix.cellStart.last == 500)
+    assert(ix.cellMembers.sorted.sameElements(0 until 500))
+    (0 until 500).foreach { g =>
+      val c = ix.cellOf(g)
+      val inCell = ix.cellMembers.slice(ix.cellStart(c), ix.cellStart(c + 1))
+      assert(inCell.contains(g))
+    }
+  }
+
+  test("recall vs exact kernel: >= 0.5 at nProbe=4/16 ADC, rerank only improves, full probe >= pure PQ shape") {
+    val cDf = randVecs(2000, 32, 11).toDF("id", "emb")
+    val qDf = randVecs(100, 32, 13).toDF("qid", "emb")
+    val cx = Similarity.collectCorpus(cDf, "id", "emb")
+    val exact = Similarity.topkFlat(qDf, "emb", cx, 10, Metric.Cosine)
+      .select("qid", "index").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ix = Similarity.quantizeIvfPq(cx, nCells = 16, m = 16)
+    def got(nProbe: Int, shortlist: Int) =
+      Similarity.topkIvfPqFlat(qDf, "emb", ix, 10, nProbe, shortlist)
+        .select("qid", "index").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc4 = recall(exact, got(4, 0))
+    val rr4 = recall(exact, got(4, 50))
+    val adc16 = recall(exact, got(16, 0))
+    // gaussian noise is IVF's worst case (no cluster structure: the
+    // true NNs spread uniformly over cells, so 4/16 probes bounds
+    // recall near 0.5 regardless of PQ fidelity); the full-probe
+    // floor below is the quantization-quality assertion
+    assert(adc4 >= 0.4, s"ADC recall at nProbe=4: $adc4")
+    assert(rr4 >= adc4 - 1e-9, s"rerank must not hurt: $rr4 < $adc4")
+    assert(adc16 >= adc4 - 1e-9, s"probing all cells must not hurt: $adc16 < $adc4")
+    assert(adc16 >= 0.7, s"full-probe ADC recall: $adc16")
+  }
+
+  test("scores are true cosines up to quantization error; unit-norm geometry holds") {
+    val cDf = randVecs(300, 16, 17).toDF("id", "emb")
+    val qDf = randVecs(20, 16, 19).toDF("qid", "emb")
+    val cx = Similarity.collectCorpus(cDf, "id", "emb")
+    val exactTop = Similarity.topkFlat(qDf, "emb", cx, 3, Metric.Cosine)
+      .select("qid", "index", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ix = Similarity.quantizeIvfPq(cx, nCells = 4, m = 8)
+    val got = Similarity.topkIvfPqFlat(qDf, "emb", ix, 3, nProbe = 4, shortlist = 20)
+      .select("qid", "index", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    var matched = 0
+    got.foreach { case (key, s) =>
+      exactTop.get(key).foreach { es => matched += 1
+        assert(math.abs(s - es) <= 0.15, s"$key: ivfpq $s vs exact $es")
+      }
+    }
+    assert(matched > 20, s"too few overlapping pairs to validate scores: $matched")
+  }
+
+  test("contract edges: null query row, k > corpus, dim mismatch, zero-norm corpus row") {
+    val base = randVecs(50, 16, 23)
+    val withZero = base :+ (50L -> Seq.fill(16)(0.0))
+    val cx = Similarity.collectCorpus(withZero.toDF("id", "emb"), "id", "emb")
+    val ix = Similarity.quantizeIvfPq(cx, nCells = 4, m = 8)
+    val qs = Seq(
+      (1L, Some(Seq.fill(16)(1.0))),
+      (2L, None)).toDF("qid", "emb")
+    val out = Similarity.topkIvfPq(qs, "emb", ix, k = 60, nProbe = 4)
+      .select("qid", "matches").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[org.apache.spark.sql.Row](1))).toMap
+    assert(out(2L) == null)                  // null query → null matches
+    assert(out(1L).size == 51)               // k clamps to corpus size
+    val e = intercept[Exception] {
+      Similarity.topkIvfPq(Seq((9L, Seq.fill(8)(1.0))).toDF("qid", "emb"),
+        "emb", ix, 3, 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
