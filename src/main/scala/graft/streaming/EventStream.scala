@@ -175,6 +175,27 @@ object EventStream {
       .drop("__pb", "__ib", "__pu", "__su", "__eu")
   }
 
+  /** Streaming trending tokens: per tumbling window, the Misra-Gries
+    * frequent-items sketch ([[graft.functions.MisraGriesAgg]]) over a
+    * token column — the "what is spiking right now" monitor a corpus
+    * ingest pipeline runs. The sketch's bounded mergeable state is
+    * exactly what a streaming aggregate needs: per-window state is ≤
+    * `capacity` counters regardless of vocabulary, and the state
+    * store serializes it through the aggregate's own serde between
+    * micro-batches. Complete/update output modes (windowed agg);
+    * StreamingSpec pins batch parity on file replay.
+    */
+  def trendingTokens(events: DataFrame, tsCol: String, tokenCol: String,
+      windowMinutes: Int, k: Int, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => C, expression => E}
+    val agg = graft.functions.MisraGriesAgg(E(col(tokenCol)), k, capacity)
+    events
+      .groupBy(window(col(tsCol).cast("timestamp"), s"$windowMinutes minutes"))
+      .agg(C(agg.toAggregateExpression()).as("sk"))
+      .select(col("window.start").as("w_start"),
+        col("sk.items").as("items"), col("sk.max_err").as("max_err"))
+  }
+
   /** Streaming URL dedup — the ingest-time form of
     * [[graft.operators.TextAnalysis.canonicalUrl]]: canonicalize the
     * URL (a stateless scan expression) and keep the FIRST doc per

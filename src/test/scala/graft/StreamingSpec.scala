@@ -135,6 +135,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming trending tokens (windowed Misra-Gries) equals the batch sketch") {
+    val evSchema = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema
+    def fmt(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getTimestamp(0) -> ((r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getString(0), x.getLong(1))), r.getLong(2)))
+    }.toMap
+    val streamed = {
+      val raw = spark.readStream.schema(evSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = EventStream.trendingTokens(raw, "ts", "event_type",
+          windowMinutes = 360, k = 5, capacity = 64)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("trending_out").start()
+      try q.processAllAvailable() finally q.stop()
+      fmt(spark.table("trending_out"))
+    }
+    val batch = fmt(EventStream.trendingTokens(
+      Tables.events(spark, dir), "ts", "event_type",
+      windowMinutes = 360, k = 5, capacity = 64))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // capacity 64 >> 5 event types: the sketch is exact, err 0
+    assert(streamed.values.forall(_._2 == 0L))
+  }
+
   test("streaming as-of enrichment equals the batch asofJoin on file replay") {
     // clicks enriched with the latest purchase value — same pairing
     // the batch q_asof_join gate computes
