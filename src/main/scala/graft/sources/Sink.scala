@@ -226,4 +226,42 @@ object Sink {
       .toDF("n", "dim", "dim_min", "dim_scale")
       .write.mode(mode).parquet(s"$path/meta")
   }
+
+  /** Persist an IVF+PQ index — the composition whose whole point is
+    * "train the expensive parts once" (coarse cells + residual
+    * codebooks), so persistence matters more here than anywhere
+    * else. Layout: `path/vectors/` one row per vector (idx, id,
+    * residual PQ codes, cell, optional residual-SQ8 codes);
+    * `path/meta/` one row with geometry + centroids + codebooks +
+    * SQ8 bounds. [[graft.sources.Source.readIvfPqIndex]] restores a
+    * byte-identical index (CSR rebuilt from `cell`, deterministic:
+    * original row order groups stably).
+    */
+  def writeIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ix: graft.operators.Similarity.CorpusIndexIvfPq,
+      path: String,
+      overwrite: Boolean = false): Unit = {
+    import spark.implicits._
+    val mode = if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists
+    val sq8 = ix.sq8
+    val rows = (0 until ix.n).map { j =>
+      (j, ix.ids(j),
+        java.util.Arrays.copyOfRange(ix.codes, j * ix.m, (j + 1) * ix.m),
+        ix.cellOf(j),
+        sq8.map(s => java.util.Arrays.copyOfRange(s.codes, j * ix.dim, (j + 1) * ix.dim)),
+        sq8.map(s => s.norms(j)), sq8.map(s => s.sqNorms(j)))
+    }
+    val bytesPerRow = ix.m + sq8.map(_ => ix.dim).getOrElse(0)
+    val slices = math.max(1, (ix.n.toLong * bytesPerRow / (64L << 20)).toInt)
+    spark.sparkContext.parallelize(rows, slices)
+      .toDF("idx", "id", "code", "cell", "sq8_code", "sq8_norm", "sq8_sq_norm")
+      .write.mode(mode).parquet(s"$path/vectors")
+    Seq((ix.n, ix.dim, ix.m, ix.nCells,
+        ix.centroids.toSeq, ix.codebooks.toSeq,
+        sq8.map(_.dimMin.toSeq), sq8.map(_.dimScale.toSeq)))
+      .toDF("n", "dim", "m", "n_cells", "centroids", "codebooks",
+        "sq8_dim_min", "sq8_dim_scale")
+      .write.mode(mode).parquet(s"$path/meta")
+  }
 }

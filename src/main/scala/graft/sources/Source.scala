@@ -136,4 +136,59 @@ object Source {
     graft.operators.Similarity.CorpusIndexSq8(
       ids, codes, n, dim, dimMin, dimScale, norms, sqNorms)
   }
+
+  /** Restore an IVF+PQ index persisted by
+    * [[graft.sources.Sink.writeIvfPqIndex]] — byte-identical, CSR
+    * rebuilt from the per-vector cells in original row order.
+    */
+  def readIvfPqIndex(
+      spark: SparkSession, path: String): graft.operators.Similarity.CorpusIndexIvfPq = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val n = meta.getInt(0)
+    val dim = meta.getInt(1)
+    val m = meta.getInt(2)
+    val nCells = meta.getInt(3)
+    val centroids = meta.getSeq[Double](4).toArray
+    val codebooks = meta.getSeq[Float](5).toArray
+    val sq8Min = if (meta.isNullAt(6)) None else Some(meta.getSeq[Float](6).toArray)
+    val sq8Scale = if (meta.isNullAt(7)) None else Some(meta.getSeq[Float](7).toArray)
+    require(centroids.length == nCells * dim,
+      s"corrupt index meta: ${centroids.length} centroid values for nCells=$nCells dim=$dim")
+    val ids = new Array[Long](n)
+    val codes = new Array[Byte](n * m)
+    val cellOf = new Array[Int](n)
+    val sq8Codes = sq8Min.map(_ => new Array[Byte](n * dim))
+    val sq8Norms = sq8Min.map(_ => new Array[Double](n))
+    val sq8Sq = sq8Min.map(_ => new Array[Double](n))
+    val rows = spark.read.parquet(s"$path/vectors")
+      .select("idx", "id", "code", "cell", "sq8_code", "sq8_norm", "sq8_sq_norm")
+      .collect()
+    require(rows.length == n, s"corrupt index: meta n=$n but ${rows.length} vector rows")
+    rows.foreach { r =>
+      val j = r.getInt(0)
+      ids(j) = r.getLong(1)
+      System.arraycopy(r.getAs[Array[Byte]](2), 0, codes, j * m, m)
+      cellOf(j) = r.getInt(3)
+      sq8Codes.foreach { dst =>
+        System.arraycopy(r.getAs[Array[Byte]](4), 0, dst, j * dim, dim) }
+      sq8Norms.foreach(_(j) = r.getDouble(5))
+      sq8Sq.foreach(_(j) = r.getDouble(6))
+    }
+    val cellStart = new Array[Int](nCells + 1)
+    var g = 0
+    while (g < n) { cellStart(cellOf(g) + 1) += 1; g += 1 }
+    var c = 0
+    while (c < nCells) { cellStart(c + 1) += cellStart(c); c += 1 }
+    val fill = cellStart.clone()
+    val cellMembers = new Array[Int](n)
+    var g2 = 0
+    while (g2 < n) { val cc = cellOf(g2); cellMembers(fill(cc)) = g2; fill(cc) += 1; g2 += 1 }
+    val sq8 = sq8Min.map { mn =>
+      graft.operators.Similarity.CorpusIndexSq8(
+        ids, sq8Codes.get, n, dim, mn, sq8Scale.get, sq8Norms.get, sq8Sq.get)
+    }
+    graft.operators.Similarity.CorpusIndexIvfPq(
+      ids, n, dim, m, nCells, centroids, codes, codebooks,
+      cellOf, cellStart, cellMembers, sq8)
+  }
 }

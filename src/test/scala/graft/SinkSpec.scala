@@ -175,6 +175,37 @@ class SinkSpec extends AnyFunSuite {
     assert(graft.sources.Source.readSq8Index(spark, out).codes.sameElements(built.codes))
   }
 
+  test("IVF+PQ index round-trip: byte-identical restore, identical search results") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(41)
+    val corpus = (0L until 400L).map(i => i -> Seq.fill(32)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    val queries = (0L until 25L).map(i => i -> Seq.fill(32)(rnd.nextGaussian()))
+      .toDF("qid", "emb")
+    val built = Similarity.quantizeIvfPq(
+      Similarity.collectCorpus(corpus, "id", "emb"), nCells = 8, m = 16)
+    val out = tmpDir("sink-ivfpq")
+    Sink.writeIvfPqIndex(spark, built, out)
+    val loaded = graft.sources.Source.readIvfPqIndex(spark, out)
+    assert(loaded.n == built.n && loaded.dim == built.dim
+      && loaded.m == built.m && loaded.nCells == built.nCells)
+    assert(loaded.ids.sameElements(built.ids))
+    assert(loaded.codes.sameElements(built.codes))
+    assert(loaded.centroids.sameElements(built.centroids))
+    assert(loaded.codebooks.sameElements(built.codebooks))
+    assert(loaded.cellOf.sameElements(built.cellOf))
+    assert(loaded.cellStart.sameElements(built.cellStart))
+    assert(loaded.cellMembers.sameElements(built.cellMembers))
+    assert(loaded.sq8.get.codes.sameElements(built.sq8.get.codes))
+    assert(loaded.sq8.get.dimMin.sameElements(built.sq8.get.dimMin))
+    def res(ix: Similarity.CorpusIndexIvfPq) =
+      Similarity.topkIvfPqFlat(queries, "emb", ix, k = 5, nProbe = 4, shortlist = 20)
+        .select("qid", "rank", "index", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(res(loaded) == res(built))
+  }
+
   test("writeZOrdered: a two-dimensional box filter touches fewer files than natural order") {
     import org.apache.spark.sql.functions._
     // 256×256 grid of (a, b) points, 64 files each layout

@@ -221,6 +221,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.nonEmpty)
   }
 
+  test("a PERSISTED SQ8 index serves a query stream: train once, load, serve") {
+    import graft.operators.{Metric, Similarity}
+    val emb = Tables.embeddings(spark, dir)
+    val built = Similarity.collectCorpusSq8(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+      "vec_id", "embedding")
+    val ixDir = java.nio.file.Files.createTempDirectory("serve-sq8").toString + "/ix"
+    graft.sources.Sink.writeSq8Index(spark, built, ixDir)
+    // a serving session loads the index — no raw-embedding collect,
+    // no re-quantization — and answers the stream from it
+    val loaded = graft.sources.Source.readSq8Index(spark, ixDir)
+    val expected = Similarity.topkSq8Flat(
+        emb.select(col("vec_id"), col("embedding")), "embedding", loaded, 5, Metric.Cosine)
+      .select("vec_id", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val results = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val q = spark.readStream
+      .schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = Similarity.topkSq8Flat(
+            batch.select("vec_id", "embedding"), "embedding", loaded, 5, Metric.Cosine)
+          .select("vec_id", "rank", "index").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        results.synchronized { results ++= out }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(results.toSet == expected)
+    assert(results.nonEmpty)
+  }
+
   test("stateful streaming sessionization equals the batch gaps-and-islands result") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
