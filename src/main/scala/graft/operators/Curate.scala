@@ -242,8 +242,8 @@ object Curate {
       s"need 0 <= pLo < pHi <= 1, got pLo=$pLo pHi=$pHi")
     val v = col(valCol).cast("double")
     def pct(p: Double) =
-      if (exact) expr(s"percentile(cast($valCol as double), $p)")
-      else expr(s"approx_percentile(cast($valCol as double), $p, $accuracy)")
+      if (exact) expr(s"percentile(cast(`$valCol` as double), $p)")
+      else expr(s"approx_percentile(cast(`$valCol` as double), $p, $accuracy)")
     val bounds = df.groupBy(col(groupCol))
       .agg(pct(pLo).as("__lo"), pct(pHi).as("__hi"))
     df.join(broadcast(bounds), Seq(groupCol))
