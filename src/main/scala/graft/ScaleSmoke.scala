@@ -142,6 +142,38 @@ object ScaleSmoke {
           (col("s0") + lit(600L * us)).as("iend"))
       Relational.intervalJoin(ev, "ts", iv, "istart", "iend", 600L * us).count()
     }
+    // Misra-Gries at scale: the synth vocabulary is deliberately
+    // UNIFORM (~7 occurrences per token — ALL below the err bound, so
+    // "top-20" there is noise and no sketch can promise it); plant a
+    // skewed 30-token family on top (count(v) = (2v+1)·n/900, 1.1k to
+    // 65k) and assert exactly what the sketch GUARANTEES against the
+    // ~30M-update stream: every planted token heavier than max_err is
+    // retained, with true count inside [est, est + max_err] — while
+    // the sketch's shuffle carries ≤ capacity rows per partition vs
+    // the exact pass's one row per distinct token (~4M here)
+    timed("mg_top_k guarantees under a 4M-token uniform tail (capacity 4096)") {
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"), lit(" hh"),
+          floor(sqrt(pmod(col("doc_id"), lit(900)).cast("double"))).cast("long").cast("string")
+        ).as("text"))
+      val exact = graft.operators.TextAnalysis
+        .topTokens(planted.filter(col("text").contains(" hh")), "doc_id", "text", k = 4096)
+        .filter(col("token").startsWith("hh"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sk = graft.operators.TextAnalysis
+        .topTokensApprox(planted, "doc_id", "text", k = 4096, capacity = 4096)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val err = sk.head._3
+      val est = sk.map(t => t._1 -> t._2).toMap
+      val heavy = exact.filter(_._2 > err)
+      require(heavy.nonEmpty, s"planted family all below err=$err — smoke miscalibrated")
+      heavy.foreach { case (tok, truth) =>
+        require(est.contains(tok), s"heavy '$tok' (count $truth > err $err) evicted")
+        require(est(tok) <= truth && truth <= est(tok) + err,
+          s"'$tok': est ${est(tok)} true $truth err $err — bound violated")
+      }
+      heavy.size.toLong
+    }
     // decontamination at scale: a 10k-doc "benchmark suite" carved
     // from the corpus by hash; eval grams broadcast, the train side
     // streams through the scan-stage semi-join (SURVEY §4 claim)

@@ -124,6 +124,16 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(auto == naivePairs)
   }
 
+  test("null timestamps and null bounds never match (SQL join semantics)") {
+    import spark.implicits._
+    val p = Seq((1L, Some(150L)), (2L, None)).toDF("pid", "pt")
+    val iv = Seq((10L, Some(100L), Some(200L)), (11L, None, Some(500L)))
+      .toDF("iid", "istart", "iend")
+    val got = Relational.intervalJoin(p, "pt", iv, "istart", "iend", 50L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
+  }
+
   test("overlapping column names are rejected up front") {
     val e = intercept[IllegalArgumentException] {
       Relational.intervalJoin(pts, "pt",
