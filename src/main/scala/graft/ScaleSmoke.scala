@@ -40,8 +40,10 @@ object ScaleSmoke {
     // SPARK_GRAFT_SMOKE_STAGES=<substring> re-measures one stage
     // without paying for the whole pass
     val stageFilter = sys.env.get("SPARK_GRAFT_SMOKE_STAGES")
+    var stagesRan = 0
     def timed(name: String)(body: => Long): Unit = {
       if (stageFilter.forall(name.contains)) {
+        stagesRan += 1
         val t0 = System.nanoTime()
         val out = body
         println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($out rows)")
@@ -468,6 +470,10 @@ object ScaleSmoke {
       corpus.unpersist()
     }
     spark.stop()
+    // a typo'd stage filter must not read as a green smoke that
+    // verified nothing
+    require(stagesRan > 0,
+      s"SMOKE RAN ZERO STAGES — filter '${stageFilter.getOrElse("")}' matched nothing")
   }
 
   /** Executor-side synthetic embeddings: deterministic uniform [-1, 1)

@@ -246,7 +246,10 @@ object Curate {
       else expr(s"approx_percentile(cast(`$valCol` as double), $p, $accuracy)")
     val bounds = df.groupBy(col(groupCol))
       .agg(pct(pLo).as("__lo"), pct(pHi).as("__hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    // LEFT join: an inner join would silently DROP null-group rows
+    // (null never equi-matches) — a calibration pass must not filter;
+    // null-group rows keep a null <valCol>_w instead
+    df.join(broadcast(bounds), Seq(groupCol), "left")
       .withColumn(valCol + "_w", least(greatest(v, col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }

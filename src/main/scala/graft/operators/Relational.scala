@@ -716,41 +716,28 @@ object Relational {
       .orderBy("id1", "id2")
   }
 
-  private def tsNumeric(df: DataFrame, c: String): Column =
+  /** Epoch-micros column for an interval-join bound: timestamps (tz
+    * or ntz) via unix_micros, numerics interpreted AS micros (cast,
+    * never re-scaled) — one unit rule shared by the batch joins and
+    * the streaming [[graft.streaming.EventStream.intervalEnrich]], so
+    * a long column means the same instant on both paths.
+    */
+  private[graft] def tsNumeric(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp"))
       case _: org.apache.spark.sql.types.NumericType => col(c).cast("long")
       case t => throw new IllegalArgumentException(
         s"interval join needs a timestamp or numeric column, $c is $t")
     }
 
-  private def requireDisjoint(a: DataFrame, b: DataFrame): Unit = {
+  private[graft] def requireDisjoint(a: DataFrame, b: DataFrame): Unit = {
     val dup = a.columns.toSet.intersect(b.columns.toSet)
     require(dup.isEmpty,
       s"interval join requires disjoint column names; both sides have: ${dup.mkString(", ")}")
   }
 
-  /** Point-in-interval join (time-range join): every (point, interval)
-    * pair with `startCol <= point ts <= endCol`, both bounds
-    * inclusive. The declarative form — `points.join(intervals,
-    * ts between start and end)` — has no equi-key, so Catalyst plans
-    * a BroadcastNestedLoopJoin: O(|points|·|intervals|) comparisons
-    * and a hard broadcast ceiling on the interval side. This form
-    * buys an equi-join: each interval explodes into the fixed-width
-    * time buckets it covers, each point carries its one bucket, and
-    * the shuffle keys on the bucket. A containing pair shares exactly
-    * the point's bucket — the interval covers it, the point is in it —
-    * so every pair joins EXACTLY once and no distinct pass is needed.
-    *
-    * Cost model: Σ ceil(len/width)+1 interval replicas cross the
-    * shuffle (ids + bounds, not payloads if the caller projects
-    * first); pick `bucketWidthMicros` near the typical interval
-    * length so replication stays ~2×. Width affects cost only, never
-    * results (`IntervalJoinSpec` pins equality across widths). A
-    * bursty bucket (incident storm hour) is ordinary equi-join skew —
-    * AQE splits it, unlike a window partition. Degenerate intervals
-    * (start > end) match nothing and are dropped at the scan.
-    */
   /** Guarded bucket-range column for the interval explodes: one
     * malformed row (an interval of years against a width of seconds —
     * the epoch-0 sentinel, the year-9999 "never expires" row) would
@@ -791,6 +778,29 @@ object Relational {
     if (p75.isNullAt(0)) 1000000L else math.max(1000000L, p75.getLong(0))
   }
 
+  /** Point-in-interval join (time-range join): every (point, interval)
+    * pair with `startCol <= point ts <= endCol`, both bounds
+    * inclusive. The declarative form — `points.join(intervals,
+    * ts between start and end)` — has no equi-key, so Catalyst plans
+    * a BroadcastNestedLoopJoin: O(|points|·|intervals|) comparisons
+    * and a hard broadcast ceiling on the interval side. This form
+    * buys an equi-join: each interval explodes into the fixed-width
+    * time buckets it covers, each point carries its one bucket, and
+    * the shuffle keys on the bucket. A containing pair shares exactly
+    * the point's bucket — the interval covers it, the point is in it —
+    * so every pair joins EXACTLY once and no distinct pass is needed.
+    *
+    * Cost model: Σ ceil(len/width)+1 interval replicas cross the
+    * shuffle (ids + bounds, not payloads if the caller projects
+    * first); pick `bucketWidthMicros` near the typical interval
+    * length so replication stays ~2×. Width affects cost only, never
+    * results (`IntervalJoinSpec` pins equality across widths). A
+    * bursty bucket (incident storm hour) is ordinary equi-join skew —
+    * AQE splits it, unlike a window partition. Degenerate intervals
+    * (start > end) match nothing and are dropped at the scan.
+    * Containment compares the [[tsNumeric]] micros forms, so a
+    * timestamp side joins a long-micros side correctly.
+    */
   def intervalJoin(
       points: DataFrame, pointTsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
@@ -802,15 +812,18 @@ object Relational {
     // floor() over double division is exact here: event-time micros
     // (~1.7e15) sit far inside double's 2^53 integer range
     val w = lit(bucketWidthMicros.toDouble)
-    val p = points.withColumn("__pb", floor(tsNumeric(points, pointTsCol) / w))
+    val p = points
+      .withColumn("__pu", tsNumeric(points, pointTsCol))
+      .withColumn("__pb", floor(col("__pu") / w))
     val iv = intervals
       .filter(col(startCol) <= col(endCol))
+      .withColumn("__su", tsNumeric(intervals, startCol))
+      .withColumn("__eu", tsNumeric(intervals, endCol))
       .withColumn("__ib", explode(bucketSeq(
-        tsNumeric(intervals, startCol), tsNumeric(intervals, endCol),
-        w, maxBucketsPerInterval)))
+        col("__su"), col("__eu"), w, maxBucketsPerInterval)))
     p.join(iv, col("__pb") === col("__ib")
-        && col(pointTsCol) >= col(startCol) && col(pointTsCol) <= col(endCol))
-      .drop("__pb", "__ib")
+        && col("__pu") >= col("__su") && col("__pu") <= col("__eu"))
+      .drop("__pb", "__ib", "__pu", "__su", "__eu")
   }
 
   /** Interval-overlap join: every (a, b) pair whose closed intervals
@@ -834,15 +847,19 @@ object Relational {
     requireDisjoint(a, b)
     val w = lit(bucketWidthMicros.toDouble)
     val ae = a.filter(col(aStartCol) <= col(aEndCol))
+      .withColumn("__as", tsNumeric(a, aStartCol))
+      .withColumn("__ae", tsNumeric(a, aEndCol))
       .withColumn("__ab", explode(bucketSeq(
-        tsNumeric(a, aStartCol), tsNumeric(a, aEndCol), w, maxBucketsPerInterval)))
+        col("__as"), col("__ae"), w, maxBucketsPerInterval)))
     val be = b.filter(col(bStartCol) <= col(bEndCol))
+      .withColumn("__bs", tsNumeric(b, bStartCol))
+      .withColumn("__be", tsNumeric(b, bEndCol))
       .withColumn("__bb", explode(bucketSeq(
-        tsNumeric(b, bStartCol), tsNumeric(b, bEndCol), w, maxBucketsPerInterval)))
+        col("__bs"), col("__be"), w, maxBucketsPerInterval)))
     val joined = ae.join(be, col("__ab") === col("__bb")
-      && col(aStartCol) <= col(bEndCol) && col(bStartCol) <= col(aEndCol))
-    val firstOverlapBucket =
-      floor(greatest(tsNumeric(a, aStartCol), tsNumeric(b, bStartCol)) / w)
-    joined.filter(col("__ab") === firstOverlapBucket).drop("__ab", "__bb")
+      && col("__as") <= col("__be") && col("__bs") <= col("__ae"))
+    val firstOverlapBucket = floor(greatest(col("__as"), col("__bs")) / w)
+    joined.filter(col("__ab") === firstOverlapBucket)
+      .drop("__ab", "__bb", "__as", "__ae", "__bs", "__be")
   }
 }

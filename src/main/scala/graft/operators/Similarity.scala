@@ -1515,18 +1515,34 @@ object Similarity {
     }
     val resCx = CorpusIndex(cx.ids, res, null, cx.n, dim, resNorms, resSq)
     val pq = quantizePq(resCx, m, trainSample, iters, withRerank)
-    // CSR: members grouped by cell
-    val cellStart = new Array[Int](k + 1)
-    var g3 = 0
-    while (g3 < cx.n) { cellStart(cellOf(g3) + 1) += 1; g3 += 1 }
-    var c5 = 0
-    while (c5 < k) { cellStart(c5 + 1) += cellStart(c5); c5 += 1 }
-    val fill = cellStart.clone()
-    val cellMembers = new Array[Int](cx.n)
-    var g4 = 0
-    while (g4 < cx.n) { val c = cellOf(g4); cellMembers(fill(c)) = g4; fill(c) += 1; g4 += 1 }
+    val (cellStart, cellMembers) = buildCsr(cellOf, k)
     CorpusIndexIvfPq(cx.ids, cx.n, dim, m, k, centroids,
       pq.codes, pq.codebooks, cellOf, cellStart, cellMembers, pq.sq8)
+  }
+
+  /** CSR grouping of row indices by cell (counting sort, stable in
+    * original row order — deterministic). Shared by [[quantizeIvfPq]]
+    * and the index reader; validates cell range so a corrupt
+    * persisted file fails with a named error, not a bare
+    * ArrayIndexOutOfBounds.
+    */
+  private[graft] def buildCsr(cellOf: Array[Int], nCells: Int): (Array[Int], Array[Int]) = {
+    val n = cellOf.length
+    val cellStart = new Array[Int](nCells + 1)
+    var g = 0
+    while (g < n) {
+      val c = cellOf(g)
+      require(c >= 0 && c < nCells, s"cell $c out of range [0, $nCells) at row $g")
+      cellStart(c + 1) += 1
+      g += 1
+    }
+    var c2 = 0
+    while (c2 < nCells) { cellStart(c2 + 1) += cellStart(c2); c2 += 1 }
+    val fill = cellStart.clone()
+    val cellMembers = new Array[Int](n)
+    var g2 = 0
+    while (g2 < n) { val c = cellOf(g2); cellMembers(fill(c)) = g2; fill(c) += 1; g2 += 1 }
+    (cellStart, cellMembers)
   }
 
   /** Per-query cosine top-k against an IVF+PQ index: probe the

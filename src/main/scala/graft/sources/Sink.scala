@@ -213,15 +213,20 @@ object Sink {
       overwrite: Boolean = false): Unit = {
     import spark.implicits._
     val mode = if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists
-    val rows = (0 until cx.n).map { j =>
-      (j, cx.ids(j),
-        java.util.Arrays.copyOfRange(cx.codes, j * cx.dim, (j + 1) * cx.dim),
-        cx.norms(j), cx.sqNorms(j))
-    }
+    // rows build EXECUTOR-side from one broadcast of the index — a
+    // driver-materialized per-vector Seq would transiently double the
+    // index's memory right at the broadcast-envelope ceiling
     val slices = math.max(1, (cx.n.toLong * cx.dim / (64L << 20)).toInt)
-    spark.sparkContext.parallelize(rows, slices)
-      .toDF("idx", "id", "code", "norm", "sq_norm")
-      .write.mode(mode).parquet(s"$path/vectors")
+    val bc = spark.sparkContext.broadcast(cx)
+    try {
+      spark.sparkContext.parallelize(0 until cx.n, slices).map { j =>
+        val c = bc.value
+        (j, c.ids(j),
+          java.util.Arrays.copyOfRange(c.codes, j * c.dim, (j + 1) * c.dim),
+          c.norms(j), c.sqNorms(j))
+      }.toDF("idx", "id", "code", "norm", "sq_norm")
+        .write.mode(mode).parquet(s"$path/vectors")
+    } finally bc.destroy()
     Seq((cx.n, cx.dim, cx.dimMin.toSeq, cx.dimScale.toSeq))
       .toDF("n", "dim", "dim_min", "dim_scale")
       .write.mode(mode).parquet(s"$path/meta")
@@ -245,18 +250,21 @@ object Sink {
     import spark.implicits._
     val mode = if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists
     val sq8 = ix.sq8
-    val rows = (0 until ix.n).map { j =>
-      (j, ix.ids(j),
-        java.util.Arrays.copyOfRange(ix.codes, j * ix.m, (j + 1) * ix.m),
-        ix.cellOf(j),
-        sq8.map(s => java.util.Arrays.copyOfRange(s.codes, j * ix.dim, (j + 1) * ix.dim)),
-        sq8.map(s => s.norms(j)), sq8.map(s => s.sqNorms(j)))
-    }
     val bytesPerRow = ix.m + sq8.map(_ => ix.dim).getOrElse(0)
     val slices = math.max(1, (ix.n.toLong * bytesPerRow / (64L << 20)).toInt)
-    spark.sparkContext.parallelize(rows, slices)
-      .toDF("idx", "id", "code", "cell", "sq8_code", "sq8_norm", "sq8_sq_norm")
-      .write.mode(mode).parquet(s"$path/vectors")
+    val bc = spark.sparkContext.broadcast(ix)
+    try {
+      spark.sparkContext.parallelize(0 until ix.n, slices).map { j =>
+        val x = bc.value
+        val s8 = x.sq8
+        (j, x.ids(j),
+          java.util.Arrays.copyOfRange(x.codes, j * x.m, (j + 1) * x.m),
+          x.cellOf(j),
+          s8.map(s => java.util.Arrays.copyOfRange(s.codes, j * x.dim, (j + 1) * x.dim)),
+          s8.map(s => s.norms(j)), s8.map(s => s.sqNorms(j)))
+      }.toDF("idx", "id", "code", "cell", "sq8_code", "sq8_norm", "sq8_sq_norm")
+        .write.mode(mode).parquet(s"$path/vectors")
+    } finally bc.destroy()
     Seq((ix.n, ix.dim, ix.m, ix.nCells,
         ix.centroids.toSeq, ix.codebooks.toSeq,
         sq8.map(_.dimMin.toSeq), sq8.map(_.dimScale.toSeq)))

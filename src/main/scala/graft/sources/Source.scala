@@ -174,15 +174,8 @@ object Source {
       sq8Norms.foreach(_(j) = r.getDouble(5))
       sq8Sq.foreach(_(j) = r.getDouble(6))
     }
-    val cellStart = new Array[Int](nCells + 1)
-    var g = 0
-    while (g < n) { cellStart(cellOf(g) + 1) += 1; g += 1 }
-    var c = 0
-    while (c < nCells) { cellStart(c + 1) += cellStart(c); c += 1 }
-    val fill = cellStart.clone()
-    val cellMembers = new Array[Int](n)
-    var g2 = 0
-    while (g2 < n) { val cc = cellOf(g2); cellMembers(fill(cc)) = g2; fill(cc) += 1; g2 += 1 }
+    val (cellStart, cellMembers) =
+      graft.operators.Similarity.buildCsr(cellOf, nCells)
     val sq8 = sq8Min.map { mn =>
       graft.operators.Similarity.CorpusIndexSq8(
         ids, sq8Codes.get, n, dim, mn, sq8Scale.get, sq8Norms.get, sq8Sq.get)

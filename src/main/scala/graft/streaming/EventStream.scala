@@ -157,18 +157,21 @@ object EventStream {
       intervals: DataFrame, startCol: String, endCol: String,
       bucketWidthMicros: Long, maxBucketsPerInterval: Int = 10000): DataFrame = {
     require(bucketWidthMicros > 0, s"bucketWidthMicros must be > 0, got $bucketWidthMicros")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
+    graft.operators.Relational.requireDisjoint(events, intervals)
     val w = lit(bucketWidthMicros.toDouble)
-    // cast-first tolerates the TIMESTAMP_NTZ encoding some of the
-    // testdata parquet carries (the Tables.events normalization,
-    // applied here because a readStream source bypasses Tables);
-    // containment compares the micros, never mixed timestamp types
-    def us(c: String) = unix_micros(col(c).cast("timestamp"))
+    // the SAME unit rule as the batch joins (Relational.tsNumeric):
+    // timestamps (tz or ntz — some testdata parquet carries ntz) via
+    // unix_micros, numerics interpreted AS micros; containment
+    // compares the micros forms, never mixed raw types
     val iv = broadcast(intervals
       .filter(col(startCol) <= col(endCol))
-      .withColumn("__su", us(startCol)).withColumn("__eu", us(endCol))
+      .withColumn("__su", graft.operators.Relational.tsNumeric(intervals, startCol))
+      .withColumn("__eu", graft.operators.Relational.tsNumeric(intervals, endCol))
       .withColumn("__ib", explode(graft.operators.Relational.bucketSeq(
         col("__su"), col("__eu"), w, maxBucketsPerInterval))))
-    events.withColumn("__pu", us(tsCol))
+    events.withColumn("__pu", graft.operators.Relational.tsNumeric(events, tsCol))
       .withColumn("__pb", floor(col("__pu") / w))
       .join(iv, col("__pb") === col("__ib")
         && col("__pu") >= col("__su") && col("__pu") <= col("__eu"))

@@ -79,7 +79,7 @@ class IntervalJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("timestamp columns route through unix_micros; mixed ts/long rejected cleanly") {
+  test("timestamp columns route through unix_micros; mixed ts/long-micros sides join; strings rejected") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     val p = Seq((1L, ts(100)), (2L, ts(500))).toDF("pid", "pt")
@@ -87,6 +87,12 @@ class IntervalJoinSpec extends AnyFunSuite {
     val got = Relational.intervalJoin(p, "pt", iv, "istart", "iend", 60L * 1000000)
       .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 10L)))
+    // mixed: timestamp points against long-MICROS interval bounds —
+    // containment compares the tsNumeric forms, one unit rule
+    val ivUs = Seq((10L, 90L * 1000000, 110L * 1000000)).toDF("iid", "istart", "iend")
+    val gotMixed = Relational.intervalJoin(p, "pt", ivUs, "istart", "iend", 60L * 1000000)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotMixed == Set((1L, 10L)))
     val e = intercept[IllegalArgumentException] {
       Relational.intervalJoin(p, "pt",
         Seq((10L, "x", "y")).toDF("iid", "istart", "iend"), "istart", "iend", 1L)
