@@ -263,6 +263,56 @@ object Multimodal {
     InternalRowBridge.fromInternalRdd(docs.sparkSession, outRdd, imageHashSchema)
   }
 
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("png", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
+  /** IMAGE RESIZE / container normalization — the vision-model
+    * preprocessing step (decode → fit-within (maxW, maxH) preserving
+    * aspect ratio, never upscaling → re-encode PNG so downstream
+    * sees ONE container regardless of source format). REAL
+    * decode+scale+encode on the JVM (`javax.imageio` + bilinear
+    * `Graphics2D`), same bomb-guarded [[decodeImage]] as the hash
+    * path; undecodable payloads yield null (data, not bugs). Pixels
+    * stay inside the scan-stage `mapPartitions`; only the (smaller)
+    * re-encoded blobs flow on.
+    */
+  def resizeImages(docs: DataFrame, idCol: String, payloadCol: String,
+      maxW: Int, maxH: Int): DataFrame = {
+    require(maxW >= 1 && maxH >= 1, s"target must be >= 1x1, got ${maxW}x$maxH")
+    val in = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      col(payloadCol).as("payload"))
+    val outRdd = InternalRowBridge.toInternalRdd(in).mapPartitions { it =>
+      it.map(row => (row.getLong(0), row.getBinary(1)))
+        .grouped(256).flatMap(_.iterator.map { case (id, payload) =>
+          val out = decodeImage(payload).map { img =>
+            val scale = math.min(1.0, math.min(
+              maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+            val (tw, th) = (math.max(1, math.round(img.getWidth * scale).toInt),
+              math.max(1, math.round(img.getHeight * scale).toInt))
+            val dst = new java.awt.image.BufferedImage(tw, th,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, tw, th, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            (bos.toByteArray, tw, th)
+          }
+          new GenericInternalRow(Array[Any](id,
+            out.map(_._1).orNull,
+            out.map(o => java.lang.Integer.valueOf(o._2)).orNull,
+            out.map(o => java.lang.Integer.valueOf(o._3)).orNull)): InternalRow
+        })
+    }
+    InternalRowBridge.fromInternalRdd(docs.sparkSession, outRdd, resizeSchema)
+  }
+
   /** IMAGE near-duplicate pairs: perceptual aHash + the same
     * pigeonhole hamming join the text SimHash path uses
     * ([[Dedup.hammingPairs]]) — one decode scan, then candidates are

@@ -348,4 +348,36 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"expected only the noised re-render pair, got $pairs")
   }
+
+  test("resizeImages: aspect-preserving fit, no upscale, PNG normalization, junk -> null") {
+    // the 64x32 ramp fixtures: fit-within 32x32 halves both dims
+    val imgs = Multimodal.syntheticImages(spark, nGroups = 2)
+    val out = Multimodal.resizeImages(imgs, "doc_id", "payload", 32, 32)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3)))))
+      .toMap
+    // junk blobs (ids 3, 7) are null; everything decodable resizes
+    assert(out(3L).isEmpty && out(7L).isEmpty)
+    val decodable = out.filter(_._2.isDefined)
+    assert(decodable.size == 6)
+    decodable.values.flatten.foreach { case (png, w, h) =>
+      assert((w, h) == (32, 16))
+      // output is a real PNG that decodes to the reported dims
+      val back = Multimodal.decodeImage(png).get
+      assert(back.getWidth == 32 && back.getHeight == 16)
+      // the brightness ramp survives scaling: columns still ascend
+      // (mod rotation), so leftmost and rightmost 4-px bands differ
+      def bandMean(x0: Int) = {
+        var s = 0L
+        for (x <- x0 until x0 + 4; y <- 0 until 16) s += back.getRGB(x, y) & 0xFF
+        s / (4 * 16)
+      }
+      assert(math.abs(bandMean(0) - bandMean(28)) > 10)
+    }
+    // already-small images pass through at original dims (no upscale)
+    val small = Multimodal.resizeImages(imgs, "doc_id", "payload", 1024, 1024)
+      .filter(col("png").isNotNull).select("width", "height")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(small == Set((64, 32)))
+  }
 }
