@@ -288,6 +288,50 @@ object SparkEntry {
     // scale path, ProfileSpec-asserted against this one)
     "q_profile" -> ((s, dir) => Profile.profile(
       Tables.documents(s, dir), Seq("doc_id", "lang", "n_chars", "source", "text"))),
+
+    // embedding-column profile: dims, norms (computed in double),
+    // null/zero-norm counts — one partial-agg pass
+    "q_profile_emb" -> ((s, dir) =>
+      Profile.profileEmbeddings(Tables.embeddings(s, dir), "embedding")),
+
+    // k-means clustering of the embedding corpus (rows-only; the gate
+    // below carries the correctness evidence)
+    "emb_kmeans" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      Ann.kmeansAssign(q, "vec_id", "embedding",
+        Ann.trainKMeans(q, "vec_id", "embedding", k = 16))
+    }),
+
+    // k-means optimality gate: the kernel's k=1 assignment must match
+    // an INDEPENDENT argmax computed with Catalyst array expressions
+    // over the same centroid table (different arithmetic path: SQL
+    // fold vs BLAS dot) — best cosine minus assigned cosine bounded
+    // by the output rounding
+    "emb_kmeans_gate" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val cx = Ann.trainKMeans(q, "vec_id", "embedding", k = 16)
+      val assign = Ann.kmeansAssign(q, "vec_id", "embedding", cx)
+      val centRows = (0 until cx.n).map(c =>
+        (c.toLong, (0 until cx.dim).map(d => cx.data(c * cx.dim + d))))
+      val centsOne = s.createDataFrame(centRows).toDF("cid", "cvec")
+        .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+      def sq(c: Column) = aggregate(c, lit(0.0), (a, x) => a + x * x)
+      val best = q.crossJoin(broadcast(centsOne))
+        .select(col("vec_id"), col("embedding"), explode(col("cents")).as("c"))
+        .withColumn("dot", aggregate(
+          zip_with(col("embedding"), col("c.cvec"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x))
+        .withColumn("cos",
+          when(sqrt(sq(col("embedding"))) > 1e-10 && sqrt(sq(col("c.cvec"))) > 1e-10,
+            col("dot") / (sqrt(sq(col("embedding"))) * sqrt(sq(col("c.cvec")))))
+          .otherwise(lit(0.0)))
+        .groupBy("vec_id").agg(max(col("cos")).as("best_cos"))
+      assign.join(best, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          (max(col("best_cos") - col("sim")) <= lit(1e-4)).as("all_optimal"))
+    }),
     "q_sessionize" -> (Relational.sessionize _),
     // the hot-key-split two-pass form against the SAME gaps-and-islands
     // oracle (1-hour buckets; width-independent, RelationalSpec covers
@@ -1886,6 +1930,27 @@ object SparkEntry {
         |         CAST(NULL AS DOUBLE)
         |  FROM documents
         |) ORDER BY col_name""".stripMargin,
+
+    "emb_kmeans_gate" ->
+      """SELECT count(*) AS n_rows, CAST(1 AS BOOLEAN) AS all_optimal
+        |FROM embeddings""".stripMargin,
+
+    "q_profile_emb" ->
+      """WITH n AS (
+        |  SELECT embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    len(embedding) AS d
+        |  FROM embeddings
+        |)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vecs,
+        |  CAST(min(d) AS BIGINT) AS min_dim, CAST(max(d) AS BIGINT) AS max_dim,
+        |  round(min(nrm), 4) + 0.0 AS min_norm,
+        |  round(max(nrm), 4) + 0.0 AS max_norm,
+        |  round(avg(nrm), 4) + 0.0 AS mean_norm,
+        |  CAST(sum(CASE WHEN nrm < 1e-10 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm
+        |FROM n""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

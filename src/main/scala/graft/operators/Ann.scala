@@ -318,4 +318,28 @@ object Ann {
         (round(col("score"), 4) + lit(0.0)).as("score"))
       .orderBy(qIdCol, "rank")
   }
+
+  /** Public k-means over an embedding column — unsupervised topic/
+    * style bucketing of a corpus (the IVF trainer, exposed): spherical
+    * Lloyd on a bounded hash-ordered sample (deterministic AND
+    * unbiased), centroids returned as a [[CorpusIndex]] so assignment
+    * and any later search share one artifact.
+    */
+  def trainKMeans(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, lloydIters: Int = 5, maxTrain: Int = 4096): CorpusIndex =
+    trainCellIndex(corpus, idCol, embCol, k, lloydIters, maxTrain)
+
+  /** Assign every vector to its nearest (cosine) trained centroid —
+    * fully distributed through the broadcast GEMM kernel at k=1.
+    * Output: (idCol, cluster, sim). `emb_kmeans_gate` proves the
+    * kernel's choice optimal against an independent
+    * Catalyst-expression argmax over the same centroid table.
+    */
+  def kmeansAssign(corpus: DataFrame, idCol: String, embCol: String,
+      centroids: CorpusIndex): DataFrame =
+    Similarity.topkFlat(corpus.select(col(idCol), col(embCol)),
+        embCol, centroids, 1, Metric.Cosine)
+      .select(col(idCol), col("index").as("cluster"),
+        (round(col("score"), 4) + lit(0.0)).as("sim"))
+      .orderBy(idCol)
 }

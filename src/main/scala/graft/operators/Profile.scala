@@ -57,4 +57,25 @@ object Profile {
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
       .orderBy("col_name")
   }
+
+  /** Embedding-column profile — the vector-side "know your data"
+    * pass: row/null counts, dim range (a ragged corpus breaks every
+    * kernel downstream), norm stats, and zero-norm count (rows the
+    * cosine contract scores 0). One partial-aggregatable pass; the
+    * norm is computed in DOUBLE regardless of the stored element type
+    * so the oracle comparison is exact.
+    */
+  def profileEmbeddings(df: DataFrame, embCol: String): DataFrame = {
+    val nrm = sqrt(aggregate(col(embCol).cast("array<double>"),
+      lit(0.0), (acc, x) => acc + x * x))
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col(embCol).isNull, 1L).otherwise(0L)).as("n_null_vecs"),
+      min(size(col(embCol))).cast("long").as("min_dim"),
+      max(size(col(embCol))).cast("long").as("max_dim"),
+      (round(min(nrm), 4) + lit(0.0)).as("min_norm"),
+      (round(max(nrm), 4) + lit(0.0)).as("max_norm"),
+      (round(avg(nrm), 4) + lit(0.0)).as("mean_norm"),
+      sum(when(nrm < lit(1e-10), 1L).otherwise(0L)).as("n_zero_norm"))
+  }
 }

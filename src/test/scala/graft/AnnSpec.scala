@@ -139,4 +139,24 @@ class AnnSpec extends AnyFunSuite {
     val proj = GenerateUnsafeProjection.generate(Seq(Alias(expr, "s")()))
     assert(proj != null)
   }
+
+  test("kmeans: deterministic across partitionings; every cluster id in range; self-consistent") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val k = 8
+    val cx = Ann.trainKMeans(emb, "vec_id", "embedding", k)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ann.kmeansAssign(df, "vec_id", "embedding", cx)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val a = run(emb)
+    val b = run(emb.repartition(7))
+    assert(a == b, "assignment must not depend on partitioning")
+    assert(a.values.forall { case (c, _) => c >= 0 && c < k })
+    // the trainer is deterministic too: retraining gives the same index
+    val cx2 = Ann.trainKMeans(emb, "vec_id", "embedding", k)
+    assert(cx.data.sameElements(cx2.data))
+    // more than one cluster is actually used on a gaussian corpus
+    assert(a.values.map(_._1).toSet.size > 1)
+  }
 }
