@@ -283,6 +283,17 @@ object SparkEntry {
         .select(col("source"), col("rank"), col("doc_id"))
         .orderBy("source", "rank")),
 
+    // temperature-scaled mixture (alpha=0.5 flattens toward the
+    // low-resource sources): quotas ∝ count^alpha from one tiny
+    // groupBy, selection via the skew-proof two-phase ranker; DuckDB
+    // replays the whole quota derivation
+    "q_mixture_temperature" -> ((s, dir) =>
+      Curate.temperatureMixture(
+          Tables.documents(s, dir).select("doc_id", "source"), "source", "doc_id",
+          alpha = 0.5, totalBudget = 30)
+        .select(col("source"), col("rank"), col("doc_id"))
+        .orderBy("source", "rank")),
+
     // corpus profiling: per-column null/distinct/min/max/mean in one
     // aggregation pass (exact-distinct form; the approx form is the
     // scale path, ProfileSpec-asserted against this one)
@@ -1934,6 +1945,28 @@ object SparkEntry {
     "emb_kmeans_gate" ->
       """SELECT count(*) AS n_rows, CAST(1 AS BOOLEAN) AS all_optimal
         |FROM embeddings""".stripMargin,
+
+    "q_mixture_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n, pow(n, 0.5) AS wi FROM c),
+        |t AS (SELECT sum(wi) AS tw FROM w),
+        |b AS (SELECT source, n,
+        |        CAST(floor(round(30 * wi / tw, 6)) AS BIGINT) AS base
+        |      FROM w, t),
+        |o AS (SELECT source, n, base,
+        |        row_number() OVER (ORDER BY n DESC, source) - 1 AS idx FROM b),
+        |q AS (SELECT source,
+        |        LEAST(n, base + CASE WHEN idx < (30 - (SELECT sum(base) FROM b))
+        |                             THEN 1 ELSE 0 END) AS quota
+        |      FROM o),
+        |ranked AS (
+        |  SELECT d.source, d.doc_id,
+        |         row_number() OVER (PARTITION BY d.source
+        |           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rank
+        |  FROM documents d)
+        |SELECT r.source, CAST(r.rank AS BIGINT) AS rank, r.doc_id
+        |FROM ranked r JOIN q ON r.source = q.source
+        |WHERE r.rank <= q.quota ORDER BY r.source, r.rank""".stripMargin,
 
     "q_profile_emb" ->
       """WITH n AS (

@@ -270,6 +270,40 @@ object Curate {
     * build for zero join nodes; both paths produce identical output
     * (CurateSpec asserts equality).
     */
+  /** Temperature-scaled mixture (mT5/XLM-R §3.1): sample
+    * `totalBudget` docs with per-group quotas ∝ count^alpha — alpha=1
+    * preserves the natural distribution, alpha→0 flattens it (the
+    * low-resource-upweighting knob every multilingual mix turns).
+    * One tiny groupBy-count (bounded by the number of groups) derives
+    * the quotas on the driver; selection then rides the skew-proof
+    * two-phase [[mixtureSample]] ranker. Quotas use
+    * floor(round(budget·w/W, 6)) so the float pow cannot flip a floor
+    * across engines — the DuckDB oracle replays the same formula.
+    * Leftover budget from flooring goes to the largest groups first
+    * (deterministic, count-then-name order).
+    */
+  def temperatureMixture(
+      docs: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, totalBudget: Int, salts: Int = 32): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
+    require(totalBudget > 0, s"totalBudget must be > 0, got $totalBudget")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMixture needs a non-empty corpus")
+    val w = counts.map { case (g, n) => g -> math.pow(n.toDouble, alpha) }
+    val totW = w.values.sum
+    val base = w.map { case (g, wi) =>
+      g -> math.floor(BigDecimal(totalBudget * wi / totW)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toInt
+    }
+    val leftover = totalBudget - base.values.sum
+    val order = counts.toSeq.sortBy { case (g, n) => (-n, g) }.map(_._1)
+    val quotas = order.zipWithIndex.map { case (g, i) =>
+      g -> math.min(counts(g).toInt, base(g) + (if (i < leftover) 1 else 0))
+    }.toMap
+    mixtureSample(docs, groupCol, idCol, quotas, salts)
+  }
+
   def mixtureSample(
       docs: DataFrame, groupCol: String, idCol: String,
       quotas: Map[String, Int], salts: Int = 32,

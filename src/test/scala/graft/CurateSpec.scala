@@ -129,6 +129,23 @@ class CurateSpec extends AnyFunSuite {
     assert(evens >= 8, s"importance weighting should dominate the sample: $a")
   }
 
+  test("temperatureMixture: alpha interpolates natural -> flat; budget conserved; caps honored") {
+    val corpus = spark.range(100).select(col("id").as("doc_id"),
+      when(col("id") < 90, "g0").when(col("id") < 99, "g1").otherwise("g2").as("source"))
+    def quotaOf(alpha: Double) = Curate
+      .temperatureMixture(corpus, "source", "doc_id", alpha, totalBudget = 20)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=1: natural proportions (90/9/1), floors + leftover to the largest
+    assert(quotaOf(1.0) == Map("g0" -> 19L, "g1" -> 1L))
+    // alpha=0: flat 20/3 each — g2 caps at its 1 existing doc
+    assert(quotaOf(0.0) == Map("g0" -> 7L, "g1" -> 7L, "g2" -> 1L))
+    // in between, the small groups gain at the big group's expense
+    val half = quotaOf(0.5)
+    assert(half("g0") < 19 && half("g1") > 1)
+    assert(half.values.sum <= 20)
+  }
+
   test("winsorize: per-group clamp semantics; approx tracks exact; broadcast plan") {
     // group a: 1..100 → p5=5.95, p95=95.05 (interpolated); outliers clamp
     // group b: constant → lo = hi, everything clamps to the constant
