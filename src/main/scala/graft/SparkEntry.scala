@@ -1198,6 +1198,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // paragraph NEAR-dup recall gate: docs 2g and 2g+1 each carry the
+    // same long planted paragraph with ONE word substituted (the
+    // boilerplate-that-varies case exact paragraph dedup misses —
+    // shingle Jaccard ≈ 0.9); the banded-LSH pipeline must find ≥ 90%
+    // of the planted (2g, 2g+1) pairs at its own threshold
+    "dedup_paragraphs_near_recall" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val g = floor(col("doc_id") / 2).cast("long")
+      def para(word: String) = concat(
+        lit("shared boilerplate paragraph number "), g.cast("string"),
+        lit(s" which continues $word more words so that five gram"),
+        lit(" shingles overlap heavily between the two planted variants"),
+        lit(" of this recurring notice across neighbouring documents"))
+      val variant = when(pmod(col("doc_id"), lit(2)) === 0,
+        para("with")).otherwise(para("plus"))
+      val planted = d.select(col("doc_id"),
+        concat(col("text"), lit("\n\n"), variant).as("text"))
+      val pairs = TextAnalysis.paragraphNearDupPairs(
+        planted, "doc_id", "text", threshold = 0.7)
+      val expected = d.agg(floor(count(lit(1)) / 2).cast("long").as("n_expected"))
+      pairs
+        .filter(col("doc2") === col("doc1") + 1
+          && pmod(col("doc1"), lit(2)) === 0 && col("pos1") === col("pos2"))
+        .agg(count(lit(1)).as("n_found"))
+        .crossJoin(expected)
+        .select(col("n_expected"),
+          (col("n_found") >= ceil(col("n_expected") * 0.9)).as("recall_ok"))
+    }),
+
     // exact-substring dedup (Lee et al. '21 ExactSubstr): the corpus
     // is unique word soup, so the gate plants a shared 10-token
     // passage in every 7th doc (its 8-token windows are duplicated
@@ -2664,6 +2693,11 @@ object SparkEntry {
 
     // span-level decontamination: DuckDB replays the plant, the eval
     // window set, positional coverage, and the ordered rebuild
+    "dedup_paragraphs_near_recall" ->
+      """SELECT CAST(floor(count(*) / 2) AS BIGINT) AS n_expected,
+        |  CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM documents""".stripMargin,
+
     "dedup_decontaminate_spans" ->
       """WITH d AS (
         |  SELECT doc_id, text ||

@@ -115,6 +115,37 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Paragraph-level NEAR-dup pairs — the fuzzy rung the paragraph
+    * granularity was missing ([[dedupParagraphs]] is exact-match
+    * keep-first; boilerplate that varies by a date stamp or a domain
+    * name escapes it). Paragraphs explode with a composite
+    * (doc, position) key packed into one long (pos bounded to 2^20 —
+    * a million paragraphs per doc — so doc ids keep 43 bits), then
+    * ride the standard MinHash+banded-LSH pipeline unchanged: same
+    * signatures, same threshold-adaptive banding, same capped
+    * buckets, same exact-Jaccard verify. Output:
+    * (doc1, pos1, doc2, pos2, sim), doc/pos decoded back.
+    */
+  def paragraphNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, minChars: Int = 30,
+      shingleN: Int = 5, numPerms: Int = 128): DataFrame = {
+    val paras = docs
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n{2,}", -1)).as(Seq("pos", "p")))
+      .filter(length(trim(col("p"))) >= minChars)
+      .select((shiftLeft(col("id"), 20).bitwiseOR(col("pos"))).as("pid"), col("p"))
+    graft.operators.Dedup
+      .minhashPairs(paras, "pid", "p", threshold, shingleN, numPerms)
+      .select(
+        shiftRight(col("id1"), 20).as("doc1"),
+        (col("id1").bitwiseAND(lit((1L << 20) - 1))).as("pos1"),
+        shiftRight(col("id2"), 20).as("doc2"),
+        (col("id2").bitwiseAND(lit((1L << 20) - 1))).as("pos2"),
+        col("jaccard"))
+      .orderBy("doc1", "pos1", "doc2", "pos2")
+  }
+
   /** Sketch form of [[topTokens]]: Misra-Gries frequent-items via the
     * native [[graft.functions.MisraGriesAgg]] aggregate. The exact
     * pass shuffles one row per DISTINCT token — the full vocabulary
