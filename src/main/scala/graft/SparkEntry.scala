@@ -509,6 +509,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus snapshot diff: "new" is the corpus with %13 docs
+    // removed, %7 texts changed, and a shifted id-range appended —
+    // the full change census crosses one (id, digest) outer join
+    "dedup_corpus_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val old = d.select(col("doc_id"), col("text"))
+      val newer = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")).as("text"))
+        .union(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("fresh crawl "), col("text")).as("text")))
+      Dedup.corpusDiff(old, newer, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // incremental exact dedup: the 80 % "landed corpus" contributes
     // only its content-hash set; the 20 % "new batch" keeps its
     // within-batch min-id representatives whose hash never landed
@@ -2112,6 +2129,24 @@ object SparkEntry {
         |FROM d ANTI JOIN bad USING (doc_id)
         |WHERE d.is_train
         |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS oh FROM documents),
+        |newer AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END) AS nh
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5('fresh crawl ' || text)
+        |  FROM documents WHERE doc_id % 11 = 0
+        |)
+        |SELECT COALESCE(old.doc_id, newer.doc_id) AS doc_id,
+        |  CASE WHEN old.doc_id IS NULL THEN 'added'
+        |       WHEN newer.doc_id IS NULL THEN 'removed'
+        |       WHEN oh = nh THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old FULL OUTER JOIN newer ON old.doc_id = newer.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH d AS (

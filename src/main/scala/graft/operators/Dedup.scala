@@ -333,6 +333,28 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Snapshot DIFF between two corpus versions — the change audit an
+    * incremental pipeline runs between crawls ("what did yesterday →
+    * today actually change"), and the input census for
+    * [[exactIncremental]]. Content identity is md5 of the text, so
+    * only (id, digest) pairs cross the one full-outer hash join —
+    * never the documents. Output: (id, status ∈
+    * added|removed|changed|unchanged), total ordering by id.
+    */
+  def corpusDiff(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__oh"))
+    val n = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__nh"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") === col("__nh"), "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy("id")
+  }
+
   /** 64-bit SimHash fingerprints over whitespace tokens: per bit,
     * majority vote of token-hash bits (xxh64, same seed as Spark
     * `xxhash64`), in one codegen'd expression
