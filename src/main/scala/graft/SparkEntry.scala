@@ -1112,6 +1112,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sentence segmentation: a planted multi-sentence suffix (incl.
+    // an unterminated tail exercising the second regex alternative);
+    // the pattern is Java∩RE2 so DuckDB replays it verbatim
+    "text_sentences" -> ((s, dir) => {
+      val plant = concat(col("text"),
+        lit(". Extra sentence here! And one more? trailing tail without end"))
+      TextAnalysis.sentences(
+        Tables.documents(s, dir).select(col("doc_id"), plant.as("t")),
+        "doc_id", "t")
+    }),
+
     // corpus heavy hitters: top-50 normalized tokens by count
     "text_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), "doc_id", "text", k = 50)),
@@ -2846,6 +2857,20 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
         |      FROM documents WHERE length(text) > 0)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_sentences" ->
+      """WITH s AS (
+        |  SELECT doc_id, regexp_extract_all(
+        |    text || '. Extra sentence here! And one more? trailing tail without end',
+        |    '[^.!?]+[.!?]+|[^.!?]+$', 0) AS ss
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(x.gs - 1 AS BIGINT) AS sent_idx,
+        |       trim(ss[x.gs]) AS sentence
+        |FROM s CROSS JOIN LATERAL
+        |  (SELECT unnest(generate_series(1, len(ss))) AS gs) x
+        |WHERE trim(ss[x.gs]) <> ''
+        |ORDER BY doc_id, sent_idx""".stripMargin,
 
     // the oracle constructs the CLEAN doc (mangled suffix already
     // repaired, composed line still decomposed) and applies its own

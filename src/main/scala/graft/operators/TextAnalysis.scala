@@ -115,6 +115,25 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Deterministic sentence segmentation: (doc_id, sent_idx,
+    * sentence), sentences being maximal runs ending in terminal
+    * punctuation (or the unterminated tail), trimmed, empties
+    * dropped. The pattern avoids lookarounds on purpose — it runs
+    * identically under Java regex and RE2, so the DuckDB oracle
+    * replays it verbatim (the same Java∩RE2 discipline as the PII and
+    * HTML chains). Scan-stage `regexp_extract_all` + posexplode, no
+    * shuffle but the output order.
+    */
+  def sentences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"regexp_extract_all(`$textCol`, '[^.!?]+[.!?]+|[^.!?]+$$', 0)").as("ss"))
+      .select(col("doc_id"), posexplode(col("ss")).as(Seq("sent_idx", "sentence")))
+      .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+        trim(col("sentence")).as("sentence"))
+      .filter(col("sentence") =!= "")
+      .orderBy("doc_id", "sent_idx")
+
   /** Paragraph-level NEAR-dup pairs — the fuzzy rung the paragraph
     * granularity was missing ([[dedupParagraphs]] is exact-match
     * keep-first; boilerplate that varies by a date stamp or a domain
