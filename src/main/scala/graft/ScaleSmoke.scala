@@ -144,6 +144,30 @@ object ScaleSmoke {
           (col("s0") + lit(600L * us)).as("iend"))
       Relational.intervalJoin(ev, "ts", iv, "istart", "iend", 600L * us).count()
     }
+    // paragraph NEAR-dup at scale: every doc pair (2g, 2g+1) plants
+    // the same long paragraph with ONE word substituted — 2M
+    // paragraphs ride the doc-level minhash machinery (adaptive
+    // banding, capped buckets, exact verify) under packed composite
+    // keys; expect >= 0.9 x n/2 planted pairs plus the synth corpus's
+    // own 1%+1% copy structure
+    timed("paragraph near-dup pairs, planted one-word variants") {
+      // md5-derived body per group: within-pair J ≈ 0.9, cross-group
+      // ≈ 0.1 — a shared template varying only by the group NUMBER
+      // made every group pair with every other (26.7M pairs at 100k
+      // docs, quadratic), which is a corpus-design lesson, not an
+      // operator bug: near-dup thresholds measure what you plant
+      val g = floor(col("doc_id") / 2).cast("long").cast("string")
+      val paraDocs = docs.select(col("doc_id"), concat(
+        col("text"), lit("\n\nnotice "), md5(g), lit(" "),
+        md5(concat(g, lit("b"))), lit(" "), md5(concat(g, lit("c"))),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(" with")).otherwise(lit(" plus")),
+        lit(" shared closing words")).as("text"))
+      val c = graft.operators.TextAnalysis
+        .paragraphNearDupPairs(paraDocs, "doc_id", "text", threshold = 0.7)
+        .count()
+      require(c >= (nDocs / 2) * 9 / 10, s"planted paragraph pairs missing: $c")
+      c
+    }
     // Misra-Gries at scale: the synth vocabulary is deliberately
     // UNIFORM (~7 occurrences per token — ALL below the err bound, so
     // "top-20" there is noise and no sketch can promise it); plant a

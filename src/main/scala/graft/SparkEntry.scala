@@ -1228,17 +1228,21 @@ object SparkEntry {
 
     // paragraph NEAR-dup recall gate: docs 2g and 2g+1 each carry the
     // same long planted paragraph with ONE word substituted (the
-    // boilerplate-that-varies case exact paragraph dedup misses —
-    // shingle Jaccard ≈ 0.9); the banded-LSH pipeline must find ≥ 90%
-    // of the planted (2g, 2g+1) pairs at its own threshold
+    // boilerplate-that-varies case exact paragraph dedup misses).
+    // The paragraph body is md5-derived PER GROUP so within-pair
+    // Jaccard ≈ 0.9 but cross-group ≈ 0.1 — a shared-template plant
+    // with only a short varying number would make EVERY group pair
+    // with every other (quadratic output, found the hard way in
+    // ScaleSmoke); the banded-LSH pipeline must find ≥ 90% of the
+    // planted (2g, 2g+1) pairs at its own threshold
     "dedup_paragraphs_near_recall" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val g = floor(col("doc_id") / 2).cast("long")
+      val g = floor(col("doc_id") / 2).cast("long").cast("string")
       def para(word: String) = concat(
-        lit("shared boilerplate paragraph number "), g.cast("string"),
-        lit(s" which continues $word more words so that five gram"),
-        lit(" shingles overlap heavily between the two planted variants"),
-        lit(" of this recurring notice across neighbouring documents"))
+        lit("notice "), md5(g), lit(" "),
+        md5(concat(g, lit("b"))), lit(" "),
+        md5(concat(g, lit("c"))),
+        lit(s" $word shared closing words"))
       val variant = when(pmod(col("doc_id"), lit(2)) === 0,
         para("with")).otherwise(para("plus"))
       val planted = d.select(col("doc_id"),
