@@ -351,6 +351,19 @@ object SparkEntry {
       Relational.sessionizeBucketed(s, d, bucketWidthMicros = 3600L * 1000000L)),
     "q_sessionize_sw" -> (Relational.sessionizeWindow _),
 
+    // windowed trending tokens through the Misra-Gries aggregate:
+    // capacity 64 >> 5 event types, so the sketch is EXACT here and
+    // the whole windowed-sketch path gets a value-level oracle (the
+    // streaming twin is batch-parity tested in StreamingSpec)
+    "q_trending" -> ((s, dir) =>
+      graft.streaming.EventStream.trendingTokens(
+          Tables.events(s, dir), "ts", "event_type",
+          windowMinutes = 360, k = 3, capacity = 64)
+        .select(col("w_start"), posexplode(col("items")).as(Seq("rank0", "it")))
+        .select(col("w_start"), (col("rank0") + 1).cast("long").as("rank"),
+          col("it.token").as("token"), col("it.est").as("est"))
+        .orderBy("w_start", "rank")),
+
     // point-in-interval join: clicks landing inside the 10-minute
     // incident window that every error event opens — the time-range
     // join Spark would otherwise plan as a BroadcastNestedLoopJoin;
@@ -1924,6 +1937,23 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_trending" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS w_start,
+        |         event_type
+        |  FROM events
+        |), c AS (
+        |  SELECT w_start, event_type AS token, count(*) AS est
+        |  FROM w GROUP BY 1, 2
+        |), r AS (
+        |  SELECT w_start, token, est,
+        |    row_number() OVER (PARTITION BY w_start
+        |      ORDER BY est DESC, token ASC) AS rank
+        |  FROM c
+        |)
+        |SELECT w_start, CAST(rank AS BIGINT) AS rank, token, est
+        |FROM r WHERE rank <= 3 ORDER BY w_start, rank""".stripMargin,
 
     "q_interval_join" ->
       """WITH iv AS (
