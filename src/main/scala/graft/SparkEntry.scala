@@ -1424,6 +1424,24 @@ object SparkEntry {
     "curate_full" -> (Curate.curateFull(_, _)),
 
     "q_split" -> ((s, dir) => Curate.splitSummary(s, dir)),
+
+    // three-way split over the same engine-portable hash bucket:
+    // train slice provably identical to the two-way 80% split
+    "q_split3" -> ((s, dir) =>
+      Curate.splitN(Tables.documents(s, dir).select("doc_id"), "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split")),
+
+    // keyed pseudonymization: stable sha256(key:id) pseudonyms —
+    // per-pseudonym event counts prove join-stability survives
+    "q_pseudonymize" -> ((s, dir) =>
+      TextAnalysis.pseudonymize(
+          Tables.events(s, dir).select(col("user_id")), "k7", Seq("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .withColumnRenamed("user_id", "pseudonym")
+        .orderBy("pseudonym")),
   )
 
   /** dedup_clusters, dedup_clusters_stars, and dedup_drop all derive
@@ -2979,6 +2997,23 @@ object SparkEntry {
         |)
         |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_split3" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS bk
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bk < 80 THEN 'train'
+        |            WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pseudonymize" ->
+      """SELECT sha256('k7:' || CAST(user_id AS VARCHAR)) AS pseudonym,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // z-order: the spread-bits stages replayed with DuckDB's 64-bit
     // integer operators (identical arithmetic by construction)

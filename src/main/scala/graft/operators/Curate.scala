@@ -206,6 +206,27 @@ object Curate {
       when(hashBucket(col(idCol)) < trainPct, "train").otherwise("eval"))
   }
 
+  /** N-way deterministic split (train/val/test and beyond): named
+    * percentage slices over the same engine-portable [[hashBucket]]
+    * as [[split]], assigned by cumulative bucket ranges in the given
+    * order — so a (80, 10, 10) three-way split's "train" slice is
+    * IDENTICAL to the two-way `split(df, id, 80)` train set, and
+    * growing one slice later only moves docs across the adjacent
+    * boundary (stable membership, the property eval sets need).
+    */
+  def splitN(df: DataFrame, idCol: String, slices: Seq[(String, Int)]): DataFrame = {
+    require(slices.nonEmpty && slices.forall(_._2 > 0),
+      "splitN needs positive percentage slices")
+    require(slices.map(_._2).sum == 100,
+      s"slice percentages must sum to 100, got ${slices.map(_._2).sum}")
+    val bounds = slices.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val b = hashBucket(col(idCol))
+    val assign = slices.zip(bounds).foldRight(lit(slices.last._1): Column) {
+      case (((name, _), hi), acc) => when(b < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
   /** Per-source quota: cap every source/domain at `maxPerSource`
     * documents, hash-ordered so the survivors are a deterministic
     * uniform sample of each source (web-scale curation's standard

@@ -265,6 +265,25 @@ object TextAnalysis {
   def redactedText(t: Column): Column =
     piiPatterns.foldLeft(t) { case (c, (_, re, repl)) => regexp_replace(c, re, repl) }
 
+  /** Keyed PSEUDONYMIZATION — the identifier-column companion to
+    * [[redactPii]]'s free-text redaction: replace each value with
+    * sha256(key ":" value), so the same user keeps ONE stable
+    * pseudonym across every table (joins and per-user analyses still
+    * work) while linkage back to the identity requires the key.
+    * Rotate the key → a fresh unlinkable pseudonym universe. Pure
+    * scan-stage built-ins, engine-portable (DuckDB sha256 replays
+    * it); at 100 TB this must be — and is — a map.
+    */
+  def pseudonymize(df: DataFrame, key: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    require(key.nonEmpty, "pseudonymize needs a non-empty key")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull, lit(null).cast("string"))
+          .otherwise(sha2(concat(lit(key), lit(":"), col(c).cast("string")), 256)))
+    }
+  }
+
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = piiPatterns.map { case (name, re, _) =>
       regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$name")

@@ -129,6 +129,21 @@ class CurateSpec extends AnyFunSuite {
     assert(evens >= 8, s"importance weighting should dominate the sample: $a")
   }
 
+  test("splitN: train slice identical to the two-way split; slices partition; bad pcts rejected") {
+    val d = docs(5000, 1)
+    val three = Curate.splitN(d, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val two = Curate.split(d, "doc_id", 80)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(three.filter(_._2 == "train") == two.filter(_._2 == "train"))
+    assert(three.values.toSet == Set("train", "val", "test"))
+    assert(three.size == 5000)
+    val e = intercept[IllegalArgumentException] {
+      Curate.splitN(d, "doc_id", Seq("a" -> 50, "b" -> 40))
+    }
+    assert(e.getMessage.contains("sum to 100"))
+  }
+
   test("temperatureMixture: alpha interpolates natural -> flat; budget conserved; caps honored") {
     val corpus = spark.range(100).select(col("id").as("doc_id"),
       when(col("id") < 90, "g0").when(col("id") < 99, "g1").otherwise("g2").as("source"))
