@@ -259,6 +259,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.nonEmpty)
   }
 
+  test("watermark drops too-late events; in-watermark late arrivals still count") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = EventStream.hourlyCounts(mem.toDF.toDF("ts", "event_type", "value"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      // batch 1: two events in hour 10, watermark advances to 11:00-1h=10:00
+      mem.addData((ts(10, 5), "click", 1.0), (ts(10, 40), "click", 2.0), (ts(11, 0), "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE hour-10 event still inside the watermark
+      // (wm = 10:00, window [10:00,11:00) not yet closed) → counts
+      mem.addData((ts(10, 50), "click", 4.0))
+      q.processAllAvailable()
+      // batch 3: advance event time far ahead — watermark passes 11:00,
+      // the hour-10 window finalizes and EMITS
+      mem.addData((ts(14, 0), "view", 1.0))
+      q.processAllAvailable()
+      // batch 4: a TOO-LATE hour-10 event (wm = 13:00 > window end) —
+      // must be dropped, no correction row, no state resurrection
+      mem.addData((ts(10, 55), "click", 100.0))
+      q.processAllAvailable()
+      mem.addData((ts(20, 0), "view", 1.0))
+      q.processAllAvailable()
+      val hour10 = spark.table("late_out")
+        .filter(col("event_type") === "click").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3)))
+      assert(hour10.toSeq == Seq((ts(10, 0), 3L, 7.0)),
+        s"hour-10 click window must contain exactly the 3 in-watermark events: ${hour10.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization equals the batch gaps-and-islands result") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
