@@ -308,7 +308,11 @@ object Curate {
       alpha: Double, totalBudget: Int, salts: Int = 32): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
     require(totalBudget > 0, s"totalBudget must be > 0, got $totalBudget")
-    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    // null-group rows carry no quota and are never selected (the
+    // quota join is an equi-join, which a null key cannot match) —
+    // filtered here so the driver-side sort never compares a null key
+    val counts = docs.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureMixture needs a non-empty corpus")
     val w = counts.map { case (g, n) => g -> math.pow(n.toDouble, alpha) }
@@ -320,7 +324,10 @@ object Curate {
     val leftover = totalBudget - base.values.sum
     val order = counts.toSeq.sortBy { case (g, n) => (-n, g) }.map(_._1)
     val quotas = order.zipWithIndex.map { case (g, i) =>
-      g -> math.min(counts(g).toInt, base(g) + (if (i < leftover) 1 else 0))
+      // cap in LONG: counts(g).toInt would wrap negative past 2^31
+      // rows and fail mixtureSample's quota validation; the min with
+      // the Int-sized quota always fits back into Int
+      g -> math.min(counts(g), (base(g) + (if (i < leftover) 1 else 0)).toLong).toInt
     }.toMap
     mixtureSample(docs, groupCol, idCol, quotas, salts)
   }

@@ -344,13 +344,19 @@ object Dedup {
   def corpusDiff(
       oldDocs: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val o = oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__oh"))
-    val n = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__nh"))
+    // presence rides its own marker: md5(NULL text) is NULL, so hash
+    // nullability must not double as the existence test (a null-text
+    // row would misreport added/removed); null-safe <=> lets two
+    // null-text rows compare as unchanged
+    val o = oldDocs.select(col(idCol).as("id"),
+      md5(col(textCol)).as("__oh"), lit(true).as("__op"))
+    val n = newDocs.select(col(idCol).as("id"),
+      md5(col(textCol)).as("__nh"), lit(true).as("__np"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("__oh").isNull, "added")
-          .when(col("__nh").isNull, "removed")
-          .when(col("__oh") === col("__nh"), "unchanged")
+        when(col("__op").isNull, "added")
+          .when(col("__np").isNull, "removed")
+          .when(col("__oh") <=> col("__nh"), "unchanged")
           .otherwise("changed").as("status"))
       .orderBy("id")
   }

@@ -265,23 +265,28 @@ object Multimodal {
 
   val resizeSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("png", BinaryType, nullable = true),
+    StructField("img", BinaryType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true)))
 
   /** IMAGE RESIZE / container normalization — the vision-model
     * preprocessing step (decode → fit-within (maxW, maxH) preserving
-    * aspect ratio, never upscaling → re-encode PNG so downstream
-    * sees ONE container regardless of source format). REAL
+    * aspect ratio, never upscaling → re-encode so downstream sees
+    * ONE container regardless of source format). REAL
     * decode+scale+encode on the JVM (`javax.imageio` + bilinear
     * `Graphics2D`), same bomb-guarded [[decodeImage]] as the hash
-    * path; undecodable payloads yield null (data, not bugs). Pixels
-    * stay inside the scan-stage `mapPartitions`; only the (smaller)
-    * re-encoded blobs flow on.
+    * path; undecodable payloads yield null (data, not bugs).
+    * Transparency composites onto WHITE (the vision-preprocessing
+    * convention — the default black canvas would invert every
+    * white-on-transparent logo for downstream hashing). `format` is
+    * `png` (lossless; can be LARGER than a photographic JPEG input)
+    * or `jpg` (lossy, compact for photos — the web-corpus default
+    * trade). Pixels stay inside the scan-stage `mapPartitions`.
     */
   def resizeImages(docs: DataFrame, idCol: String, payloadCol: String,
-      maxW: Int, maxH: Int): DataFrame = {
+      maxW: Int, maxH: Int, format: String = "png"): DataFrame = {
     require(maxW >= 1 && maxH >= 1, s"target must be >= 1x1, got ${maxW}x$maxH")
+    require(Set("png", "jpg").contains(format), s"format must be png or jpg, got $format")
     val in = docs.select(col(idCol).cast(LongType).as("doc_id"),
       col(payloadCol).as("payload"))
     val outRdd = InternalRowBridge.toInternalRdd(in).mapPartitions { it =>
@@ -296,12 +301,17 @@ object Multimodal {
               java.awt.image.BufferedImage.TYPE_INT_RGB)
             val g = dst.createGraphics()
             try {
+              // composite transparency onto white, not the default
+              // black canvas (a white-on-transparent logo must not
+              // invert for downstream perceptual hashing)
+              g.setColor(java.awt.Color.WHITE)
+              g.fillRect(0, 0, tw, th)
               g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
                 java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
               g.drawImage(img, 0, 0, tw, th, null)
             } finally g.dispose()
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(dst, "png", bos)
+            javax.imageio.ImageIO.write(dst, format, bos)
             (bos.toByteArray, tw, th)
           }
           new GenericInternalRow(Array[Any](id,

@@ -143,17 +143,28 @@ object TextAnalysis {
     * ride the standard MinHash+banded-LSH pipeline unchanged: same
     * signatures, same threshold-adaptive banding, same capped
     * buckets, same exact-Jaccard verify. Output:
-    * (doc1, pos1, doc2, pos2, sim), doc/pos decoded back.
+    * (doc1, pos1, doc2, pos2, jaccard), doc/pos decoded back.
+    * A row outside the packable range (id ∉ [0, 2^43), pos ≥ 2^20 —
+    * positions count BEFORE the minChars filter) fails with a named
+    * raise_error instead of silently corrupting pair identities.
     */
   def paragraphNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, minChars: Int = 30,
       shingleN: Int = 5, numPerms: Int = 128): DataFrame = {
+    val packed =
+      when(col("id") < 0 || col("id") >= lit(1L << 43), raise_error(concat(
+        lit("paragraphNearDupPairs: doc id outside packable [0, 2^43): "),
+        col("id").cast("string"))))
+      .when(col("pos") >= lit(1 << 20), raise_error(concat(
+        lit("paragraphNearDupPairs: >= 2^20 paragraphs in doc "),
+        col("id").cast("string"))))
+      .otherwise(shiftLeft(col("id"), 20).bitwiseOR(col("pos")))
     val paras = docs
       .select(col(idCol).cast("long").as("id"),
         posexplode(split(col(textCol), "\n{2,}", -1)).as(Seq("pos", "p")))
       .filter(length(trim(col("p"))) >= minChars)
-      .select((shiftLeft(col("id"), 20).bitwiseOR(col("pos"))).as("pid"), col("p"))
+      .select(packed.as("pid"), col("p"))
     graft.operators.Dedup
       .minhashPairs(paras, "pid", "p", threshold, shingleN, numPerms)
       .select(

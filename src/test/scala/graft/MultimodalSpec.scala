@@ -376,7 +376,7 @@ class MultimodalSpec extends AnyFunSuite {
     }
     // already-small images pass through at original dims (no upscale)
     val small = Multimodal.resizeImages(imgs, "doc_id", "payload", 1024, 1024)
-      .filter(col("png").isNotNull).select("width", "height")
+      .filter(col("img").isNotNull).select("width", "height")
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(small == Set((64, 32)))
   }
