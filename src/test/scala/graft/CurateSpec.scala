@@ -129,6 +129,26 @@ class CurateSpec extends AnyFunSuite {
     assert(evens >= 8, s"importance weighting should dominate the sample: $a")
   }
 
+  test("pseudonymize: stable across tables, null passthrough, key rotation unlinks") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val a = Seq((Some(7L), "x"), (None, "y"), (Some(8L), "z")).toDF("uid", "v")
+    val b = Seq((Some(7L), 1.0)).toDF("uid", "w")
+    val pa = TextAnalysis.pseudonymize(a, "k1", Seq("uid")).collect()
+      .map(r => Option(r.getString(0)) -> r.getString(1)).toMap
+    val pb = TextAnalysis.pseudonymize(b, "k1", Seq("uid")).head().getString(0)
+    // same identity under the same key -> same pseudonym across tables
+    assert(pa.keySet.flatten.contains(pb))
+    // null identity stays null (no phantom pseudonym for missing data)
+    assert(pa.contains(None))
+    // rotating the key yields a disjoint pseudonym universe
+    val rotated = TextAnalysis.pseudonymize(a, "k2", Seq("uid")).collect()
+      .flatMap(r => Option(r.getString(0))).toSet
+    assert(rotated.intersect(pa.keySet.flatten).isEmpty)
+    // pseudonyms are 64-char hex sha256 digests, never the raw id
+    assert(pa.keySet.flatten.forall(p => p.length == 64 && p.matches("[0-9a-f]+")))
+  }
+
   test("splitN: train slice identical to the two-way split; slices partition; bad pcts rejected") {
     val d = docs(5000, 1)
     val three = Curate.splitN(d, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
