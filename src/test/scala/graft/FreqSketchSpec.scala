@@ -66,6 +66,28 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("x", 3L), ("y", 2L)))
   }
 
+  test("serde round-trip: empty and populated states survive the aggregate's own serialize") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = graft.functions.MisraGriesAgg(
+      BoundReference(0, StringType, nullable = true), k = 4, capacity = 8)
+    val empty = agg.createAggregationBuffer()
+    val emptyBack = agg.deserialize(agg.serialize(empty))
+    assert(emptyBack.counts.isEmpty && emptyBack.err == 0L)
+    val st = agg.createAggregationBuffer()
+    st.counts.put(UTF8String.fromString("a"), Array(5L))
+    st.counts.put(UTF8String.fromString("ü"), Array(2L))  // multi-byte key
+    st.err = 3L
+    val back = agg.deserialize(agg.serialize(st))
+    assert(back.err == 3L && back.counts.size == 2)
+    assert(back.counts.get(UTF8String.fromString("a"))(0) == 5L)
+    assert(back.counts.get(UTF8String.fromString("ü"))(0) == 2L)
+    // merging a deserialized state behaves like the original
+    val merged = agg.merge(agg.createAggregationBuffer(), back)
+    assert(merged.counts.size == 2 && merged.err == 3L)
+  }
+
   test("nulls and empty input: no entries, zero err") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

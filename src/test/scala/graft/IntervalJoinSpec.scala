@@ -130,6 +130,17 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(auto == naivePairs)
   }
 
+  test("empty sides produce empty results, never errors") {
+    import spark.implicits._
+    val noPts = Seq.empty[(Long, Long)].toDF("pid", "pt")
+    val noIvs = Seq.empty[(Long, Long, Long)].toDF("iid", "istart", "iend")
+    assert(Relational.intervalJoin(noPts, "pt", ivs, "istart", "iend", 10L).count() == 0)
+    assert(Relational.intervalJoin(pts, "pt", noIvs, "istart", "iend", 10L).count() == 0)
+    assert(Relational.intervalOverlapJoin(noIvs, "istart", "iend",
+      ivs.select(col("iid").as("jid"), col("istart").as("js"), col("iend").as("je")),
+      "js", "je", 10L).count() == 0)
+  }
+
   test("null timestamps and null bounds never match (SQL join semantics)") {
     import spark.implicits._
     val p = Seq((1L, Some(150L)), (2L, None)).toDF("pid", "pt")

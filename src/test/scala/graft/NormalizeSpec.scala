@@ -117,6 +117,18 @@ class NormalizeSpec extends AnyFunSuite {
     assert(out == "ascii header line\n" + clean + "\ncafé stays\n😀 emoji\n中文 line")
   }
 
+  test("mojibake: a truncated mangled tail fails the strict decode and stays untouched") {
+    // chop the final byte of a mangled sequence: the cp1252 re-encode
+    // then yields an invalid UTF-8 tail, the strict decoder REPORTs,
+    // and the provable-case rule keeps the text as-is (no partial fix)
+    val clean = "café"
+    val mangled = new String(clean.getBytes("UTF-8"), "windows-1252")
+    val truncated = mangled.substring(0, mangled.length - 1)
+    val out = Seq((1L, "body " + truncated)).toDF("id", "t")
+      .select(TextAnalysis.fixMojibake(col("t"))).as[String].head()
+    assert(out == "body " + truncated)
+  }
+
   // -------- C4 line filter --------
 
   test("c4 line filter: each rule drops exactly its line; keep_doc at the 3-line bar") {
