@@ -101,4 +101,52 @@ object syntax {
       else Similarity.matmul(df, embCol, cx)
     }
   }
+
+  /** Pipeline-side ergonomics — the operators a curation job chains
+    * most, as extension methods so a pipeline reads as one fluent
+    * expression:
+    *
+    * {{{
+    * import graft.syntax._
+    * docs.hygiene("text")                       // mojibake → NFC → C4
+    *   .dedupExact("doc_id", "text")
+    *   .winsorize("source", "n_chars")
+    *   .splitN("doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    * }}}
+    */
+  implicit class PipelineOps(private val df: DataFrame) extends AnyVal {
+    import org.apache.spark.sql.functions.col
+
+    /** Normalization front door as one column rewrite: per-line
+      * mojibake repair → NFC → C4 line rules; replaces `textCol` with
+      * the cleaned text and appends the C4 `keep_doc` flag.
+      */
+    def hygiene(textCol: String, minWords: Int = 3): DataFrame = {
+      val fixed = operators.TextAnalysis.normalizeUnicode(
+        operators.TextAnalysis.fixMojibake(col(textCol)), "NFC")
+      val c4 = operators.TextAnalysis.c4Struct(fixed, minWords)
+      df.withColumn("__c4", c4)
+        .withColumn(textCol, col("__c4.clean"))
+        .withColumn("keep_doc", col("__c4.keep_doc"))
+        .drop("__c4")
+    }
+
+    def dedupExact(idCol: String, textCol: String): DataFrame =
+      operators.Dedup.exact(df, idCol, textCol)
+
+    def winsorize(groupCol: String, valCol: String,
+        pLo: Double = 0.05, pHi: Double = 0.95): DataFrame =
+      operators.Curate.winsorize(df, groupCol, valCol, pLo, pHi)
+
+    def splitN(idCol: String, slices: Seq[(String, Int)]): DataFrame =
+      operators.Curate.splitN(df, idCol, slices)
+
+    def pseudonymize(key: String, cols: Seq[String]): DataFrame =
+      operators.TextAnalysis.pseudonymize(df, key, cols)
+
+    def intervalJoin(pointTsCol: String, intervals: DataFrame,
+        startCol: String, endCol: String, bucketWidthMicros: Long): DataFrame =
+      operators.Relational.intervalJoin(
+        df, pointTsCol, intervals, startCol, endCol, bucketWidthMicros)
+  }
 }

@@ -62,4 +62,31 @@ class SyntaxSpec extends AnyFunSuite {
       queries.pmmTopkFlat("embedding", cx, k = 1, metric = "manhattan"))
     assert(err.getMessage.contains("Unknown metric"))
   }
+
+  test("pipeline ops chain fluently and match their operator forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mangled = new String("café!".getBytes("UTF-8"), "windows-1252")
+    val docs = Seq(
+      (1L, s"A good first sentence here.\nbad { line }\n$mangled ok fine then.", "s0", 10L),
+      (2L, "Another fine sentence stays.\nshort\nAnd one more good line here.", "s1", 99L),
+      (3L, "Another fine sentence stays.\nshort\nAnd one more good line here.", "s1", 50L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = docs.hygiene("text")
+      .winsorize("source", "n_chars")
+      .splitN("doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .pseudonymize("k1", Seq("source"))
+    assert(out.columns.toSet.contains("keep_doc") && out.columns.toSet.contains("n_chars_w"))
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[String]("text").contains("café! ok fine then."))
+    assert(!rows(1L).getAs[String]("text").contains("{"))
+    assert(rows.values.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+    assert(rows.values.forall(_.getAs[String]("source").length == 64))
+    // dedupExact keeps one of the identical docs 2/3
+    assert(docs.dedupExact("doc_id", "text").count() == 2)
+    // intervalJoin syntax routes to the operator
+    val pts = Seq((1L, 100L)).toDF("pid", "pt")
+    val ivs = Seq((9L, 50L, 150L)).toDF("iid", "istart", "iend")
+    assert(pts.intervalJoin("pt", ivs, "istart", "iend", 100L).count() == 1)
+  }
 }
