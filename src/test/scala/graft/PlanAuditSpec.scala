@@ -119,6 +119,32 @@ class PlanAuditSpec extends AnyFunSuite {
       "curate winner must partial-aggregate map-side")
   }
 
+  test("round-7-late scan-stage claims: winsorize broadcast bounds, pseudonymize map-only, hygiene one scan") {
+    // q_winsorize: the corpus side crosses no exchange — the bounds
+    // table broadcasts back; the only exchanges are the percentile
+    // agg's own (over the tiny bounds path) and the output sort
+    val pw = plan("q_winsorize")
+    assert(pw.contains("BroadcastHashJoin"),
+      s"winsorize must broadcast its bounds:\n$pw")
+    assert(!pw.contains("SortMergeJoin") && !pw.contains("ShuffledHashJoin"),
+      "winsorize corpus side must not shuffle for the join")
+    // q_pseudonymize: sha256 is a scan-stage projection; exchanges are
+    // the groupBy (partial-aggregated) and the output sort only
+    val pp = plan("q_pseudonymize")
+    assert(pp.contains("partial_count") || pp.contains("HashAggregate"),
+      "pseudonymize counts must partial-aggregate map-side")
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"))
+    // curate_hygiene: the whole repair→NFC→C4 chain is ONE projection
+    // over the scan — no join, no window, no mid-chain exchange (the
+    // only exchange is the final orderBy's range partitioning)
+    val ph = plan("curate_hygiene")
+    assert(!ph.contains("Join") && !ph.contains("Window"),
+      s"hygiene chain must stay join/window-free:\n$ph")
+    val hygieneExchanges = "\\(\\d+\\) Exchange".r.findAllIn(ph).length
+    assert(hygieneExchanges <= 1,
+      s"hygiene should only exchange for the output sort, saw $hygieneExchanges")
+  }
+
   test("round-7 window-skew sweep: no content-keyed window anywhere in the dedup/ANN paths") {
     // The dedupParagraphs rule, applied everywhere a window used to
     // key on CONTENT (hash, paragraph, LSH bucket): the hot key such
