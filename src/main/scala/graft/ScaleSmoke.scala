@@ -461,7 +461,11 @@ object ScaleSmoke {
     val sq8EnvDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SQ8_DOCS", "0").toLong
     if (sq8EnvDocs > 0) {
       val dim = 256
-      val blocks = 8
+      // block count scales with the corpus so a block's f64 exact pack
+      // stays ~2.5 GB: 8 blocks at the 4M point, 16+ at 10M (round-7
+      // verdict #7 — the blocked+quantized composition past the
+      // single-broadcast envelope at 10M×256)
+      val blocks = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SQ8_BLOCKS", "8").toInt
       // cached: both topkBlocked passes collect every hash-mod block,
       // and without the cache each of the 16 collects re-runs the
       // 256-hash-per-row synthetic generation

@@ -224,7 +224,15 @@ object Curate {
     val assign = slices.zip(bounds).foldRight(lit(slices.last._1): Column) {
       case (((name, _), hi), acc) => when(b < hi, name).otherwise(acc)
     }
-    df.withColumn("split", assign)
+    // a null id has no hash bucket — the foldRight's otherwise would
+    // silently file it into the LAST slice (the test set, for a
+    // train/val/test split: eval contamination). Membership requires
+    // an id; name the row instead (the paragraphNearDupPairs
+    // convention for unusable keys).
+    df.withColumn("split",
+      when(col(idCol).isNull, raise_error(lit(
+        s"splitN: null $idCol — split membership is a pure function of the id; " +
+          "drop or key null-id rows before splitting"))).otherwise(assign))
   }
 
   /** Per-source quota: cap every source/domain at `maxPerSource`
@@ -269,9 +277,16 @@ object Curate {
       .agg(pct(pLo).as("__lo"), pct(pHi).as("__hi"))
     // LEFT join: an inner join would silently DROP null-group rows
     // (null never equi-matches) — a calibration pass must not filter;
-    // null-group rows keep a null <valCol>_w instead
+    // null-group rows pass through UNCLAMPED (raw value). The clamp is
+    // guarded because Spark's least/greatest SKIP nulls rather than
+    // propagate them: unguarded, a null-group row would keep its raw
+    // value while the comment claimed null, and worse, a NULL valCol
+    // under non-null bounds would collapse to least(greatest(null,lo),
+    // hi) = lo — fabricating a p5 score for a missing value.
     df.join(broadcast(bounds), Seq(groupCol), "left")
-      .withColumn(valCol + "_w", least(greatest(v, col("__lo")), col("__hi")))
+      .withColumn(valCol + "_w",
+        when(v.isNull || col("__lo").isNull, v)
+          .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 
@@ -301,19 +316,45 @@ object Curate {
     * floor(round(budget·w/W, 6)) so the float pow cannot flip a floor
     * across engines — the DuckDB oracle replays the same formula.
     * Leftover budget from flooring goes to the largest groups first
-    * (deterministic, count-then-name order).
+    * (deterministic, count-then-name order). A group whose quota is
+    * CAPPED at its own row count absorbs no leftover and returns its
+    * unused budget to nobody — when caps bind, the returned sample
+    * deliberately UNDERSHOOTS `totalBudget` (the one-pass formula the
+    * DuckDB oracle replays exactly; a redistribution waterfill would
+    * be iterative and engine-divergent). With `totalBudget` at or
+    * below every group's capacity no cap binds and the sample is
+    * exactly `totalBudget` (CurateSpec pins both behaviors).
+    *
+    * The per-group count collect is VALVED at `maxGroups` (the
+    * [[mixtureSample]] planning-bound convention): a per-domain
+    * grouping at 100 TB has millions of groups, and an unbounded
+    * collect + the O(G log G) driver sort below is the driver-OOM
+    * shape every other collect in this repo guards against.
     */
   def temperatureMixture(
       docs: DataFrame, groupCol: String, idCol: String,
-      alpha: Double, totalBudget: Int, salts: Int = 32): DataFrame = {
+      alpha: Double, totalBudget: Int, salts: Int = 32,
+      maxGroups: Int = 5000): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
     require(totalBudget > 0, s"totalBudget must be > 0, got $totalBudget")
+    require(maxGroups > 0, s"maxGroups must be > 0, got $maxGroups")
+    require(docs.schema(groupCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"temperatureMixture needs a string group column (quotas key on the " +
+        s"group's string value); `$groupCol` is " +
+        s"${docs.schema(groupCol).dataType.simpleString} — cast it first")
     // null-group rows carry no quota and are never selected (the
     // quota join is an equi-join, which a null key cannot match) —
     // filtered here so the driver-side sort never compares a null key
-    val counts = docs.filter(col(groupCol).isNotNull)
+    val grows = docs.filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .limit(maxGroups + 1)
+      .collect()
+    require(grows.length <= maxGroups,
+      s"temperatureMixture: more than $maxGroups distinct `$groupCol` groups — " +
+        "a driver-side quota table at that cardinality is a planning hazard; " +
+        "raise maxGroups deliberately or bucket the groups first")
+    val counts = grows.map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureMixture needs a non-empty corpus")
     val w = counts.map { case (g, n) => g -> math.pow(n.toDouble, alpha) }
     val totW = w.values.sum
@@ -465,13 +506,18 @@ object Curate {
       nBuckets: Int = 4096): Array[Double] = {
     require(nBuckets >= 2 && nBuckets <= (1 << 20),
       s"nBuckets must be in [2, 2^20], got $nBuckets")
-    def bucketCounts(df: DataFrame): Map[Int, Long] =
+    // ONE job for both distributions: the sides union with a tag and
+    // share the bounded groupBy (2·nBuckets result rows). Two separate
+    // jobs paid Spark's scheduling floor twice and — when target is a
+    // filter of raw, the common carve — scanned the corpus twice.
+    def tagged(df: DataFrame, side: Int) =
       df.select(explode(featureGrams(col(textCol))).as("g"))
-        .select(featureBucket(col("g"), nBuckets).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val tc = bucketCounts(target)
-    val rc = bucketCounts(raw)
+        .select(lit(side).as("s"), featureBucket(col("g"), nBuckets).as("b"))
+    val both = tagged(target, 0).unionAll(tagged(raw, 1))
+      .groupBy("s", "b").agg(count(lit(1)).as("c"))
+      .collect()
+    val tc = both.filter(_.getInt(0) == 0).map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val rc = both.filter(_.getInt(0) == 1).map(r => r.getInt(1) -> r.getLong(2)).toMap
     val tN = tc.values.sum.toDouble + nBuckets
     val rN = rc.values.sum.toDouble + nBuckets
     Array.tabulate(nBuckets) { b =>

@@ -738,23 +738,45 @@ object Relational {
       s"interval join requires disjoint column names; both sides have: ${dup.mkString(", ")}")
   }
 
+  /** Bucket KEY for an epoch-micros column: the bucket's start micros,
+    * `u - pmod(u, w)` — EXACT long arithmetic (pmod handles negative
+    * micros with a non-negative remainder, so this is true floor
+    * alignment). The earlier `floor(u / w.toDouble)` form was exact
+    * only inside double's 2^53 integer range: the year-9999
+    * "never expires" sentinel (~2.5e17 micros) rounds by up to ~32 µs
+    * in the long→double conversion, which can shift floor across a
+    * bucket boundary and silently drop a boundary-bucket containing
+    * pair. Bucket-start keys are bijective with bucket indices for a
+    * fixed width, so join semantics are unchanged.
+    */
+  private[graft] def bucketKey(u: Column, wMicros: Long): Column =
+    u - pmod(u, lit(wMicros))
+
   /** Guarded bucket-range column for the interval explodes: one
     * malformed row (an interval of years against a width of seconds —
     * the epoch-0 sentinel, the year-9999 "never expires" row) would
     * otherwise blow the sequence() array limit with an opaque
     * executor error mid-shuffle. `raise_error` names the row and the
     * fix instead; the branch costs one comparison next to the explode.
+    * Elements are [[bucketKey]] bucket-start micros (exact longs),
+    * stepped by the width.
     */
-  private[graft] def bucketSeq(startU: Column, endU: Column, w: Column,
+  private[graft] def bucketSeq(startU: Column, endU: Column, wMicros: Long,
       maxBuckets: Int): Column = {
-    val lo = floor(startU / w)
-    val hi = floor(endU / w)
-    when(hi - lo >= maxBuckets, raise_error(concat(
+    val lo = bucketKey(startU, wMicros)
+    val hi = bucketKey(endU, wMicros)
+    // the guard compares SPANS IN MICROS (exact; equivalent to the old
+    // index comparison), with the cap saturated so a width past
+    // Long.MaxValue/maxBuckets cannot overflow the literal
+    val capMicros =
+      if (wMicros > Long.MaxValue / maxBuckets) Long.MaxValue
+      else wMicros * maxBuckets
+    when(hi - lo >= capMicros, raise_error(concat(
         lit(s"interval spans >= $maxBuckets buckets (start micros "),
         startU, lit(", end micros "), endU,
         lit("); raise bucketWidthMicros toward the typical interval length, " +
           "or raise maxBucketsPerInterval if the replication cost is intended"))))
-      .otherwise(sequence(lo, hi))
+      .otherwise(sequence(lo, hi, lit(wMicros)))
   }
 
   /** Auto bucket width: the p75 interval length (one bounded
@@ -809,18 +831,15 @@ object Relational {
     require(maxBucketsPerInterval > 0,
       s"maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
     requireDisjoint(points, intervals)
-    // floor() over double division is exact here: event-time micros
-    // (~1.7e15) sit far inside double's 2^53 integer range
-    val w = lit(bucketWidthMicros.toDouble)
     val p = points
       .withColumn("__pu", tsNumeric(points, pointTsCol))
-      .withColumn("__pb", floor(col("__pu") / w))
+      .withColumn("__pb", bucketKey(col("__pu"), bucketWidthMicros))
     val iv = intervals
       .filter(col(startCol) <= col(endCol))
       .withColumn("__su", tsNumeric(intervals, startCol))
       .withColumn("__eu", tsNumeric(intervals, endCol))
       .withColumn("__ib", explode(bucketSeq(
-        col("__su"), col("__eu"), w, maxBucketsPerInterval)))
+        col("__su"), col("__eu"), bucketWidthMicros, maxBucketsPerInterval)))
     p.join(iv, col("__pb") === col("__ib")
         && col("__pu") >= col("__su") && col("__pu") <= col("__eu"))
       .drop("__pb", "__ib", "__pu", "__su", "__eu")
@@ -845,20 +864,20 @@ object Relational {
     require(maxBucketsPerInterval > 0,
       s"maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
     requireDisjoint(a, b)
-    val w = lit(bucketWidthMicros.toDouble)
     val ae = a.filter(col(aStartCol) <= col(aEndCol))
       .withColumn("__as", tsNumeric(a, aStartCol))
       .withColumn("__ae", tsNumeric(a, aEndCol))
       .withColumn("__ab", explode(bucketSeq(
-        col("__as"), col("__ae"), w, maxBucketsPerInterval)))
+        col("__as"), col("__ae"), bucketWidthMicros, maxBucketsPerInterval)))
     val be = b.filter(col(bStartCol) <= col(bEndCol))
       .withColumn("__bs", tsNumeric(b, bStartCol))
       .withColumn("__be", tsNumeric(b, bEndCol))
       .withColumn("__bb", explode(bucketSeq(
-        col("__bs"), col("__be"), w, maxBucketsPerInterval)))
+        col("__bs"), col("__be"), bucketWidthMicros, maxBucketsPerInterval)))
     val joined = ae.join(be, col("__ab") === col("__bb")
       && col("__as") <= col("__be") && col("__bs") <= col("__ae"))
-    val firstOverlapBucket = floor(greatest(col("__as"), col("__bs")) / w)
+    val firstOverlapBucket =
+      bucketKey(greatest(col("__as"), col("__bs")), bucketWidthMicros)
     joined.filter(col("__ab") === firstOverlapBucket)
       .drop("__ab", "__bb", "__as", "__ae", "__bs", "__be")
   }

@@ -193,6 +193,41 @@ object Sink {
       .json(path)
   }
 
+  /** Publish an index directory ATOMICALLY: run `write` against a
+    * hidden temp sibling of `path`, then rename the finished temp
+    * into place. The index writers produce TWO datasets (vectors/ +
+    * meta/); written directly, a failure between them leaves a
+    * partial index that is both unreadable (one half missing) and
+    * unretryable (with overwrite=false the retry trips ErrorIfExists
+    * on the half that did land) — manual cleanup either way. With
+    * the rename, `path` either does not exist or holds a complete
+    * index. Same-directory rename is atomic on HDFS and a metadata
+    * move on a posix FS; object stores degrade to copy+delete but
+    * still publish both halves together. The temp dir is removed on
+    * failure, so a retry always starts clean.
+    */
+  private def publishAtomically(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      overwrite: Boolean)(write: String => Unit): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(dest)
+    if (fs.exists(qualified) && !overwrite)
+      throw new IllegalStateException(
+        s"index path $path already exists; pass overwrite=true to replace it")
+    val tmp = new org.apache.hadoop.fs.Path(qualified.getParent,
+      s".${qualified.getName}.__tmp__${java.util.UUID.randomUUID().toString.take(8)}")
+    var ok = false
+    try {
+      write(tmp.toString)
+      if (fs.exists(qualified)) fs.delete(qualified, true)
+      require(fs.rename(tmp, qualified),
+        s"publishing index: rename $tmp -> $qualified failed")
+      ok = true
+    } finally if (!ok) fs.delete(tmp, true)
+  }
+
   /** Persist an SQ8 index — train/quantize ONCE, serve every later
     * batch or stream without re-reading the raw embeddings (a real
     * index outlives the job that built it; today's alternative
@@ -210,27 +245,27 @@ object Sink {
       spark: org.apache.spark.sql.SparkSession,
       cx: graft.operators.Similarity.CorpusIndexSq8,
       path: String,
-      overwrite: Boolean = false): Unit = {
-    import spark.implicits._
-    val mode = if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists
-    // rows build EXECUTOR-side from one broadcast of the index — a
-    // driver-materialized per-vector Seq would transiently double the
-    // index's memory right at the broadcast-envelope ceiling
-    val slices = math.max(1, (cx.n.toLong * cx.dim / (64L << 20)).toInt)
-    val bc = spark.sparkContext.broadcast(cx)
-    try {
-      spark.sparkContext.parallelize(0 until cx.n, slices).map { j =>
-        val c = bc.value
-        (j, c.ids(j),
-          java.util.Arrays.copyOfRange(c.codes, j * c.dim, (j + 1) * c.dim),
-          c.norms(j), c.sqNorms(j))
-      }.toDF("idx", "id", "code", "norm", "sq_norm")
-        .write.mode(mode).parquet(s"$path/vectors")
-    } finally bc.destroy()
-    Seq((cx.n, cx.dim, cx.dimMin.toSeq, cx.dimScale.toSeq))
-      .toDF("n", "dim", "dim_min", "dim_scale")
-      .write.mode(mode).parquet(s"$path/meta")
-  }
+      overwrite: Boolean = false): Unit =
+    publishAtomically(spark, path, overwrite) { tmp =>
+      import spark.implicits._
+      // rows build EXECUTOR-side from one broadcast of the index — a
+      // driver-materialized per-vector Seq would transiently double the
+      // index's memory right at the broadcast-envelope ceiling
+      val slices = math.max(1, (cx.n.toLong * cx.dim / (64L << 20)).toInt)
+      val bc = spark.sparkContext.broadcast(cx)
+      try {
+        spark.sparkContext.parallelize(0 until cx.n, slices).map { j =>
+          val c = bc.value
+          (j, c.ids(j),
+            java.util.Arrays.copyOfRange(c.codes, j * c.dim, (j + 1) * c.dim),
+            c.norms(j), c.sqNorms(j))
+        }.toDF("idx", "id", "code", "norm", "sq_norm")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/vectors")
+      } finally bc.destroy()
+      Seq((cx.n, cx.dim, cx.dimMin.toSeq, cx.dimScale.toSeq))
+        .toDF("n", "dim", "dim_min", "dim_scale")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+    }
 
   /** Persist an IVF+PQ index — the composition whose whole point is
     * "train the expensive parts once" (coarse cells + residual
@@ -246,30 +281,30 @@ object Sink {
       spark: org.apache.spark.sql.SparkSession,
       ix: graft.operators.Similarity.CorpusIndexIvfPq,
       path: String,
-      overwrite: Boolean = false): Unit = {
-    import spark.implicits._
-    val mode = if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists
-    val sq8 = ix.sq8
-    val bytesPerRow = ix.m + sq8.map(_ => ix.dim).getOrElse(0)
-    val slices = math.max(1, (ix.n.toLong * bytesPerRow / (64L << 20)).toInt)
-    val bc = spark.sparkContext.broadcast(ix)
-    try {
-      spark.sparkContext.parallelize(0 until ix.n, slices).map { j =>
-        val x = bc.value
-        val s8 = x.sq8
-        (j, x.ids(j),
-          java.util.Arrays.copyOfRange(x.codes, j * x.m, (j + 1) * x.m),
-          x.cellOf(j),
-          s8.map(s => java.util.Arrays.copyOfRange(s.codes, j * x.dim, (j + 1) * x.dim)),
-          s8.map(s => s.norms(j)), s8.map(s => s.sqNorms(j)))
-      }.toDF("idx", "id", "code", "cell", "sq8_code", "sq8_norm", "sq8_sq_norm")
-        .write.mode(mode).parquet(s"$path/vectors")
-    } finally bc.destroy()
-    Seq((ix.n, ix.dim, ix.m, ix.nCells,
-        ix.centroids.toSeq, ix.codebooks.toSeq,
-        sq8.map(_.dimMin.toSeq), sq8.map(_.dimScale.toSeq)))
-      .toDF("n", "dim", "m", "n_cells", "centroids", "codebooks",
-        "sq8_dim_min", "sq8_dim_scale")
-      .write.mode(mode).parquet(s"$path/meta")
-  }
+      overwrite: Boolean = false): Unit =
+    publishAtomically(spark, path, overwrite) { tmp =>
+      import spark.implicits._
+      val sq8 = ix.sq8
+      val bytesPerRow = ix.m + sq8.map(_ => ix.dim).getOrElse(0)
+      val slices = math.max(1, (ix.n.toLong * bytesPerRow / (64L << 20)).toInt)
+      val bc = spark.sparkContext.broadcast(ix)
+      try {
+        spark.sparkContext.parallelize(0 until ix.n, slices).map { j =>
+          val x = bc.value
+          val s8 = x.sq8
+          (j, x.ids(j),
+            java.util.Arrays.copyOfRange(x.codes, j * x.m, (j + 1) * x.m),
+            x.cellOf(j),
+            s8.map(s => java.util.Arrays.copyOfRange(s.codes, j * x.dim, (j + 1) * x.dim)),
+            s8.map(s => s.norms(j)), s8.map(s => s.sqNorms(j)))
+        }.toDF("idx", "id", "code", "cell", "sq8_code", "sq8_norm", "sq8_sq_norm")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/vectors")
+      } finally bc.destroy()
+      Seq((ix.n, ix.dim, ix.m, ix.nCells,
+          ix.centroids.toSeq, ix.codebooks.toSeq,
+          sq8.map(_.dimMin.toSeq), sq8.map(_.dimScale.toSeq)))
+        .toDF("n", "dim", "m", "n_cells", "centroids", "codebooks",
+          "sq8_dim_min", "sq8_dim_scale")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+    }
 }

@@ -160,19 +160,22 @@ object EventStream {
     require(maxBucketsPerInterval > 0,
       s"maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
     graft.operators.Relational.requireDisjoint(events, intervals)
-    val w = lit(bucketWidthMicros.toDouble)
     // the SAME unit rule as the batch joins (Relational.tsNumeric):
     // timestamps (tz or ntz — some testdata parquet carries ntz) via
     // unix_micros, numerics interpreted AS micros; containment
-    // compares the micros forms, never mixed raw types
+    // compares the micros forms, never mixed raw types. Bucket keys
+    // are Relational.bucketKey's exact-long bucket-start micros (the
+    // batch joins' arithmetic — shared so a long column means the
+    // same bucket on both paths).
     val iv = broadcast(intervals
       .filter(col(startCol) <= col(endCol))
       .withColumn("__su", graft.operators.Relational.tsNumeric(intervals, startCol))
       .withColumn("__eu", graft.operators.Relational.tsNumeric(intervals, endCol))
       .withColumn("__ib", explode(graft.operators.Relational.bucketSeq(
-        col("__su"), col("__eu"), w, maxBucketsPerInterval))))
+        col("__su"), col("__eu"), bucketWidthMicros, maxBucketsPerInterval))))
     events.withColumn("__pu", graft.operators.Relational.tsNumeric(events, tsCol))
-      .withColumn("__pb", floor(col("__pu") / w))
+      .withColumn("__pb", graft.operators.Relational.bucketKey(
+        col("__pu"), bucketWidthMicros))
       .join(iv, col("__pb") === col("__ib")
         && col("__pu") >= col("__su") && col("__pu") <= col("__eu"))
       .drop("__pb", "__ib", "__pu", "__su", "__eu")

@@ -164,6 +164,70 @@ class CurateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sum to 100"))
   }
 
+  test("splitN: a null id is an error, not a silent test-set member") {
+    // pre-fix, the foldRight's otherwise filed null-id rows into the
+    // LAST slice — eval contamination for a train/val/test split
+    val d = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    val e = intercept[Exception] {
+      Curate.splitN(d, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .collect()
+    }
+    assert(e.getMessage.contains("null doc_id"), e.getMessage)
+  }
+
+  test("temperatureMixture: group valve, string-key contract, documented undershoot") {
+    // more groups than maxGroups -> named rejection, not a driver OOM
+    val wide = docs(100, 10)
+    val e1 = intercept[IllegalArgumentException] {
+      Curate.temperatureMixture(wide, "source", "doc_id",
+        alpha = 0.5, totalBudget = 10, maxGroups = 5)
+    }
+    assert(e1.getMessage.contains("more than 5 distinct"), e1.getMessage)
+    // non-string group column -> named contract error, not a ClassCastException
+    val intGroups = spark.range(10).select(col("id").as("doc_id"),
+      pmod(col("id"), lit(3)).as("source"))
+    val e2 = intercept[IllegalArgumentException] {
+      Curate.temperatureMixture(intGroups, "source", "doc_id",
+        alpha = 0.5, totalBudget = 5)
+    }
+    assert(e2.getMessage.contains("string group column"), e2.getMessage)
+    // budget beyond a capped group's capacity undershoots BY DESIGN
+    // (scaladoc'd; the one-pass formula the DuckDB oracle replays):
+    // 3 groups of sizes 90/9/1, alpha=1, budget 150 -> the small
+    // groups cap at capacity, the big group keeps only its own share
+    val corpus = spark.range(100).select(col("id").as("doc_id"),
+      when(col("id") < 90, "g0").when(col("id") < 99, "g1").otherwise("g2").as("source"))
+    val got = Curate
+      .temperatureMixture(corpus, "source", "doc_id", alpha = 1.0, totalBudget = 150)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum < 150 && got.values.sum >= 100 * 150 / 150,
+      s"expected a deliberate undershoot at binding caps, got $got")
+    assert(got("g0") == 90L, s"uncapped big group takes its full floor share: $got")
+  }
+
+  test("winsorize: null value and null group pass through, never fabricate a bound") {
+    // Spark's least/greatest SKIP nulls: unguarded, a null v in a
+    // non-null group collapses to the p5 bound (a fabricated score)
+    // and a null-group row keeps raw silently. The guard makes both
+    // explicit: null v -> null _w; null group -> raw value unclamped.
+    val df = Seq(
+      (Option("a"), Option(1.0)), (Option("a"), Option(50.0)),
+      (Option("a"), Option(100.0)), (Option("a"), Option.empty[Double]),
+      (Option.empty[String], Option(999.0))).toDF("g", "v")
+    val out = Curate.winsorize(df, "g", "v", 0.25, 0.75, exact = true)
+      .collect().map(r =>
+        (Option(r.get(0)).map(_.toString),
+         if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+         if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val byVal = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byVal((Some("a"), None)).isEmpty,
+      "null value must stay null, not clamp to the lower bound")
+    assert(byVal((None, Some(999.0))).contains(999.0),
+      "null-group rows pass through unclamped")
+    assert(byVal((Some("a"), Some(1.0))).exists(_ > 1.0), "clamp still active")
+  }
+
   test("temperatureMixture: alpha interpolates natural -> flat; budget conserved; caps honored") {
     val corpus = spark.range(100).select(col("id").as("doc_id"),
       when(col("id") < 90, "g0").when(col("id") < 99, "g1").otherwise("g2").as("source"))

@@ -47,6 +47,35 @@ class IntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket keys stay exact past double's 2^53 integer range (year-9999 sentinel)") {
+    import spark.implicits._
+    // Year-9999 micros (~2.53e17) sit beyond 2^53, where long->double
+    // rounds by up to ~32 µs — the round-7 advice flagged the old
+    // floor(u / w.toDouble) bucket ids there (they stayed consistent
+    // only through the monotonicity of rounding, with points sliding
+    // across bucket boundaries). The pmod bucket keys are EXACT longs;
+    // this pins boundary containment at that magnitude: a point 1 µs
+    // before a bucket boundary, intervals ending/starting exactly at
+    // it. (253402300800000000 = year 9999-12-31T24:00 epoch micros,
+    // a multiple of every width used below.)
+    val boundary = 253402300800000000L
+    val p = Seq((1L, boundary - 1L), (2L, boundary)).toDF("pid", "pt")
+    val iv = Seq((10L, boundary - 5000L, boundary - 1L), // "never expires"-ish tail
+                 (11L, boundary, boundary + 999L))
+      .toDF("iid", "istart", "iend")
+    for (w <- Seq(1000L, 64L, 1L)) {
+      val got = Relational.intervalJoin(p, "pt", iv, "istart", "iend", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (2L, 11L)), s"width $w: $got")
+    }
+    val ov = Relational.intervalOverlapJoin(
+        p.select(col("pt").as("as_"), (col("pt") + 0L).as("ae_"), col("pid")),
+        "as_", "ae_",
+        iv, "istart", "iend", 1000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ov == Set((1L, 10L), (2L, 11L)), s"overlap: $ov")
+  }
+
   test("intervalJoin emits each containing pair exactly once (no bucket double-count)") {
     for (w <- Seq(1L, 7L, 100L)) {
       val got = Relational.intervalJoin(pts, "pt", ivs, "istart", "iend", w)

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{udf, concat, lit, pmod, col}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan audit (SURVEY §4): the scale properties are asserted,
@@ -371,6 +372,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchangeCount <= 1,
       s"span scrub should shuffle only for the output sort, saw $exchangeCount")
     assert(p.contains("remove_dup_spans"), "scrub not using the scan-stage expression")
+  }
+
+  test("bigramModel: training reads the reference corpus exactly once (fused uni+bi pass)") {
+    // round-7 verdict #2: unigram and bigram counts trained in two
+    // separate jobs re-scanned the shared corpus. The fused pass must
+    // touch each reference row ONCE — proven with a row-counting
+    // accumulator planted in the reference's scan (no task retries in
+    // a local test, so the count is exact; the pre-fix shape read 2n).
+    val acc = spark.sparkContext.longAccumulator("bigram-train-scans")
+    val bump = udf((s: String) => { acc.add(1); s })
+    val n = 200
+    val ref = spark.range(n)
+      .select(bump(concat(lit("tok"), pmod(col("id"), lit(7)).cast("string"),
+        lit(" alpha beta gamma"))).as("text"))
+    graft.operators.TextAnalysis.bigramModel(ref, "text")
+    assert(acc.value == n.toLong,
+      s"training scanned ${acc.value} rows for an $n-row corpus — expected exactly one pass")
   }
 
   test("text_perplexity2: scoring side is a zero-shuffle scan under broadcast maps") {

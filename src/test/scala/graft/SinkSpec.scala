@@ -169,10 +169,17 @@ class SinkSpec extends AnyFunSuite {
         .selectExpr("qid", "inline(matches)").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(res(loaded) == res(built))
-    // second write without overwrite refuses; with overwrite succeeds
+    // second write without overwrite refuses BEFORE touching disk —
+    // the publish is write-temp-then-rename, so a refused (or failed)
+    // write can never leave a partial index blocking the retry; the
+    // original stays fully readable and no temp sibling survives
     intercept[Exception] { Sink.writeSq8Index(spark, built, out) }
+    assert(graft.sources.Source.readSq8Index(spark, out).codes.sameElements(built.codes))
     Sink.writeSq8Index(spark, built, out, overwrite = true)
     assert(graft.sources.Source.readSq8Index(spark, out).codes.sameElements(built.codes))
+    val parent = new java.io.File(out).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("__tmp__")),
+      s"temp publish dirs must not survive: ${parent.listFiles().map(_.getName).mkString(",")}")
   }
 
   test("IVF+PQ index round-trip: byte-identical restore, identical search results") {
