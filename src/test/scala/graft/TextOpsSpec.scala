@@ -355,6 +355,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(1L).getAs[Double]("bits_per_token") < out(3L).getAs[Double]("bits_per_token"))
   }
 
+  test("train-once model caches key on the dataset dir, never leak across dirs") {
+    // The memoized LMs/ratios (SparkEntry.unigramLm/bigramLm/
+    // dsirRatios) must key on the dir: a global memo would silently
+    // score sf0.1 with the sf0.001 model after the bench's warm pass.
+    // Proven end-to-end: each dir's query output equals a FRESH
+    // uncached computation for that dir, after priming the cache with
+    // the OTHER dir first.
+    for ((primeDir, dir) <- Seq(
+        ("/root/testdata/sf0.001", "/root/testdata/sf0.01"),
+        ("/root/testdata/sf0.01", "/root/testdata/sf0.001"))) {
+      SparkEntry.queries("text_perplexity2")(spark, primeDir).count() // prime
+      val viaCache = SparkEntry.queries("text_perplexity2")(spark, dir)
+        .collect().map(_.toString).sorted
+      val docs = Tables.documents(spark, dir)
+      val fresh = TextAnalysis.bigramNll(docs, "doc_id", "text",
+          TextAnalysis.bigramModel(
+            docs.filter(col("doc_id") % 2 === 0), "text", requireUncut = true),
+          lambda = 0.7)
+        .select(col("id"), col("n_tokens"),
+          (round(col("bits_per_token"), 4) + lit(0.0)).as("bits_per_token"))
+        .collect().map(_.toString).sorted
+      assert(viaCache.sameElements(fresh), s"cached model leaked across dirs for $dir")
+    }
+  }
+
   test("canonicalUrl: variants fold, distinct pages don't, junk degrades to lower(url)") {
     val urls = Seq(
       (1L, "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
