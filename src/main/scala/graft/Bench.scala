@@ -70,6 +70,16 @@ object Bench {
     */
   private[graft] val ControlRefSec = 0.78
 
+  /** host_factor bands that indicate the PINNED reference no longer
+    * matches the hardware rather than contention: a quiet but
+    * different CPU generation lands well under/over 1.0 persistently.
+    * Bench warns (it cannot distinguish a slower CPU from a perfectly
+    * contended one on its own) — re-run
+    * `graft.tools.HostControlProbe` on a quiet host and re-pin.
+    */
+  private val ControlRecalibrateBelow = 0.7
+  private val ControlRecalibrateAbove = 1.3
+
   /** Fixed single-thread CPU control (round-7 verdict #1: "make Bench
     * self-exonerating"): 4×10^8 xorshift64* steps — deterministic,
     * allocation-free, cache-resident work whose wall time depends
@@ -162,6 +172,11 @@ object Bench {
     val ctlPost = cpuControl()
     val loadPost = load1()
     val hostFactor = math.max(ctlPre, ctlPost) / ControlRefSec
+    if (hostFactor < ControlRecalibrateBelow || hostFactor > ControlRecalibrateAbove)
+      System.err.println(
+        f"[bench] host_factor $hostFactor%.2f is far from 1.0 — if this host is " +
+          "quiet, the pinned ControlRefSec was calibrated on different hardware; " +
+          "re-pin via graft.tools.HostControlProbe before trusting the factor")
     val host =
       f"""{"control_pre_sec":$ctlPre%.3f,"control_post_sec":$ctlPost%.3f,""" +
         f""""control_ref_sec":$ControlRefSec%.3f,"host_factor":$hostFactor%.2f,""" +
@@ -306,14 +321,14 @@ object Bench {
     qF.count()
     val flatF = Similarity.topkFlat(qF, "emb", cxF, k, Metric.Cosine)
     // streaming-serve throughput (round-4 verdict #7): topkServe claims
-    // per-executor parity with the batch kernel — measure it on the
-    // same 16k × 10k × 256 f64 shape (batch DataFrame: the operator is
-    // stream/batch agnostic, StreamingSpec pins byte-parity on the
-    // replayed stream). The Dataset encoder tax rides on this number,
-    // exactly as it does in a real foreachBatch sink.
-    val qServe = cachedQueries(16000)
+    // per-executor parity with the batch kernel — measured on the SAME
+    // cached query batch as the f64 kernel (identical vectors, not
+    // just an identical shape: stream_qps vs big_qps is a direct
+    // same-data comparison, and one fewer 33 MB cache rides the
+    // interleaved timing). The Dataset encoder tax rides on this
+    // number, exactly as it does in a real foreachBatch sink.
     val serve = graft.streaming.EventStream.topkServe(
-      qServe, "id", "emb", cx, k, Metric.Cosine)
+      qBig, "id", "emb", cx, k, Metric.Cosine)
     // the four shapes are timed INTERLEAVED (see timedInterleaved):
     // rep r times ref, big-f64, big-f32, stream back-to-back, so a
     // contention window cannot single out one dtype's whole sample
@@ -327,7 +342,7 @@ object Bench {
       (big, bigLo, bigHi, bigSp),
       (bigF, bigFLo, bigFHi, bigFSp),
       (srv, _, _, srvSp)) = stats
-    Seq(qRef, qBig, qF, qServe).foreach(_.unpersist())
+    Seq(qRef, qBig, qF).foreach(_.unpersist())
     val spread = Seq(refSp, bigSp, bigFSp, srvSp).max
     val noisy = spread > 2.0
     if (noisy) System.err.println(

@@ -467,8 +467,8 @@ object ScaleSmoke {
       // single-broadcast envelope at 10M×256)
       val blocks = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SQ8_BLOCKS", "8").toInt
       // cached: both topkBlocked passes collect every hash-mod block,
-      // and without the cache each of the 16 collects re-runs the
-      // 256-hash-per-row synthetic generation
+      // and without the cache each of the 2·blocks collects re-runs
+      // the 256-hash-per-row synthetic generation
       val corpus = synthEmb(spark, sq8EnvDocs, dim)
         .select(col("doc_id"), col("vec").cast("array<float>").as("vec"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -35,6 +35,16 @@ object SparkEntry {
     * (same dir → bit-identical ratios), so memoization cannot change
     * any oracle result — it only stops billing the sampler for the
     * weights query's training job.
+    *
+    * CACHE CONTRACT (applies to all the train-once caches below):
+    * keyed on the dataset DIR PATH for the life of the process, no
+    * invalidation — the driver's testdata dirs are immutable, which
+    * is the contract. A long-lived process that REWRITES parquet
+    * under a previously-seen path would be scored with the stale
+    * model; call [[clearModelCaches]] after mutating a dataset in
+    * place (the TextOpsSpec dir-keying test documents the granularity).
+    * Growth is bounded by the number of distinct dirs ever queried
+    * (three, for the driver).
     */
   private val dsirRatioCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
@@ -70,6 +80,13 @@ object SparkEntry {
       TextAnalysis.bigramModel(
         Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), "text",
         requireUncut = true))
+
+  /** Drop every train-once model cache — required after rewriting a
+    * dataset dir in place (see the cache contract above).
+    */
+  def clearModelCaches(): Unit = {
+    dsirRatioCache.clear(); unigramLmCache.clear(); bigramLmCache.clear()
+  }
 
   /** Null-safe recall floor over (n_exact, n_hit) aggregate columns.
     * An EMPTY ground-truth set vacuously satisfies any floor: sum()

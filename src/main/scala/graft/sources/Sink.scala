@@ -216,14 +216,48 @@ object Sink {
     if (fs.exists(qualified) && !overwrite)
       throw new IllegalStateException(
         s"index path $path already exists; pass overwrite=true to replace it")
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(qualified.getParent,
-      s".${qualified.getName}.__tmp__${java.util.UUID.randomUUID().toString.take(8)}")
+      s".${qualified.getName}.__tmp__$stamp")
+    val oldAside = new org.apache.hadoop.fs.Path(qualified.getParent,
+      s".${qualified.getName}.__old__$stamp")
     var ok = false
     try {
       write(tmp.toString)
-      if (fs.exists(qualified)) fs.delete(qualified, true)
-      require(fs.rename(tmp, qualified),
-        s"publishing index: rename $tmp -> $qualified failed")
+      // overwrite: move the OLD index ASIDE (metadata op), never
+      // delete it before the new one is in place — a failed publish
+      // must not destroy the only complete copy. If this aside-rename
+      // fails, nothing has been touched and the old index is intact.
+      val hadOld = fs.exists(qualified)
+      if (hadOld) require(fs.rename(qualified, oldAside),
+        s"publishing index: could not move the existing $qualified aside; " +
+          "the existing index is untouched")
+      if (!fs.rename(tmp, qualified)) {
+        // restore the old index before reporting — the finally block
+        // then removes only the temp, and the pre-write state stands
+        if (hadOld) fs.rename(oldAside, qualified)
+        throw new IllegalStateException(
+          s"publishing index: rename $tmp -> $qualified failed" +
+            (if (hadOld) "; the previous index was restored" else ""))
+      }
+      // Hadoop rename into an EXISTING directory moves the source
+      // INSIDE it and still returns true — a concurrent writer that
+      // won the race would leave our temp nested in its published
+      // index. Detect, clean our nesting, and fail loudly rather than
+      // report an exclusive publish that never happened.
+      val nested = new org.apache.hadoop.fs.Path(qualified, tmp.getName)
+      if (fs.exists(nested)) {
+        // the path now holds the OTHER writer's complete index — clean
+        // only our nesting; if we had moved an old index aside, leave
+        // it at oldAside (restoring would nest it the same way) and
+        // name it so the operator can recover it deliberately
+        fs.delete(nested, true)
+        throw new IllegalStateException(
+          s"publishing index: concurrent write detected at $qualified — " +
+            "another process published this path during our write" +
+            (if (hadOld) s"; the previous index was preserved at $oldAside" else ""))
+      }
+      if (hadOld) fs.delete(oldAside, true)
       ok = true
     } finally if (!ok) fs.delete(tmp, true)
   }

@@ -178,8 +178,9 @@ class SinkSpec extends AnyFunSuite {
     Sink.writeSq8Index(spark, built, out, overwrite = true)
     assert(graft.sources.Source.readSq8Index(spark, out).codes.sameElements(built.codes))
     val parent = new java.io.File(out).getParentFile
-    assert(!parent.listFiles().exists(_.getName.contains("__tmp__")),
-      s"temp publish dirs must not survive: ${parent.listFiles().map(_.getName).mkString(",")}")
+    assert(!parent.listFiles().exists(f =>
+        f.getName.contains("__tmp__") || f.getName.contains("__old__")),
+      s"publish staging dirs must not survive: ${parent.listFiles().map(_.getName).mkString(",")}")
   }
 
   test("IVF+PQ index round-trip: byte-identical restore, identical search results") {
