@@ -76,6 +76,29 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(ov == Set((1L, 10L), (2L, 11L)), s"overlap: $ov")
   }
 
+  test("bucketKey/bucketSeq equal BigInt floor-division across the full long range") {
+    import spark.implicits._
+    // seeded adversarial sample: boundaries, off-by-ones around them,
+    // negatives, epoch-0/year-9999 sentinels, and values past 2^53
+    val rnd = new scala.util.Random(19)
+    val widths = Seq(1L, 7L, 1000L, 3600L * 1000000L)
+    val base = Seq(0L, -1L, 1L, 253402300800000000L, -62135596800000000L,
+      (1L << 53) - 1, (1L << 53) + 1, Long.MaxValue / 4, -(Long.MaxValue / 4))
+    val us = (base ++ Seq.fill(200)(rnd.nextLong() % (1L << 58))).distinct
+    for (w <- widths) {
+      val expected = us.map { u =>
+        val q = (BigInt(u) - BigInt(u).mod(BigInt(w))) // exact floor alignment
+        u -> q.toLong
+      }.toMap
+      val got = us.toDF("u")
+        .select(col("u"), Relational.bucketKey(col("u"), w).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      us.foreach { u =>
+        assert(got(u) == expected(u), s"w=$w u=$u: got ${got(u)} want ${expected(u)}")
+      }
+    }
+  }
+
   test("intervalJoin emits each containing pair exactly once (no bucket double-count)") {
     for (w <- Seq(1L, 7L, 100L)) {
       val got = Relational.intervalJoin(pts, "pt", ivs, "istart", "iend", w)
