@@ -1232,8 +1232,12 @@ object Dedup {
           explode(graft.functions.TextFunctions.wordGrams(
             graft.functions.TextFunctions.tokens(
               graft.functions.TextFunctions.normalize(col(textCol))), gramN)).as("h"))
+    // NO pre-distinct: collect_set already dedups sources within each
+    // key, so a distinct() here would be a second ROW-SCALE shuffle
+    // doing work the aggregation does anyway (and unlike distinct on
+    // (source, h), the h-keyed aggregate combines map-side to one
+    // buffer row per key per partition)
     keyed
-      .distinct()
       .groupBy("h").agg(collect_set(col("source")).as("sources"))
       .select(explode(col("sources")).as("s1"), col("sources"))
       .select(col("s1"), explode(col("sources")).as("s2"))

@@ -399,6 +399,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("token_nll2"), "not scoring via the scan-stage bigram expression")
   }
 
+  test("dedup_source_overlap: one row-scale shuffle — key aggregation only, no pre-distinct") {
+    // collect_set dedups sources inside the key aggregation, so the
+    // only ROW-SCALE exchange is the groupBy on the key; the pair
+    // groupBy and the output sort shuffle |sources|²-bounded rows
+    val p = plan("dedup_source_overlap")
+    val exchangeCount = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchangeCount <= 3,
+      s"source overlap should shuffle for key-agg + pair-agg + sort only, saw $exchangeCount")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("text_url_dedup: one exchange for the canonical-key groupBy (plus sort)") {
     // canonicalization must stay inside the scan stage: the only data
     // shuffles are the groupBy on canon_url and the output sort
