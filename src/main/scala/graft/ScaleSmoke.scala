@@ -525,7 +525,7 @@ object ScaleSmoke {
     * exact-copy source and 1 % to a near-copy source (one word of 30
     * replaced → shingle Jaccard ≈ 0.85 at 5-gram).
     */
-  private def synth(spark: SparkSession, nDocs: Long): DataFrame = {
+  private[graft] def synth(spark: SparkSession, nDocs: Long): DataFrame = {
     val seed = when(col("id") % 100 === 7, col("id") - lit(7))   // exact copy of id-7
       .when(col("id") % 100 === 13, col("id") - lit(13))         // near copy of id-13
       .otherwise(col("id"))

@@ -483,7 +483,7 @@ object Curate {
     * the bag), as one concatenated gram array over the normalized
     * whitespace tokens.
     */
-  private def featureGrams(textCol: Column): Column =
+  private[graft] def featureGrams(textCol: Column): Column =
     graft.functions.TextFunctions.letBound(
       tokens(normalize(textCol))) { t =>
       concat(wordGramsAll(t, 1), wordGramsAll(t, 2))
