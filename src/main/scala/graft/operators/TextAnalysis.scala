@@ -641,6 +641,16 @@ object TextAnalysis {
       topN: Int = 100): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(terms.distinct.length == terms.length, "bm25 terms must be distinct")
+    // per-term tf/idf terms inline into ONE scan expression — that is
+    // the join-free plan's whole point, and it is sized for QUERY
+    // terms (a handful), not a vocabulary. Past a few hundred terms
+    // the generated expression tree degrades (codegen splits, then
+    // JaninoRuntimeException-style failures) with an opaque error;
+    // name the contract instead.
+    require(terms.length <= 256,
+      s"bm25 inlines per-term scoring into the scan plan — ${terms.length} terms " +
+        "exceed the 256-term query contract; for vocabulary-scale scoring use an " +
+        "explode + join on a term table instead")
     val base = docs.select(col(idCol).as("id"),
         tokens(normalize(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
