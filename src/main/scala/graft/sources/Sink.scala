@@ -234,11 +234,16 @@ object Sink {
           "the existing index is untouched")
       if (!fs.rename(tmp, qualified)) {
         // restore the old index before reporting — the finally block
-        // then removes only the temp, and the pre-write state stands
-        if (hadOld) fs.rename(oldAside, qualified)
+        // then removes only the temp, and the pre-write state stands.
+        // The message reflects what actually happened: a failed
+        // restore must not claim the index is back.
+        val restored = hadOld && fs.rename(oldAside, qualified)
         throw new IllegalStateException(
           s"publishing index: rename $tmp -> $qualified failed" +
-            (if (hadOld) "; the previous index was restored" else ""))
+            (if (restored) "; the previous index was restored"
+             else if (hadOld) s"; restoring the previous index ALSO failed — " +
+               s"recover it manually from $oldAside"
+             else ""))
       }
       // Hadoop rename into an EXISTING directory moves the source
       // INSIDE it and still returns true — a concurrent writer that
