@@ -224,27 +224,45 @@ object Sink {
     var ok = false
     try {
       write(tmp.toString)
+      // RE-CHECK the exclusivity contract after the (long) write: a
+      // concurrent writer may have published while we wrote. With
+      // overwrite=false that concurrent index must be left untouched
+      // — proceeding would move IT aside and delete it as "the old
+      // index", destroying data the caller promised not to replace.
+      val hadOld = fs.exists(qualified)
+      if (hadOld && !overwrite)
+        throw new IllegalStateException(
+          s"index path $path appeared during the write (concurrent publish); " +
+            "overwrite=false refuses to replace it — the concurrent index is untouched")
       // overwrite: move the OLD index ASIDE (metadata op), never
       // delete it before the new one is in place — a failed publish
       // must not destroy the only complete copy. If this aside-rename
       // fails, nothing has been touched and the old index is intact.
-      val hadOld = fs.exists(qualified)
       if (hadOld) require(fs.rename(qualified, oldAside),
         s"publishing index: could not move the existing $qualified aside; " +
           "the existing index is untouched")
-      if (!fs.rename(tmp, qualified)) {
-        // restore the old index before reporting — the finally block
-        // then removes only the temp, and the pre-write state stands.
-        // The message reflects what actually happened: a failed
-        // restore must not claim the index is back.
-        val restored = hadOld && fs.rename(oldAside, qualified)
-        throw new IllegalStateException(
-          s"publishing index: rename $tmp -> $qualified failed" +
-            (if (restored) "; the previous index was restored"
-             else if (hadOld) s"; restoring the previous index ALSO failed — " +
-               s"recover it manually from $oldAside"
-             else ""))
+      // Any forward-rename failure — returning false OR throwing
+      // (FileSystem.rename declares IOException) — lands here: try to
+      // restore the old index, but ONLY if nothing else has claimed
+      // the path meanwhile (restoring into an existing directory
+      // would NEST the old index inside the other writer's). The
+      // message states what actually happened either way.
+      def publishFailed(what: String, cause: Throwable): Nothing = {
+        val restored = hadOld && !fs.exists(qualified) &&
+          fs.rename(oldAside, qualified)
+        val msg = s"publishing index: $what" + (
+          if (restored) "; the previous index was restored"
+          else if (hadOld) s"; the previous index is at $oldAside — recover it manually"
+          else "")
+        throw (if (cause == null) new IllegalStateException(msg)
+               else new IllegalStateException(msg, cause))
       }
+      val renamed =
+        try fs.rename(tmp, qualified)
+        catch { case e: java.io.IOException =>
+          publishFailed(s"rename $tmp -> $qualified threw", e)
+        }
+      if (!renamed) publishFailed(s"rename $tmp -> $qualified failed", null)
       // Hadoop rename into an EXISTING directory moves the source
       // INSIDE it and still returns true — a concurrent writer that
       // won the race would leave our temp nested in its published
@@ -262,7 +280,13 @@ object Sink {
             "another process published this path during our write" +
             (if (hadOld) s"; the previous index was preserved at $oldAside" else ""))
       }
-      if (hadOld) fs.delete(oldAside, true)
+      // the new index is live; a failed cleanup of the superseded copy
+      // must not fail the publish, but it must not be silent either —
+      // the leaked copy can be the dominant storage cost
+      if (hadOld && !fs.delete(oldAside, true))
+        System.err.println(
+          s"[sink] warning: could not remove the superseded index at $oldAside — " +
+            "a complete copy of the previous index remains there")
       ok = true
     } finally if (!ok) fs.delete(tmp, true)
   }

@@ -97,6 +97,29 @@ class IntervalJoinSpec extends AnyFunSuite {
         assert(got(u) == expected(u), s"w=$w u=$u: got ${got(u)} want ${expected(u)}")
       }
     }
+    // bucketSeq against the same reference: the emitted range must be
+    // exactly [key(start), key(start)+w, ..., key(end)] at the same
+    // extreme magnitudes (spans kept under the guard)
+    val y9999 = 253402300800000000L
+    val seqCases = Seq( // (start, end, w)
+      (y9999 - 5000L, y9999 - 1L, 1000L),
+      (y9999, y9999, 7L),
+      (-10L, 10L, 7L),
+      ((1L << 53) - 3, (1L << 53) + 3, 2L))
+    for ((s0, e0, w) <- seqCases) {
+      def key(u: Long) = (BigInt(u) - BigInt(u).mod(BigInt(w))).toLong
+      val want = (key(s0) to key(e0) by w).toSeq
+      val got = Seq((s0, e0)).toDF("s", "e")
+        .select(Relational.bucketSeq(col("s"), col("e"), w, 10000).as("ks"))
+        .head().getSeq[Long](0)
+      assert(got == want, s"bucketSeq($s0,$e0,$w): got $got want $want")
+    }
+    // the runaway guard saturates rather than overflows at huge widths
+    val hugeW = Long.MaxValue / 100 // w*maxBuckets would overflow a long
+    val one = Seq((0L, 1000L)).toDF("s", "e")
+      .select(Relational.bucketSeq(col("s"), col("e"), hugeW, 10000).as("ks"))
+      .head().getSeq[Long](0)
+    assert(one == Seq(0L), s"huge-width interval must land in one bucket: $one")
   }
 
   test("intervalJoin emits each containing pair exactly once (no bucket double-count)") {
