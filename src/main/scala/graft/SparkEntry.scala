@@ -894,7 +894,28 @@ object SparkEntry {
       val q = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
       val cx = corpus(s, dir)
-      val pq = Similarity.quantizePq(cx, m = 16)
+      // Optional persisted-index serving (train-once across PROCESSES,
+      // not just within one): with SPARK_GRAFT_PQ_INDEX_DIR set, the
+      // gate publishes the trained index once per dataset dir (atomic
+      // publish, Sink.writePqIndex) and serves every later run from
+      // the restored copy — the restore is byte-identical (SinkSpec),
+      // so the gate result cannot change. Default OFF so the bench row
+      // times the same work every round.
+      val pq = sys.env.get("SPARK_GRAFT_PQ_INDEX_DIR") match {
+        case Some(base) =>
+          // keyed per dataset dir (same immutable-dir contract as the
+          // model caches above) — sanitized path, not a hash, so the
+          // on-disk layout is operator-readable
+          val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+          val path = s"$base/pq_m16_$key"
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+            graft.sources.Sink.writePqIndex(
+              s, Similarity.quantizePq(cx, m = 16), path)
+          graft.sources.Source.readPqIndex(s, path)
+        case None => Similarity.quantizePq(cx, m = 16)
+      }
       val brute = Similarity.topkFlat(q, "embedding", cx, 10, Metric.Cosine)
         .select(col("vec_id"), col("index"))
         .localCheckpoint(eager = false)

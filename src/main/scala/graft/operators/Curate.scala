@@ -507,9 +507,15 @@ object Curate {
     require(nBuckets >= 2 && nBuckets <= (1 << 20),
       s"nBuckets must be in [2, 2^20], got $nBuckets")
     // ONE job for both distributions: the sides union with a tag and
-    // share the bounded groupBy (2·nBuckets result rows). Two separate
-    // jobs paid Spark's scheduling floor twice and — when target is a
-    // filter of raw, the common carve — scanned the corpus twice.
+    // share the bounded groupBy (2·nBuckets result rows). What the
+    // fusion actually saves is the SECOND job-scheduling floor (and
+    // the second result collect); the union's branches still each
+    // plan their own parquet scan — Catalyst does not dedup a scan
+    // shared by a branch and its filter unless the input is
+    // cached/checkpointed first (DsirAbProbe measures the real delta;
+    // at 1M docs the fusion is roughly cost-neutral on scan time).
+    // Cache the shared input upstream if the single-physical-scan
+    // property itself is wanted.
     def tagged(df: DataFrame, side: Int) =
       df.select(explode(featureGrams(col(textCol))).as("g"))
         .select(lit(side).as("s"), featureBucket(col("g"), nBuckets).as("b"))

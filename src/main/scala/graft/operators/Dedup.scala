@@ -1228,10 +1228,17 @@ object Dedup {
         docs.select(col(sourceCol).as("source"), md5(col(textCol)).as("h"))
           .filter(col("h").isNotNull)
       else
+        // grams are hashed to 8-byte longs IN THE SCAN STAGE (xxhash64,
+        // the MinHash-machinery convention): the row-scale shuffle and
+        // the per-key aggregation buffers carry fixed-width keys instead
+        // of ~40-byte gram strings. Collisions merge two grams into one
+        // key at ~n²/2^65 probability — immaterial next to the sampling
+        // noise of the diagnostic this feeds.
         docs.select(col(sourceCol).as("source"),
           explode(graft.functions.TextFunctions.wordGrams(
             graft.functions.TextFunctions.tokens(
-              graft.functions.TextFunctions.normalize(col(textCol))), gramN)).as("h"))
+              graft.functions.TextFunctions.normalize(col(textCol))), gramN)).as("g"))
+          .select(col("source"), xxhash64(col("g")).as("h"))
     // NO pre-distinct: collect_set already dedups sources within each
     // key, so a distinct() here would be a second ROW-SCALE shuffle
     // doing work the aggregation does anyway (and unlike distinct on

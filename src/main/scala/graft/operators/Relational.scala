@@ -748,6 +748,17 @@ object Relational {
     * bucket boundary and silently drop a boundary-bucket containing
     * pair. Bucket-start keys are bijective with bucket indices for a
     * fixed width, so join semantics are unchanged.
+    *
+    * CAVEAT at the long range's very bottom: when u's true bucket
+    * start precedes Long.MinValue (i.e. pmod(u, w) > u − MinValue —
+    * only possible for u within w-1 of MinValue), the subtraction
+    * `u - pmod(u, w)` overflows — the true start is unrepresentable
+    * (pmod is non-negative). Under ANSI mode (the Spark 4 default
+    * this engine runs with) that raises ARITHMETIC_OVERFLOW loudly;
+    * only with ANSI disabled would it wrap to a wrong positive key.
+    * The BigInt property test pins equivalence on
+    * [MinValue + w, MaxValue] and the loud failure at the edge;
+    * epoch-micros timestamps sit ~10^11 buckets above it.
     */
   private[graft] def bucketKey(u: Column, wMicros: Long): Column =
     u - pmod(u, lit(wMicros))

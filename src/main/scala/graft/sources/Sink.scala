@@ -205,6 +205,18 @@ object Sink {
     * move on a posix FS; object stores degrade to copy+delete but
     * still publish both halves together. The temp dir is removed on
     * failure, so a retry always starts clean.
+    *
+    * CONCURRENCY CONTRACT: with overwrite=false, concurrent
+    * publishers are safe — exactly one wins, the others fail loudly
+    * and the winner's index is never touched (re-checked after the
+    * write; nesting detected after the rename). With overwrite=true
+    * the caller asserts SINGLE-CONCURRENT-PUBLISHER: two concurrent
+    * overwriters race the aside-rename and the forward rename, and
+    * while no interleaving loses the ORIGINAL index silently (it is
+    * moved aside, never deleted, before the new one lands), which
+    * writer's index ends up published — and whether the loser's
+    * failure message can name the winner's actions — is undefined.
+    * Serialize overwriting publishers externally.
     */
   private def publishAtomically(
       spark: org.apache.spark.sql.SparkSession,
@@ -238,9 +250,14 @@ object Sink {
       // delete it before the new one is in place — a failed publish
       // must not destroy the only complete copy. If this aside-rename
       // fails, nothing has been touched and the old index is intact.
+      // failure here means THIS writer changed nothing — but under a
+      // violated overwrite=true single-publisher contract a concurrent
+      // mover may be why the rename failed, so the message claims only
+      // our own actions, not the path's state
       if (hadOld) require(fs.rename(qualified, oldAside),
         s"publishing index: could not move the existing $qualified aside; " +
-          "the existing index is untouched")
+          "this writer has not modified it (a concurrent publisher may have — " +
+          "overwrite=true assumes a single concurrent publisher)")
       // Any forward-rename failure — returning false OR throwing
       // (FileSystem.rename declares IOException) — lands here: try to
       // restore the old index, but ONLY if nothing else has claimed
@@ -327,6 +344,48 @@ object Sink {
       } finally bc.destroy()
       Seq((cx.n, cx.dim, cx.dimMin.toSeq, cx.dimScale.toSeq))
         .toDF("n", "dim", "dim_min", "dim_scale")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+    }
+
+  /** Persist a flat PQ index — same train-once story as
+    * [[writeSq8Index]]/[[writeIvfPqIndex]] for the one index family
+    * that previously could not persist (#9d): codebook training is the
+    * expensive step, so a serving session should restore it rather
+    * than retrain. Layout: `path/vectors/` one row per vector (idx,
+    * id, the m subspace codes, f32 norms, and the optional SQ8 rerank
+    * sidecar columns); `path/meta/` one row with (n, dim, m,
+    * codebooks, sq8 bounds). [[graft.sources.Source.readPqIndex]]
+    * restores a byte-identical
+    * [[graft.operators.Similarity.CorpusIndexPq]] (round-trip +
+    * identical-search pinned in SinkSpec).
+    */
+  def writePqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      px: graft.operators.Similarity.CorpusIndexPq,
+      path: String,
+      overwrite: Boolean = false): Unit =
+    publishAtomically(spark, path, overwrite) { tmp =>
+      import spark.implicits._
+      val sq8 = px.sq8
+      val bytesPerRow = px.m + sq8.map(_ => px.dim).getOrElse(0)
+      val slices = math.max(1, (px.n.toLong * bytesPerRow / (64L << 20)).toInt)
+      val bc = spark.sparkContext.broadcast(px)
+      try {
+        spark.sparkContext.parallelize(0 until px.n, slices).map { j =>
+          val x = bc.value
+          val s8 = x.sq8
+          (j, x.ids(j),
+            java.util.Arrays.copyOfRange(x.codes, j * x.m, (j + 1) * x.m),
+            x.norms(j), x.sqNorms(j),
+            s8.map(s => java.util.Arrays.copyOfRange(s.codes, j * x.dim, (j + 1) * x.dim)),
+            s8.map(s => s.norms(j)), s8.map(s => s.sqNorms(j)))
+        }.toDF("idx", "id", "code", "norm", "sq_norm",
+            "sq8_code", "sq8_norm", "sq8_sq_norm")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/vectors")
+      } finally bc.destroy()
+      Seq((px.n, px.dim, px.m, px.codebooks.toSeq,
+          sq8.map(_.dimMin.toSeq), sq8.map(_.dimScale.toSeq)))
+        .toDF("n", "dim", "m", "codebooks", "sq8_dim_min", "sq8_dim_scale")
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
     }
 

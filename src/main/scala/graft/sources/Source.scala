@@ -137,6 +137,56 @@ object Source {
       ids, codes, n, dim, dimMin, dimScale, norms, sqNorms)
   }
 
+  /** Restore a flat PQ index persisted by
+    * [[graft.sources.Sink.writePqIndex]] — byte-identical to the
+    * written [[graft.operators.Similarity.CorpusIndexPq]], so a
+    * serving session loads the trained codebooks + codes instead of
+    * re-collecting and re-quantizing the corpus.
+    */
+  def readPqIndex(
+      spark: SparkSession, path: String): graft.operators.Similarity.CorpusIndexPq = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val n = meta.getInt(0)
+    val dim = meta.getInt(1)
+    val m = meta.getInt(2)
+    val codebooks = meta.getSeq[Float](3).toArray
+    val sq8Min = if (meta.isNullAt(4)) None else Some(meta.getSeq[Float](4).toArray)
+    val sq8Scale = if (meta.isNullAt(5)) None else Some(meta.getSeq[Float](5).toArray)
+    require(dim % m == 0 && codebooks.length == m * 256 * (dim / m),
+      s"corrupt index meta: ${codebooks.length} codebook values for dim=$dim m=$m")
+    val ids = new Array[Long](n)
+    val codes = new Array[Byte](n * m)
+    val norms = new Array[Float](n)
+    val sqNorms = new Array[Float](n)
+    val sq8Codes = sq8Min.map(_ => new Array[Byte](n * dim))
+    val sq8Norms = sq8Min.map(_ => new Array[Double](n))
+    val sq8Sq = sq8Min.map(_ => new Array[Double](n))
+    val rows = spark.read.parquet(s"$path/vectors")
+      .select("idx", "id", "code", "norm", "sq_norm",
+        "sq8_code", "sq8_norm", "sq8_sq_norm")
+      .collect()
+    require(rows.length == n, s"corrupt index: meta n=$n but ${rows.length} vector rows")
+    rows.foreach { r =>
+      val j = r.getInt(0)
+      ids(j) = r.getLong(1)
+      val c = r.getAs[Array[Byte]](2)
+      require(c.length == m, s"corrupt index: row $j has ${c.length} codes, m=$m")
+      System.arraycopy(c, 0, codes, j * m, m)
+      norms(j) = r.getFloat(3)
+      sqNorms(j) = r.getFloat(4)
+      sq8Codes.foreach { dst =>
+        System.arraycopy(r.getAs[Array[Byte]](5), 0, dst, j * dim, dim) }
+      sq8Norms.foreach(_(j) = r.getDouble(6))
+      sq8Sq.foreach(_(j) = r.getDouble(7))
+    }
+    val sq8 = sq8Min.map { mn =>
+      graft.operators.Similarity.CorpusIndexSq8(
+        ids, sq8Codes.get, n, dim, mn, sq8Scale.get, sq8Norms.get, sq8Sq.get)
+    }
+    graft.operators.Similarity.CorpusIndexPq(
+      ids, codes, n, dim, m, codebooks, norms, sqNorms, sq8)
+  }
+
   /** Restore an IVF+PQ index persisted by
     * [[graft.sources.Sink.writeIvfPqIndex]] — byte-identical, CSR
     * rebuilt from the per-vector cells in original row order.

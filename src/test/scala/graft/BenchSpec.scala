@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's mid-run-stall localizer (round-8 verdict #2): the
+  * whole-run pre/post host control certified `host_factor 1.06`
+  * around a stall that inflated two adjacent suite rows 4-12×, so
+  * since round 9 every row that lands >2× over the committed
+  * recording flags `suspect`, stamps its wall-clock position, and is
+  * followed by an immediate 1-rep control probe. This spec drives
+  * [[Bench.timeSuite]] with fake queries where ONE row carries an
+  * induced stall and proves the marker fires on that row only, with
+  * the probe taken right after it — plus the edge semantics (no
+  * committed table, absolute floor, failed rows).
+  */
+class BenchSpec extends AnyFunSuite {
+
+  /** Deterministic busy-wait: wall-clock, not CPU-quota — a stall
+    * induced by load and a stall induced by sleep look identical to
+    * the bench (it times wall seconds), so the spec induces the
+    * cheaper one.
+    */
+  private def busy(sec: Double): Unit = {
+    val until = System.nanoTime() + (sec * 1e9).toLong
+    while (System.nanoTime() < until) {}
+  }
+
+  test("suspect fires on the induced-stall row only, probe taken right after it") {
+    val committed = Map("a" -> 0.2, "b" -> 0.2, "c" -> 0.2)
+    val probedAfter = scala.collection.mutable.ArrayBuffer.empty[String]
+    var running = ""
+    val queries = Seq[(String, () => Unit)](
+      "a" -> (() => { running = "a"; busy(0.2) }),
+      "b" -> (() => { running = "b"; busy(0.55) }), // the induced stall: >2x committed
+      "c" -> (() => { running = "c"; busy(0.2) }))
+    val rows = Bench.timeSuite(queries, reps = 1, committed,
+      control = () => { probedAfter += running; 1.23 })
+    assert(rows.map(_.name) == Seq("a", "b", "c"))
+    assert(rows.map(_.suspect) == Seq(false, true, false),
+      s"marker must fire on the stalled row only: ${rows.map(r => r.name -> r.suspect)}")
+    // the probe ran exactly once, immediately after the stalled row —
+    // before c started — so it samples the host DURING the stall window
+    assert(probedAfter.toSeq == Seq("b"))
+    assert(rows(1).ctlAfterSec.contains(1.23))
+    assert(rows.filterNot(_.suspect).forall(_.ctlAfterSec.isEmpty))
+    // t_start is monotone and row b starts after a's ~0.2 s of work:
+    // the stamp localizes each row inside the run's wall-clock
+    val ts = rows.map(_.tStart)
+    assert(ts == ts.sorted && ts.head < 0.1 && ts(1) >= 0.15 && ts(2) >= ts(1) + 0.5)
+  }
+
+  test("no committed table -> nothing can flag; sub-floor overshoots don't flag") {
+    // fresh checkout: empty committed map, even a huge overshoot stays quiet
+    val rows = Bench.timeSuite(
+      Seq("a" -> (() => busy(0.3))), reps = 1, Map.empty,
+      control = () => fail("control must not run without a committed table"))
+    assert(!rows.head.suspect && rows.head.ctlAfterSec.isEmpty)
+    // a 3x overshoot UNDER the absolute floor is scheduling jitter, not
+    // a stall: 0.03 s vs committed 0.01 s must not burn a ~1 s probe
+    assert(!Bench.isSuspect(0.03, Some(0.01)))
+    assert(Bench.isSuspect(0.5, Some(0.2)))
+    assert(!Bench.isSuspect(0.5, Some(0.3)))   // 1.7x — inside the band
+    assert(!Bench.isSuspect(0.5, Some(0.0)))   // degenerate committed zero
+  }
+
+  test("a row whose every rep fails records runs=0 and never flags") {
+    val rows = Bench.timeSuite(
+      Seq("boom" -> (() => throw new RuntimeException("induced"))),
+      reps = 2, Map("boom" -> 0.001),
+      control = () => fail("a failed row must not probe"))
+    assert(rows.head.runs == 0 && rows.head.median == -1.0 && !rows.head.suspect)
+  }
+
+  test("committedMedians parses the recorded artifact shape and survives garbage") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    val f = new java.io.File(dir, "bench_out.json")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("""{"metric":"total","value":1.5,"queries":{"q1":0.25,"q2":3},"kernel":{}}""")
+    w.close()
+    assert(Bench.committedMedians(f.getPath) == Map("q1" -> 0.25, "q2" -> 3.0))
+    assert(Bench.committedMedians(new java.io.File(dir, "absent.json").getPath).isEmpty)
+    val g = new java.io.File(dir, "garbage.json")
+    val w2 = new java.io.PrintWriter(g, "UTF-8"); w2.println("not json {"); w2.close()
+    assert(Bench.committedMedians(g.getPath).isEmpty)
+  }
+}

@@ -76,14 +76,19 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(ov == Set((1L, 10L), (2L, 11L)), s"overlap: $ov")
   }
 
-  test("bucketKey/bucketSeq equal BigInt floor-division across the full long range") {
+  test("bucketKey/bucketSeq equal BigInt floor-division on [MinValue+w, MaxValue]") {
     import spark.implicits._
     // seeded adversarial sample: boundaries, off-by-ones around them,
-    // negatives, epoch-0/year-9999 sentinels, and values past 2^53
+    // negatives, epoch-0/year-9999 sentinels, and values past 2^53.
+    // Domain matches the scaladoc's documented caveat: within (w-1)
+    // of Long.MinValue the true bucket start is unrepresentable and
+    // the key wraps (asserted separately below) — equivalence holds
+    // everywhere at or above MinValue + w.
     val rnd = new scala.util.Random(19)
     val widths = Seq(1L, 7L, 1000L, 3600L * 1000000L)
     val base = Seq(0L, -1L, 1L, 253402300800000000L, -62135596800000000L,
-      (1L << 53) - 1, (1L << 53) + 1, Long.MaxValue / 4, -(Long.MaxValue / 4))
+      (1L << 53) - 1, (1L << 53) + 1, Long.MaxValue / 4, -(Long.MaxValue / 4),
+      Long.MaxValue, Long.MinValue + 3600L * 1000000L)
     val us = (base ++ Seq.fill(200)(rnd.nextLong() % (1L << 58))).distinct
     for (w <- widths) {
       val expected = us.map { u =>
@@ -97,6 +102,18 @@ class IntervalJoinSpec extends AnyFunSuite {
         assert(got(u) == expected(u), s"w=$w u=$u: got ${got(u)} want ${expected(u)}")
       }
     }
+    // the documented bottom edge: when u's true bucket start precedes
+    // Long.MinValue the subtraction overflows — under ANSI mode (the
+    // Spark 4 default this engine runs with) that is a LOUD
+    // ARITHMETIC_OVERFLOW, never a silently wrong key. Pinned here so
+    // the behavior is a stated contract (unreachable for epoch-micros
+    // data, which sits ~10^11 buckets above the edge).
+    val e = intercept[Throwable] {
+      Seq(Long.MinValue).toDF("u")
+        .select(Relational.bucketKey(col("u"), 7L).as("k")).head()
+    }
+    assert(e.getMessage.contains("ARITHMETIC_OVERFLOW"),
+      s"bottom-edge key must fail loudly under ANSI, got: ${e.getMessage}")
     // bucketSeq against the same reference: the emitted range must be
     // exactly [key(start), key(start)+w, ..., key(end)] at the same
     // extreme magnitudes (spans kept under the guard)

@@ -214,6 +214,43 @@ class SinkSpec extends AnyFunSuite {
     assert(res(loaded) == res(built))
   }
 
+  test("flat PQ index round-trip: byte-identical restore, identical search results") {
+    import spark.implicits._
+    import graft.operators.{Metric, Similarity}
+    val rnd = new scala.util.Random(43)
+    val corpus = (0L until 400L).map(i => i -> Seq.fill(32)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    val queries = (0L until 25L).map(i => i -> Seq.fill(32)(rnd.nextGaussian()))
+      .toDF("qid", "emb")
+    val built = Similarity.quantizePq(
+      Similarity.collectCorpus(corpus, "id", "emb"), m = 16)
+    val out = tmpDir("sink-pq")
+    Sink.writePqIndex(spark, built, out)
+    val loaded = graft.sources.Source.readPqIndex(spark, out)
+    assert(loaded.n == built.n && loaded.dim == built.dim && loaded.m == built.m)
+    assert(loaded.ids.sameElements(built.ids))
+    assert(loaded.codes.sameElements(built.codes))
+    assert(loaded.codebooks.sameElements(built.codebooks))
+    assert(loaded.norms.sameElements(built.norms))
+    assert(loaded.sqNorms.sameElements(built.sqNorms))
+    assert(loaded.sq8.get.codes.sameElements(built.sq8.get.codes))
+    assert(loaded.sq8.get.dimMin.sameElements(built.sq8.get.dimMin))
+    assert(loaded.sq8.get.dimScale.sameElements(built.sq8.get.dimScale))
+    def res(px: Similarity.CorpusIndexPq) =
+      Similarity.topkPqFlat(queries, "emb", px, 5, Metric.Cosine, shortlist = 20)
+        .select("qid", "rank", "index", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(res(loaded) == res(built))
+    // the no-rerank envelope (sq8 = None) must round-trip its absent
+    // sidecar as absent, not as empty arrays
+    val lean = built.copy(sq8 = None)
+    val outLean = tmpDir("sink-pq-lean")
+    Sink.writePqIndex(spark, lean, outLean)
+    val backLean = graft.sources.Source.readPqIndex(spark, outLean)
+    assert(backLean.sq8.isEmpty)
+    assert(backLean.codes.sameElements(lean.codes))
+  }
+
   test("writeZOrdered: a two-dimensional box filter touches fewer files than natural order") {
     import org.apache.spark.sql.functions._
     // 256×256 grid of (a, b) points, 64 files each layout
