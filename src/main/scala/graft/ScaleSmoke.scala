@@ -529,12 +529,39 @@ object ScaleSmoke {
       val blocks = sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFPQ_BLOCKS", "16").toInt
       val nProbe = sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFPQ_NPROBE", "64").toInt
       val nCells = sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFPQ_NCELLS", "256").toInt
-      val corpus = synthEmb(spark, ivfpqDocs, dim)
+      // default CLUSTERED with ~10-point clusters — the near-dup-family
+      // corpus shape this library's ANN serves (SemDeDup / near-dup
+      // retrieval: a query's true neighbors are its genuinely-close
+      // family, separated from everything else by a wide cosine gap
+      // that ADC resolves). Two measured negative controls pin the
+      // regimes ADC-only CANNOT serve at this scale: uniform
+      // no-structure vectors (ADC 0.12 / rerank 0.31 at 1M — nothing
+      // beats brute force there) and huge diffuse clusters of ~250
+      // points (ADC 0.06-0.18 / rerank 0.95 — cells found, intra-
+      // cluster rank gaps below PQ resolution; the rerank sidecar is
+      // the answer, which is why it exists).
+      // SPARK_GRAFT_SMOKE_IVFPQ_CLUSTERS=0 → uniform control.
+      val nClusters = sys.env.get("SPARK_GRAFT_SMOKE_IVFPQ_CLUSTERS")
+        .map(_.toInt).getOrElse(math.max(1L, ivfpqDocs / 10L).toInt)
+      // m follows the GATE's per-subspace resolution (ann_ivfpq_recall
+      // runs m=16 at 64-d → 4 dims per subspace): at 256-d the same
+      // geometry is m=64 — 64 B codes/vector, 32× under f64. m=16 at
+      // 256-d (16-d subspaces, 128×) was measured as an ADC-resolution
+      // cliff: rerank recall 0.95 but ADC 0.06 at 1M on clustered data
+      // — the codes found the right cells and couldn't RANK inside them.
+      val mSub = sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFPQ_M", (dim / 4).toString).toInt
+      def emb(n: Long, idOffset: Long) =
+        if (nClusters > 0)
+          synthEmbClustered(spark, n, dim, nClusters, 0.5, idOffset)
+        else
+          synthEmb(spark, n, dim)
+            .select((col("doc_id") + idOffset).as("doc_id"), col("vec"))
+      val corpus = emb(ivfpqDocs, 0L)
         .select(col("doc_id"), col("vec").cast("array<float>").as("vec"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       corpus.count()
-      val queries = synthEmb(spark, 1000L, dim)
-        .select((col("doc_id") + 1000000000L).as("qid"),
+      val queries = emb(1000L, 1000000000L)
+        .select(col("doc_id").as("qid"),
           col("vec").cast("array<double>").as("vec")).cache()
       queries.count()
       var buildSec = 0.0; var adcSec = 0.0; var rerankSec = 0.0
@@ -546,7 +573,7 @@ object ScaleSmoke {
           .select(col("doc_id"), col("vec").cast("array<double>").as("vec"))
         var t = System.nanoTime()
         val ix = Similarity.quantizeIvfPq(
-          Similarity.collectCorpus(block, "doc_id", "vec"), nCells = nCells, m = 16)
+          Similarity.collectCorpus(block, "doc_id", "vec"), nCells = nCells, m = mSub)
         buildSec += (System.nanoTime() - t) / 1e9
         t = System.nanoTime()
         adcHits ++= Similarity.topkIvfPqFlat(queries, "vec", ix, 10, nProbe = nProbe)
@@ -565,7 +592,7 @@ object ScaleSmoke {
           q -> rs.sortBy(-_._3).take(10).map(_._2).toSet
         }
       println(f"ivfpq sharded build ($ivfpqDocs x ${dim}d, $blocks shards, " +
-        f"nCells=$nCells m=16): $buildSec%.2f s")
+        f"nCells=$nCells m=$mSub): $buildSec%.2f s")
       println(f"ivfpq sharded ADC search (1k q, nProbe=$nProbe, merged top-10): " +
         f"$adcSec%.2f s")
       println(f"ivfpq sharded rerank search (shortlist=100): $rerankSec%.2f s")
@@ -595,6 +622,34 @@ object ScaleSmoke {
     // verified nothing
     require(stagesRan > 0,
       s"SMOKE RAN ZERO STAGES — filter '${stageFilter.getOrElse("")}' matched nothing")
+  }
+
+  /** Executor-side CLUSTERED synthetic embeddings: vector = a planted
+    * cluster center (deterministic from `pmod(xxhash64(id), nClusters)`)
+    * plus per-id uniform noise scaled by `noise`. This is the corpus
+    * shape IVF indexes exist for — real embedding corpora cluster;
+    * [[synthEmb]]'s uniform vectors are the method's degenerate
+    * no-structure case (at 256-d uniform, cell membership of a
+    * query's true neighbors is nearly independent of the query's own
+    * nearest cells, and NO cell-probing index beats brute force —
+    * the 1M negative control measured ADC recall 0.12 there). At
+    * noise=0.5 the within-cluster cosine is ≈0.9 and cross-cluster
+    * ≈0, so a query's true top-10 are its cluster-mates.
+    */
+  private def synthEmbClustered(
+      spark: SparkSession, nDocs: Long, dim: Int,
+      nClusters: Int, noise: Double, idOffset: Long = 0L): DataFrame = {
+    // idOffset shifts the id BEFORE hashing, so a query batch
+    // generated at an offset is fresh points from the same cluster
+    // family — never byte-copies of corpus rows (a copied query's
+    // guaranteed self-match would inflate recall)
+    val eid = col("id") + lit(idOffset)
+    val cl = pmod(xxhash64(eid, lit("c")), lit(nClusters.toLong))
+    spark.range(nDocs).select(eid.as("doc_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        (pmod(xxhash64(cl * dim + i, lit("ctr")), lit(10000)).cast("double") / 5000.0 - 1.0)
+          + (pmod(xxhash64(eid * dim + i, lit("nz")), lit(10000)).cast("double") / 5000.0 - 1.0)
+            * noise).as("vec"))
   }
 
   /** Executor-side synthetic embeddings: deterministic uniform [-1, 1)
