@@ -195,6 +195,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(text"), "raw text in shuffle key")
   }
 
+  test("dedup_source_overlap: the row-scale shuffle carries 8-byte hashed gram keys") {
+    val p = plan("dedup_source_overlap")
+    // round-9: grams hash to xxhash64 longs IN THE SCAN STAGE, so the
+    // one row-scale exchange (groupBy gram key for collect_set) and
+    // its aggregation buffers carry fixed-width longs, not ~40-byte
+    // gram strings — the dominant shuffle-byte win at corpus scale
+    assert(p.contains("xxhash64"), "grams must hash scan-stage (xxhash64)")
+    assert("hashpartitioning\\(h#\\d+L".r.findFirstIn(p).nonEmpty,
+      s"gram exchange key must be a LONG (h#..L), got:\n$p")
+    // the raw gram string must never be an exchange key
+    assert("hashpartitioning\\(g#\\d+[,)]".r.findFirstIn(p).isEmpty,
+      "raw gram string rides the shuffle key")
+    // and the round-8 invariant stands: no second row-scale distinct
+    // shuffle — exchanges are the gram agg, the bounded pair agg, and
+    // the output sort only
+    // formatted explain lists each node twice (tree + detail); count
+    // the numbered detail entries
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3,
+      s"more exchanges than the minimal 3-stage shape:\n$p")
+  }
+
   test("ann_lsh: corpus embeddings broadcast; candidate stages carry ids only") {
     val p = plan("ann_lsh")
     assert(p.contains("BroadcastHashJoin"), "corpus-embedding join not broadcast")
