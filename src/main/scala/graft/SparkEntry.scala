@@ -911,8 +911,14 @@ object SparkEntry {
           val fs = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
           if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
-            graft.sources.Sink.writePqIndex(
+            try graft.sources.Sink.writePqIndex(
               s, Similarity.quantizePq(cx, m = 16), path)
+            catch { case _: IllegalStateException
+              if fs.exists(new org.apache.hadoop.fs.Path(path)) =>
+                // a concurrent builder won the atomic publish race —
+                // training is deterministic, so the winner's index is
+                // byte-identical to ours; serve from it
+            }
           graft.sources.Source.readPqIndex(s, path)
         case None => Similarity.quantizePq(cx, m = 16)
       }
