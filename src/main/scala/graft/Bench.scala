@@ -124,7 +124,8 @@ object Bench {
   /** Queries whose one-time model training (DSIR ratios, perplexity
     * LMs — the train-once caches in SparkEntry) lands in the FIRST
     * timed run. Their JSON rows carry `train_once: true` and
-    * `cold_sec` (the first-run max) so the asymmetry against a
+    * `cold_sec` (the first rep's wall time IN ARRIVAL ORDER — the run
+    * that actually paid the training) so the asymmetry against a
     * DuckDB oracle that retrains per query is visible in the artifact
     * itself, not only in BASELINE prose (round-8 verdict #3).
     */
@@ -153,8 +154,13 @@ object Bench {
     * `bench_out.json` this run will replace) — the reference table the
     * suspect check compares against. Missing/unparsable file → empty
     * map → no row can flag (first recording on a fresh checkout).
+    * `sfDir` must match the artifact's recorded `sf`: a committed
+    * sf0.1 table compared against an sf1 run would flood-flag every
+    * row (and burn a ~0.8 s control probe per flag), so a
+    * scale-factor mismatch disables the check loudly instead.
     */
-  private[graft] def committedMedians(path: String): Map[String, Double] =
+  private[graft] def committedMedians(
+      path: String, sfDir: String): Map[String, Double] =
     try {
       val f = new java.io.File(path)
       if (!f.isFile) Map.empty
@@ -162,7 +168,16 @@ object Bench {
         import org.json4s._
         val src = scala.io.Source.fromFile(f, "UTF-8")
         val txt = try src.mkString.trim finally src.close()
-        org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+        val root = org.json4s.jackson.JsonMethods.parse(txt)
+        root \ "sf" match {
+          case JString(recorded) if recorded != sfDir =>
+            System.err.println(
+              s"[bench] committed recording is for sf '$recorded', this run is " +
+                s"'$sfDir' — suspect check disabled (not comparable)")
+            return Map.empty
+          case _ => ()
+        }
+        root \ "queries" match {
           case JObject(fields) => fields.collect {
             case (k, JDouble(v)) => k -> v
             case (k, JInt(v)) => k -> v.toDouble
@@ -176,40 +191,52 @@ object Bench {
   /** One timed suite row. `tStart` is seconds since the suite epoch
     * (wall-clock position INSIDE the run — what the round-7/8
     * "adjacent movers" analyses had to infer from alphabetical order);
+    * `first` is the FIRST rep's wall time in arrival order (the cold
+    * run — `cold_sec` for train-once rows must be that rep, not the
+    * max, or a rep-3 host stall gets misattributed to training);
     * `ctlAfterSec` is the 1-rep control probe run immediately after a
     * flagged row (None when the row didn't flag).
     */
   private[graft] final case class QueryRow(
-      name: String, median: Double, min: Double, max: Double, runs: Int,
-      tStart: Double, committed: Option[Double],
+      name: String, median: Double, min: Double, max: Double, first: Double,
+      runs: Int, tStart: Double, committed: Option[Double],
       suspect: Boolean, ctlAfterSec: Option[Double])
 
   /** Time every query `reps` times (median/min/max over the successful
     * runs), stamping each row's suite-relative start time and probing
     * the host right after any row that contradicts the committed
-    * table (see [[isSuspect]]). Factored from main so BenchSpec can
-    * drive it with fake queries + an injected control and prove the
-    * marker fires on an induced-stall row only.
+    * table (see [[isSuspect]]). `warm` runs once per query BEFORE its
+    * timing starts — per query, not batched up front, because the
+    * whole-stage-codegen class cache is a bounded LRU
+    * (spark.sql.codegen.cache.maxEntries = 100 < the 130-query
+    * suite): warming everything first would evict the early queries'
+    * compiled fragments before their timed runs and put recompile
+    * cost back into rep 1. Factored from main so BenchSpec can drive
+    * it with fake queries + an injected control and prove the marker
+    * fires on an induced-stall row only.
     */
   private[graft] def timeSuite(
       queries: Seq[(String, () => Unit)],
       reps: Int,
       committed: Map[String, Double],
-      control: () => Double): Seq[QueryRow] = {
+      control: () => Double,
+      warm: String => Unit = _ => ()): Seq[QueryRow] = {
     val epoch = System.nanoTime()
     queries.map { case (name, run) =>
+      warm(name)
       val tStart = (System.nanoTime() - epoch) / 1e9
-      val ts = (1 to reps).flatMap { _ =>
+      val raw = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { run(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
         }
-      }.sorted
+      }
+      val ts = raw.sorted
       // runs records the SUCCESSFUL count — a dropped failure must not
       // masquerade as a full-sample median in the JSON
       if (ts.isEmpty)
-        QueryRow(name, -1.0, -1.0, -1.0, 0, tStart, committed.get(name),
+        QueryRow(name, -1.0, -1.0, -1.0, -1.0, 0, tStart, committed.get(name),
           suspect = false, ctlAfterSec = None)
       else {
         val med = ts(ts.length / 2)
@@ -220,7 +247,7 @@ object Bench {
               f"${committed(name)}%.3f s (>${SuspectRatio}%.1fx) — probing host")
           Some(control())
         } else None
-        QueryRow(name, med, ts.head, ts.last, ts.length, tStart,
+        QueryRow(name, med, ts.head, ts.last, raw.head, ts.length, tStart,
           committed.get(name), sus, ctl)
       }
     }
@@ -251,28 +278,34 @@ object Bench {
     val doWarm = new java.io.File(warmDir).isDirectory && warmDir != sfDir
     // the committed recording this run replaces = the suspect check's
     // reference table (see isSuspect); read BEFORE we overwrite it
-    val committed = committedMedians(outPath)
+    val committed = committedMedians(outPath, sfDir)
     if (committed.isEmpty) System.err.println(
-      s"[bench] no committed recording at $outPath — suspect check disabled for this run")
-    val suite = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (doWarm)
-        try fn(spark, warmDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench-warm] $name: ${e.getMessage}") }
-      name -> fn
-    }
+      s"[bench] no comparable committed recording at $outPath — suspect check " +
+        "disabled for this run")
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    val byName = suite.toMap
     // every query gets median-of-3 — a single sample of ANY query on a
     // noisy-neighbor host proved unable to back its baseline claim
     // (round-2 verdict #1 for the heavy tier, round-4 #1 for the light
-    // tier); a number the gate can't reproduce grades nothing.
+    // tier); a number the gate can't reproduce grades nothing. Warm
+    // runs per query, right before its timing (see timeSuite scaladoc
+    // — the codegen class cache is a 100-entry LRU).
     val results = timeSuite(
       suite.map { case (name, fn) =>
         name -> (() => { fn(spark, sfDir).count(); () })
-      }, reps = 3, committed, () => cpuControl(1))
+      }, reps = 3, committed, () => cpuControl(1),
+      warm = name => if (doWarm)
+        try byName(name)(spark, warmDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-warm] $name: ${e.getMessage}") })
     val qs = results.map(r => "\"" + r.name + "\":" + r.median)
       .mkString("{", ",", "}")
     def heavyJson(r: QueryRow): String = {
+      // cold_sec = the FIRST rep in arrival order (the run that pays
+      // the one-time training), not the max — a rep-2/3 host stall
+      // must not masquerade as training cost
       val trainOnce =
-        if (trainOnceQueries(r.name)) f""","train_once":true,"cold_sec":${r.max}"""
+        if (trainOnceQueries(r.name)) f""","train_once":true,"cold_sec":${r.first}"""
         else ""
       "\"" + r.name + "\":" +
         f"""{"median":${r.median},"min":${r.min},"max":${r.max},""" +

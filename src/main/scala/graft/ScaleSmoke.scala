@@ -517,14 +517,18 @@ object ScaleSmoke {
     // same cosine, so they merge directly). Ground truth is the
     // blocked EXACT kernel on the same f32 corpus (the SQ8-envelope
     // recipe). Geometry per 625k-vector shard: nCells=256 (≈ the √n
-    // rule), nProbe=64 — 25% of cells probed, the ratio calibrated so
-    // the gate's 0.6/0.75 ADC/rerank floors hold on this structure-
-    // free uniform corpus (real embedding corpora cluster; uniform is
-    // IVF's worst case). Opt-in:
+    // rule), nProbe=64 — 25% of cells probed; the gate's 0.6/0.75
+    // ADC/rerank floors are ENFORCED only in the default
+    // near-dup-family configuration (a custom IVFPQ_CLUSTERS run is a
+    // declared control/experiment whose documented recalls sit BELOW
+    // the floors — crashing a control behaving as documented would
+    // make it indistinguishable from a broken smoke). Opt-in, and
+    // honors the SPARK_GRAFT_SMOKE_STAGES filter like every other
+    // stage (name: "ivfpq sharded"):
     //   SPARK_GRAFT_SMOKE_IVFPQ_DOCS=10000000 SPARK_DRIVER_MEM=64g \
     //     sbt "runMain graft.ScaleSmoke"
     val ivfpqDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFPQ_DOCS", "0").toLong
-    if (ivfpqDocs > 0) {
+    if (ivfpqDocs > 0 && stageFilter.forall("ivfpq sharded".contains)) {
       val dim = 256
       val blocks = sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFPQ_BLOCKS", "16").toInt
       val nProbe = sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFPQ_NPROBE", "64").toInt
@@ -550,12 +554,14 @@ object ScaleSmoke {
       // cliff: rerank recall 0.95 but ADC 0.06 at 1M on clustered data
       // — the codes found the right cells and couldn't RANK inside them.
       val mSub = sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFPQ_M", (dim / 4).toString).toInt
+      // both branches shift ids BEFORE hashing: query batches are
+      // fresh points, never byte-copies of corpus rows (a copied
+      // query's guaranteed self-match inflates ground-truth recall)
       def emb(n: Long, idOffset: Long) =
         if (nClusters > 0)
           synthEmbClustered(spark, n, dim, nClusters, 0.5, idOffset)
         else
-          synthEmb(spark, n, dim)
-            .select((col("doc_id") + idOffset).as("doc_id"), col("vec"))
+          synthEmb(spark, n, dim, idOffset)
       val corpus = emb(ivfpqDocs, 0L)
         .select(col("doc_id"), col("vec").cast("array<float>").as("vec"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -612,8 +618,13 @@ object ScaleSmoke {
       val (ra, rr) = (recallOf(mergedTop10(adcHits.result())),
         recallOf(mergedTop10(rerankHits.result())))
       println(f"ivfpq recall@10: ADC $ra%.4f (floor 0.6), rerank $rr%.4f (floor 0.75)")
-      require(ra >= 0.6 && rr >= 0.75,
-        f"ivfpq 10M floors violated: ADC $ra%.4f rerank $rr%.4f")
+      // floors bind only the default family corpus; an explicit
+      // IVFPQ_CLUSTERS run is a declared control/experiment whose
+      // documented recalls sit below them by design
+      if (sys.env.get("SPARK_GRAFT_SMOKE_IVFPQ_CLUSTERS").isEmpty)
+        require(ra >= 0.6 && rr >= 0.75,
+          f"ivfpq floors violated on the default family corpus: ADC $ra%.4f rerank $rr%.4f")
+      else println("ivfpq floors NOT enforced: explicit IVFPQ_CLUSTERS control run")
       stagesRan += 1
       queries.unpersist(); corpus.unpersist()
     }
@@ -655,14 +666,25 @@ object ScaleSmoke {
   /** Executor-side synthetic embeddings: deterministic uniform [-1, 1)
     * coordinates from xxhash64(seed·64 + i); same dup plan as [[synth]]
     * (1 % exact copies, 1 % near copies with coordinate 7 nudged).
+    * `idOffset` shifts the id BEFORE hashing (as in
+    * [[synthEmbClustered]]) so an offset batch is FRESH vectors, never
+    * byte-copies of corpus rows — note the SQ8/blocked envelope stages
+    * predate this and offset post-hoc (their query batches duplicate
+    * the first 16k corpus vectors; their recall compares ANN against
+    * EXACT on the same definition, so the self-matches cancel in the
+    * quantization-loss measurement those stages make, but a
+    * ground-truth-recall stage must pass an offset here instead).
     */
-  private def synthEmb(spark: SparkSession, nDocs: Long, dim: Int = 64): DataFrame = {
-    val seed = when(col("id") % 100 === 7, col("id") - lit(7))
-      .when(col("id") % 100 === 13, col("id") - lit(13))
-      .otherwise(col("id"))
-    val nudge = col("id") % 100 === 13
+  private def synthEmb(
+      spark: SparkSession, nDocs: Long, dim: Int = 64,
+      idOffset: Long = 0L): DataFrame = {
+    val eid = col("id") + lit(idOffset)
+    val seed = when(eid % 100 === 7, eid - lit(7))
+      .when(eid % 100 === 13, eid - lit(13))
+      .otherwise(eid)
+    val nudge = eid % 100 === 13
     spark.range(nDocs).toDF("id").withColumn("__seed", seed)
-      .select(col("id").as("doc_id"),
+      .select(eid.as("doc_id"),
         transform(sequence(lit(0), lit(dim - 1)), i =>
           (pmod(xxhash64(col("__seed") * dim + i), lit(10000)).cast("double") / 5000.0 - 1.0)
             + when(nudge && i === 7, lit(0.05)).otherwise(lit(0.0))).as("vec"))

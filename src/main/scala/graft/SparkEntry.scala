@@ -904,10 +904,16 @@ object SparkEntry {
       val pq = sys.env.get("SPARK_GRAFT_PQ_INDEX_DIR") match {
         case Some(base) =>
           // keyed per dataset dir (same immutable-dir contract as the
-          // model caches above) — sanitized path, not a hash, so the
-          // on-disk layout is operator-readable
+          // model caches above) — readable sanitized path PLUS a
+          // digest of the raw dir, because sanitization alone is not
+          // injective (/data/x_1 and /data/x/1 collide) and a
+          // collision would silently serve an index trained on the
+          // wrong corpus
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8"))
+            .take(4).map(b => f"$b%02x").mkString
           val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-          val path = s"$base/pq_m16_$key"
+          val path = s"$base/pq_m16_${key}_$digest"
           val fs = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
           if (!fs.exists(new org.apache.hadoop.fs.Path(path)))

@@ -71,16 +71,50 @@ class BenchSpec extends AnyFunSuite {
     assert(rows.head.runs == 0 && rows.head.median == -1.0 && !rows.head.suspect)
   }
 
-  test("committedMedians parses the recorded artifact shape and survives garbage") {
+  test("committedMedians parses the artifact, survives garbage, refuses a foreign sf") {
     val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
     val f = new java.io.File(dir, "bench_out.json")
     val w = new java.io.PrintWriter(f, "UTF-8")
-    w.println("""{"metric":"total","value":1.5,"queries":{"q1":0.25,"q2":3},"kernel":{}}""")
+    w.println("""{"metric":"total","value":1.5,"queries":{"q1":0.25,"q2":3},""" +
+      """"kernel":{},"sf":"/root/testdata/sf0.1"}""")
     w.close()
-    assert(Bench.committedMedians(f.getPath) == Map("q1" -> 0.25, "q2" -> 3.0))
-    assert(Bench.committedMedians(new java.io.File(dir, "absent.json").getPath).isEmpty)
+    assert(Bench.committedMedians(f.getPath, "/root/testdata/sf0.1")
+      == Map("q1" -> 0.25, "q2" -> 3.0))
+    // a committed table from a DIFFERENT scale factor would flood-flag
+    // every row (and burn a control probe per flag) — must disable
+    assert(Bench.committedMedians(f.getPath, "/root/testdata/sf1").isEmpty)
+    // an artifact without sf (pre-round-6 shape) stays usable
+    val noSf = new java.io.File(dir, "nosf.json")
+    val w3 = new java.io.PrintWriter(noSf, "UTF-8")
+    w3.println("""{"queries":{"q1":0.5}}"""); w3.close()
+    assert(Bench.committedMedians(noSf.getPath, "/x") == Map("q1" -> 0.5))
+    assert(Bench.committedMedians(
+      new java.io.File(dir, "absent.json").getPath, "/x").isEmpty)
     val g = new java.io.File(dir, "garbage.json")
     val w2 = new java.io.PrintWriter(g, "UTF-8"); w2.println("not json {"); w2.close()
-    assert(Bench.committedMedians(g.getPath).isEmpty)
+    assert(Bench.committedMedians(g.getPath, "/x").isEmpty)
+  }
+
+  test("warm runs per query, immediately before its timing; first records rep 1") {
+    // per-query warming is load-bearing: the codegen class cache is a
+    // 100-entry LRU, so batch-warming a >100-query suite would evict
+    // early queries' compiled fragments before their timed reps
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rep = 0
+    val rows = Bench.timeSuite(
+      Seq[(String, () => Unit)](
+        "a" -> (() => { order += "run-a"; rep += 1
+          if (rep == 1) busy(0.12) else busy(0.02) }),  // cold rep slowest
+        "b" -> (() => order += "run-b")),
+      reps = 2, Map.empty, control = () => 0.0,
+      warm = n => order += s"warm-$n")
+    assert(order.take(3) == Seq("warm-a", "run-a", "run-a"),
+      s"warm must precede its own query's reps only: $order")
+    assert(order.drop(3) == Seq("warm-b", "run-b", "run-b"))
+    // first = rep 1 in ARRIVAL order (the cold run), even though the
+    // sorted max would be the same here; min must be the warm rep
+    val a = rows.head
+    assert(a.first >= 0.12 && a.min < 0.1,
+      s"first must be the cold rep-1 time: first=${a.first} min=${a.min}")
   }
 }
