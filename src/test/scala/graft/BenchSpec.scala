@@ -25,6 +25,8 @@ class BenchSpec extends AnyFunSuite {
     while (System.nanoTime() < until) {}
   }
 
+  private val fakeProbe = Bench.HostProbe(1.23, 0.33, 444.0)
+
   test("suspect fires on the induced-stall row only, probe taken right after it") {
     val committed = Map("a" -> 0.2, "b" -> 0.2, "c" -> 0.2)
     val probedAfter = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -34,15 +36,15 @@ class BenchSpec extends AnyFunSuite {
       "b" -> (() => { running = "b"; busy(0.55) }), // the induced stall: >2x committed
       "c" -> (() => { running = "c"; busy(0.2) }))
     val rows = Bench.timeSuite(queries, reps = 1, committed,
-      control = () => { probedAfter += running; 1.23 })
+      probe = () => { probedAfter += running; fakeProbe })
     assert(rows.map(_.name) == Seq("a", "b", "c"))
     assert(rows.map(_.suspect) == Seq(false, true, false),
       s"marker must fire on the stalled row only: ${rows.map(r => r.name -> r.suspect)}")
     // the probe ran exactly once, immediately after the stalled row —
     // before c started — so it samples the host DURING the stall window
     assert(probedAfter.toSeq == Seq("b"))
-    assert(rows(1).ctlAfterSec.contains(1.23))
-    assert(rows.filterNot(_.suspect).forall(_.ctlAfterSec.isEmpty))
+    assert(rows(1).probeAfter.contains(fakeProbe))
+    assert(rows.filterNot(_.suspect).forall(_.probeAfter.isEmpty))
     // t_start is monotone and row b starts after a's ~0.2 s of work:
     // the stamp localizes each row inside the run's wall-clock
     val ts = rows.map(_.tStart)
@@ -53,8 +55,8 @@ class BenchSpec extends AnyFunSuite {
     // fresh checkout: empty committed map, even a huge overshoot stays quiet
     val rows = Bench.timeSuite(
       Seq("a" -> (() => busy(0.3))), reps = 1, Map.empty,
-      control = () => fail("control must not run without a committed table"))
-    assert(!rows.head.suspect && rows.head.ctlAfterSec.isEmpty)
+      probe = () => fail("probe must not run without a committed table"))
+    assert(!rows.head.suspect && rows.head.probeAfter.isEmpty)
     // a 3x overshoot UNDER the absolute floor is scheduling jitter, not
     // a stall: 0.03 s vs committed 0.01 s must not burn a ~1 s probe
     assert(!Bench.isSuspect(0.03, Some(0.01)))
@@ -67,8 +69,9 @@ class BenchSpec extends AnyFunSuite {
     val rows = Bench.timeSuite(
       Seq("boom" -> (() => throw new RuntimeException("induced"))),
       reps = 2, Map("boom" -> 0.001),
-      control = () => fail("a failed row must not probe"))
+      probe = () => fail("a failed row must not probe"))
     assert(rows.head.runs == 0 && rows.head.median == -1.0 && !rows.head.suspect)
+    assert(rows.head.first.isEmpty, "a row with no successful rep has no cold time")
   }
 
   test("committedMedians parses the artifact, survives garbage, refuses a foreign sf") {
@@ -106,7 +109,7 @@ class BenchSpec extends AnyFunSuite {
         "a" -> (() => { order += "run-a"; rep += 1
           if (rep == 1) busy(0.12) else busy(0.02) }),  // cold rep slowest
         "b" -> (() => order += "run-b")),
-      reps = 2, Map.empty, control = () => 0.0,
+      reps = 2, Map.empty, probe = () => fakeProbe,
       warm = n => order += s"warm-$n")
     assert(order.take(3) == Seq("warm-a", "run-a", "run-a"),
       s"warm must precede its own query's reps only: $order")
@@ -114,7 +117,97 @@ class BenchSpec extends AnyFunSuite {
     // first = rep 1 in ARRIVAL order (the cold run), even though the
     // sorted max would be the same here; min must be the warm rep
     val a = rows.head
-    assert(a.first >= 0.12 && a.min < 0.1,
+    assert(a.first.exists(_ >= 0.12) && a.min < 0.1,
       s"first must be the cold rep-1 time: first=${a.first} min=${a.min}")
+  }
+
+  test("cold_sec source is rep 1 or nothing: a failed rep 1 leaves first empty") {
+    var rep = 0
+    val rows = Bench.timeSuite(
+      Seq("a" -> (() => { rep += 1
+        if (rep == 1) throw new RuntimeException("induced cold-rep failure")
+        busy(0.02) })),
+      reps = 3, Map.empty, probe = () => fakeProbe)
+    val a = rows.head
+    // two warm reps succeeded, but neither may pose as the cold run
+    // (the exact misattribution cold_sec exists to prevent — ADVICE r9)
+    assert(a.runs == 2 && a.first.isEmpty,
+      s"first must be empty when the arrival-order rep 1 failed: $a")
+  }
+
+  test("retrySuspects re-runs flagged rows only, records both medians, heals the total") {
+    val committed = Map("slow" -> 0.05, "fine" -> 0.05)
+    var stalled = true
+    def runNamed(n: String): Unit =
+      if (n == "slow" && stalled) busy(0.25) else busy(0.05)
+    val rows = Bench.timeSuite(
+      Seq[(String, () => Unit)](
+        "slow" -> (() => runNamed("slow")), "fine" -> (() => runNamed("fine"))),
+      reps = 1, committed, probe = () => fakeProbe)
+    assert(rows.map(_.suspect) == Seq(false, true) ||
+      rows.map(_.suspect) == Seq(true, false)) // sorted order is input order here
+    assert(rows.count(_.suspect) == 1 && rows.find(_.suspect).get.name == "slow")
+    // the "stall" has passed by retry time — the cooled-window re-run
+    stalled = false
+    var probes = 0
+    val (healed, pre) = Bench.retrySuspects(rows, runNamed, reps = 3,
+      probe = () => { probes += 1; fakeProbe })
+    assert(probes == 1 && pre.contains(fakeProbe),
+      "exactly one window-verification probe before the retries")
+    val slow = healed.find(_.name == "slow").get
+    assert(slow.retryMedian.exists(m => m < slow.median),
+      s"retry median must be recorded and faster: $slow")
+    assert(slow.effectiveMedian == slow.retryMedian.get,
+      "the total must use the healed median")
+    // the unflagged row is untouched
+    val fine = healed.find(_.name == "fine").get
+    assert(fine.retryMedian.isEmpty && fine.effectiveMedian == fine.median)
+    // a retry that comes back SLOWER (still-contended window) must not
+    // inflate the total: effectiveMedian keeps the original
+    val worse = slow.copy(median = 0.1, retryMedian = Some(0.4))
+    assert(worse.effectiveMedian == 0.1)
+  }
+
+  test("retrySuspects with no flagged rows: no probe, no retries, rows untouched") {
+    val rows = Bench.timeSuite(
+      Seq("a" -> (() => busy(0.02))), reps = 1, Map("a" -> 0.02),
+      probe = () => fakeProbe)
+    val (out, pre) = Bench.retrySuspects(rows,
+      _ => fail("no retry may run when nothing flagged"), reps = 3,
+      probe = () => fail("no probe may run when nothing flagged"))
+    assert(out == rows && pre.isEmpty)
+  }
+
+  test("mc control sees an all-core load the single-thread control shrugs off") {
+    // quiet samples first (same JVM, same moment — relative, not pinned)
+    val mcQuiet = Bench.mcControl(threads = 8, reps = 2)
+    val ctlQuiet = Bench.cpuControl(reps = 1)
+    // induce load on MOST cores (nproc-1 spinners): the box still has
+    // ~1 free core, so one pinned thread runs near full speed while
+    // 8-way work must time-share
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val spinners = (0 until Runtime.getRuntime.availableProcessors() - 1).map { _ =>
+      val t = new Thread(() => { var x = 1L; while (!stop.get()) { x = x * 6364136223846793005L + 1442695040888963407L }; if (x == 42) println("") })
+      t.setDaemon(true); t.start(); t
+    }
+    try {
+      val mcLoaded = Bench.mcControl(threads = 8, reps = 2)
+      val ctlLoaded = Bench.cpuControl(reps = 1)
+      // the discriminating shape, with slack for scheduler jitter: the
+      // multi-core factor must move well past the single-thread factor
+      val mcF = mcLoaded / mcQuiet
+      val ctlF = ctlLoaded / ctlQuiet
+      assert(mcF > 1.4, f"mc control must see the all-core load: $mcF%.2fx")
+      assert(mcF > ctlF * 1.2,
+        f"mc factor ($mcF%.2fx) must exceed the single-thread factor ($ctlF%.2fx) " +
+          "under an all-core load — that asymmetry is the probe's whole point")
+    } finally { stop.set(true); spinners.foreach(_.join(2000)) }
+  }
+
+  test("disk probe reads a fresh file with O_DIRECT and reports sane MB/s") {
+    val mbps = Bench.diskProbe(System.getProperty("java.io.tmpdir"))
+    // ext4-on-vda here; if a future environment refuses O_DIRECT the
+    // probe must say -1, not fake a cached-read number
+    assert(mbps == -1.0 || (mbps > 10 && mbps < 100000), s"disk probe: $mbps MB/s")
   }
 }
