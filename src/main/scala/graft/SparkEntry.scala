@@ -973,6 +973,50 @@ object SparkEntry {
         .crossJoin(rerank.select(col("ok").as("ivfpq_rerank_ok")))
     }),
 
+    // SHARDED IVF+PQ search path, rows-only (the gate below carries
+    // correctness; this row times concurrent shard builds + the
+    // distributed window merge — the past-the-broadcast-envelope
+    // composition the 10M smoke measures, round-10 item 1)
+    "ann_ivfpq_sharded" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val shards = Similarity.buildIvfPqSharded(q, "vec_id", "embedding",
+        numShards = 4, nCells = 8, m = 16)
+      Similarity.topkIvfPqSharded(q, "embedding", "vec_id", shards,
+          k = 10, nProbe = 4, shortlist = 100)
+        .orderBy("vec_id", "rank")
+    }),
+
+    // sharded IVF+PQ recall gate: hash-mod shards, each probing the
+    // same 1/2 cell fraction as the single-index gate, merged with the
+    // distributed window — recall floors match ann_ivfpq_recall's
+    // (each shard returns its local top-k, so the merged candidate
+    // pool only widens); a shard-build or merge regression turns the
+    // row red. Exact kernel is ground truth; DuckDB pins the booleans.
+    "ann_ivfpq_sharded_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val shards = Similarity.buildIvfPqSharded(q, "vec_id", "embedding",
+        numShards = 4, nCells = 8, m = 16)
+      val brute = Similarity.topkFlat(q, "embedding", corpus(s, dir), 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      def recallOf(hits: DataFrame, floor: Double) = brute
+        .join(hits.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"), recallAtLeast(floor).as("ok"))
+      val adc = recallOf(Similarity.topkIvfPqSharded(
+        q, "embedding", "vec_id", shards, 10, nProbe = 4), 0.6)
+      val rerank = recallOf(Similarity.topkIvfPqSharded(
+        q, "embedding", "vec_id", shards, 10, nProbe = 4, shortlist = 100), 0.75)
+      adc.select(col("n_queries"), col("ok").as("sharded_adc_ok"))
+        .crossJoin(rerank.select(col("ok").as("sharded_rerank_ok")))
+    }),
+
     // trained BPE tokenization (rows-only: the merge list is
     // deterministic but no SQL engine replays the greedy merge loop;
     // TextOpsSpec pins the hand-computed merge sequence, word
@@ -2758,6 +2802,11 @@ object SparkEntry {
     "ann_ivfpq_recall" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS ivfpq_adc_ok,
         |       CAST(1 AS BOOLEAN) AS ivfpq_rerank_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_ivfpq_sharded_recall" ->
+      """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS sharded_adc_ok,
+        |       CAST(1 AS BOOLEAN) AS sharded_rerank_ok
         |FROM embeddings""".stripMargin,
 
     "ann_ivfsq8_recall" ->

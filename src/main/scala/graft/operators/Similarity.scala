@@ -1826,6 +1826,85 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Build one IVF+PQ index per hash-mod shard of the corpus, the
+    * shard builds running CONCURRENTLY — [[topkBlocked]]'s
+    * concurrent-collect pattern applied to the train-heavy index
+    * family (round-9 verdict #1: the 10M smoke's sequential
+    * driver-side shard loop was 677 s of the point's wall; per-shard
+    * k-means + codebook training is single-threaded driver work, so B
+    * shards on a pool of `parallelism` build in
+    * ≈ build_one × ⌈B/parallelism⌉). Each shard's f64 pack lives only
+    * inside its build task (collect → quantize → pack becomes
+    * garbage), so peak driver memory is the in-flight shards' packs,
+    * never the whole corpus — the same past-the-broadcast-envelope
+    * contract as the quantized [[topkBlocked]]. Shard membership is
+    * `xxhash64(id) mod numShards` — the split a 1000-executor cluster
+    * would key a co-partitioned build on. Empty shards (tiny corpora)
+    * are skipped.
+    */
+  def buildIvfPqSharded(
+      corpus: DataFrame,
+      cIdCol: String,
+      cEmbCol: String,
+      numShards: Int,
+      nCells: Int,
+      m: Int,
+      trainSample: Int = 16384,
+      iters: Int = 10,
+      withRerank: Boolean = true,
+      parallelism: Int = 8): IndexedSeq[CorpusIndexIvfPq] = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val shardOf = pmod(xxhash64(col(cIdCol).cast(LongType)), lit(numShards))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(numShards, parallelism))
+    val shards =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fs = (0 until numShards).map { b =>
+          scala.concurrent.Future(
+            collectCorpusOpt(corpus.filter(shardOf === b), cIdCol, cEmbCol)
+              .map(cx => quantizeIvfPq(cx, nCells, m, trainSample, iters, withRerank)))
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fs), scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    val built = shards.flatten.toIndexedSeq
+    require(built.nonEmpty, "Empty corpus")
+    built
+  }
+
+  /** Top-k cosine against a SHARDED IVF+PQ index: every shard serves
+    * the query batch through [[topkIvfPqFlat]] (same ADC / optional
+    * SQ8-residual-rerank contract), and the per-shard partials merge
+    * DISTRIBUTED — union + `row_number` over (qid | score desc, index
+    * asc), the one-shuffle `groupBy(qid)` merge [[topkBlocked]]
+    * already proved — instead of the round-9 smoke's driver-side
+    * collect+sort (fine for 1k probe queries, a driver bottleneck for
+    * a real query table). Scores from different shards approximate
+    * the same cosine, so they merge directly; ties pin to the lowest
+    * index, matching the exact kernel (reference topk.rs:28-31).
+    */
+  def topkIvfPqSharded(
+      queries: DataFrame,
+      embCol: String,
+      qIdCol: String,
+      shards: Seq[CorpusIndexIvfPq],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val partials = shards.map(ix =>
+      topkIvfPqFlat(queries, embCol, ix, k, nProbe, shortlist).drop("rank"))
+    val unioned = partials.reduce(_ unionAll _)
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col("index").asc)
+    unioned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ===== SQ8 point-lookup scoring (candidate rerank beyond the f64
   // broadcast envelope) =====
 

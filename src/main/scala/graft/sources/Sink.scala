@@ -404,29 +404,70 @@ object Sink {
       ix: graft.operators.Similarity.CorpusIndexIvfPq,
       path: String,
       overwrite: Boolean = false): Unit =
+    publishAtomically(spark, path, overwrite)(writeIvfPqInto(spark, ix, _))
+
+  /** The raw vectors/ + meta/ write of one IVF+PQ index into `dir` —
+    * shared by the single-index publisher above and the sharded
+    * family's per-shard subdirectories (which must all land inside
+    * ONE atomic publish, not N separate ones: a sharded index is
+    * unreadable with any shard missing).
+    */
+  private def writeIvfPqInto(
+      spark: org.apache.spark.sql.SparkSession,
+      ix: graft.operators.Similarity.CorpusIndexIvfPq,
+      dir: String): Unit = {
+    import spark.implicits._
+    val sq8 = ix.sq8
+    val bytesPerRow = ix.m + sq8.map(_ => ix.dim).getOrElse(0)
+    val slices = math.max(1, (ix.n.toLong * bytesPerRow / (64L << 20)).toInt)
+    val bc = spark.sparkContext.broadcast(ix)
+    try {
+      spark.sparkContext.parallelize(0 until ix.n, slices).map { j =>
+        val x = bc.value
+        val s8 = x.sq8
+        (j, x.ids(j),
+          java.util.Arrays.copyOfRange(x.codes, j * x.m, (j + 1) * x.m),
+          x.cellOf(j),
+          s8.map(s => java.util.Arrays.copyOfRange(s.codes, j * x.dim, (j + 1) * x.dim)),
+          s8.map(s => s.norms(j)), s8.map(s => s.sqNorms(j)))
+      }.toDF("idx", "id", "code", "cell", "sq8_code", "sq8_norm", "sq8_sq_norm")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/vectors")
+    } finally bc.destroy()
+    Seq((ix.n, ix.dim, ix.m, ix.nCells,
+        ix.centroids.toSeq, ix.codebooks.toSeq,
+        sq8.map(_.dimMin.toSeq), sq8.map(_.dimScale.toSeq)))
+      .toDF("n", "dim", "m", "n_cells", "centroids", "codebooks",
+        "sq8_dim_min", "sq8_dim_scale")
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/meta")
+  }
+
+  /** Persist a SHARDED IVF+PQ index (the
+    * [[graft.operators.Similarity.buildIvfPqSharded]] family — the
+    * past-the-broadcast-envelope composition): one `manifest/` row
+    * recording the shard count + total n + the shard-key contract,
+    * and each shard's full single-index layout under `shard_NNNN/`,
+    * all inside ONE atomic publish — `path` either holds every shard
+    * or nothing. Shard geometry may differ per shard (hash-mod split
+    * sizes vary; nCells clamps to a small shard), which is why each
+    * shard carries its own meta rather than hoisting one.
+    * [[graft.sources.Source.readIvfPqShardedIndex]] restores the
+    * byte-identical sequence (round-trip + identical sharded search
+    * pinned in SinkSpec).
+    */
+  def writeIvfPqShardedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      shards: Seq[graft.operators.Similarity.CorpusIndexIvfPq],
+      path: String,
+      overwrite: Boolean = false): Unit = {
+    require(shards.nonEmpty, "Empty shard list")
     publishAtomically(spark, path, overwrite) { tmp =>
       import spark.implicits._
-      val sq8 = ix.sq8
-      val bytesPerRow = ix.m + sq8.map(_ => ix.dim).getOrElse(0)
-      val slices = math.max(1, (ix.n.toLong * bytesPerRow / (64L << 20)).toInt)
-      val bc = spark.sparkContext.broadcast(ix)
-      try {
-        spark.sparkContext.parallelize(0 until ix.n, slices).map { j =>
-          val x = bc.value
-          val s8 = x.sq8
-          (j, x.ids(j),
-            java.util.Arrays.copyOfRange(x.codes, j * x.m, (j + 1) * x.m),
-            x.cellOf(j),
-            s8.map(s => java.util.Arrays.copyOfRange(s.codes, j * x.dim, (j + 1) * x.dim)),
-            s8.map(s => s.norms(j)), s8.map(s => s.sqNorms(j)))
-        }.toDF("idx", "id", "code", "cell", "sq8_code", "sq8_norm", "sq8_sq_norm")
-          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/vectors")
-      } finally bc.destroy()
-      Seq((ix.n, ix.dim, ix.m, ix.nCells,
-          ix.centroids.toSeq, ix.codebooks.toSeq,
-          sq8.map(_.dimMin.toSeq), sq8.map(_.dimScale.toSeq)))
-        .toDF("n", "dim", "m", "n_cells", "centroids", "codebooks",
-          "sq8_dim_min", "sq8_dim_scale")
-        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+      Seq((shards.size, shards.map(_.n.toLong).sum, "xxhash64_pmod"))
+        .toDF("num_shards", "total_n", "shard_key")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
+      shards.zipWithIndex.foreach { case (ix, i) =>
+        writeIvfPqInto(spark, ix, f"$tmp/shard_$i%04d")
+      }
     }
+  }
 }

@@ -234,4 +234,27 @@ object Source {
       ids, n, dim, m, nCells, centroids, codes, codebooks,
       cellOf, cellStart, cellMembers, sq8)
   }
+
+  /** Restore a SHARDED IVF+PQ index persisted by
+    * [[graft.sources.Sink.writeIvfPqShardedIndex]]: the manifest
+    * names the shard count, each `shard_NNNN/` restores through
+    * [[readIvfPqIndex]] (byte-identical per shard), and the total row
+    * count is validated against the manifest so a truncated copy
+    * fails with a named error instead of silently serving a partial
+    * corpus.
+    */
+  def readIvfPqShardedIndex(
+      spark: SparkSession,
+      path: String): IndexedSeq[graft.operators.Similarity.CorpusIndexIvfPq] = {
+    val meta = spark.read.parquet(s"$path/manifest").head()
+    val numShards = meta.getInt(0)
+    val totalN = meta.getLong(1)
+    require(numShards >= 1, s"corrupt sharded index manifest: num_shards=$numShards")
+    val shards = (0 until numShards)
+      .map(i => readIvfPqIndex(spark, f"$path/shard_$i%04d"))
+    val n = shards.map(_.n.toLong).sum
+    require(n == totalN,
+      s"corrupt sharded index: manifest total_n=$totalN but shards hold $n rows")
+    shards
+  }
 }

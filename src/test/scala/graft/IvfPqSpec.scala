@@ -78,6 +78,68 @@ class IvfPqSpec extends AnyFunSuite {
     assert(matched > 20, s"too few overlapping pairs to validate scores: $matched")
   }
 
+  test("sharded build+search: result parity with the sequential per-shard recipe") {
+    // the round-9 10M smoke built its shards in a SEQUENTIAL driver
+    // loop and merged per-shard top-k driver-side (ScaleSmoke's
+    // "ivfpq sharded" stage before round 10); the operator builds the
+    // same shards CONCURRENTLY and merges with a distributed window.
+    // Both paths must produce identical rows — shard training is
+    // deterministic, so concurrency may change nothing.
+    val numShards = 4
+    val cDf = randVecs(2000, 32, 29).toDF("id", "emb")
+    val qDf = randVecs(60, 32, 31).toDF("qid", "emb")
+    val seqShards = (0 until numShards).map { b =>
+      val block = cDf.filter(
+        pmod(xxhash64(col("id").cast("long")), lit(numShards)) === b)
+      Similarity.quantizeIvfPq(
+        Similarity.collectCorpus(block, "id", "emb"), nCells = 8, m = 8)
+    }
+    val driverMerged = seqShards.flatMap { ix =>
+      Similarity.topkIvfPqFlat(qDf, "emb", ix, 10, nProbe = 4, shortlist = 50)
+        .select("qid", "index", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.sortBy(t => (-t._3, t._2)).take(10).map(t => (t._2, t._3)).toSeq
+    }
+    val shards = Similarity.buildIvfPqSharded(
+      cDf, "id", "emb", numShards, nCells = 8, m = 8)
+    assert(shards.size == numShards)
+    // concurrent builds are byte-identical to the sequential recipe's
+    shards.zip(seqShards).foreach { case (a, b) =>
+      assert(a.ids.sameElements(b.ids) && a.codes.sameElements(b.codes))
+      assert(a.centroids.sameElements(b.centroids) && a.cellOf.sameElements(b.cellOf))
+      assert(a.codebooks.sameElements(b.codebooks))
+    }
+    // the distributed merge equals the driver-side merge, ranks included
+    val got = Similarity.topkIvfPqSharded(
+        qDf, "emb", "qid", shards, 10, nProbe = 4, shortlist = 50)
+      .select("qid", "rank", "index", "score").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      }
+    assert(got == driverMerged)
+    assert(got.values.forall(_.size == 10))
+  }
+
+  test("sharded edges: one shard degenerates to the single index; empty corpus refuses") {
+    val cDf = randVecs(300, 16, 37).toDF("id", "emb")
+    val qDf = randVecs(10, 16, 41).toDF("qid", "emb")
+    val single = Similarity.quantizeIvfPq(
+      Similarity.collectCorpus(cDf, "id", "emb"), nCells = 4, m = 8)
+    val shards = Similarity.buildIvfPqSharded(cDf, "id", "emb", 1, nCells = 4, m = 8)
+    assert(shards.size == 1 && shards.head.codes.sameElements(single.codes))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "index", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Similarity.topkIvfPqSharded(qDf, "emb", "qid", shards, 5, nProbe = 4))
+      == rows(Similarity.topkIvfPqFlat(qDf, "emb", single, 5, nProbe = 4)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.buildIvfPqSharded(
+        cDf.filter(lit(false)), "id", "emb", 4, nCells = 4, m = 8)
+    }
+    assert(e.getMessage.contains("Empty corpus"))
+  }
+
   test("contract edges: null query row, k > corpus, dim mismatch, zero-norm corpus row") {
     val base = randVecs(50, 16, 23)
     val withZero = base :+ (50L -> Seq.fill(16)(0.0))

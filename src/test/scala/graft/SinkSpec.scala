@@ -214,6 +214,51 @@ class SinkSpec extends AnyFunSuite {
     assert(res(loaded) == res(built))
   }
 
+  test("sharded IVF+PQ index round-trip: every shard byte-identical, identical sharded search") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(47)
+    val corpus = (0L until 600L).map(i => i -> Seq.fill(32)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    val queries = (0L until 25L).map(i => i -> Seq.fill(32)(rnd.nextGaussian()))
+      .toDF("qid", "emb")
+    val built = Similarity.buildIvfPqSharded(corpus, "id", "emb",
+      numShards = 3, nCells = 4, m = 8)
+    val out = tmpDir("sink-ivfpq-sharded")
+    Sink.writeIvfPqShardedIndex(spark, built, out)
+    val loaded = graft.sources.Source.readIvfPqShardedIndex(spark, out)
+    assert(loaded.size == built.size)
+    loaded.zip(built).foreach { case (l, b) =>
+      assert(l.n == b.n && l.dim == b.dim && l.m == b.m && l.nCells == b.nCells)
+      assert(l.ids.sameElements(b.ids) && l.codes.sameElements(b.codes))
+      assert(l.centroids.sameElements(b.centroids))
+      assert(l.codebooks.sameElements(b.codebooks))
+      assert(l.cellOf.sameElements(b.cellOf))
+      assert(l.cellStart.sameElements(b.cellStart))
+      assert(l.cellMembers.sameElements(b.cellMembers))
+      assert(l.sq8.get.codes.sameElements(b.sq8.get.codes))
+    }
+    def res(shards: Seq[Similarity.CorpusIndexIvfPq]) =
+      Similarity.topkIvfPqSharded(queries, "emb", "qid", shards,
+          k = 5, nProbe = 4, shortlist = 20)
+        .select("qid", "rank", "index", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(res(loaded) == res(built))
+    // all-or-nothing publish contract carries over: a second write
+    // refuses without overwrite and the original stays fully readable
+    intercept[Exception] { Sink.writeIvfPqShardedIndex(spark, built, out) }
+    assert(graft.sources.Source.readIvfPqShardedIndex(spark, out).size == built.size)
+    // a truncated copy (missing shard dir) fails with a named error,
+    // not a silent partial corpus
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/shard_0002"), true)
+    val e = intercept[Exception] {
+      graft.sources.Source.readIvfPqShardedIndex(spark, out)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("flat PQ index round-trip: byte-identical restore, identical search results") {
     import spark.implicits._
     import graft.operators.{Metric, Similarity}

@@ -259,6 +259,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.nonEmpty)
   }
 
+  test("a PERSISTED SHARDED IVF+PQ index serves a query stream: build once, load shards, serve") {
+    import graft.operators.Similarity
+    // the past-the-broadcast-envelope serving shape (20n extended to
+    // the sharded family, round-10 item 2): train the shards once,
+    // publish atomically, and answer the stream from the RESTORED
+    // shards — per micro-batch the foreachBatch plan fans the batch
+    // out to every shard and merges distributed, exactly the batch
+    // operator
+    val emb = Tables.embeddings(spark, dir)
+    val corpusDf = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val built = Similarity.buildIvfPqSharded(corpusDf, "vec_id", "embedding",
+      numShards = 2, nCells = 4, m = 8)
+    val ixDir = java.nio.file.Files.createTempDirectory("serve-ivfpq-sh").toString + "/ix"
+    graft.sources.Sink.writeIvfPqShardedIndex(spark, built, ixDir)
+    val loaded = graft.sources.Source.readIvfPqShardedIndex(spark, ixDir)
+    val expected = Similarity.topkIvfPqSharded(
+        emb.select("vec_id", "embedding"), "embedding", "vec_id", loaded,
+        k = 5, nProbe = 4, shortlist = 20)
+      .select("vec_id", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val results = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val q = spark.readStream
+      .schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = Similarity.topkIvfPqSharded(
+            batch.select("vec_id", "embedding"), "embedding", "vec_id", loaded,
+            k = 5, nProbe = 4, shortlist = 20)
+          .select("vec_id", "rank", "index").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        results.synchronized { results ++= out }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(results.toSet == expected)
+    assert(results.nonEmpty)
+  }
+
   test("watermark drops too-late events; in-watermark late arrivals still count") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
