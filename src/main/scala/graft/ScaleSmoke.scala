@@ -581,10 +581,30 @@ object ScaleSmoke {
       // shards), so the recall machinery below measures the same
       // geometry, faster.
       val shardPar = sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFPQ_PAR", "8").toInt
+      // SPARK_GRAFT_SMOKE_IVFPQ_DIST=1 builds through the fully
+      // DISTRIBUTED path instead (train-on-sample + scan-stage encode
+      // straight into the persisted layout — zero raw-vector collect;
+      // SinkSpec pins byte parity with the collect-based build, so the
+      // recall machinery below measures the same geometry): the number
+      // this variant cuts is the build wall of the path a 100 TB
+      // corpus would HAVE to use.
+      val distBuild = sys.env.get("SPARK_GRAFT_SMOKE_IVFPQ_DIST").contains("1")
       val corpusD = corpus.select(col("doc_id"),
         col("vec").cast("array<double>").as("vec"))
       var t = System.nanoTime()
-      val shards = Similarity.buildIvfPqSharded(corpusD, "doc_id", "vec",
+      val shards = if (distBuild) {
+        val ixDir = java.nio.file.Files
+          .createTempDirectory("smoke-ivfpq-dist").toString + "/ix"
+        graft.sources.Sink.writeIvfPqShardedIndexDistributed(spark, corpusD,
+          "doc_id", "vec", numShards = blocks, nCells = nCells, m = mSub,
+          path = ixDir)
+        val tw = (System.nanoTime() - t) / 1e9
+        val tr = System.nanoTime()
+        val restored = graft.sources.Source.readIvfPqShardedIndex(spark, ixDir)
+        println(f"ivfpq DISTRIBUTED build+persist (no raw-vector collect): " +
+          f"$tw%.2f s; restore from parquet: ${(System.nanoTime() - tr) / 1e9}%.2f s")
+        restored
+      } else Similarity.buildIvfPqSharded(corpusD, "doc_id", "vec",
         numShards = blocks, nCells = nCells, m = mSub, parallelism = shardPar)
       val buildSec = (System.nanoTime() - t) / 1e9
       def searchHits(shortlist: Int): (Map[Long, Set[Long]], Double) = {
@@ -598,8 +618,10 @@ object ScaleSmoke {
       }
       val (adcTop, adcSec) = searchHits(0)
       val (rerankTop, rerankSec) = searchHits(100)
+      val mode = if (distBuild) "DISTRIBUTED train-on-sample + restore"
+        else s"par=$shardPar, concurrent collect"
       println(f"ivfpq sharded build ($ivfpqDocs x ${dim}d, $blocks shards, " +
-        f"nCells=$nCells m=$mSub, par=$shardPar, concurrent): $buildSec%.2f s")
+        f"nCells=$nCells m=$mSub, $mode): $buildSec%.2f s")
       println(f"ivfpq sharded ADC search (1k q, nProbe=$nProbe, merged top-10): " +
         f"$adcSec%.2f s")
       println(f"ivfpq sharded rerank search (shortlist=100): $rerankSec%.2f s")

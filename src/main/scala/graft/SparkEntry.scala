@@ -1017,6 +1017,39 @@ object SparkEntry {
         .crossJoin(rerank.select(col("ok").as("sharded_rerank_ok")))
     }),
 
+    // DISTRIBUTED sharded IVF+PQ build gate: the 100 TB build path
+    // (train on a strided sample fetched by broadcast join, encode
+    // scan-stage with broadcast models, land directly in the
+    // persisted layout — raw vectors never collect and never shuffle)
+    // must produce BYTE-IDENTICAL shards to the collect-based
+    // buildIvfPqSharded. The parity booleans are computed here
+    // against the in-memory driver build; DuckDB pins the corpus
+    // count and the constant-TRUE flags.
+    "ann_ivfpq_dist_gate" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-dist").toString + "/ix"
+      graft.sources.Sink.writeIvfPqShardedIndexDistributed(s, q,
+        "vec_id", "embedding", numShards = 4, nCells = 8, m = 16, path = ixDir)
+      val loaded = graft.sources.Source.readIvfPqShardedIndex(s, ixDir)
+      val built = Similarity.buildIvfPqSharded(q, "vec_id", "embedding",
+        numShards = 4, nCells = 8, m = 16)
+      val parity = loaded.size == built.size &&
+        loaded.zip(built).forall { case (l, b) =>
+          l.ids.sameElements(b.ids) && l.codes.sameElements(b.codes) &&
+            l.centroids.sameElements(b.centroids) &&
+            l.codebooks.sameElements(b.codebooks) &&
+            l.cellOf.sameElements(b.cellOf) &&
+            l.sq8.get.codes.sameElements(b.sq8.get.codes) &&
+            l.sq8.get.norms.sameElements(b.sq8.get.norms)
+        }
+      Seq((loaded.map(_.n.toLong).sum, parity))
+        .toDF("n_vectors", "dist_parity_ok")
+    }),
+
     // trained BPE tokenization (rows-only: the merge list is
     // deterministic but no SQL engine replays the greedy merge loop;
     // TextOpsSpec pins the hand-computed merge sequence, word
@@ -2807,6 +2840,10 @@ object SparkEntry {
     "ann_ivfpq_sharded_recall" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS sharded_adc_ok,
         |       CAST(1 AS BOOLEAN) AS sharded_rerank_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_ivfpq_dist_gate" ->
+      """SELECT count(*) AS n_vectors, CAST(1 AS BOOLEAN) AS dist_parity_ok
         |FROM embeddings""".stripMargin,
 
     "ann_ivfsq8_recall" ->

@@ -796,25 +796,39 @@ object Similarity {
     val sqNorms = new Array[Double](cx.n)
     var j = 0
     while (j < cx.n) {
-      var sq = 0.0
-      var d2 = 0
-      while (d2 < cx.dim) {
-        val idx = j * cx.dim + d2
-        val sc = dimScale(d2)
-        val code =
-          if (sc == 0.0f) 0
-          else math.min(255, math.max(0,
-            math.round((cx.data(idx) - dimMin(d2)) / sc))).toInt
-        codes(idx) = code.toByte
-        val dq = dimMin(d2) + code * sc.toDouble
-        sq += dq * dq
-        d2 += 1
-      }
+      val sq = sq8EncodeRow(cx.data, j * cx.dim, cx.dim, dimMin, dimScale,
+        codes, j * cx.dim)
       sqNorms(j) = sq
       norms(j) = math.sqrt(sq)
       j += 1
     }
     CorpusIndexSq8(cx.ids, codes, cx.n, cx.dim, dimMin, dimScale, norms, sqNorms)
+  }
+
+  /** SQ8-encode one row against fixed per-dim bounds from `data` at
+    * `off` into `out` at `outOff`; returns the DEQUANTIZED square
+    * norm (what [[quantizeSq8]] stores — ranking decodes the same
+    * grid). Factored per-row body of [[quantizeSq8]], shared with the
+    * distributed builder's executor-side encode.
+    */
+  private[graft] def sq8EncodeRow(
+      data: Array[Double], off: Int, dim: Int,
+      dimMin: Array[Float], dimScale: Array[Float],
+      out: Array[Byte], outOff: Int): Double = {
+    var sq = 0.0
+    var d2 = 0
+    while (d2 < dim) {
+      val sc = dimScale(d2)
+      val code =
+        if (sc == 0.0f) 0
+        else math.min(255, math.max(0,
+          math.round((data(off + d2) - dimMin(d2)) / sc))).toInt
+      out(outOff + d2) = code.toByte
+      val dq = dimMin(d2) + code * sc.toDouble
+      sq += dq * dq
+      d2 += 1
+    }
+    sq
   }
 
   /** Collect + pack + quantize in one call (see [[collectCorpus]]). */
@@ -1072,53 +1086,7 @@ object Similarity {
         while (d < sub) { pts(s * sub + d) = cx.data(src + d); d += 1 }
         s += 1
       }
-      // strided deterministic init
-      val cent = new Array[Double](k * sub)
-      var c = 0
-      while (c < k) {
-        val src = ((c.toLong * sn) / k).toInt * sub
-        var d = 0
-        while (d < sub) { cent(c * sub + d) = pts(src + d); d += 1 }
-        c += 1
-      }
-      val assign = new Array[Int](sn)
-      var it = 0
-      while (it < iters) {
-        var s2 = 0
-        while (s2 < sn) {
-          var best = 0; var bestD = Double.MaxValue
-          var c2 = 0
-          while (c2 < k) {
-            var dist = 0.0; var d = 0
-            while (d < sub) {
-              val diff = pts(s2 * sub + d) - cent(c2 * sub + d)
-              dist += diff * diff; d += 1
-            }
-            if (dist < bestD) { bestD = dist; best = c2 }
-            c2 += 1
-          }
-          assign(s2) = best
-          s2 += 1
-        }
-        val sums = new Array[Double](k * sub)
-        val cnts = new Array[Int](k)
-        var s3 = 0
-        while (s3 < sn) {
-          val a = assign(s3); cnts(a) += 1
-          var d = 0
-          while (d < sub) { sums(a * sub + d) += pts(s3 * sub + d); d += 1 }
-          s3 += 1
-        }
-        var c3 = 0
-        while (c3 < k) {
-          if (cnts(c3) > 0) {
-            var d = 0
-            while (d < sub) { cent(c3 * sub + d) = sums(c3 * sub + d) / cnts(c3); d += 1 }
-          } // empty cluster: keep previous centroid
-          c3 += 1
-        }
-        it += 1
-      }
+      val cent = trainPqSubspace(pts, sn, sub, k, iters)
       var c4 = 0
       while (c4 < k) {
         var d = 0
@@ -1135,24 +1103,7 @@ object Similarity {
     val codes = new Array[Byte](cx.n * m)
     val kf = k
     java.util.stream.IntStream.range(0, cx.n).parallel().forEach { i =>
-      var j2 = 0
-      while (j2 < m) {
-        val src = i * cx.dim + j2 * sub
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < kf) {
-          val cb = (j2 * 256 + c) * sub
-          var dist = 0.0; var d = 0
-          while (d < sub) {
-            val diff = cx.data(src + d) - codebooks(cb + d)
-            dist += diff * diff; d += 1
-          }
-          if (dist < bestD) { bestD = dist; best = c }
-          c += 1
-        }
-        codes(i * m + j2) = best.toByte
-        j2 += 1
-      }
+      pqEncodeRow(cx.data, i * cx.dim, cx.dim, m, sub, kf, codebooks, codes, i * m)
     }
     // exact norms from the uncompressed pack (ranking uses true
     // vector lengths, only the dot is approximated); stored f32 —
@@ -1168,6 +1119,94 @@ object Similarity {
     }
     CorpusIndexPq(cx.ids, codes, cx.n, cx.dim, m, codebooks, norms, sqNorms,
       if (withRerank) Some(quantizeSq8(cx)) else None)
+  }
+
+  /** One subspace's Lloyd k-means over a dense slice of the sampled
+    * rows — factored out of [[quantizePq]] (shared with the
+    * distributed builder, same non-drift contract as
+    * [[trainSphericalKmeans]]). Deterministic: strided init, strict
+    * `<` ties to the lowest centroid, empty clusters keep their
+    * previous centroid. Returns the k·sub centroid block.
+    */
+  private[graft] def trainPqSubspace(
+      pts: Array[Double], sn: Int, sub: Int, k: Int, iters: Int): Array[Double] = {
+    // strided deterministic init
+    val cent = new Array[Double](k * sub)
+    var c = 0
+    while (c < k) {
+      val src = ((c.toLong * sn) / k).toInt * sub
+      var d = 0
+      while (d < sub) { cent(c * sub + d) = pts(src + d); d += 1 }
+      c += 1
+    }
+    val assign = new Array[Int](sn)
+    var it = 0
+    while (it < iters) {
+      var s2 = 0
+      while (s2 < sn) {
+        var best = 0; var bestD = Double.MaxValue
+        var c2 = 0
+        while (c2 < k) {
+          var dist = 0.0; var d = 0
+          while (d < sub) {
+            val diff = pts(s2 * sub + d) - cent(c2 * sub + d)
+            dist += diff * diff; d += 1
+          }
+          if (dist < bestD) { bestD = dist; best = c2 }
+          c2 += 1
+        }
+        assign(s2) = best
+        s2 += 1
+      }
+      val sums = new Array[Double](k * sub)
+      val cnts = new Array[Int](k)
+      var s3 = 0
+      while (s3 < sn) {
+        val a = assign(s3); cnts(a) += 1
+        var d = 0
+        while (d < sub) { sums(a * sub + d) += pts(s3 * sub + d); d += 1 }
+        s3 += 1
+      }
+      var c3 = 0
+      while (c3 < k) {
+        if (cnts(c3) > 0) {
+          var d = 0
+          while (d < sub) { cent(c3 * sub + d) = sums(c3 * sub + d) / cnts(c3); d += 1 }
+        } // empty cluster: keep previous centroid
+        c3 += 1
+      }
+      it += 1
+    }
+    cent
+  }
+
+  /** PQ-encode one row (nearest codebook entry per subspace, strict
+    * `<` ties to the lowest code) from `data` at `off` into `out` at
+    * `outOff` — the per-row body of [[quantizePq]]'s encode stream,
+    * factored so the distributed builder's executor-side encode is
+    * literally the same arithmetic.
+    */
+  private[graft] def pqEncodeRow(
+      data: Array[Double], off: Int, dim: Int, m: Int, sub: Int, k: Int,
+      codebooks: Array[Float], out: Array[Byte], outOff: Int): Unit = {
+    var j2 = 0
+    while (j2 < m) {
+      val src = off + j2 * sub
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cb = (j2 * 256 + c) * sub
+        var dist = 0.0; var d = 0
+        while (d < sub) {
+          val diff = data(src + d) - codebooks(cb + d)
+          dist += diff * diff; d += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      out(outOff + j2) = best.toByte
+      j2 += 1
+    }
   }
 
   def collectCorpusPq(
@@ -1442,64 +1481,27 @@ object Similarity {
         while (d < dim) { unit(g * dim + d) = cx.data(g * dim + d) / nrm; d += 1 }
       }
     }
-    // spherical k-means on a strided sample of the unit rows
+    // spherical k-means on a strided sample of the unit rows —
+    // gathered DENSE first so the training loop is the shared
+    // [[trainSphericalKmeans]] (bit-identical inputs: sample row s IS
+    // unit row sampleIdx(s))
     val k = math.min(nCells, cx.n)
     val step = math.max(1, cx.n / math.max(trainSample, k))
     val sampleIdx = (0 until cx.n by step).toArray
     val sn = sampleIdx.length
-    var cent = Array.tabulate(k) { c =>
-      val src = sampleIdx(((c.toLong * sn) / k).toInt) * dim
-      java.util.Arrays.copyOfRange(unit, src, src + dim)
+    val sample = new Array[Double](sn * dim)
+    var si = 0
+    while (si < sn) {
+      System.arraycopy(unit, sampleIdx(si) * dim, sample, si * dim, dim)
+      si += 1
     }
-    def renorm(v: Array[Double]): Array[Double] = {
-      var sq = 0.0; var d = 0
-      while (d < dim) { sq += v(d) * v(d); d += 1 }
-      val nr = math.sqrt(sq)
-      if (nr <= 1e-10) v else { var d2 = 0; while (d2 < dim) { v(d2) /= nr; d2 += 1 }; v }
-    }
-    cent.foreach(renorm)
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val cnts = new Array[Int](k)
-      var s = 0
-      while (s < sn) {
-        val src = sampleIdx(s) * dim
-        var best = 0; var bestDot = Double.NegativeInfinity
-        var c = 0
-        while (c < k) {
-          var dot = 0.0; var d = 0
-          while (d < dim) { dot += unit(src + d) * cent(c)(d); d += 1 }
-          if (dot > bestDot) { bestDot = dot; best = c }
-          c += 1
-        }
-        cnts(best) += 1
-        var d2 = 0
-        while (d2 < dim) { sums(best)(d2) += unit(src + d2); d2 += 1 }
-        s += 1
-      }
-      cent = cent.indices.map { c =>
-        if (cnts(c) == 0) cent(c) else renorm(sums(c))
-      }.toArray
-      it += 1
-    }
-    val centroids = new Array[Double](k * dim)
-    cent.zipWithIndex.foreach { case (cv, c) =>
-      System.arraycopy(cv, 0, centroids, c * dim, dim)
-    }
+    val centroids = trainSphericalKmeans(sample, sn, dim, k, iters)
     // assign every row, build residual pack
     val cellOf = new Array[Int](cx.n)
     val res = new Array[Double](cx.n * dim)
     java.util.stream.IntStream.range(0, cx.n).parallel().forEach { g =>
       val src = g * dim
-      var best = 0; var bestDot = Double.NegativeInfinity
-      var c = 0
-      while (c < k) {
-        var dot = 0.0; var d = 0
-        while (d < dim) { dot += unit(src + d) * centroids(c * dim + d); d += 1 }
-        if (dot > bestDot) { bestDot = dot; best = c }
-        c += 1
-      }
+      val best = assignCell(unit, src, centroids, k, dim)
       cellOf(g) = best
       var d2 = 0
       while (d2 < dim) { res(src + d2) = unit(src + d2) - centroids(best * dim + d2); d2 += 1 }
@@ -1518,6 +1520,80 @@ object Similarity {
     val (cellStart, cellMembers) = buildCsr(cellOf, k)
     CorpusIndexIvfPq(cx.ids, cx.n, dim, m, k, centroids,
       pq.codes, pq.codebooks, cellOf, cellStart, cellMembers, pq.sq8)
+  }
+
+  /** Spherical-k-means training loop over a DENSE unit-row sample —
+    * factored out of [[quantizeIvfPq]] so the driver build and the
+    * distributed builder
+    * ([[graft.sources.Sink.writeIvfPqShardedIndexDistributed]], which
+    * fetches the SAME strided sample by a broadcast join instead of
+    * collecting the corpus) train through one code path and cannot
+    * drift: identical inputs → bit-identical centroids.
+    * Deterministic — no RNG: strided init (sample rows (c·sn)/k),
+    * argmax-dot assignment with strict `>` (ties to the lowest
+    * centroid), empty clusters keep their previous centroid.
+    */
+  private[graft] def trainSphericalKmeans(
+      sample: Array[Double], sn: Int, dim: Int, k: Int, iters: Int): Array[Double] = {
+    var cent = Array.tabulate(k) { c =>
+      val src = ((c.toLong * sn) / k).toInt * dim
+      java.util.Arrays.copyOfRange(sample, src, src + dim)
+    }
+    def renorm(v: Array[Double]): Array[Double] = {
+      var sq = 0.0; var d = 0
+      while (d < dim) { sq += v(d) * v(d); d += 1 }
+      val nr = math.sqrt(sq)
+      if (nr <= 1e-10) v else { var d2 = 0; while (d2 < dim) { v(d2) /= nr; d2 += 1 }; v }
+    }
+    cent.foreach(renorm)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Int](k)
+      var s = 0
+      while (s < sn) {
+        val src = s * dim
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var d = 0
+          while (d < dim) { dot += sample(src + d) * cent(c)(d); d += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        var d2 = 0
+        while (d2 < dim) { sums(best)(d2) += sample(src + d2); d2 += 1 }
+        s += 1
+      }
+      cent = cent.indices.map { c =>
+        if (cnts(c) == 0) cent(c) else renorm(sums(c))
+      }.toArray
+      it += 1
+    }
+    val centroids = new Array[Double](k * dim)
+    cent.zipWithIndex.foreach { case (cv, c) =>
+      System.arraycopy(cv, 0, centroids, c * dim, dim)
+    }
+    centroids
+  }
+
+  /** Nearest coarse cell of the unit row at `off` (argmax dot, strict
+    * `>` — ties pin to the lowest cell). Factored so driver assign
+    * ([[quantizeIvfPq]]) and the distributed builder's executor-side
+    * assign run literally the same arithmetic.
+    */
+  private[graft] def assignCell(
+      unit: Array[Double], off: Int, centroids: Array[Double], k: Int, dim: Int): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var dot = 0.0; var d = 0
+      while (d < dim) { dot += unit(off + d) * centroids(c * dim + d); d += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
   }
 
   /** CSR grouping of row indices by cell (counting sort, stable in

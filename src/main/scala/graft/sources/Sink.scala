@@ -1,7 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Write-side of the pipeline (SURVEY §2.3 capstones produce datasets
   * someone has to persist). Two shapes matter at 100 TB:
@@ -469,5 +471,336 @@ object Sink {
         writeIvfPqInto(spark, ix, f"$tmp/shard_$i%04d")
       }
     }
+  }
+
+  /** Per-shard trained model the distributed builder broadcasts to
+    * its bounds/encode passes: the sample-trained coarse centroids +
+    * residual-PQ codebooks, plus the corpus-wide residual SQ8 bounds
+    * (null until pass D fills them / `withRerank = false`).
+    */
+  private final case class IvfPqShardModel(
+      n: Int, k: Int, centroids: Array[Double], codebooks: Array[Float],
+      sq8Min: Array[Float], sq8Scale: Array[Float])
+
+  /** Element conversion mirror of `Similarity.collectCorpusOpt` — the
+    * distributed builder must see the SAME doubles the driver path
+    * packs, including the f32→f64 widening of `array<float>` corpora.
+    */
+  private[graft] def embDoubles(emb: Seq[Any]): Array[Double] = {
+    val out = new Array[Double](emb.length)
+    var d = 0
+    val it = emb.iterator
+    while (d < out.length) {
+      out(d) = it.next() match {
+        case f: java.lang.Float => f.toDouble
+        case x: java.lang.Double => x.doubleValue
+        case x: Number => x.doubleValue
+      }
+      d += 1
+    }
+    out
+  }
+
+  /** Unit-normalize (zero-norm rows stay zero) — the same
+    * d-ascending square accumulation `collectCorpusOpt` +
+    * `quantizeIvfPq` run, so executor-side units are bit-identical
+    * to the driver pack's.
+    */
+  private[graft] def unitVec(v: Array[Double]): Array[Double] = {
+    var sq = 0.0; var d = 0
+    while (d < v.length) { sq += v(d) * v(d); d += 1 }
+    val nrm = math.sqrt(sq)
+    val u = new Array[Double](v.length)
+    if (nrm > 1e-10) { var d2 = 0; while (d2 < v.length) { u(d2) = v(d2) / nrm; d2 += 1 } }
+    u
+  }
+
+  /** Build AND persist a sharded IVF+PQ index WITHOUT ever collecting
+    * the corpus — the 100 TB build path.
+    * [[graft.operators.Similarity.buildIvfPqSharded]] still funnels
+    * every raw vector through the driver (one collect per shard:
+    * fine at 10M×256 ≈ 20 GB of f64 through one JVM, impossible at
+    * corpus scale). This builder keeps the driver sample-bounded:
+    *
+    *  1. per-shard counts (narrow agg: 8-byte ids + shard key);
+    *  2. the SAME strided sample positions `quantizeIvfPq`/
+    *     `quantizePq` use, resolved to ids by a narrow `row_number`
+    *     window over (shard | id) — only ids ride that exchange;
+    *  3. sample embeddings fetched by a broadcast semi-join and
+    *     collected (≈ 2·trainSample rows per shard, the only raw
+    *     vectors the driver ever holds); coarse centroids + residual
+    *     codebooks train through the SHARED loops
+    *     (`trainSphericalKmeans`/`trainPqSubspace` — bit-identical to
+    *     the driver build by construction);
+    *  4. residual SQ8 bounds via an executor-side min/max fold with
+    *     the scalar comparison semantics of `quantizeSq8` (skips NaN
+    *     exactly like the driver loop; min/max are order-independent,
+    *     so the distributed fold equals the driver scan);
+    *  5. one encode scan with the broadcast models — each row leaves
+    *     the executor as (cell, m-byte PQ code, SQ8 sidecar), ~6×
+    *     narrower than the raw vector — through ONE exchange
+    *     (partition by shard, `row_number` by id assigns the dense
+    *     pack `idx` the persisted format needs) and straight into the
+    *     `writeIvfPqShardedIndex` layout inside a single atomic
+    *     publish. Raw vectors never shuffle and never collect.
+    *
+    * The result restores through
+    * [[graft.sources.Source.readIvfPqShardedIndex]] BYTE-IDENTICAL to
+    * `writeIvfPqShardedIndex(buildIvfPqSharded(...))` (IvfPqSpec +
+    * SinkSpec pin ids/codes/centroids/codebooks/cells/SQ8 equality),
+    * because every arithmetic step runs the same factored code on the
+    * same values in the same order. Ids must be unique (they key the
+    * pack order, as in any index); ragged dims throw the kernel's
+    * "Dimension mismatch". Same shard split (`xxhash64(id) mod
+    * numShards`), same skip-empty-shards compaction, same floors.
+    */
+  def writeIvfPqShardedIndexDistributed(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      numShards: Int,
+      nCells: Int,
+      m: Int,
+      path: String,
+      trainSample: Int = 16384,
+      iters: Int = 10,
+      withRerank: Boolean = true,
+      overwrite: Boolean = false): Unit = {
+    import graft.operators.Similarity
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    require(trainSample >= 256, s"trainSample must be >= 256, got $trainSample")
+    val sc = spark.sparkContext
+    val shardCol =
+      pmod(xxhash64(col(idCol).cast(LongType)), lit(numShards)).cast(LongType)
+    val narrow = corpus.select(shardCol.as("shard"), col(idCol).cast(LongType).as("id"))
+
+    // pass 1: per-shard counts
+    val counts: Map[Long, Long] = narrow.groupBy("shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "Empty corpus")
+    counts.foreach { case (s, c) => require(c <= Int.MaxValue,
+      s"shard $s holds $c rows — one shard must fit an index; raise numShards") }
+    // non-empty shards in ascending hash order = buildIvfPqSharded's
+    // b-ascending loop with empties flattened out
+    val shardVals: Seq[Long] = counts.keys.toSeq.sorted
+    val kOf = shardVals.map(s => s -> math.min(nCells, counts(s).toInt)).toMap
+    val step1 = shardVals.map(s =>
+      s -> math.max(1, counts(s).toInt / math.max(trainSample, kOf(s)))).toMap
+    val step2 = shardVals.map(s =>
+      s -> math.max(1, counts(s).toInt / trainSample)).toMap
+
+    // pass 2: strided sample positions → ids (narrow window; the
+    // union of the coarse and PQ sample sets resolves in one pass)
+    val wPos = Window.partitionBy("shard").orderBy("id")
+    val s1Col = element_at(
+      typedLit(step1.map { case (s, v) => s -> v.toLong }), col("shard"))
+    val s2Col = element_at(
+      typedLit(step2.map { case (s, v) => s -> v.toLong }), col("shard"))
+    val sampled = narrow
+      .withColumn("pos", row_number().over(wPos).cast(LongType) - 1)
+      .filter(col("pos") % s1Col === 0 || col("pos") % s2Col === 0)
+      .select("shard", "pos", "id").collect()
+    val posBySh = sampled.groupBy(_.getLong(0))
+    def sampleIds(s: Long, step: Int): Array[Long] =
+      posBySh(s).filter(_.getLong(1) % step == 0).sortBy(_.getLong(1)).map(_.getLong(2))
+
+    // pass 3: fetch ONLY the sampled embeddings (broadcast semi-join)
+    import spark.implicits._
+    val idsDf = sampled.map(_.getLong(2)).distinct.toSeq.toDF("id")
+    val fetched = corpus
+      .select(col(idCol).cast(LongType).as("id"), col(embCol).as("emb"))
+      .join(broadcast(idsDf), "id").collect()
+    val embOf: Map[Long, Array[Double]] =
+      fetched.map(r => r.getLong(0) -> embDoubles(r.getSeq[Any](1))).toMap
+    val dim = embOf.head._2.length
+    embOf.valuesIterator.foreach(v => require(v.length == dim,
+      s"Dimension mismatch: corpus rows have $dim and ${v.length} elements"))
+    require(m >= 1 && m <= dim && dim % m == 0, s"m must divide dim: dim=$dim, m=$m")
+    val sub = dim / m
+
+    // train per shard on the driver — sample-bounded work, through the
+    // SAME loops the collect-based build runs
+    val models: Map[Long, IvfPqShardModel] = shardVals.map { s =>
+      val n = counts(s).toInt
+      val k = kOf(s)
+      val ids1 = sampleIds(s, step1(s)); val sn1 = ids1.length
+      val samp = new Array[Double](sn1 * dim)
+      var i = 0
+      while (i < sn1) {
+        System.arraycopy(unitVec(embOf(ids1(i))), 0, samp, i * dim, dim); i += 1
+      }
+      val centroids = Similarity.trainSphericalKmeans(samp, sn1, dim, k, iters)
+      val ids2 = sampleIds(s, step2(s)); val sn2 = ids2.length
+      val resS = new Array[Double](sn2 * dim)
+      var i2 = 0
+      while (i2 < sn2) {
+        val u = unitVec(embOf(ids2(i2)))
+        val cell = Similarity.assignCell(u, 0, centroids, k, dim)
+        var d = 0
+        while (d < dim) { resS(i2 * dim + d) = u(d) - centroids(cell * dim + d); d += 1 }
+        i2 += 1
+      }
+      val kPq = math.min(256, n)
+      val codebooks = new Array[Float](m * 256 * sub)
+      var j = 0
+      while (j < m) {
+        val pts = new Array[Double](sn2 * sub)
+        var s2 = 0
+        while (s2 < sn2) {
+          var d = 0
+          while (d < sub) { pts(s2 * sub + d) = resS(s2 * dim + j * sub + d); d += 1 }
+          s2 += 1
+        }
+        val cent = Similarity.trainPqSubspace(pts, sn2, sub, kPq, iters)
+        var c = 0
+        while (c < kPq) {
+          var d = 0
+          while (d < sub) {
+            codebooks((j * 256 + c) * sub + d) = cent(c * sub + d).toFloat; d += 1
+          }
+          c += 1
+        }
+        j += 1
+      }
+      s -> IvfPqShardModel(n, k, centroids, codebooks, null, null)
+    }.toMap
+
+    val withShard = corpus.select(shardCol.as("shard"),
+      col(idCol).cast(LongType).as("id"), col(embCol).as("emb"))
+    val dd = dim
+
+    // pass 4: corpus-wide residual SQ8 bounds (executor fold with the
+    // quantizeSq8 comparison semantics — order-independent, so the
+    // distributed fold equals the driver scan bit for bit)
+    val finalModels: Map[Long, IvfPqShardModel] =
+      if (!withRerank) models
+      else {
+        val bcM = sc.broadcast(models)
+        try {
+          val partials = withShard.select("shard", "emb").rdd.mapPartitions { it =>
+            val ms = bcM.value
+            val acc = scala.collection.mutable.Map.empty[Long, (Array[Double], Array[Double])]
+            it.foreach { row =>
+              val sh = row.getLong(0)
+              val mdl = ms(sh)
+              val v = embDoubles(row.getSeq[Any](1))
+              if (v.length != dd) throw new IllegalArgumentException(
+                s"Dimension mismatch: corpus rows have $dd and ${v.length} elements")
+              val u = unitVec(v)
+              val cell = graft.operators.Similarity.assignCell(u, 0, mdl.centroids, mdl.k, dd)
+              val (mn, mx) = acc.getOrElseUpdate(sh,
+                (Array.fill(dd)(Double.MaxValue), Array.fill(dd)(Double.MinValue)))
+              var d = 0
+              while (d < dd) {
+                val r = u(d) - mdl.centroids(cell * dd + d)
+                if (r < mn(d)) mn(d) = r
+                if (r > mx(d)) mx(d) = r
+                d += 1
+              }
+            }
+            Iterator.single(acc)
+          }.reduce { (a, b) =>
+            b.foreach { case (sh, (bmn, bmx)) =>
+              a.get(sh) match {
+                case Some((amn, amx)) =>
+                  var d = 0
+                  while (d < dd) {
+                    if (bmn(d) < amn(d)) amn(d) = bmn(d)
+                    if (bmx(d) > amx(d)) amx(d) = bmx(d)
+                    d += 1
+                  }
+                case None => a(sh) = (bmn, bmx)
+              }
+            }
+            a
+          }
+          models.map { case (s, mdl) =>
+            val (mn, mx) = partials(s)
+            val dimMin = new Array[Float](dd)
+            val dimScale = new Array[Float](dd)
+            var d = 0
+            while (d < dd) {
+              dimMin(d) = mn(d).toFloat
+              dimScale(d) = if (mx(d) > mn(d)) ((mx(d) - mn(d)) / 255.0).toFloat else 0.0f
+              d += 1
+            }
+            s -> mdl.copy(sq8Min = dimMin, sq8Scale = dimScale)
+          }
+        } finally bcM.destroy()
+      }
+
+    // pass 5: encode scan-stage, number by (shard | id) through the
+    // one code-width exchange, land in the persisted layout
+    val bcF = sc.broadcast(finalModels)
+    try {
+      val shardOut: Map[Long, Int] = shardVals.zipWithIndex.toMap
+      publishAtomically(spark, path, overwrite) { tmp =>
+        Seq((shardVals.size, counts.values.sum, "xxhash64_pmod"))
+          .toDF("num_shards", "total_n", "shard_key")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
+        val encSchema = StructType(Seq(
+          StructField("shard", LongType, nullable = false),
+          StructField("id", LongType, nullable = false),
+          StructField("code", BinaryType, nullable = false),
+          StructField("cell", IntegerType, nullable = false),
+          StructField("sq8_code", BinaryType, nullable = true),
+          StructField("sq8_norm", DoubleType, nullable = true),
+          StructField("sq8_sq_norm", DoubleType, nullable = true)))
+        val mm = m; val subb = sub; val wr = withRerank
+        val encoded = withShard.rdd.mapPartitions { it =>
+          val ms = bcF.value
+          it.map { row =>
+            val sh = row.getLong(0); val id = row.getLong(1)
+            val mdl = ms(sh)
+            val v = embDoubles(row.getSeq[Any](2))
+            if (v.length != dd) throw new IllegalArgumentException(
+              s"Dimension mismatch: corpus rows have $dd and ${v.length} elements")
+            val u = unitVec(v)
+            val cell = graft.operators.Similarity.assignCell(u, 0, mdl.centroids, mdl.k, dd)
+            val res = new Array[Double](dd)
+            var d = 0
+            while (d < dd) { res(d) = u(d) - mdl.centroids(cell * dd + d); d += 1 }
+            val code = new Array[Byte](mm)
+            graft.operators.Similarity.pqEncodeRow(
+              res, 0, dd, mm, subb, math.min(256, mdl.n), mdl.codebooks, code, 0)
+            if (wr) {
+              val s8 = new Array[Byte](dd)
+              val sq = graft.operators.Similarity.sq8EncodeRow(
+                res, 0, dd, mdl.sq8Min, mdl.sq8Scale, s8, 0)
+              Row(sh, id, code, cell, s8, math.sqrt(sq), sq)
+            } else Row(sh, id, code, cell, null, null, null)
+          }
+        }
+        val wIdx = Window.partitionBy("shard").orderBy("id")
+        spark.createDataFrame(encoded, encSchema)
+          .withColumn("idx", (row_number().over(wIdx) - 1).cast(IntegerType))
+          .withColumn("shard_out", element_at(typedLit(shardOut), col("shard")))
+          .select("shard_out", "idx", "id", "code", "cell",
+            "sq8_code", "sq8_norm", "sq8_sq_norm")
+          .write.partitionBy("shard_out").mode(SaveMode.ErrorIfExists)
+          .parquet(s"$tmp/__vectors__")
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        shardVals.zipWithIndex.foreach { case (s, i) =>
+          val mdl = finalModels(s)
+          val shardDir = new org.apache.hadoop.fs.Path(f"$tmp/shard_$i%04d")
+          require(fs.mkdirs(shardDir), s"could not create $shardDir")
+          val src = new org.apache.hadoop.fs.Path(s"$tmp/__vectors__/shard_out=$i")
+          require(fs.exists(src),
+            s"encode pass produced no partition for shard $s at $src")
+          require(fs.rename(src, new org.apache.hadoop.fs.Path(shardDir, "vectors")),
+            s"could not move $src into $shardDir")
+          Seq((mdl.n, dd, m, mdl.k,
+              mdl.centroids.toSeq, mdl.codebooks.toSeq,
+              Option(mdl.sq8Min).map(_.toSeq), Option(mdl.sq8Scale).map(_.toSeq)))
+            .toDF("n", "dim", "m", "n_cells", "centroids", "codebooks",
+              "sq8_dim_min", "sq8_dim_scale")
+            .write.mode(SaveMode.ErrorIfExists).parquet(s"$shardDir/meta")
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/__vectors__"), true)
+      }
+    } finally bcF.destroy()
   }
 }

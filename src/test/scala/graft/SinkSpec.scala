@@ -259,6 +259,87 @@ class SinkSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("DISTRIBUTED sharded IVF+PQ build: byte-identical to the collect-based build") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // the 100 TB build path must produce EXACTLY the index the driver
+    // build produces — same sample, same factored training loops, same
+    // executor-side encode arithmetic — so the restored shards compare
+    // byte for byte against buildIvfPqSharded's in-memory result
+    val rnd = new scala.util.Random(53)
+    val corpus = (0L until 700L).map(i => i -> Seq.fill(32)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    val built = Similarity.buildIvfPqSharded(corpus, "id", "emb",
+      numShards = 3, nCells = 4, m = 8)
+    val out = tmpDir("sink-ivfpq-dist")
+    Sink.writeIvfPqShardedIndexDistributed(spark, corpus, "id", "emb",
+      numShards = 3, nCells = 4, m = 8, path = out)
+    val loaded = graft.sources.Source.readIvfPqShardedIndex(spark, out)
+    assert(loaded.size == built.size)
+    loaded.zip(built).foreach { case (l, b) =>
+      assert(l.n == b.n && l.dim == b.dim && l.m == b.m && l.nCells == b.nCells)
+      assert(l.ids.sameElements(b.ids))
+      assert(l.codes.sameElements(b.codes))
+      assert(l.centroids.sameElements(b.centroids))
+      assert(l.codebooks.sameElements(b.codebooks))
+      assert(l.cellOf.sameElements(b.cellOf))
+      assert(l.cellStart.sameElements(b.cellStart))
+      assert(l.cellMembers.sameElements(b.cellMembers))
+      assert(l.sq8.get.codes.sameElements(b.sq8.get.codes))
+      assert(l.sq8.get.dimMin.sameElements(b.sq8.get.dimMin))
+      assert(l.sq8.get.dimScale.sameElements(b.sq8.get.dimScale))
+      assert(l.sq8.get.norms.sameElements(b.sq8.get.norms))
+      assert(l.sq8.get.sqNorms.sameElements(b.sq8.get.sqNorms))
+    }
+    // identical index → identical sharded search, rank for rank
+    val queries = (0L until 20L).map(i => i -> Seq.fill(32)(rnd.nextGaussian()))
+      .toDF("qid", "emb")
+    def res(shards: Seq[Similarity.CorpusIndexIvfPq]) =
+      Similarity.topkIvfPqSharded(queries, "emb", "qid", shards,
+          k = 5, nProbe = 4, shortlist = 20)
+        .select("qid", "rank", "index", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(res(loaded) == res(built))
+  }
+
+  test("distributed build edges: f32 corpus parity, rerank-off, empty-corpus refusal") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(59)
+    // f32 corpus: the executor-side f32→f64 widening must match
+    // collectCorpus's element conversion
+    val f32 = (0L until 400L).map(i => i -> Seq.fill(16)(rnd.nextGaussian().toFloat))
+      .toDF("id", "emb")
+    val built = Similarity.buildIvfPqSharded(f32, "id", "emb",
+      numShards = 2, nCells = 4, m = 4)
+    val out = tmpDir("sink-ivfpq-dist-f32")
+    Sink.writeIvfPqShardedIndexDistributed(spark, f32, "id", "emb",
+      numShards = 2, nCells = 4, m = 4, path = out)
+    val loaded = graft.sources.Source.readIvfPqShardedIndex(spark, out)
+    loaded.zip(built).foreach { case (l, b) =>
+      assert(l.ids.sameElements(b.ids) && l.codes.sameElements(b.codes))
+      assert(l.centroids.sameElements(b.centroids))
+      assert(l.sq8.get.codes.sameElements(b.sq8.get.codes))
+    }
+    // withRerank=false: no SQ8 sidecar on either path
+    val out2 = tmpDir("sink-ivfpq-dist-norr")
+    Sink.writeIvfPqShardedIndexDistributed(spark, f32, "id", "emb",
+      numShards = 2, nCells = 4, m = 4, path = out2, withRerank = false)
+    val noRr = graft.sources.Source.readIvfPqShardedIndex(spark, out2)
+    val builtNoRr = Similarity.buildIvfPqSharded(f32, "id", "emb",
+      numShards = 2, nCells = 4, m = 4, withRerank = false)
+    noRr.zip(builtNoRr).foreach { case (l, b) =>
+      assert(l.sq8.isEmpty && b.sq8.isEmpty)
+      assert(l.codes.sameElements(b.codes))
+    }
+    val e = intercept[IllegalArgumentException] {
+      Sink.writeIvfPqShardedIndexDistributed(spark, f32.filter(lit(false)),
+        "id", "emb", numShards = 2, nCells = 4, m = 4,
+        path = tmpDir("sink-ivfpq-dist-empty"))
+    }
+    assert(e.getMessage.contains("Empty corpus"))
+  }
+
   test("flat PQ index round-trip: byte-identical restore, identical search results") {
     import spark.implicits._
     import graft.operators.{Metric, Similarity}
