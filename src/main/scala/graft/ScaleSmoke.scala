@@ -59,6 +59,26 @@ object ScaleSmoke {
     }
 
     if (!embOnly) {
+    // materializing the text corpus is a prerequisite of the stages in
+    // this block, not a stage: skip the ~1-2 min generation when the
+    // filter selects none of them (e.g. an "ivfpq sharded"-only run)
+    val textStages = Seq(
+      "exact dedup (md5 groupBy)",
+      "minhash signatures (scan-stage, 128 perms)",
+      "minhash+LSH near-dup pairs (banded, capped, verified)",
+      "stars CC labels over the pair graph",
+      "dropDuplicatesByPairs (CC + keep min-id reps)",
+      "simhash pairs (pigeonhole, hamming <= 3)",
+      "simhash pairs WIDE (2x32-bit chunks + 1-bit probes)",
+      "exact-substring dedup (ExactSubstr, L=8, df-cut + scan rebuild)",
+      "dsir importance weights (4096 buckets, train 10% target + raw, score all)",
+      "paragraph dedup, ONE paragraph planted in all docs (hot-key)",
+      "interval join, incident storm (1h holds 10% of events, 5% of intervals)",
+      "paragraph near-dup pairs, planted one-word variants",
+      "mg_top_k guarantees under a 4M-token uniform tail (capacity 4096)",
+      "decontaminate vs 10k-doc eval set (5-gram overlap)")
+    val wantsText = stageFilter.forall(f => textStages.exists(_.contains(f)))
+    if (wantsText) {
     val docs = synth(spark, nDocs).cache()
     val n = docs.count() // materialize generation outside the timings
     println(s"corpus: $n docs")
@@ -220,6 +240,7 @@ object ScaleSmoke {
         "doc_id", "text", n = 5).count()
     }
     docs.unpersist()
+    } // wantsText
     }
 
     // embedding near-dup at the same corpus size: 64-dim vectors with
@@ -230,8 +251,14 @@ object ScaleSmoke {
     // spilled ~200 GB of attached vectors (see embeddingPairsLsh doc).
     val embBits = math.min(24,
       (math.log(nDocs.toDouble.max(2)) / math.log(2)).ceil.toInt + 2)
+    val nCellsSem = math.max(64L, math.ceil(math.sqrt(nDocs.toDouble)).toLong).toInt
+    // materializing the 1M-row cache is a prerequisite of the two
+    // stages below, not a stage — skip it when the filter skips both
+    val wantsEmb = stageFilter.forall(f =>
+      s"embedding LSH near-dup pairs (${nDocs} x 64d, bits=$embBits, verified cos >= 0.95)".contains(f) ||
+        s"semantic dedup pairs ($nCellsSem k-means cells = ceil(sqrt(n)), assign=2, auto cell cap, verified cos >= 0.95)".contains(f))
     val emb = synthEmb(spark, nDocs).cache()
-    emb.count()
+    if (wantsEmb) emb.count()
     timed(s"embedding LSH near-dup pairs (${nDocs} x 64d, bits=$embBits, verified cos >= 0.95)") {
       Dedup.embeddingPairsLsh(emb, "doc_id", "vec", threshold = 0.95, dim = 64,
         tables = 2, bits = embBits, probes = 2, maxBucketSize = 1000).count()
@@ -244,44 +271,55 @@ object ScaleSmoke {
     // an explicit 2 here so the 1M→4M wall-clock ratio isolates the
     // cell-count scaling (the auto 2·ln(cells) rule adds a log factor
     // of candidate duplication on top).
-    val nCells = math.max(64L, math.ceil(math.sqrt(nDocs.toDouble)).toLong).toInt
-    timed(s"semantic dedup pairs ($nCells k-means cells = ceil(sqrt(n)), assign=2, auto cell cap, verified cos >= 0.95)") {
+    timed(s"semantic dedup pairs ($nCellsSem k-means cells = ceil(sqrt(n)), assign=2, auto cell cap, verified cos >= 0.95)") {
       Dedup.semanticPairs(emb, "doc_id", "vec", threshold = 0.95,
-        nCells = nCells, assign = 2, maxTrain = 8192).count()
+        nCells = nCellsSem, assign = 2, maxTrain = 8192).count()
     }
     // SQ8 top-k at a 1M-vector index: the f64 index would be
     // 1M×64×8 = 512 MB broadcast; SQ8 ships 64 MB. Throughput should
     // track the f32 kernel (tile-decode feeds the same sgemm).
     val sqN = math.min(nDocs, 1000000L)
+    // the packs are prerequisites of the sq8/pq topk stages, not
+    // stages themselves — but they cost ~40 s at 1M, so a filtered run
+    // that skips every "sq8 topk"/"pq topk" stage must not pay them
+    val wantsSq8 = stageFilter.forall(f =>
+      s"sq8 topk (16k queries x $sqN x 64d, k=10, cosine)".contains(f))
+    val wantsPq = stageFilter.forall(f =>
+      s"pq topk ADC-only (16k queries x $sqN x 64d, k=10, cosine)".contains(f) ||
+        s"pq topk + sq8 rerank, shortlist=100 (same shape)".contains(f))
     val sqCorpus = synthEmb(spark, sqN)
       .select(col("doc_id"), col("vec").cast("array<float>").as("vec"))
     val sqQueries = synthEmb(spark, 16000L)
       .select(col("doc_id").as("qid"), col("vec").cast("array<float>").as("vec"))
       .cache()
-    sqQueries.count()
-    val t0 = System.nanoTime()
-    val cx8 = Similarity.collectCorpusSq8(sqCorpus, "doc_id", "vec")
-    println(f"sq8 pack ($sqN x 64d -> ${cx8.codes.length / 1e6}%.0f MB codes): " +
-      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
-    timed(s"sq8 topk (16k queries x $sqN x 64d, k=10, cosine)") {
-      Similarity.topkSq8Flat(sqQueries, "vec", cx8, 10, Metric.Cosine).count()
+    if (wantsSq8 || wantsPq) sqQueries.count()
+    if (wantsSq8) {
+      val t0 = System.nanoTime()
+      val cx8 = Similarity.collectCorpusSq8(sqCorpus, "doc_id", "vec")
+      println(f"sq8 pack ($sqN x 64d -> ${cx8.codes.length / 1e6}%.0f MB codes): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      timed(s"sq8 topk (16k queries x $sqN x 64d, k=10, cosine)") {
+        Similarity.topkSq8Flat(sqQueries, "vec", cx8, 10, Metric.Cosine).count()
+      }
     }
     // PQ at the same index size: m=16 → 16 B codes + 8 B f32 norms
     // per vector (24 MB vs SQ8's 64 MB vs f64's 512 MB); ADC-only
     // search, then shortlist-100 rerank against the SQ8 sidecar
-    val t1 = System.nanoTime()
-    val cxPq = Similarity.quantizePq(
-      Similarity.collectCorpus(
-        sqCorpus.select(col("doc_id"), col("vec").cast("array<double>").as("vec")),
-        "doc_id", "vec"), m = 16)
-    println(f"pq pack ($sqN x 64d -> ${cxPq.codes.length / 1e6}%.0f MB codes, m=16): " +
-      f"${(System.nanoTime() - t1) / 1e9}%.2f s")
-    timed(s"pq topk ADC-only (16k queries x $sqN x 64d, k=10, cosine)") {
-      Similarity.topkPqFlat(sqQueries, "vec", cxPq, 10, Metric.Cosine).count()
-    }
-    timed(s"pq topk + sq8 rerank, shortlist=100 (same shape)") {
-      Similarity.topkPqFlat(sqQueries, "vec", cxPq, 10, Metric.Cosine,
-        shortlist = 100).count()
+    if (wantsPq) {
+      val t1 = System.nanoTime()
+      val cxPq = Similarity.quantizePq(
+        Similarity.collectCorpus(
+          sqCorpus.select(col("doc_id"), col("vec").cast("array<double>").as("vec")),
+          "doc_id", "vec"), m = 16)
+      println(f"pq pack ($sqN x 64d -> ${cxPq.codes.length / 1e6}%.0f MB codes, m=16): " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+      timed(s"pq topk ADC-only (16k queries x $sqN x 64d, k=10, cosine)") {
+        Similarity.topkPqFlat(sqQueries, "vec", cxPq, 10, Metric.Cosine).count()
+      }
+      timed(s"pq topk + sq8 rerank, shortlist=100 (same shape)") {
+        Similarity.topkPqFlat(sqQueries, "vec", cxPq, 10, Metric.Cosine,
+          shortlist = 100).count()
+      }
     }
     sqQueries.unpersist()
     emb.unpersist()
@@ -570,6 +608,19 @@ object ScaleSmoke {
         .select(col("doc_id").as("qid"),
           col("vec").cast("array<double>").as("vec")).cache()
       queries.count()
+      // ground truth FIRST: at 10M×256 the exact blocked search's
+      // concurrent block collects (~640 MB f32 each) must not share
+      // the heap high-water mark with the finished sharded index
+      // (codes + SQ8 sidecar ≈ 3.5 GB at 10M) — a par=8 run OOMed in
+      // exactly that overlap with the index still referenced
+      val t2 = System.nanoTime()
+      val truth = Similarity.topkBlocked(queries, "vec", "qid", corpus,
+          "doc_id", "vec", 10, Metric.Cosine, numBlocks = blocks)
+        .select(col("qid"), col("index")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      println(f"blocked exact ground truth (same shards): " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s")
       // round 10: the sequential driver loop this stage used through
       // round 9 (one shard collect+train at a time — 677 s of the 10M
       // point was that loop, round-9 verdict #1) is now the OPERATOR
@@ -625,14 +676,6 @@ object ScaleSmoke {
       println(f"ivfpq sharded ADC search (1k q, nProbe=$nProbe, merged top-10): " +
         f"$adcSec%.2f s")
       println(f"ivfpq sharded rerank search (shortlist=100): $rerankSec%.2f s")
-      val t2 = System.nanoTime()
-      val truth = Similarity.topkBlocked(queries, "vec", "qid", corpus,
-          "doc_id", "vec", 10, Metric.Cosine, numBlocks = blocks)
-        .select(col("qid"), col("index")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
-      println(f"blocked exact ground truth (same shards): " +
-        f"${(System.nanoTime() - t2) / 1e9}%.2f s")
       def recallOf(sel: Map[Long, Set[Long]]): Double = {
         val per = truth.toSeq.map { case (q, t) =>
           (t.intersect(sel.getOrElse(q, Set.empty)).size, t.size) }

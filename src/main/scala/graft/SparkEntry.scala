@@ -1050,6 +1050,47 @@ object SparkEntry {
         .toDF("n_vectors", "dist_parity_ok")
     }),
 
+    // APPEND gate: the daily-ingest path — build the sharded index on
+    // HALF the corpus (even vec_ids), append the other half
+    // encode-only (no retrain, no raw-vector collect, source index
+    // untouched), and the grown index must still clear the sharded
+    // gate's recall floors against brute force over the FULL corpus.
+    // Codebooks here were trained on half the data, so a pass means
+    // the append path both encodes correctly AND the frozen-model
+    // ingest degrades gracefully — the property a growing 100 TB
+    // corpus relies on between retrains. DuckDB pins the count and
+    // the constant-TRUE booleans.
+    "ann_ivfpq_append_gate" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-append").toString
+      graft.sources.Sink.writeIvfPqShardedIndexDistributed(s,
+        q.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        numShards = 4, nCells = 8, m = 16, path = s"$base/ix")
+      graft.sources.Sink.appendIvfPqShardedIndex(s,
+        q.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+        s"$base/ix", s"$base/grown")
+      val grown = graft.sources.Source.readIvfPqShardedIndex(s, s"$base/grown")
+      val brute = Similarity.topkFlat(q, "embedding", corpus(s, dir), 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      def recallOf(hits: DataFrame, floor: Double) = brute
+        .join(hits.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"), recallAtLeast(floor).as("ok"))
+      val adc = recallOf(Similarity.topkIvfPqSharded(
+        q, "embedding", "vec_id", grown, 10, nProbe = 4), 0.6)
+      val rerank = recallOf(Similarity.topkIvfPqSharded(
+        q, "embedding", "vec_id", grown, 10, nProbe = 4, shortlist = 100), 0.75)
+      adc.select(col("n_queries"), col("ok").as("append_adc_ok"))
+        .crossJoin(rerank.select(col("ok").as("append_rerank_ok")))
+    }),
+
     // trained BPE tokenization (rows-only: the merge list is
     // deterministic but no SQL engine replays the greedy merge loop;
     // TextOpsSpec pins the hand-computed merge sequence, word
@@ -2844,6 +2885,11 @@ object SparkEntry {
 
     "ann_ivfpq_dist_gate" ->
       """SELECT count(*) AS n_vectors, CAST(1 AS BOOLEAN) AS dist_parity_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_ivfpq_append_gate" ->
+      """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS append_adc_ok,
+        |       CAST(1 AS BOOLEAN) AS append_rerank_ok
         |FROM embeddings""".stripMargin,
 
     "ann_ivfsq8_recall" ->

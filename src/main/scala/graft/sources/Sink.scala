@@ -476,10 +476,15 @@ object Sink {
   /** Per-shard trained model the distributed builder broadcasts to
     * its bounds/encode passes: the sample-trained coarse centroids +
     * residual-PQ codebooks, plus the corpus-wide residual SQ8 bounds
-    * (null until pass D fills them / `withRerank = false`).
+    * (null until pass D fills them / `withRerank = false`). `kPq` is
+    * the number of TRAINED codebook entries (`min(256, build n)`) —
+    * encode must never consider untrained (all-zero) entries, and
+    * after an append `n` grows past the build count, so the trained
+    * count rides the model (and the appended meta's `k_pq` column)
+    * instead of being re-derived from `n`.
     */
   private final case class IvfPqShardModel(
-      n: Int, k: Int, centroids: Array[Double], codebooks: Array[Float],
+      n: Int, k: Int, kPq: Int, centroids: Array[Double], codebooks: Array[Float],
       sq8Min: Array[Float], sq8Scale: Array[Float])
 
   /** Element conversion mirror of `Similarity.collectCorpusOpt` — the
@@ -664,7 +669,7 @@ object Sink {
         }
         j += 1
       }
-      s -> IvfPqShardModel(n, k, centroids, codebooks, null, null)
+      s -> IvfPqShardModel(n, k, kPq, centroids, codebooks, null, null)
     }.toMap
 
     val withShard = corpus.select(shardCol.as("shard"),
@@ -740,41 +745,9 @@ object Sink {
         Seq((shardVals.size, counts.values.sum, "xxhash64_pmod"))
           .toDF("num_shards", "total_n", "shard_key")
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
-        val encSchema = StructType(Seq(
-          StructField("shard", LongType, nullable = false),
-          StructField("id", LongType, nullable = false),
-          StructField("code", BinaryType, nullable = false),
-          StructField("cell", IntegerType, nullable = false),
-          StructField("sq8_code", BinaryType, nullable = true),
-          StructField("sq8_norm", DoubleType, nullable = true),
-          StructField("sq8_sq_norm", DoubleType, nullable = true)))
-        val mm = m; val subb = sub; val wr = withRerank
-        val encoded = withShard.rdd.mapPartitions { it =>
-          val ms = bcF.value
-          it.map { row =>
-            val sh = row.getLong(0); val id = row.getLong(1)
-            val mdl = ms(sh)
-            val v = embDoubles(row.getSeq[Any](2))
-            if (v.length != dd) throw new IllegalArgumentException(
-              s"Dimension mismatch: corpus rows have $dd and ${v.length} elements")
-            val u = unitVec(v)
-            val cell = graft.operators.Similarity.assignCell(u, 0, mdl.centroids, mdl.k, dd)
-            val res = new Array[Double](dd)
-            var d = 0
-            while (d < dd) { res(d) = u(d) - mdl.centroids(cell * dd + d); d += 1 }
-            val code = new Array[Byte](mm)
-            graft.operators.Similarity.pqEncodeRow(
-              res, 0, dd, mm, subb, math.min(256, mdl.n), mdl.codebooks, code, 0)
-            if (wr) {
-              val s8 = new Array[Byte](dd)
-              val sq = graft.operators.Similarity.sq8EncodeRow(
-                res, 0, dd, mdl.sq8Min, mdl.sq8Scale, s8, 0)
-              Row(sh, id, code, cell, s8, math.sqrt(sq), sq)
-            } else Row(sh, id, code, cell, null, null, null)
-          }
-        }
+        val encoded = encodeWithModels(withShard, bcF, dd, m, sub, withRerank)
         val wIdx = Window.partitionBy("shard").orderBy("id")
-        spark.createDataFrame(encoded, encSchema)
+        spark.createDataFrame(encoded, ivfPqEncSchema)
           .withColumn("idx", (row_number().over(wIdx) - 1).cast(IntegerType))
           .withColumn("shard_out", element_at(typedLit(shardOut), col("shard")))
           .select("shard_out", "idx", "id", "code", "cell",
@@ -800,6 +773,238 @@ object Sink {
             .write.mode(SaveMode.ErrorIfExists).parquet(s"$shardDir/meta")
         }
         fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/__vectors__"), true)
+      }
+    } finally bcF.destroy()
+  }
+
+  /** Row shape the scan-stage IVF+PQ encode emits: the shard routing
+    * key, the row id, and the ~6×-narrower encoded payload (m-byte PQ
+    * code + cell + optional SQ8 sidecar) — shared by the distributed
+    * builder's pass 5 and [[appendIvfPqShardedIndex]].
+    */
+  private val ivfPqEncSchema = StructType(Seq(
+    StructField("shard", LongType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("code", BinaryType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("sq8_code", BinaryType, nullable = true),
+    StructField("sq8_norm", DoubleType, nullable = true),
+    StructField("sq8_sq_norm", DoubleType, nullable = true)))
+
+  /** The scan-stage encode of `(shard, id, emb)` rows against
+    * broadcast per-shard models — unit-normalize, assign the coarse
+    * cell, PQ-encode the residual over the TRAINED codebook entries
+    * (`mdl.kPq`, never the untrained tail), SQ8-encode the sidecar
+    * when the model carries bounds. The exact per-row arithmetic of
+    * the driver build ([[graft.operators.Similarity.quantizeIvfPq]])
+    * through the shared factored helpers, so every caller inherits
+    * the byte-parity argument. Raw vectors enter, code-width rows
+    * leave.
+    */
+  private def encodeWithModels(
+      withShard: DataFrame,
+      bcF: org.apache.spark.broadcast.Broadcast[Map[Long, IvfPqShardModel]],
+      dd: Int, mm: Int, subb: Int, wr: Boolean)
+      : org.apache.spark.rdd.RDD[Row] =
+    withShard.rdd.mapPartitions { it =>
+      val ms = bcF.value
+      it.map { row =>
+        val sh = row.getLong(0); val id = row.getLong(1)
+        val mdl = ms(sh)
+        val v = embDoubles(row.getSeq[Any](2))
+        if (v.length != dd) throw new IllegalArgumentException(
+          s"Dimension mismatch: corpus rows have $dd and ${v.length} elements")
+        val u = unitVec(v)
+        val cell = graft.operators.Similarity.assignCell(u, 0, mdl.centroids, mdl.k, dd)
+        val res = new Array[Double](dd)
+        var d = 0
+        while (d < dd) { res(d) = u(d) - mdl.centroids(cell * dd + d); d += 1 }
+        val code = new Array[Byte](mm)
+        graft.operators.Similarity.pqEncodeRow(
+          res, 0, dd, mm, subb, mdl.kPq, mdl.codebooks, code, 0)
+        if (wr) {
+          val s8 = new Array[Byte](dd)
+          val sq = graft.operators.Similarity.sq8EncodeRow(
+            res, 0, dd, mdl.sq8Min, mdl.sq8Scale, s8, 0)
+          Row(sh, id, code, cell, s8, math.sqrt(sq), sq)
+        } else Row(sh, id, code, cell, null, null, null)
+      }
+    }
+
+  /** Read one persisted shard's TRAINED MODEL (meta only — the
+    * vectors never load): the append path needs centroids, codebooks,
+    * SQ8 bounds, and the trained-codebook count, not the corpus.
+    * `k_pq` is read by name when present (append-written metas carry
+    * it); build-written metas lack the column, and there
+    * `min(256, n)` IS the trained count because build-time `n` is the
+    * training corpus size.
+    */
+  private def readShardModel(
+      spark: org.apache.spark.sql.SparkSession,
+      shardDir: String): IvfPqShardModel = {
+    val metaDf = spark.read.parquet(s"$shardDir/meta")
+    val hasKpq = metaDf.schema.fieldNames.contains("k_pq")
+    val meta = metaDf.head()
+    val n = meta.getAs[Int]("n")
+    val kPq = if (hasKpq) meta.getAs[Int]("k_pq") else math.min(256, n)
+    IvfPqShardModel(
+      n,
+      meta.getAs[Int]("n_cells"),
+      kPq,
+      meta.getAs[Seq[Double]]("centroids").toArray,
+      meta.getAs[Seq[Float]]("codebooks").toArray,
+      if (meta.isNullAt(meta.fieldIndex("sq8_dim_min"))) null
+      else meta.getAs[Seq[Float]]("sq8_dim_min").toArray,
+      if (meta.isNullAt(meta.fieldIndex("sq8_dim_scale"))) null
+      else meta.getAs[Seq[Float]]("sq8_dim_scale").toArray)
+  }
+
+  /** APPEND new rows to a persisted sharded IVF+PQ index — the daily
+    * ingest of a growing corpus: encode-only, NO retraining, no
+    * raw-vector collect, and the source index is never mutated (the
+    * grown index publishes atomically at `outPath`; readers of
+    * `indexPath` are undisturbed, and a crash leaves no torn state
+    * anywhere).
+    *
+    *  - New rows route to shard `pmod(xxhash64(id), num_shards)` —
+    *    the build split's own key, so ingest stays balanced and
+    *    deterministic. (If the ORIGINAL build compacted away empty
+    *    hash shards the dir numbering shifted relative to raw hash
+    *    values; routing correctness is unaffected — every query fans
+    *    out to all shards, so ANY shard's codebooks can encode any
+    *    row — only the exact build-time placement is not reproduced
+    *    in that degenerate small-corpus case.)
+    *  - Each row is encoded scan-stage with the destination shard's
+    *    broadcast model through [[encodeWithModels]] — the same
+    *    arithmetic the build ran, against the codebooks as trained
+    *    (`k_pq`); residuals outside the frozen SQ8 grid clamp to the
+    *    grid edge (rerank degrades gracefully for outliers instead
+    *    of corrupting).
+    *  - Old vectors are COPIED AS FILES (no decode/re-encode — the
+    *    bytes are already right); new rows land as additional parquet
+    *    files in each shard's `vectors/` with pack positions
+    *    continuing from the old `n`. Meta is rewritten with the grown
+    *    `n` and an explicit `k_pq` (appended LAST so the positional
+    *    reader of build-written metas is untouched); the manifest's
+    *    `total_n` grows to match.
+    *
+    * Duplicate ids — within `newRows` or against the stored index —
+    * throw (ids key an index; silent duplicates would serve the same
+    * row twice). Dimension mismatches throw the kernel's named error.
+    * Shards that receive no new rows are copied unchanged. The result
+    * reads back through
+    * [[graft.sources.Source.readIvfPqShardedIndex]] and serves
+    * through `topkIvfPqSharded` like any built index (SinkSpec pins
+    * old-row byte identity, new-row encode correctness, and search
+    * recall over the grown corpus).
+    */
+  def appendIvfPqShardedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      newRows: DataFrame,
+      idCol: String,
+      embCol: String,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean = false): Unit = {
+    import spark.implicits._
+    val manifest = spark.read.parquet(s"$indexPath/manifest").head()
+    val numShards = manifest.getInt(0)
+    val totalN = manifest.getLong(1)
+    val shardKey = manifest.getString(2)
+    require(shardKey == "xxhash64_pmod",
+      s"cannot append to an index with shard key '$shardKey'")
+    val models: Map[Long, IvfPqShardModel] = (0 until numShards).map { i =>
+      i.toLong -> readShardModel(spark, f"$indexPath/shard_$i%04d")
+    }.toMap
+    // dim falls out of each shard's centroid block; m does not
+    // (codebooks are always m·256·(dim/m) = 256·dim values), so m
+    // comes from the first shard's meta — every writer of this layout
+    // stamps one m across all shards
+    val dd = models.values.head.centroids.length / models.values.head.k
+    models.foreach { case (i, m) => require(m.centroids.length / m.k == dd,
+      s"shard $i dim ${m.centroids.length / m.k} != $dd — corrupt index") }
+    val mm = spark.read.parquet(f"$indexPath/shard_0000/meta")
+      .select("m").head().getInt(0)
+    val subb = dd / mm
+    val withRerank = models.values.head.sq8Min != null
+    require(models.values.forall(m => (m.sq8Min != null) == withRerank),
+      "corrupt index: shards disagree on the SQ8 sidecar")
+
+    val newNarrow = newRows.select(
+      pmod(xxhash64(col(idCol).cast(LongType)), lit(numShards)).cast(LongType).as("shard"),
+      col(idCol).cast(LongType).as("id"),
+      col(embCol).as("emb"))
+
+    // id hygiene: unique within the batch, disjoint from the index
+    val dupIn = newNarrow.groupBy("id").count().filter(col("count") > 1).limit(1).collect()
+    require(dupIn.isEmpty, s"duplicate id in append batch: ${dupIn.headOption.map(_.getLong(0)).getOrElse(-1L)}")
+    val storedIds = spark.read.parquet(
+      (0 until numShards).map(i => f"$indexPath/shard_$i%04d/vectors"): _*)
+      .select(col("id"))
+    val clash = newNarrow.select("id").join(storedIds, Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} already exists in the index at $indexPath")
+
+    val newCounts: Map[Long, Long] = newNarrow.groupBy("shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val newTotal = newCounts.values.sum
+    (0 until numShards).foreach { i =>
+      val grown = models(i.toLong).n.toLong + newCounts.getOrElse(i.toLong, 0L)
+      require(grown <= Int.MaxValue,
+        s"shard $i would grow to $grown rows — one shard must fit an index")
+    }
+
+    val sc = spark.sparkContext
+    val bcF = sc.broadcast(models)
+    try {
+      publishAtomically(spark, outPath, overwrite) { tmp =>
+        Seq((numShards, totalN + newTotal, shardKey))
+          .toDF("num_shards", "total_n", "shard_key")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
+        val encoded = encodeWithModels(newNarrow, bcF, dd, mm, subb, withRerank)
+        val oldN: Map[Long, Int] = models.map { case (i, m) => i -> m.n }
+        val wIdx = Window.partitionBy("shard").orderBy("id")
+        val baseCol = element_at(
+          typedLit(oldN.map { case (i, n) => i -> n.toLong }), col("shard"))
+        spark.createDataFrame(encoded, ivfPqEncSchema)
+          .withColumn("idx",
+            (baseCol + row_number().over(wIdx) - 1).cast(IntegerType))
+          .withColumn("shard_out", col("shard").cast(IntegerType))
+          .select("shard_out", "idx", "id", "code", "cell",
+            "sq8_code", "sq8_norm", "sq8_sq_norm")
+          .write.partitionBy("shard_out").mode(SaveMode.ErrorIfExists)
+          .parquet(s"$tmp/__append__")
+        val conf = sc.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+        (0 until numShards).foreach { i =>
+          val mdl = models(i.toLong)
+          val shardDir = new org.apache.hadoop.fs.Path(f"$tmp/shard_$i%04d")
+          require(fs.mkdirs(shardDir), s"could not create $shardDir")
+          val oldVec = new org.apache.hadoop.fs.Path(f"$indexPath/shard_$i%04d/vectors")
+          val dstVec = new org.apache.hadoop.fs.Path(shardDir, "vectors")
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            oldVec.getFileSystem(conf), oldVec, fs, dstVec, false, conf),
+            s"could not copy $oldVec into $shardDir")
+          val part = new org.apache.hadoop.fs.Path(s"$tmp/__append__/shard_out=$i")
+          if (fs.exists(part)) {
+            fs.listStatus(part).foreach { st =>
+              val nm = st.getPath.getName
+              if (nm.startsWith("part-"))
+                require(fs.rename(st.getPath,
+                  new org.apache.hadoop.fs.Path(dstVec, s"append-$nm")),
+                  s"could not move ${st.getPath} into $dstVec")
+            }
+          }
+          Seq((mdl.n + newCounts.getOrElse(i.toLong, 0L).toInt, dd, mm, mdl.k,
+              mdl.centroids.toSeq, mdl.codebooks.toSeq,
+              Option(mdl.sq8Min).map(_.toSeq), Option(mdl.sq8Scale).map(_.toSeq),
+              mdl.kPq))
+            .toDF("n", "dim", "m", "n_cells", "centroids", "codebooks",
+              "sq8_dim_min", "sq8_dim_scale", "k_pq")
+            .write.mode(SaveMode.ErrorIfExists).parquet(s"$shardDir/meta")
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/__append__"), true)
       }
     } finally bcF.destroy()
   }

@@ -340,6 +340,96 @@ class SinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Empty corpus"))
   }
 
+  test("appendIvfPqShardedIndex: old rows byte-identical, new rows encode-only, grown corpus serves") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(61)
+    def vecs(ids: Range) = ids.map(i => i.toLong -> Seq.fill(32)(rnd.nextGaussian()))
+    val a = vecs(0 until 600)
+    val b = vecs(600 until 900)
+    val corpusA = a.toDF("id", "emb")
+    val batchB = b.toDF("id", "emb")
+    // base index via the COLLECT-based write — its meta has no k_pq
+    // column, so this test also covers the min(256, n) fallback
+    val outA = tmpDir("sink-ivfpq-app-base")
+    Sink.writeIvfPqShardedIndex(spark,
+      Similarity.buildIvfPqSharded(corpusA, "id", "emb",
+        numShards = 3, nCells = 4, m = 8), outA)
+    val outG = tmpDir("sink-ivfpq-app-grown")
+    Sink.appendIvfPqShardedIndex(spark, batchB, "id", "emb", outA, outG)
+    val orig = graft.sources.Source.readIvfPqShardedIndex(spark, outA)
+    val grown = graft.sources.Source.readIvfPqShardedIndex(spark, outG)
+    assert(grown.map(_.n).sum == 900)
+    // the source index is untouched and the models did not move
+    assert(orig.map(_.n).sum == 600)
+    orig.zip(grown).foreach { case (o, g) =>
+      assert(g.centroids.sameElements(o.centroids))
+      assert(g.codebooks.sameElements(o.codebooks))
+      assert(g.sq8.get.dimMin.sameElements(o.sq8.get.dimMin))
+      assert(g.sq8.get.dimScale.sameElements(o.sq8.get.dimScale))
+      // old pack prefix is byte-identical — append never re-encodes
+      assert(g.ids.take(o.n).sameElements(o.ids))
+      assert(g.codes.take(o.n * o.m).sameElements(o.codes))
+      assert(g.cellOf.take(o.n).sameElements(o.cellOf))
+      assert(g.sq8.get.codes.take(o.n * o.dim).sameElements(o.sq8.get.codes))
+    }
+    // every appended row's cell + code equals a driver-side re-encode
+    // against the ORIGINAL model (same helpers, same arithmetic)
+    val embOf = b.toMap
+    orig.zip(grown).foreach { case (o, g) =>
+      (o.n until g.n).foreach { j =>
+        val id = g.ids(j)
+        assert(id >= 600L, s"appended slot $j holds old id $id")
+        val u = Sink.unitVec(embOf(id).toArray)
+        val cell = Similarity.assignCell(u, 0, o.centroids, o.nCells, o.dim)
+        assert(g.cellOf(j) == cell)
+        val res = Array.tabulate(o.dim)(d => u(d) - o.centroids(cell * o.dim + d))
+        val exp = new Array[Byte](o.m)
+        Similarity.pqEncodeRow(res, 0, o.dim, o.m, o.dim / o.m,
+          math.min(256, o.n), o.codebooks, exp, 0)
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(g.codes, j * o.m, (j + 1) * o.m), exp))
+      }
+    }
+    // the grown index SERVES the appended rows: querying with exact
+    // copies of B vectors must surface the B row itself at rank 1
+    val qB = b.take(50).map { case (id, v) => (id + 100000L, v, id) }
+      .toDF("qid", "emb", "want")
+    val hits = Similarity.topkIvfPqSharded(
+        qB.select("qid", "emb"), "emb", "qid", grown,
+        k = 1, nProbe = 4, shortlist = 20)
+      .join(qB.select(col("qid"), col("want")), "qid")
+      .filter(col("index") === col("want")).count()
+    assert(hits >= 45, s"only $hits/50 appended rows served at rank 1")
+    // append onto the APPENDED index: exercises the k_pq meta column
+    val c = vecs(900 until 1000)
+    val outG2 = tmpDir("sink-ivfpq-app-grown2")
+    Sink.appendIvfPqShardedIndex(spark, c.toDF("id", "emb"), "id", "emb", outG, outG2)
+    val grown2 = graft.sources.Source.readIvfPqShardedIndex(spark, outG2)
+    assert(grown2.map(_.n).sum == 1000)
+    grown.zip(grown2).foreach { case (g, g2) =>
+      assert(g2.codebooks.sameElements(g.codebooks))
+      assert(g2.codes.take(g.n * g.m).sameElements(g.codes))
+    }
+    // id hygiene: a batch clashing with stored ids refuses, as does an
+    // internally-duplicated batch and a ragged-dim batch
+    val clash = intercept[IllegalArgumentException] {
+      Sink.appendIvfPqShardedIndex(spark, Seq((5L, Seq.fill(32)(0.1))).toDF("id", "emb"),
+        "id", "emb", outA, tmpDir("sink-ivfpq-app-clash"))
+    }
+    assert(clash.getMessage.contains("already exists"))
+    val dup = intercept[IllegalArgumentException] {
+      Sink.appendIvfPqShardedIndex(spark,
+        Seq((2000L, Seq.fill(32)(0.1)), (2000L, Seq.fill(32)(0.2))).toDF("id", "emb"),
+        "id", "emb", outA, tmpDir("sink-ivfpq-app-dup"))
+    }
+    assert(dup.getMessage.contains("duplicate id"))
+    intercept[Exception] {
+      Sink.appendIvfPqShardedIndex(spark, Seq((2000L, Seq.fill(16)(0.1))).toDF("id", "emb"),
+        "id", "emb", outA, tmpDir("sink-ivfpq-app-dim"))
+    }
+  }
+
   test("flat PQ index round-trip: byte-identical restore, identical search results") {
     import spark.implicits._
     import graft.operators.{Metric, Similarity}
