@@ -669,6 +669,31 @@ object ScaleSmoke {
       }
       val (adcTop, adcSec) = searchHits(0)
       val (rerankTop, rerankSec) = searchHits(100)
+      // round-11: the BOUNDED-MEMORY wave server — same rows, but peak
+      // live broadcast bytes must be ONE wave's shards, not Σ shards
+      // (the all-resident ceiling the round-10 verdict named). The
+      // smoke measures the wall cost of the waves and the measured
+      // peak vs the Σ-shards footprint the plain form pins.
+      val waveSize = sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFPQ_WAVE", "4").toInt
+      Similarity.ShardedServeStats.reset()
+      val tWave = System.nanoTime()
+      val waveRows = Similarity.topkIvfPqShardedWaves(queries, "vec", "qid",
+          shards, 10, nProbe = nProbe, shortlist = 100, waveSize = waveSize)
+        .select(col("qid"), col("index")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val waveSec = (System.nanoTime() - tWave) / 1e9
+      val waveTop = waveRows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val perShardBytes = shards.map(ix =>
+        org.apache.spark.util.SizeEstimator.estimate(ix))
+      val peakWave = Similarity.ShardedServeStats.peakLiveBroadcastBytes
+      println(f"ivfpq sharded WAVE serve (waveSize=$waveSize, shortlist=100): " +
+        f"$waveSec%.2f s; peak live broadcast ${peakWave / 1e9}%.2f GB " +
+        f"vs all-resident ${perShardBytes.sum / 1e9}%.2f GB " +
+        f"(${perShardBytes.sum.toDouble / math.max(1L, peakWave)}%.1fx reduction)")
+      require(waveTop == rerankTop,
+        "wave serve rows diverge from the all-resident serve")
+      require(peakWave <= perShardBytes.grouped(waveSize).map(_.sum).max,
+        f"wave peak $peakWave exceeds one wave's shards")
       val mode = if (distBuild) "DISTRIBUTED train-on-sample + restore"
         else s"par=$shardPar, concurrent collect"
       println(f"ivfpq sharded build ($ivfpqDocs x ${dim}d, $blocks shards, " +

@@ -1091,6 +1091,40 @@ object SparkEntry {
         .crossJoin(rerank.select(col("ok").as("append_rerank_ok")))
     }),
 
+    // BOUNDED-MEMORY wave serving gate (round-10 verdict #1): the
+    // plain sharded search unions all B per-shard plans, pinning
+    // every shard's broadcast simultaneously — per-executor memory =
+    // the whole compressed index, the ceiling sharding exists to
+    // break. The wave server holds only `waveSize` shards at a time
+    // (per-wave top-k partials persisted, broadcasts destroyed
+    // between waves). This gate pins BOTH properties: row parity
+    // with the all-resident form, and measured peak live broadcast
+    // bytes = one wave's shards (< Σ shards). DuckDB pins the count
+    // and the constant-TRUE booleans.
+    "ann_ivfpq_waves_gate" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val shards = Similarity.buildIvfPqSharded(q, "vec_id", "embedding",
+        numShards = 4, nCells = 8, m = 16)
+      val all = Similarity.topkIvfPqSharded(q, "embedding", "vec_id", shards,
+        10, nProbe = 4, shortlist = 100).select("vec_id", "rank", "index")
+      Similarity.ShardedServeStats.reset()
+      val waved = Similarity.topkIvfPqShardedWaves(q, "embedding", "vec_id",
+          shards, 10, nProbe = 4, shortlist = 100, waveSize = 2)
+        .select("vec_id", "rank", "index")
+      val mismatches =
+        all.exceptAll(waved).unionAll(waved.exceptAll(all)).count()
+      val peak = Similarity.ShardedServeStats.peakLiveBroadcastBytes
+      val per = shards.map(ix =>
+        org.apache.spark.util.SizeEstimator.estimate(ix))
+      val bounded =
+        peak == per.grouped(2).map(_.sum).max && peak < per.sum
+      Seq((q.count(), mismatches == 0L, bounded))
+        .toDF("n_queries", "waves_parity_ok", "waves_bounded_ok")
+    }),
+
     // trained BPE tokenization (rows-only: the merge list is
     // deterministic but no SQL engine replays the greedy merge loop;
     // TextOpsSpec pins the hand-computed merge sequence, word
@@ -2890,6 +2924,11 @@ object SparkEntry {
     "ann_ivfpq_append_gate" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS append_adc_ok,
         |       CAST(1 AS BOOLEAN) AS append_rerank_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_ivfpq_waves_gate" ->
+      """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS waves_parity_ok,
+        |       CAST(1 AS BOOLEAN) AS waves_bounded_ok
         |FROM embeddings""".stripMargin,
 
     "ann_ivfsq8_recall" ->

@@ -1636,14 +1636,32 @@ object Similarity {
       k: Int,
       nProbe: Int,
       shortlist: Int = 0,
+      outputCol: String = "matches"): DataFrame =
+    topkIvfPqBc(queries, embCol,
+      broadcastOf(queries.sparkSession, corpus), k, nProbe, shortlist, outputCol)
+
+  /** [[topkIvfPq]] against a CALLER-OWNED broadcast of the index —
+    * the wave server ([[topkIvfPqShardedWaves]]) creates, uses, and
+    * DESTROYS its shard broadcasts explicitly, so the plan-building
+    * body must not mint its own. Driver-side metadata (k clamp,
+    * shortlist floor, schema) reads `bc.value`, which on the driver
+    * is the local object — no deserialization.
+    */
+  private[graft] def topkIvfPqBc(
+      queries: DataFrame,
+      embCol: String,
+      bc: Broadcast[CorpusIndexIvfPq],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0,
       outputCol: String = "matches"): DataFrame = {
+    val corpus = bc.value
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     require(shortlist == 0 || shortlist >= k,
       s"shortlist must be 0 (off) or >= k, got $shortlist (k=$k)")
     require(shortlist == 0 || corpus.sq8.nonEmpty,
       "shortlist rerank needs the SQ8 sidecar — build the index with withRerank = true")
     val spark = queries.sparkSession
-    val bc = broadcastOf(spark, corpus)
     val schema = queries.schema
     val embIdx = schema.fieldIndex(embCol)
     val embIsF32 = schema(embCol).dataType match {
@@ -1831,8 +1849,24 @@ object Similarity {
       corpus: CorpusIndexIvfPq,
       k: Int,
       nProbe: Int,
-      shortlist: Int = 0): DataFrame = {
-    val withMatches = topkIvfPq(queries, embCol, corpus, k, nProbe, shortlist, "matches")
+      shortlist: Int = 0): DataFrame =
+    flattenMatches(
+      topkIvfPq(queries, embCol, corpus, k, nProbe, shortlist, "matches"), embCol)
+
+  /** [[topkIvfPqFlat]] over a caller-owned broadcast (see
+    * [[topkIvfPqBc]]) — the wave server's per-shard partial.
+    */
+  private[graft] def topkIvfPqFlatBc(
+      queries: DataFrame,
+      embCol: String,
+      bc: Broadcast[CorpusIndexIvfPq],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0): DataFrame =
+    flattenMatches(
+      topkIvfPqBc(queries, embCol, bc, k, nProbe, shortlist, "matches"), embCol)
+
+  private def flattenMatches(withMatches: DataFrame, embCol: String): DataFrame =
     withMatches
       .select((withMatches.columns.filter(_ != "matches").map(col).toSeq :+
         posexplode(col("matches")).as(Seq("rank0", "m"))): _*)
@@ -1840,7 +1874,6 @@ object Similarity {
       .withColumn("index", col("m.index"))
       .withColumn("score", col("m.score"))
       .drop("rank0", "m", embCol)
-  }
 
   /** `quantized = true` runs each block through the SQ8 path: each
     * block quantizes INSIDE its collect task and the f64 pack is
@@ -1928,10 +1961,41 @@ object Similarity {
       trainSample: Int = 16384,
       iters: Int = 10,
       withRerank: Boolean = true,
-      parallelism: Int = 8): IndexedSeq[CorpusIndexIvfPq] = {
+      parallelism: Int = 8,
+      maxInFlightBytes: Long = 0L): IndexedSeq[CorpusIndexIvfPq] = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val shardOf = pmod(xxhash64(col(cIdCol).cast(LongType)), lit(numShards))
+    // Driver-heap-aware admission: `parallelism` alone multiplies
+    // peak driver memory by the thread count (the round-9 10M smoke
+    // OOMed at par=8 — ScaleSmoke's recorded footgun), so concurrent
+    // collects are ALSO gated on their estimated in-flight bytes. One
+    // cheap narrow pass prices each shard (rows × dim × 24 B covers
+    // the collected Row[] and the f64 pack coexisting briefly); a
+    // build may start only while total priced in-flight bytes stay
+    // under the budget (default: a quarter of the driver heap). A
+    // single over-budget shard still runs — alone — so the throttle
+    // degrades to the sequential build, never deadlocks. Arithmetic
+    // is untouched: shards build bit-identically, just admitted later.
+    val budget =
+      if (maxInFlightBytes > 0L) maxInFlightBytes
+      else math.max(256L << 20, Runtime.getRuntime.maxMemory() / 4)
+    val counts: Map[Int, Long] = corpus
+      .groupBy(shardOf.cast(IntegerType).as("shard")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "Empty corpus")
+    val dim = corpus.select(col(cEmbCol)).filter(col(cEmbCol).isNotNull)
+      .head().getSeq[Any](0).length
+    def priceOf(b: Int): Long = counts.getOrElse(b, 0L) * dim * 24L
+    val gate = new Object
+    var inFlight = 0L
+    def acquire(bytes: Long): Unit = gate.synchronized {
+      while (inFlight > 0L && inFlight + bytes > budget) gate.wait()
+      inFlight += bytes
+    }
+    def release(bytes: Long): Unit = gate.synchronized {
+      inFlight -= bytes; gate.notifyAll()
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(numShards, parallelism))
     val shards =
@@ -1939,9 +2003,13 @@ object Similarity {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
         val fs = (0 until numShards).map { b =>
-          scala.concurrent.Future(
-            collectCorpusOpt(corpus.filter(shardOf === b), cIdCol, cEmbCol)
-              .map(cx => quantizeIvfPq(cx, nCells, m, trainSample, iters, withRerank)))
+          scala.concurrent.Future {
+            val price = priceOf(b)
+            acquire(price)
+            try collectCorpusOpt(corpus.filter(shardOf === b), cIdCol, cEmbCol)
+              .map(cx => quantizeIvfPq(cx, nCells, m, trainSample, iters, withRerank))
+            finally release(price)
+          }
         }
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(fs), scala.concurrent.duration.Duration.Inf)
@@ -1977,6 +2045,96 @@ object Similarity {
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("score").desc, col("index").asc)
     unioned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Live/peak shard-broadcast accounting for
+    * [[topkIvfPqShardedWaves]] — the measurable proof that the wave
+    * server's per-executor broadcast footprint is bounded by one
+    * wave's shards (max-shard × waveSize), never the Σ-shards ceiling
+    * [[topkIvfPqSharded]] pins (round-10 verdict #1). Sizes are
+    * `SizeEstimator` estimates of the actual index objects, counted
+    * up at broadcast creation and down at destroy.
+    */
+  object ShardedServeStats {
+    private val live = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    def reset(): Unit = { live.set(0L); peak.set(0L) }
+    def liveBroadcastBytes: Long = live.get
+    def peakLiveBroadcastBytes: Long = peak.get
+    private[graft] def add(bytes: Long): Unit = {
+      val v = live.addAndGet(bytes)
+      peak.accumulateAndGet(v, (a: Long, b: Long) => math.max(a, b))
+      ()
+    }
+    private[graft] def sub(bytes: Long): Unit = { live.addAndGet(-bytes); () }
+  }
+
+  /** [[topkIvfPqSharded]] with BOUNDED broadcast memory: the plain
+    * form unions all B per-shard plans into one job, so every
+    * executor holds every shard's broadcast simultaneously —
+    * per-executor memory equals the TOTAL compressed index, exactly
+    * the ceiling sharding exists to break. This form serves the
+    * shards in waves of `waveSize`: each wave broadcasts only its
+    * shards, reduces the union to a per-query top-k partial (k rows
+    * per query per wave — the only state that outlives a wave),
+    * PERSISTS the partial as parquet under `scratchDir`, then
+    * `destroy()`s the wave's broadcasts before the next wave starts.
+    * The final merge unions the k-row partials — broadcast-free — and
+    * re-ranks. Peak per-executor broadcast memory is one wave's
+    * shards (∝ max-shard at waveSize=1), measured by
+    * [[ShardedServeStats]]; rows are IDENTICAL to the plain form
+    * (per-wave top-k cuts are lossless for a global top-k, ties pin
+    * to lowest index both times — IvfPqSpec parity).
+    *
+    * The returned DataFrame reads the scratch parquet lazily — the
+    * caller owns `scratchDir`'s lifetime (default: a fresh temp dir).
+    * On a cluster, pass a shared filesystem path; the partials are
+    * |queries| × k narrow rows per wave, marginal next to the scans.
+    */
+  def topkIvfPqShardedWaves(
+      queries: DataFrame,
+      embCol: String,
+      qIdCol: String,
+      shards: Seq[CorpusIndexIvfPq],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0,
+      waveSize: Int = 2,
+      scratchDir: String = ""): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    require(waveSize >= 1, s"waveSize must be >= 1, got $waveSize")
+    val spark = queries.sparkSession
+    val scratch =
+      if (scratchDir.nonEmpty) scratchDir
+      else java.nio.file.Files.createTempDirectory("graft-sharded-serve-").toString
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col("index").asc)
+    val waves = shards.grouped(waveSize).toIndexedSeq
+    waves.zipWithIndex.foreach { case (wave, wi) =>
+      val sized = wave.map(ix =>
+        ix -> org.apache.spark.util.SizeEstimator.estimate(ix))
+      val bcs = sized.map { case (ix, bytes) =>
+        val bc = broadcastOf(spark, ix)
+        ShardedServeStats.add(bytes)
+        bc -> bytes
+      }
+      try {
+        bcs.map { case (bc, _) =>
+            topkIvfPqFlatBc(queries, embCol, bc, k, nProbe, shortlist).drop("rank")
+          }
+          .reduce(_ unionAll _)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .drop("rank")
+          .write.mode("overwrite").parquet(s"$scratch/wave_$wi")
+      } finally bcs.foreach { case (bc, bytes) =>
+        bc.destroy(); ShardedServeStats.sub(bytes)
+      }
+    }
+    waves.indices.map(wi => spark.read.parquet(s"$scratch/wave_$wi"))
+      .reduce(_ unionAll _)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Write-side of the pipeline (SURVEY §2.3 capstones produce datasets
   * someone has to persist). Two shapes matter at 100 TB:
@@ -460,12 +460,31 @@ object Sink {
       spark: org.apache.spark.sql.SparkSession,
       shards: Seq[graft.operators.Similarity.CorpusIndexIvfPq],
       path: String,
-      overwrite: Boolean = false): Unit = {
+      overwrite: Boolean = false,
+      hashModulus: Int = 0,
+      shardHashVals: Seq[Long] = Nil): Unit = {
     require(shards.nonEmpty, "Empty shard list")
+    // The manifest records the BUILD's hash modulus (`hash_modulus`)
+    // and each directory's raw hash value (`shard_hash_vals`), so an
+    // append can route new ids with the original `pmod(xxhash64(id),
+    // hash_modulus)` split even after empty hash shards were
+    // compacted away — without these the original modulus is lost
+    // forever (round-10 ADVICE). Callers that built with no dropped
+    // shards (the non-degenerate case) can omit both: the defaults
+    // record the identity layout.
+    val modulus = if (hashModulus > 0) hashModulus else shards.size
+    val hashVals =
+      if (shardHashVals.nonEmpty) shardHashVals else shards.indices.map(_.toLong)
+    require(hashVals.size == shards.size,
+      s"shardHashVals has ${hashVals.size} entries for ${shards.size} shards")
+    require(modulus >= shards.size,
+      s"hash_modulus $modulus < ${shards.size} shard directories")
     publishAtomically(spark, path, overwrite) { tmp =>
       import spark.implicits._
-      Seq((shards.size, shards.map(_.n.toLong).sum, "xxhash64_pmod"))
-        .toDF("num_shards", "total_n", "shard_key")
+      Seq((shards.size, shards.map(_.n.toLong).sum, "xxhash64_pmod",
+          modulus, hashVals))
+        .toDF("num_shards", "total_n", "shard_key",
+          "hash_modulus", "shard_hash_vals")
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
       shards.zipWithIndex.foreach { case (ix, i) =>
         writeIvfPqInto(spark, ix, f"$tmp/shard_$i%04d")
@@ -486,6 +505,20 @@ object Sink {
   private final case class IvfPqShardModel(
       n: Int, k: Int, kPq: Int, centroids: Array[Double], codebooks: Array[Float],
       sq8Min: Array[Float], sq8Scale: Array[Float])
+
+  /** Schema contract mirror of `Similarity.collectCorpusOpt`: only
+    * `array<float>`/`array<double>` embedding columns — the
+    * distributed builder and the append path must refuse exactly what
+    * the collect-based build refuses (an `array<int>` column would
+    * otherwise silently widen through [[embDoubles]]'s Number case, a
+    * parity deviation from the byte-identical contract).
+    */
+  private def requireEmbColType(df: DataFrame, embCol: String): Unit =
+    df.schema(embCol).dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => ()
+      case dt => throw new IllegalArgumentException(
+        s"Corpus column $embCol must be array<float>/array<double>, got ${dt.simpleString}")
+    }
 
   /** Element conversion mirror of `Similarity.collectCorpusOpt` — the
     * distributed builder must see the SAME doubles the driver path
@@ -576,10 +609,22 @@ object Sink {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     require(trainSample >= 256, s"trainSample must be >= 256, got $trainSample")
+    // same input contract as the collect-based build (collectCorpusOpt
+    // rejects non-float embedding columns; byte parity demands the
+    // distributed path refuse the same inputs — round-10 ADVICE)
+    requireEmbColType(corpus, embCol)
     val sc = spark.sparkContext
     val shardCol =
       pmod(xxhash64(col(idCol).cast(LongType)), lit(numShards)).cast(LongType)
     val narrow = corpus.select(shardCol.as("shard"), col(idCol).cast(LongType).as("id"))
+
+    // ids key the pack order (row_number over id) and the sample map
+    // silently dedups — duplicates would corrupt the pack with no
+    // error, so refuse them up front like the append path does
+    val dupId = narrow.groupBy("id").count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupId.isEmpty,
+      s"duplicate id in corpus: ${dupId.headOption.map(_.getLong(0)).getOrElse(-1L)}")
 
     // pass 1: per-shard counts
     val counts: Map[Long, Long] = narrow.groupBy("shard").count()
@@ -742,8 +787,10 @@ object Sink {
     try {
       val shardOut: Map[Long, Int] = shardVals.zipWithIndex.toMap
       publishAtomically(spark, path, overwrite) { tmp =>
-        Seq((shardVals.size, counts.values.sum, "xxhash64_pmod"))
-          .toDF("num_shards", "total_n", "shard_key")
+        Seq((shardVals.size, counts.values.sum, "xxhash64_pmod",
+            numShards, shardVals))
+          .toDF("num_shards", "total_n", "shard_key",
+            "hash_modulus", "shard_hash_vals")
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
         val encoded = encodeWithModels(withShard, bcF, dd, m, sub, withRerank)
         val wIdx = Window.partitionBy("shard").orderBy("id")
@@ -907,12 +954,34 @@ object Sink {
       outPath: String,
       overwrite: Boolean = false): Unit = {
     import spark.implicits._
-    val manifest = spark.read.parquet(s"$indexPath/manifest").head()
-    val numShards = manifest.getInt(0)
-    val totalN = manifest.getLong(1)
-    val shardKey = manifest.getString(2)
+    requireEmbColType(newRows, embCol)
+    val manifestDf = spark.read.parquet(s"$indexPath/manifest")
+    val manifest = manifestDf.head()
+    val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
+    val totalN = manifest.getLong(manifest.fieldIndex("total_n"))
+    val shardKey = manifest.getString(manifest.fieldIndex("shard_key"))
     require(shardKey == "xxhash64_pmod",
       s"cannot append to an index with shard key '$shardKey'")
+    // The BUILD's hash modulus + the raw-hash value behind each shard
+    // directory (present since round 11; older manifests fall back to
+    // the compacted directory count — the pre-fix behavior). Appends
+    // route with the ORIGINAL modulus, so new ids land under the same
+    // split the build used even when empty hash shards were compacted
+    // away; a hash value whose shard was dropped at build time (no
+    // model exists for it) maps deterministically to directory
+    // `hash mod num_dirs` — any shard's codebooks can encode any row,
+    // so only that degenerate placement is approximate.
+    val hasModulus = manifestDf.schema.fieldNames.contains("hash_modulus")
+    val hashModulus =
+      if (hasModulus) manifest.getInt(manifest.fieldIndex("hash_modulus"))
+      else numShards
+    val dirOfHash: Map[Long, Int] =
+      if (hasModulus) {
+        val vals = manifest.getSeq[Long](manifest.fieldIndex("shard_hash_vals"))
+        val built = vals.zipWithIndex.toMap
+        (0L until hashModulus.toLong)
+          .map(h => h -> built.getOrElse(h, (h % numShards).toInt)).toMap
+      } else (0L until hashModulus.toLong).map(h => h -> h.toInt).toMap
     val models: Map[Long, IvfPqShardModel] = (0 until numShards).map { i =>
       i.toLong -> readShardModel(spark, f"$indexPath/shard_$i%04d")
     }.toMap
@@ -931,7 +1000,10 @@ object Sink {
       "corrupt index: shards disagree on the SQ8 sidecar")
 
     val newNarrow = newRows.select(
-      pmod(xxhash64(col(idCol).cast(LongType)), lit(numShards)).cast(LongType).as("shard"),
+      element_at(
+        typedLit(dirOfHash.map { case (h, d) => h -> d.toLong }),
+        pmod(xxhash64(col(idCol).cast(LongType)), lit(hashModulus)).cast(LongType))
+        .as("shard"),
       col(idCol).cast(LongType).as("id"),
       col(embCol).as("emb"))
 
@@ -959,8 +1031,14 @@ object Sink {
     val bcF = sc.broadcast(models)
     try {
       publishAtomically(spark, outPath, overwrite) { tmp =>
-        Seq((numShards, totalN + newTotal, shardKey))
-          .toDF("num_shards", "total_n", "shard_key")
+        // carry the build's routing identity forward (old manifests
+        // upgrade to the identity layout they in fact had)
+        val hashVals: Seq[Long] =
+          if (hasModulus) manifest.getSeq[Long](manifest.fieldIndex("shard_hash_vals"))
+          else (0 until numShards).map(_.toLong)
+        Seq((numShards, totalN + newTotal, shardKey, hashModulus, hashVals))
+          .toDF("num_shards", "total_n", "shard_key",
+            "hash_modulus", "shard_hash_vals")
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
         val encoded = encodeWithModels(newNarrow, bcF, dd, mm, subb, withRerank)
         val oldN: Map[Long, Int] = models.map { case (i, m) => i -> m.n }

@@ -224,15 +224,50 @@ object Source {
       sq8Norms.foreach(_(j) = r.getDouble(5))
       sq8Sq.foreach(_(j) = r.getDouble(6))
     }
+    // Canonicalize to id-ASCENDING pack order. Build-written packs are
+    // already sorted (this is a no-op there — byte parity holds);
+    // APPENDED packs are a sorted old block followed by a sorted new
+    // block, which would break every binary-search consumer of the
+    // sorted-ids invariant (Sq8Score.cosineAt, the pairs kernel) if
+    // served as-is (round-10 ADVICE). Pack position is purely an
+    // in-memory array index — permuting rows with their codes/cells/
+    // sidecar is content-preserving.
+    var sortedIds = true
+    var chk = 1
+    while (sortedIds && chk < n) { sortedIds = ids(chk - 1) < ids(chk); chk += 1 }
+    val (fIds, fCodes, fCellOf, fSq8Codes, fSq8Norms, fSq8Sq) =
+      if (sortedIds) (ids, codes, cellOf, sq8Codes, sq8Norms, sq8Sq)
+      else {
+        val perm = Array.range(0, n).sortBy(ids(_))
+        val pIds = new Array[Long](n)
+        val pCodes = new Array[Byte](n * m)
+        val pCellOf = new Array[Int](n)
+        val pSq8Codes = sq8Codes.map(_ => new Array[Byte](n * dim))
+        val pSq8Norms = sq8Norms.map(_ => new Array[Double](n))
+        val pSq8Sq = sq8Sq.map(_ => new Array[Double](n))
+        var j = 0
+        while (j < n) {
+          val s = perm(j)
+          pIds(j) = ids(s)
+          System.arraycopy(codes, s * m, pCodes, j * m, m)
+          pCellOf(j) = cellOf(s)
+          pSq8Codes.foreach(dst =>
+            System.arraycopy(sq8Codes.get, s * dim, dst, j * dim, dim))
+          pSq8Norms.foreach(_(j) = sq8Norms.get(s))
+          pSq8Sq.foreach(_(j) = sq8Sq.get(s))
+          j += 1
+        }
+        (pIds, pCodes, pCellOf, pSq8Codes, pSq8Norms, pSq8Sq)
+      }
     val (cellStart, cellMembers) =
-      graft.operators.Similarity.buildCsr(cellOf, nCells)
+      graft.operators.Similarity.buildCsr(fCellOf, nCells)
     val sq8 = sq8Min.map { mn =>
       graft.operators.Similarity.CorpusIndexSq8(
-        ids, sq8Codes.get, n, dim, mn, sq8Scale.get, sq8Norms.get, sq8Sq.get)
+        fIds, fSq8Codes.get, n, dim, mn, sq8Scale.get, fSq8Norms.get, fSq8Sq.get)
     }
     graft.operators.Similarity.CorpusIndexIvfPq(
-      ids, n, dim, m, nCells, centroids, codes, codebooks,
-      cellOf, cellStart, cellMembers, sq8)
+      fIds, n, dim, m, nCells, centroids, fCodes, codebooks,
+      fCellOf, cellStart, cellMembers, sq8)
   }
 
   /** Restore a SHARDED IVF+PQ index persisted by

@@ -121,6 +121,60 @@ class IvfPqSpec extends AnyFunSuite {
     assert(got.values.forall(_.size == 10))
   }
 
+  test("heap-throttled sharded build: a 1-byte in-flight budget degrades to sequential, bit-identical shards") {
+    // the throttle gates concurrent collects on priced bytes (the
+    // round-9 10M par=8 smoke OOMed the driver); admission order must
+    // never change the arithmetic — an over-budget shard runs alone,
+    // so the tightest budget serializes the build and still matches
+    val cDf = randVecs(1200, 32, 59).toDF("id", "emb")
+    val free = Similarity.buildIvfPqSharded(
+      cDf, "id", "emb", 4, nCells = 8, m = 8)
+    val throttled = Similarity.buildIvfPqSharded(
+      cDf, "id", "emb", 4, nCells = 8, m = 8, maxInFlightBytes = 1L)
+    free.zip(throttled).foreach { case (a, b) =>
+      assert(a.ids.sameElements(b.ids) && a.codes.sameElements(b.codes))
+      assert(a.centroids.sameElements(b.centroids))
+      assert(a.codebooks.sameElements(b.codebooks))
+      assert(a.sq8.get.codes.sameElements(b.sq8.get.codes))
+    }
+  }
+
+  test("wave-served sharded search: row parity with the all-resident form; peak broadcast = one wave, not Σ shards") {
+    val cDf = randVecs(2400, 32, 43).toDF("id", "emb")
+    val qDf = randVecs(60, 32, 53).toDF("qid", "emb")
+    val shards = Similarity.buildIvfPqSharded(
+      cDf, "id", "emb", 6, nCells = 8, m = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "index", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val allResident = rows(Similarity.topkIvfPqSharded(
+      qDf, "emb", "qid", shards, 10, nProbe = 4, shortlist = 50))
+    Similarity.ShardedServeStats.reset()
+    val waved = rows(Similarity.topkIvfPqShardedWaves(
+      qDf, "emb", "qid", shards, 10, nProbe = 4, shortlist = 50, waveSize = 2))
+    // lossless: per-wave top-k cuts cannot drop a global top-k row,
+    // and ties pin to lowest index in both forms — identical rows,
+    // rank for rank
+    assert(waved == allResident)
+    // bounded memory: the live-broadcast high-water mark is exactly
+    // the largest single wave (2 of 6 shards), never the Σ-shards
+    // ceiling the all-resident form pins
+    val per = shards.map(ix => org.apache.spark.util.SizeEstimator.estimate(ix))
+    val peak = Similarity.ShardedServeStats.peakLiveBroadcastBytes
+    assert(peak == per.grouped(2).map(_.sum).max,
+      s"peak $peak != max wave ${per.grouped(2).map(_.sum).max}")
+    assert(peak < per.sum, s"peak $peak not below total ${per.sum}")
+    assert(Similarity.ShardedServeStats.liveBroadcastBytes == 0L,
+      "wave broadcasts not all destroyed")
+    // waveSize=1: peak is the single largest shard — the ∝ max-shard
+    // end of the contract
+    Similarity.ShardedServeStats.reset()
+    val oneAtATime = rows(Similarity.topkIvfPqShardedWaves(
+      qDf, "emb", "qid", shards, 10, nProbe = 4, shortlist = 50, waveSize = 1))
+    assert(oneAtATime == allResident)
+    assert(Similarity.ShardedServeStats.peakLiveBroadcastBytes == per.max)
+  }
+
   test("sharded edges: one shard degenerates to the single index; empty corpus refuses") {
     val cDf = randVecs(300, 16, 37).toDF("id", "emb")
     val qDf = randVecs(10, 16, 41).toDF("qid", "emb")

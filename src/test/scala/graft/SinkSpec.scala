@@ -430,6 +430,155 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed build → append parity: byte-identical to collect build → append") {
+    // round-10 verdict #5: the two build paths were pinned equal, and
+    // append-on-append was pinned, but distributed-build-THEN-append
+    // had no parity proof. Appending the same batch onto both bases
+    // must yield the same grown index byte for byte — the append is
+    // encode-only against meta the two builds wrote identically.
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(67)
+    // INTERLEAVED ids (evens base, odds appended) so the grown packs
+    // also exercise the reader's id-sort canonicalization
+    val all = (0L until 900L).map(i => i -> Seq.fill(32)(rnd.nextGaussian()))
+    val base = all.filter(_._1 % 2 == 0).toDF("id", "emb")
+    val batch = all.filter(_._1 % 2 == 1).toDF("id", "emb")
+    val outDist = tmpDir("sink-ivfpq-dab-dist")
+    Sink.writeIvfPqShardedIndexDistributed(spark, base, "id", "emb",
+      numShards = 3, nCells = 4, m = 8, path = outDist)
+    val outColl = tmpDir("sink-ivfpq-dab-coll")
+    Sink.writeIvfPqShardedIndex(spark,
+      Similarity.buildIvfPqSharded(base, "id", "emb",
+        numShards = 3, nCells = 4, m = 8), outColl)
+    val grownDist = tmpDir("sink-ivfpq-dab-dist-g")
+    val grownColl = tmpDir("sink-ivfpq-dab-coll-g")
+    Sink.appendIvfPqShardedIndex(spark, batch, "id", "emb", outDist, grownDist)
+    Sink.appendIvfPqShardedIndex(spark, batch, "id", "emb", outColl, grownColl)
+    val d = graft.sources.Source.readIvfPqShardedIndex(spark, grownDist)
+    val c = graft.sources.Source.readIvfPqShardedIndex(spark, grownColl)
+    assert(d.size == c.size && d.map(_.n).sum == 900)
+    d.zip(c).foreach { case (a, b) =>
+      assert(a.n == b.n && a.dim == b.dim && a.m == b.m && a.nCells == b.nCells)
+      assert(a.ids.sameElements(b.ids))
+      assert(a.codes.sameElements(b.codes))
+      assert(a.centroids.sameElements(b.centroids))
+      assert(a.codebooks.sameElements(b.codebooks))
+      assert(a.cellOf.sameElements(b.cellOf))
+      assert(a.cellStart.sameElements(b.cellStart))
+      assert(a.cellMembers.sameElements(b.cellMembers))
+      assert(a.sq8.get.codes.sameElements(b.sq8.get.codes))
+      assert(a.sq8.get.norms.sameElements(b.sq8.get.norms))
+    }
+  }
+
+  test("grown index restores id-SORTED: binary-search consumers stay correct after append") {
+    // round-10 ADVICE: an appended shard's on-disk pack is a sorted
+    // old block + a sorted new block; the reader canonicalizes to one
+    // id-ascending order, so Sq8Score.cosineAt's binarySearch (and
+    // the pairs kernel's) keep the sorted-ids invariant they rely on
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(71)
+    val all = (0L until 600L).map(i => i -> Seq.fill(32)(rnd.nextGaussian()))
+    val embOf = all.toMap
+    val base = all.filter(_._1 % 2 == 0).toDF("id", "emb")
+    val batch = all.filter(_._1 % 2 == 1).toDF("id", "emb")
+    val out = tmpDir("sink-ivfpq-sorted")
+    Sink.writeIvfPqShardedIndexDistributed(spark, base, "id", "emb",
+      numShards = 2, nCells = 4, m = 8, path = out)
+    val grownPath = tmpDir("sink-ivfpq-sorted-g")
+    Sink.appendIvfPqShardedIndex(spark, batch, "id", "emb", out, grownPath)
+    val grown = graft.sources.Source.readIvfPqShardedIndex(spark, grownPath)
+    grown.foreach { g =>
+      (1 until g.n).foreach(j => assert(g.ids(j - 1) < g.ids(j),
+        s"unsorted ids at $j: ${g.ids(j - 1)} !< ${g.ids(j)}"))
+      // binarySearch finds every row, odd (appended) ids included,
+      // and the slot's content matches a driver re-encode
+      Seq(g.ids.head, g.ids(g.n / 2), g.ids.last).foreach { id =>
+        val j = java.util.Arrays.binarySearch(g.ids, id)
+        assert(j >= 0, s"binarySearch lost id $id")
+        val u = Sink.unitVec(embOf(id).toArray)
+        val cell = Similarity.assignCell(u, 0, g.centroids, g.nCells, g.dim)
+        assert(g.cellOf(j) == cell, s"id $id at slot $j: wrong cell")
+      }
+      // the sq8 sidecar shares the sorted ids array — the point
+      // lookup contract Sq8Score.cosineAt binary-searches against
+      assert(g.sq8.get.ids.sameElements(g.ids))
+    }
+  }
+
+  test("append routes with the BUILD's hash modulus after empty-shard compaction") {
+    // round-10 ADVICE: a small build can drop empty hash shards; the
+    // manifest now persists the original modulus + each directory's
+    // raw hash value, so appended ids land under the same split the
+    // build used, not a re-derived one over the compacted count
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(73)
+    val ids = (0L until 14L)
+    val base = ids.map(i => i -> Seq.fill(16)(rnd.nextGaussian())).toDF("id", "emb")
+    val out = tmpDir("sink-ivfpq-modulus")
+    // 14 ids over 16 hash shards: some hash shard is guaranteed empty
+    Sink.writeIvfPqShardedIndexDistributed(spark, base, "id", "emb",
+      numShards = 16, nCells = 1, m = 4, path = out)
+    val manifest = spark.read.parquet(s"$out/manifest").head()
+    val nDirs = manifest.getAs[Int]("num_shards")
+    val modulus = manifest.getAs[Int]("hash_modulus")
+    val hashVals = manifest.getSeq[Long](manifest.fieldIndex("shard_hash_vals"))
+    assert(modulus == 16)
+    assert(nDirs < 16 && hashVals.size == nDirs)
+    // append ids and verify each landed in the directory owning its
+    // ORIGINAL hash value (fallback dirs only for built-empty hashes)
+    val newIds = (100L until 140L)
+    val batch = newIds.map(i => i -> Seq.fill(16)(rnd.nextGaussian())).toDF("id", "emb")
+    val grownPath = tmpDir("sink-ivfpq-modulus-g")
+    Sink.appendIvfPqShardedIndex(spark, batch, "id", "emb", out, grownPath)
+    val grown = graft.sources.Source.readIvfPqShardedIndex(spark, grownPath)
+    val hashOf = newIds.toDF("id")
+      .select(col("id"), pmod(xxhash64(col("id").cast("long")), lit(16)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dirOfHash = hashVals.zipWithIndex.toMap
+    newIds.foreach { id =>
+      val expectedDir = dirOfHash.getOrElse(hashOf(id), (hashOf(id) % nDirs).toInt)
+      assert(grown(expectedDir).ids.contains(id),
+        s"id $id (hash ${hashOf(id)}) missing from dir $expectedDir")
+    }
+    // rows whose hash value HAS a build directory must be in exactly
+    // that directory — the original split, reproduced
+    val reproduced = newIds.count(id => dirOfHash.contains(hashOf(id)))
+    assert(reproduced > 0, "degenerate test: no appended id hit a built shard")
+  }
+
+  test("distributed build + append refuse non-float embedding columns and duplicate ids") {
+    import spark.implicits._
+    val ints = (0L until 300L).map(i => i -> Seq.fill(8)(1)).toDF("id", "emb")
+    val eInt = intercept[IllegalArgumentException] {
+      Sink.writeIvfPqShardedIndexDistributed(spark, ints, "id", "emb",
+        numShards = 2, nCells = 2, m = 2, path = tmpDir("sink-dist-int"))
+    }
+    assert(eInt.getMessage.contains("array<float>/array<double>"))
+    val rnd = new scala.util.Random(79)
+    val dups = ((0L until 300L) ++ Seq(5L))
+      .map(i => i -> Seq.fill(8)(rnd.nextGaussian())).toDF("id", "emb")
+    val eDup = intercept[IllegalArgumentException] {
+      Sink.writeIvfPqShardedIndexDistributed(spark, dups, "id", "emb",
+        numShards = 2, nCells = 2, m = 2, path = tmpDir("sink-dist-dup"))
+    }
+    assert(eDup.getMessage.contains("duplicate id"))
+    // append inherits the dtype contract
+    val ok = (0L until 300L).map(i => i -> Seq.fill(8)(rnd.nextGaussian())).toDF("id", "emb")
+    val out = tmpDir("sink-dist-dtype-base")
+    Sink.writeIvfPqShardedIndexDistributed(spark, ok, "id", "emb",
+      numShards = 2, nCells = 2, m = 2, path = out)
+    val eApp = intercept[IllegalArgumentException] {
+      Sink.appendIvfPqShardedIndex(spark,
+        Seq((999L, Seq.fill(8)(1))).toDF("id", "emb"),
+        "id", "emb", out, tmpDir("sink-dist-dtype-app"))
+    }
+    assert(eApp.getMessage.contains("array<float>/array<double>"))
+  }
+
   test("flat PQ index round-trip: byte-identical restore, identical search results") {
     import spark.implicits._
     import graft.operators.{Metric, Similarity}
