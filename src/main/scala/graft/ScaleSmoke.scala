@@ -28,6 +28,14 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // a 64g+ driver heap under concurrent multi-GB collects can hit
+      // multi-minute full-GC pauses; at the default 120 s network
+      // timeout the local executor gets KICKED for missed heartbeats
+      // and the context dies mid-stage (observed at the 10M ivfpq
+      // point: a 177 s pause → "Removing executor driver"). A long
+      // pause must stall the smoke, not kill it.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -656,7 +664,11 @@ object ScaleSmoke {
           f"$tw%.2f s; restore from parquet: ${(System.nanoTime() - tr) / 1e9}%.2f s")
         restored
       } else Similarity.buildIvfPqSharded(corpusD, "doc_id", "vec",
-        numShards = blocks, nCells = nCells, m = mSub, parallelism = shardPar)
+        numShards = blocks, nCells = nCells, m = mSub, parallelism = shardPar,
+        // SPARK_GRAFT_SMOKE_IVFPQ_BUDGET overrides the throttle's
+        // in-flight collected-bytes cap (default: driver heap / 4)
+        maxInFlightBytes = sys.env
+          .getOrElse("SPARK_GRAFT_SMOKE_IVFPQ_BUDGET", "0").toLong)
       val buildSec = (System.nanoTime() - t) / 1e9
       def searchHits(shortlist: Int): (Map[Long, Set[Long]], Double) = {
         val t0 = System.nanoTime()

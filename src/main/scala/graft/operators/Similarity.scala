@@ -1977,6 +1977,12 @@ object Similarity {
     // single over-budget shard still runs — alone — so the throttle
     // degrades to the sequential build, never deadlocks. Arithmetic
     // is untouched: shards build bit-identically, just admitted later.
+    // The 40 B/element price covers the collect's full transient life:
+    // per-task result buffers + the concatenated Row[] (~8 B/elem in
+    // the row's double[] plus per-row overhead), the f64 pack (8 B),
+    // a possible f32 sidecar (4 B), and GC headroom for the copies
+    // that coexist across the pack handoff — the measured 10M churn
+    // ran ~2× the earlier 24 B estimate.
     val budget =
       if (maxInFlightBytes > 0L) maxInFlightBytes
       else math.max(256L << 20, Runtime.getRuntime.maxMemory() / 4)
@@ -1986,7 +1992,7 @@ object Similarity {
     require(counts.nonEmpty, "Empty corpus")
     val dim = corpus.select(col(cEmbCol)).filter(col(cEmbCol).isNotNull)
       .head().getSeq[Any](0).length
-    def priceOf(b: Int): Long = counts.getOrElse(b, 0L) * dim * 24L
+    def priceOf(b: Int): Long = counts.getOrElse(b, 0L) * dim * 40L
     val gate = new Object
     var inFlight = 0L
     def acquire(bytes: Long): Unit = gate.synchronized {
