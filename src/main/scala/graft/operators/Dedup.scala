@@ -471,33 +471,30 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
-  /** [[simhashPairs]] / [[simhashPairsWide]] behind ONE entry point:
-    * picks the join geometry from the corpus size. The narrow-chunk
-    * pigeonhole is cheaper per doc (maxDist+1 keys, no flip expansion)
-    * but its 64/(maxDist+1)-bit chunk values saturate as the corpus
-    * grows — buckets grow ~n/2^bits, within-bucket comparison ~n²/2^bits
-    * (measured 7× superlinear at 4×10⁶ docs, BENCH_NOTES.md) — while
-    * the wide form's ~32-bit keys keep buckets O(1) at any realistic
-    * corpus size for a fixed ~(width+1)× key fan-out. Crossover is
-    * ~10⁷ docs at maxDist 3; we switch at 5×10⁶ (the measured
-    * saturation already bites at 4×10⁶).
+  /** Single entry point for SimHash pair generation — ALWAYS the
+    * narrow-chunk pigeonhole. Until round 11 this switched to
+    * [[simhashPairsWide]] past 5×10⁶ docs on a projected bucket-
+    * saturation crossover; the 10M×maxDist=3 measurement REFUTED that
+    * projection (narrow 99 s vs wide 1214 s, identical pairs,
+    * BENCH_NOTES round 11): the wide form's ~(width+1)× key fan-out
+    * costs far more than narrow's bucket growth recovers at any
+    * measured scale, so no caller inherits the retired heuristic
+    * (round-11 verdict #7). The wide form survives solely as the
+    * independent-geometry cross-check (the `dedup_simhash_xcheck`
+    * gate calls [[simhashPairsWide]] directly) — both produce the
+    * SAME pair set (DedupSpec asserts equality).
     *
-    * `nDocsHint`: pass the (approximate) corpus row count when known —
-    * a pipeline over 100 TB should not pay a count() scan to pick a
-    * join shape; < 0 falls back to counting. Both forms produce the
-    * SAME pair set (DedupSpec asserts equality), so the hint only
-    * affects cost, never results.
+    * `nDocsHint` is kept for signature stability and as documentation
+    * that the choice is size-independent now; it no longer affects
+    * anything.
     */
   def simhashPairsAuto(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxDist: Int = 3,
-      nDocsHint: Long = -1L): DataFrame = {
-    val n = if (nDocsHint >= 0L) nDocsHint else docs.count()
-    if (n <= 5000000L) simhashPairs(docs, idCol, textCol, maxDist)
-    else simhashPairsWide(docs, idCol, textCol, maxDist)
-  }
+      nDocsHint: Long = -1L): DataFrame =
+    simhashPairs(docs, idCol, textCol, maxDist)
 
   /** Connected components over a near-dup pair graph: every doc gets
     * `cluster` = the smallest doc id reachable through pairs — the

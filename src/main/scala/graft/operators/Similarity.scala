@@ -62,6 +62,8 @@ final case class CorpusIndex(
 
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Broadcast per call, NOT cached: a cache keyed on the CorpusIndex
     * can never evict — `sparkContext.broadcast` stores the value
     * itself in the driver block manager (a strong reference), so a
@@ -1636,9 +1638,28 @@ object Similarity {
       k: Int,
       nProbe: Int,
       shortlist: Int = 0,
-      outputCol: String = "matches"): DataFrame =
+      outputCol: String = "matches"): DataFrame = {
+    // validate BEFORE minting the broadcast: a failed require after
+    // broadcastOf leaks an undestroyed broadcast of the whole index
+    // (round-11 advisor)
+    validateIvfPqArgs(corpus, k, nProbe, shortlist)
     topkIvfPqBc(queries, embCol,
       broadcastOf(queries.sparkSession, corpus), k, nProbe, shortlist, outputCol)
+  }
+
+  /** The IVF+PQ argument contract, shared by the broadcast-owning
+    * wrapper (which must validate before it broadcasts) and
+    * [[topkIvfPqBc]] (whose callers hand it an already-minted
+    * broadcast).
+    */
+  private def validateIvfPqArgs(
+      corpus: CorpusIndexIvfPq, k: Int, nProbe: Int, shortlist: Int): Unit = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(shortlist == 0 || shortlist >= k,
+      s"shortlist must be 0 (off) or >= k, got $shortlist (k=$k)")
+    require(shortlist == 0 || corpus.sq8.nonEmpty,
+      "shortlist rerank needs the SQ8 sidecar — build the index with withRerank = true")
+  }
 
   /** [[topkIvfPq]] against a CALLER-OWNED broadcast of the index —
     * the wave server ([[topkIvfPqShardedWaves]]) creates, uses, and
@@ -1656,11 +1677,7 @@ object Similarity {
       shortlist: Int = 0,
       outputCol: String = "matches"): DataFrame = {
     val corpus = bc.value
-    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    require(shortlist == 0 || shortlist >= k,
-      s"shortlist must be 0 (off) or >= k, got $shortlist (k=$k)")
-    require(shortlist == 0 || corpus.sq8.nonEmpty,
-      "shortlist rerank needs the SQ8 sidecar — build the index with withRerank = true")
+    validateIvfPqArgs(corpus, k, nProbe, shortlist)
     val spark = queries.sparkSession
     val schema = queries.schema
     val embIdx = schema.fieldIndex(embCol)
@@ -1962,7 +1979,40 @@ object Similarity {
       iters: Int = 10,
       withRerank: Boolean = true,
       parallelism: Int = 8,
-      maxInFlightBytes: Long = 0L): IndexedSeq[CorpusIndexIvfPq] = {
+      maxInFlightBytes: Long = 0L): IndexedSeq[CorpusIndexIvfPq] =
+    buildIvfPqShardedWithLayout(corpus, cIdCol, cEmbCol, numShards, nCells, m,
+      trainSample, iters, withRerank, parallelism, maxInFlightBytes).shards
+
+  /** A sharded build plus its ROUTING IDENTITY: the hash modulus the
+    * build split on and, per surviving shard, the raw
+    * `pmod(xxhash64(id), hashModulus)` value it holds. The shard list
+    * alone is ambiguous once empty hash shards were compacted away
+    * (the list's positions no longer equal the hash values), so a
+    * persist that wants appends to route with the BUILD's split must
+    * carry this — [[graft.sources.Sink.writeIvfPqShardedIndex]] takes
+    * the whole case class (round-11 advisor: the collect build
+    * silently persisted an identity layout after compaction).
+    */
+  final case class ShardedIvfPqBuild(
+      shards: IndexedSeq[CorpusIndexIvfPq],
+      hashModulus: Int,
+      shardHashVals: IndexedSeq[Long])
+
+  /** [[buildIvfPqSharded]], also returning which hash values survived
+    * the empty-shard compaction (see [[ShardedIvfPqBuild]]).
+    */
+  def buildIvfPqShardedWithLayout(
+      corpus: DataFrame,
+      cIdCol: String,
+      cEmbCol: String,
+      numShards: Int,
+      nCells: Int,
+      m: Int,
+      trainSample: Int = 16384,
+      iters: Int = 10,
+      withRerank: Boolean = true,
+      parallelism: Int = 8,
+      maxInFlightBytes: Long = 0L): ShardedIvfPqBuild = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val shardOf = pmod(xxhash64(col(cIdCol).cast(LongType)), lit(numShards))
@@ -2020,9 +2070,10 @@ object Similarity {
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(fs), scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
-    val built = shards.flatten.toIndexedSeq
-    require(built.nonEmpty, "Empty corpus")
-    built
+    val surviving = shards.zipWithIndex.collect { case (Some(ix), b) => ix -> b.toLong }
+    require(surviving.nonEmpty, "Empty corpus")
+    ShardedIvfPqBuild(
+      surviving.map(_._1).toIndexedSeq, numShards, surviving.map(_._2).toIndexedSeq)
   }
 
   /** Top-k cosine against a SHARDED IVF+PQ index: every shard serves
@@ -2070,8 +2121,15 @@ object Similarity {
     * [[topkIvfPqSharded]] pins (round-10 verdict #1). Sizes are
     * `SizeEstimator` estimates of the actual index objects, counted
     * up at broadcast creation and down at destroy.
+    *
+    * A meter is PER-INVOCATION state: pass a fresh instance to each
+    * serve whose footprint you want measured in isolation (two
+    * concurrent serves sharing one meter report the sum of both
+    * serves' waves as the peak — the round-11 advisor's singleton
+    * race). [[ShardedServeStats]] remains the process-wide default
+    * for callers that serve one at a time.
     */
-  object ShardedServeStats {
+  final class ShardedServeMeter {
     private val live = new java.util.concurrent.atomic.AtomicLong(0L)
     private val peak = new java.util.concurrent.atomic.AtomicLong(0L)
     def reset(): Unit = { live.set(0L); peak.set(0L) }
@@ -2083,6 +2141,19 @@ object Similarity {
       ()
     }
     private[graft] def sub(bytes: Long): Unit = { live.addAndGet(-bytes); () }
+  }
+
+  /** Process-wide default [[ShardedServeMeter]] — the
+    * reset()-then-measure convenience the waves gate and the scale
+    * smoke use. Valid only when nothing else wave-serves in the same
+    * JVM concurrently; concurrent serves should each pass their own
+    * meter.
+    */
+  object ShardedServeStats {
+    private[graft] val default = new ShardedServeMeter
+    def reset(): Unit = default.reset()
+    def liveBroadcastBytes: Long = default.liveBroadcastBytes
+    def peakLiveBroadcastBytes: Long = default.peakLiveBroadcastBytes
   }
 
   /** [[topkIvfPqSharded]] with BOUNDED broadcast memory: the plain
@@ -2103,9 +2174,17 @@ object Similarity {
     * to lowest index both times — IvfPqSpec parity).
     *
     * The returned DataFrame reads the scratch parquet lazily — the
-    * caller owns `scratchDir`'s lifetime (default: a fresh temp dir).
-    * On a cluster, pass a shared filesystem path; the partials are
-    * |queries| × k narrow rows per wave, marginal next to the scans.
+    * caller owns `scratchDir`'s lifetime. When `scratchDir` is empty
+    * a fresh driver-local temp dir is used, its path is logged, and a
+    * JVM-shutdown hook deletes it (the round-11 advisor's silent
+    * leak); that default is only legal in local mode — on a cluster
+    * the executors' `wave_N` writes would land on THEIR local
+    * filesystems and the final merge would read nothing, so a
+    * non-local master with no explicit scratch REFUSES with a named
+    * error instead of silently corrupting results (round-11 verdict
+    * #2). On a cluster, pass a shared filesystem path; the partials
+    * are |queries| × k narrow rows per wave, marginal next to the
+    * scans.
     */
   def topkIvfPqShardedWaves(
       queries: DataFrame,
@@ -2116,22 +2195,73 @@ object Similarity {
       nProbe: Int,
       shortlist: Int = 0,
       waveSize: Int = 2,
-      scratchDir: String = ""): DataFrame = {
+      scratchDir: String = "",
+      meter: ShardedServeMeter = ShardedServeStats.default): DataFrame = {
     require(shards.nonEmpty, "Empty shard list")
+    topkIvfPqWavesCore(queries, embCol, qIdCol, shards.map(ix => () => ix),
+      k, nProbe, shortlist, waveSize,
+      resolveWaveScratch(queries.sparkSession.sparkContext.isLocal, scratchDir),
+      meter)
+  }
+
+  /** Scratch-dir policy for the wave server (see
+    * [[topkIvfPqShardedWaves]]'s scaladoc): an explicit path is taken
+    * as-is; the generated-temp default is refused off local mode
+    * because a driver-local path is not a shared filesystem there.
+    * Factored pure so the refusal is unit-testable without a cluster.
+    */
+  private[graft] def resolveWaveScratch(isLocal: Boolean, scratchDir: String): String =
+    if (scratchDir.nonEmpty) scratchDir
+    else {
+      require(isLocal,
+        "topkIvfPqShardedWaves needs an explicit shared-filesystem scratchDir " +
+          "when the master is not local: the default driver-local temp dir is " +
+          "not visible to remote executors, so wave partials would be lost")
+      val dir = java.nio.file.Files.createTempDirectory("graft-sharded-serve-")
+      log.info(s"wave-serve scratch dir: $dir (deleted at JVM exit)")
+      sys.addShutdownHook {
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.list(p).forEach(rm(_))
+          java.nio.file.Files.deleteIfExists(p); ()
+        }
+        rm(dir)
+      }
+      dir.toString
+    }
+
+  /** The wave loop behind [[topkIvfPqShardedWaves]], over shard
+    * PROVIDERS rather than resident indexes: each provider is invoked
+    * only when its wave starts and its result is dropped when the
+    * wave ends, so a caller paging shards off a persisted layout (the
+    * streaming bounded serve) holds at most one wave's indexes on the
+    * driver — the same bound the broadcasts get on the executors.
+    */
+  private[graft] def topkIvfPqWavesCore(
+      queries: DataFrame,
+      embCol: String,
+      qIdCol: String,
+      shardProviders: Seq[() => CorpusIndexIvfPq],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      waveSize: Int,
+      scratch: String,
+      meter: ShardedServeMeter): DataFrame = {
+    require(shardProviders.nonEmpty, "Empty shard list")
     require(waveSize >= 1, s"waveSize must be >= 1, got $waveSize")
     val spark = queries.sparkSession
-    val scratch =
-      if (scratchDir.nonEmpty) scratchDir
-      else java.nio.file.Files.createTempDirectory("graft-sharded-serve-").toString
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("score").desc, col("index").asc)
-    val waves = shards.grouped(waveSize).toIndexedSeq
+    val waves = shardProviders.grouped(waveSize).toIndexedSeq
     waves.zipWithIndex.foreach { case (wave, wi) =>
-      val sized = wave.map(ix =>
-        ix -> org.apache.spark.util.SizeEstimator.estimate(ix))
+      val sized = wave.map { load =>
+        val ix = load()
+        ix -> org.apache.spark.util.SizeEstimator.estimate(ix)
+      }
       val bcs = sized.map { case (ix, bytes) =>
         val bc = broadcastOf(spark, ix)
-        ShardedServeStats.add(bytes)
+        meter.add(bytes)
         bc -> bytes
       }
       try {
@@ -2144,7 +2274,7 @@ object Similarity {
           .drop("rank")
           .write.mode("overwrite").parquet(s"$scratch/wave_$wi")
       } finally bcs.foreach { case (bc, bytes) =>
-        bc.destroy(); ShardedServeStats.sub(bytes)
+        bc.destroy(); meter.sub(bytes)
       }
     }
     waves.indices.map(wi => spark.read.parquet(s"$scratch/wave_$wi"))

@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, FloatType,
   */
 object Sink {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Z-ORDERED parquet write — multi-dimensional data skipping
     * ([[graft.operators.Relational.zValue]] is the layout key): rows
     * close in BOTH `colA` and `colB` land in the same files, so a
@@ -473,6 +475,16 @@ object Sink {
     // shards (the non-degenerate case) can omit both: the defaults
     // record the identity layout.
     val modulus = if (hashModulus > 0) hashModulus else shards.size
+    if (hashModulus <= 0)
+      // the identity default is only correct when NO hash shard was
+      // compacted away during the build — a collect build that dropped
+      // empties would persist a confidently wrong routing identity
+      // here, so prefer the ShardedIvfPqBuild overload, which carries
+      // the build's real layout (round-11 advisor)
+      log.warn(s"writeIvfPqShardedIndex: recording the IDENTITY routing layout " +
+        s"(hash_modulus=${shards.size}) — if this build compacted empty hash " +
+        "shards, appends will mis-route; pass the build's ShardedIvfPqBuild " +
+        "or explicit hashModulus/shardHashVals")
     val hashVals =
       if (shardHashVals.nonEmpty) shardHashVals else shards.indices.map(_.toLong)
     require(hashVals.size == shards.size,
@@ -491,6 +503,21 @@ object Sink {
       }
     }
   }
+
+  /** [[writeIvfPqShardedIndex]] taking the build WITH its routing
+    * identity — the non-footgun persist for
+    * [[graft.operators.Similarity.buildIvfPqShardedWithLayout]]: the
+    * manifest records the modulus the build actually split on and the
+    * hash value each surviving directory holds, so appends route
+    * correctly even when the build compacted empty hash shards away.
+    */
+  def writeIvfPqShardedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      build: graft.operators.Similarity.ShardedIvfPqBuild,
+      path: String,
+      overwrite: Boolean): Unit =
+    writeIvfPqShardedIndex(spark, build.shards, path, overwrite,
+      build.hashModulus, build.shardHashVals)
 
   /** Per-shard trained model the distributed builder broadcasts to
     * its bounds/encode passes: the sample-trained coarse centroids +
@@ -618,17 +645,25 @@ object Sink {
       pmod(xxhash64(col(idCol).cast(LongType)), lit(numShards)).cast(LongType)
     val narrow = corpus.select(shardCol.as("shard"), col(idCol).cast(LongType).as("id"))
 
-    // ids key the pack order (row_number over id) and the sample map
-    // silently dedups — duplicates would corrupt the pack with no
-    // error, so refuse them up front like the append path does
-    val dupId = narrow.groupBy("id").count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dupId.isEmpty,
-      s"duplicate id in corpus: ${dupId.headOption.map(_.getLong(0)).getOrElse(-1L)}")
-
-    // pass 1: per-shard counts
-    val counts: Map[Long, Long] = narrow.groupBy("shard").count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pass 1: ONE (shard, id) aggregation serves both the dup-id
+    // refusal and the per-shard counts — ids key the pack order
+    // (row_number over id) and the sample map silently dedups, so
+    // duplicates would corrupt the pack with no error; a separate
+    // groupBy(id) job cost the round-11 gate ~1.3 s (verdict #4), and
+    // equal ids land in the same shard, so per-(shard,id) counts see
+    // every duplicate. Cached because two actions read it; narrow
+    // rows (two longs + a count), spills to disk if a 100 TB corpus'
+    // distinct ids outgrow memory.
+    val perId = narrow.groupBy("shard", "id").count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts: Map[Long, Long] =
+      try {
+        val dupId = perId.filter(col("count") > 1).limit(1).collect()
+        require(dupId.isEmpty,
+          s"duplicate id in corpus: ${dupId.headOption.map(_.getLong(1)).getOrElse(-1L)}")
+        perId.groupBy("shard").agg(sum("count").as("count"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally { perId.unpersist(); () }
     require(counts.nonEmpty, "Empty corpus")
     counts.foreach { case (s, c) => require(c <= Int.MaxValue,
       s"shard $s holds $c rows — one shard must fit an index; raise numShards") }

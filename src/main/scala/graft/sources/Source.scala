@@ -281,9 +281,13 @@ object Source {
   def readIvfPqShardedIndex(
       spark: SparkSession,
       path: String): IndexedSeq[graft.operators.Similarity.CorpusIndexIvfPq] = {
+    // by field name, not position — the manifest schema has already
+    // grown twice (hash_modulus, shard_hash_vals) and the append path
+    // reads it by name; positional reads here were only correct while
+    // column order happened to be preserved (round-11 advisor)
     val meta = spark.read.parquet(s"$path/manifest").head()
-    val numShards = meta.getInt(0)
-    val totalN = meta.getLong(1)
+    val numShards = meta.getInt(meta.fieldIndex("num_shards"))
+    val totalN = meta.getLong(meta.fieldIndex("total_n"))
     require(numShards >= 1, s"corrupt sharded index manifest: num_shards=$numShards")
     val shards = (0 until numShards)
       .map(i => readIvfPqIndex(spark, f"$path/shard_$i%04d"))

@@ -377,6 +377,97 @@ object EventStream {
       }
   }
 
+  /** STREAMING top-k serving over a PERSISTED SHARDED IVF+PQ index
+    * with BOUNDED memory — the long-running form of
+    * [[graft.operators.Similarity.topkIvfPqShardedWaves]] (round-11
+    * verdict #1). The all-resident streaming shape (foreachBatch →
+    * `topkIvfPqSharded`) re-pins every shard's broadcast on every
+    * micro-batch, so per-executor memory equals the TOTAL compressed
+    * index — the exact ceiling sharding exists to break. This serve
+    * instead pages the persisted shards
+    * ([[graft.sources.Source.readIvfPqShardedIndex]] layout) through
+    * the driver in waves of `waveSize` per micro-batch: each wave
+    * loads only its shards from `indexPath`, broadcasts them, reduces
+    * the batch to per-query top-k partials, and destroys the
+    * broadcasts before the next wave — peak DRIVER and EXECUTOR index
+    * memory are both one wave, never Σ-shards, measured by `meter`
+    * across the whole stream.
+    *
+    * The memory/IO trade is explicit: a bounded serve re-reads each
+    * unpinned shard's parquet once per micro-batch (sequential
+    * columnar scans of the compressed packs — the OS page cache
+    * and/or shared-FS caching absorb most of it). `residentShards`
+    * pins that many shards (the FIRST r, a deterministic prefix —
+    * under the cyclic per-batch scan an LRU of r < B would evict
+    * exactly what the next wave needs, so pinning beats LRU here) in
+    * the driver across batches to dial paging down; `residentShards
+    * >= numShards` recovers the all-resident wall-clock while STILL
+    * bounding executor broadcasts to one wave.
+    *
+    * Each micro-batch writes its wave partials under
+    * `scratchDir/batch_<id>` and deletes them after `onBatch`
+    * returns, so `onBatch` MUST consume its DataFrame synchronously
+    * (collect/write — anything that runs the plan). Scratch policy is
+    * [[graft.operators.Similarity.topkIvfPqShardedWaves]]'s: the
+    * temp-dir default refuses off local mode (wave partials need a
+    * filesystem every executor can read).
+    *
+    * Returns the configured `DataStreamWriter` — the caller attaches
+    * trigger/checkpoint and calls `start()`.
+    */
+  def topkServeIvfPqShardedWaves(
+      queries: DataFrame,
+      embCol: String,
+      qIdCol: String,
+      indexPath: String,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0,
+      waveSize: Int = 2,
+      residentShards: Int = 0,
+      scratchDir: String = "",
+      meter: graft.operators.Similarity.ShardedServeMeter =
+        graft.operators.Similarity.ShardedServeStats.default)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Similarity
+    val spark = queries.sparkSession
+    require(waveSize >= 1, s"waveSize must be >= 1, got $waveSize")
+    require(residentShards >= 0, s"residentShards must be >= 0, got $residentShards")
+    val scratchRoot =
+      Similarity.resolveWaveScratch(spark.sparkContext.isLocal, scratchDir)
+    // manifest read once at wiring time; shards page per wave
+    val manifest = spark.read.parquet(s"$indexPath/manifest").head()
+    val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
+    require(numShards >= 1, s"corrupt sharded index manifest: num_shards=$numShards")
+    def shardDir(i: Int) = f"$indexPath/shard_$i%04d"
+    val pinned = new java.util.concurrent.ConcurrentHashMap[Int, Similarity.CorpusIndexIvfPq]
+    def shardAt(i: Int): Similarity.CorpusIndexIvfPq =
+      if (i < residentShards)
+        pinned.computeIfAbsent(i, _ => graft.sources.Source.readIvfPqIndex(spark, shardDir(i)))
+      else graft.sources.Source.readIvfPqIndex(spark, shardDir(i))
+    val providers = (0 until numShards).map(i => () => shardAt(i))
+    queries.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val batchScratch = s"$scratchRoot/batch_$batchId"
+      // every wave is its own action over the micro-batch plan;
+      // without a persist each wave would RE-SCAN the source offsets
+      // (⌈B/waveSize⌉ scans per batch)
+      val pinnedBatch = batch.toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val merged = Similarity.topkIvfPqWavesCore(
+          pinnedBatch, embCol, qIdCol, providers,
+          k, nProbe, shortlist, waveSize, batchScratch, meter)
+        onBatch(merged, batchId)
+      } finally {
+        pinnedBatch.unpersist()
+        val p = new org.apache.hadoop.fs.Path(batchScratch)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        ()
+      }
+    }
+  }
+
   /** STREAMING top-k serving: an unbounded stream of query embeddings
     * scored per micro-batch against a STATIC broadcast corpus index —
     * the online form of [[graft.operators.Similarity.topkFlat]].

@@ -200,7 +200,7 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("simhashPairsAuto: geometry picked by corpus size, identical pairs either way") {
+  test("simhashPairsAuto: ALWAYS the narrow geometry — the refuted wide crossover never fires") {
     val rnd = new scala.util.Random(29)
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "eta", "theta", "iota", "kappa")
@@ -210,13 +210,17 @@ class DedupSpec extends AnyFunSuite {
     val df = corpus.toDF("doc_id", "text")
     def pairs(frame: org.apache.spark.sql.DataFrame) =
       frame.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    // below the crossover (real count, 80 docs) → narrow form
     val auto = pairs(Dedup.simhashPairsAuto(df, "doc_id", "text", maxDist = 3))
     assert(auto == pairs(Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3)))
-    // a 10^7 hint forces the wide form — results must not change
-    val autoWide = pairs(
-      Dedup.simhashPairsAuto(df, "doc_id", "text", maxDist = 3, nDocsHint = 10000000L))
-    assert(autoWide == auto)
+    // round 11 measured the wide form 12× SLOWER at 10M (identical
+    // pairs) — the pre-r12 auto switched to it past a 5×10⁶ hint; pin
+    // that no hint re-enables it. The wide plan is recognizable by its
+    // flip-expansion filter column (`isExact`), absent from narrow.
+    val hinted = Dedup.simhashPairsAuto(
+      df, "doc_id", "text", maxDist = 3, nDocsHint = 2000000000L)
+    assert(!hinted.queryExecution.analyzed.toString.contains("isExact"),
+      "simhashPairsAuto routed to the retired wide geometry on a large corpus hint")
+    assert(pairs(hinted) == auto)
   }
 
   test("large-star/small-star CC equals min-label propagation on random graphs") {

@@ -175,6 +175,41 @@ class IvfPqSpec extends AnyFunSuite {
     assert(Similarity.ShardedServeStats.peakLiveBroadcastBytes == per.max)
   }
 
+  test("wave scratch policy: the driver-local temp default REFUSES off local mode") {
+    // round-11 verdict #2: with the default scratch on a real cluster,
+    // executors would write wave partials to THEIR local filesystems
+    // and the merge would read nothing — fail fast with a named error
+    val e = intercept[IllegalArgumentException] {
+      Similarity.resolveWaveScratch(isLocal = false, scratchDir = "")
+    }
+    assert(e.getMessage.contains("shared-filesystem scratchDir"))
+    // an explicit path passes through untouched regardless of master
+    assert(Similarity.resolveWaveScratch(isLocal = false, "/shared/scratch")
+      == "/shared/scratch")
+    // local default mints a real directory (cleaned at JVM exit)
+    val d = Similarity.resolveWaveScratch(isLocal = true, "")
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+  }
+
+  test("per-invocation ShardedServeMeter: a private meter measures its serve alone") {
+    // round-11 ADVICE: the process-global singleton interleaves
+    // concurrent serves; a caller-owned meter must see exactly its own
+    // waves and leave the global default untouched
+    val cDf = randVecs(800, 32, 89).toDF("id", "emb")
+    val qDf = randVecs(20, 32, 97).toDF("qid", "emb")
+    val shards = Similarity.buildIvfPqSharded(cDf, "id", "emb", 4, nCells = 4, m = 8)
+    val per = shards.map(ix => org.apache.spark.util.SizeEstimator.estimate(ix))
+    Similarity.ShardedServeStats.reset()
+    val meter = new Similarity.ShardedServeMeter
+    Similarity.topkIvfPqShardedWaves(
+        qDf, "emb", "qid", shards, 5, nProbe = 4, waveSize = 1, meter = meter)
+      .collect()
+    assert(meter.peakLiveBroadcastBytes == per.max)
+    assert(meter.liveBroadcastBytes == 0L)
+    assert(Similarity.ShardedServeStats.peakLiveBroadcastBytes == 0L,
+      "a private meter must not leak into the global default")
+  }
+
   test("sharded edges: one shard degenerates to the single index; empty corpus refuses") {
     val cDf = randVecs(300, 16, 37).toDF("id", "emb")
     val qDf = randVecs(10, 16, 41).toDF("qid", "emb")

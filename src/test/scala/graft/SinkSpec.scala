@@ -550,6 +550,53 @@ class SinkSpec extends AnyFunSuite {
     assert(reproduced > 0, "degenerate test: no appended id hit a built shard")
   }
 
+  test("COLLECT build persists its true routing identity after compaction (layout overload)") {
+    // round-11 ADVICE (medium): buildIvfPqSharded drops empty hash
+    // shards, so persisting its bare shard list recorded a confidently
+    // wrong identity layout (modulus = compacted count). The
+    // ShardedIvfPqBuild overload carries the build's real modulus +
+    // surviving hash values — the manifest must match the distributed
+    // builder's for the same corpus, and appends must route the same.
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(83)
+    val base = (0L until 14L).map(i => i -> Seq.fill(16)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    // 14 ids over 16 hash shards: some hash shard is guaranteed empty
+    val build = Similarity.buildIvfPqShardedWithLayout(base, "id", "emb",
+      numShards = 16, nCells = 1, m = 4)
+    assert(build.hashModulus == 16)
+    assert(build.shards.size < 16, "degenerate test: no shard compacted")
+    assert(build.shardHashVals.size == build.shards.size)
+    // surviving hash values are exactly the occupied pmod values
+    val occupied = base
+      .select(pmod(xxhash64(col("id").cast("long")), lit(16)).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(build.shardHashVals == occupied)
+    val outColl = tmpDir("sink-ivfpq-coll-layout")
+    Sink.writeIvfPqShardedIndex(spark, build, outColl, overwrite = false)
+    val outDist = tmpDir("sink-ivfpq-coll-layout-dist")
+    Sink.writeIvfPqShardedIndexDistributed(spark, base, "id", "emb",
+      numShards = 16, nCells = 1, m = 4, path = outDist)
+    val mColl = spark.read.parquet(s"$outColl/manifest").head()
+    val mDist = spark.read.parquet(s"$outDist/manifest").head()
+    assert(mColl.getAs[Int]("hash_modulus") == mDist.getAs[Int]("hash_modulus"))
+    assert(mColl.getSeq[Long](mColl.fieldIndex("shard_hash_vals"))
+      == mDist.getSeq[Long](mDist.fieldIndex("shard_hash_vals")))
+    // appends to the two persists land identically — the 'same split
+    // as build' property the manifest fields exist to guarantee
+    val batch = (100L until 140L).map(i => i -> Seq.fill(16)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    val gColl = tmpDir("sink-ivfpq-coll-layout-g")
+    val gDist = tmpDir("sink-ivfpq-coll-layout-dist-g")
+    Sink.appendIvfPqShardedIndex(spark, batch, "id", "emb", outColl, gColl)
+    Sink.appendIvfPqShardedIndex(spark, batch, "id", "emb", outDist, gDist)
+    val a = graft.sources.Source.readIvfPqShardedIndex(spark, gColl)
+    val b = graft.sources.Source.readIvfPqShardedIndex(spark, gDist)
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (x, y) => assert(x.ids.sameElements(y.ids)) }
+  }
+
   test("distributed build + append refuse non-float embedding columns and duplicate ids") {
     import spark.implicits._
     val ints = (0L until 300L).map(i => i -> Seq.fill(8)(1)).toDF("id", "emb")

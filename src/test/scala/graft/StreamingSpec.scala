@@ -304,6 +304,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.nonEmpty)
   }
 
+  test("BOUNDED streaming sharded serve: wave-paged per micro-batch, peak = one wave DURING the stream") {
+    import graft.operators.Similarity
+    // round-11 verdict #1: the all-resident streaming shape re-pins
+    // every shard's broadcast per micro-batch (per-executor memory =
+    // the whole compressed index). The bounded serve pages the
+    // PERSISTED shards through waves per batch: rows identical to the
+    // batch sharded search, peak live broadcast measured ACROSS the
+    // stream = one wave (the largest shard at waveSize=1), never Σ.
+    val emb = Tables.embeddings(spark, dir)
+    val corpusDf = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val built = Similarity.buildIvfPqShardedWithLayout(
+      corpusDf, "vec_id", "embedding", numShards = 4, nCells = 4, m = 8)
+    val ixDir = java.nio.file.Files.createTempDirectory("serve-ivfpq-waves").toString + "/ix"
+    graft.sources.Sink.writeIvfPqShardedIndex(spark, built, ixDir, overwrite = false)
+    val loaded = graft.sources.Source.readIvfPqShardedIndex(spark, ixDir)
+    val expected = Similarity.topkIvfPqSharded(
+        emb.select("vec_id", "embedding"), "embedding", "vec_id", loaded,
+        k = 5, nProbe = 4, shortlist = 20)
+      .select("vec_id", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val results = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val meter = new Similarity.ShardedServeMeter
+    val writer = EventStream.topkServeIvfPqShardedWaves(
+      spark.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir),
+      "embedding", "vec_id", ixDir,
+      k = 5, nProbe = 4, shortlist = 20, waveSize = 1, residentShards = 2,
+      meter = meter) { (out, _) =>
+      val batchRows = out.select("vec_id", "rank", "index").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      results.synchronized { results ++= batchRows }
+      ()
+    }
+    val q = writer.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(results.toSet == expected)
+    assert(results.nonEmpty)
+    // the bound, measured while the stream ran: the serve's own meter
+    // peaked at exactly one shard's broadcast and drained to zero
+    val per = loaded.map(ix => org.apache.spark.util.SizeEstimator.estimate(ix))
+    assert(meter.peakLiveBroadcastBytes == per.max,
+      s"peak ${meter.peakLiveBroadcastBytes} != largest shard ${per.max}")
+    assert(meter.peakLiveBroadcastBytes < per.sum,
+      s"peak ${meter.peakLiveBroadcastBytes} not below Σ-shards ${per.sum}")
+    assert(meter.liveBroadcastBytes == 0L, "wave broadcasts not all destroyed")
+  }
+
   test("watermark drops too-late events; in-watermark late arrivals still count") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
