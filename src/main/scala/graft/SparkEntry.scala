@@ -1125,6 +1125,66 @@ object SparkEntry {
         .toDF("n_queries", "waves_parity_ok", "waves_bounded_ok")
     }),
 
+    // STREAMING bounded sharded serve gate (round 12, SURVEY 20o):
+    // the long-running serving session the sharded family exists for.
+    // The all-resident streaming shape re-pins every shard's
+    // broadcast per micro-batch; this serve pages the PERSISTED
+    // shards through per-batch waves instead. The gate builds +
+    // persists the sharded index, replays the embeddings table as a
+    // query stream through EventStream.topkServeIvfPqShardedWaves,
+    // and pins BOTH properties measured DURING the stream: row parity
+    // with the batch all-resident search, and per-invocation meter
+    // peak = one wave (< Σ shards) with zero live broadcasts after.
+    "ann_ivfpq_stream_waves_gate" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val build = Similarity.buildIvfPqShardedWithLayout(q, "vec_id",
+        "embedding", numShards = 4, nCells = 8, m = 16)
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("gate-ivfpq-stream-waves").toString + "/ix"
+      graft.sources.Sink.writeIvfPqShardedIndex(s, build, ixDir, overwrite = false)
+      // batch expectation on the SAME raw f32 query column the stream
+      // reads (f32→f64 widening is identical on both paths)
+      val expected = Similarity.topkIvfPqSharded(
+          emb.select("vec_id", "embedding"), "embedding", "vec_id",
+          build.shards, 10, nProbe = 4, shortlist = 100)
+        .select("vec_id", "rank", "index").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType)))
+      val results = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+      val meter = new Similarity.ShardedServeMeter
+      val writer = graft.streaming.EventStream.topkServeIvfPqShardedWaves(
+        s.readStream.schema(embSchema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir),
+        "embedding", "vec_id", ixDir,
+        k = 10, nProbe = 4, shortlist = 100, waveSize = 2,
+        meter = meter) { (out, _) =>
+        val rows = out.select("vec_id", "rank", "index").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        results.synchronized { results ++= rows }
+        ()
+      }
+      val sq = writer.start()
+      try sq.processAllAvailable() finally sq.stop()
+      val per = build.shards.map(ix =>
+        org.apache.spark.util.SizeEstimator.estimate(ix))
+      val bounded = meter.peakLiveBroadcastBytes ==
+        per.grouped(2).map(_.sum).max &&
+        meter.peakLiveBroadcastBytes < per.sum &&
+        meter.liveBroadcastBytes == 0L
+      Seq((q.count(), results.toSet == expected, bounded))
+        .toDF("n_queries", "stream_waves_parity_ok", "stream_waves_bounded_ok")
+    }),
+
     // trained BPE tokenization (rows-only: the merge list is
     // deterministic but no SQL engine replays the greedy merge loop;
     // TextOpsSpec pins the hand-computed merge sequence, word
@@ -2929,6 +2989,12 @@ object SparkEntry {
     "ann_ivfpq_waves_gate" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS waves_parity_ok,
         |       CAST(1 AS BOOLEAN) AS waves_bounded_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_ivfpq_stream_waves_gate" ->
+      """SELECT count(*) AS n_queries,
+        |       CAST(1 AS BOOLEAN) AS stream_waves_parity_ok,
+        |       CAST(1 AS BOOLEAN) AS stream_waves_bounded_ok
         |FROM embeddings""".stripMargin,
 
     "ann_ivfsq8_recall" ->
