@@ -355,6 +355,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(meter.liveBroadcastBytes == 0L, "wave broadcasts not all destroyed")
   }
 
+  test("bounded streaming serve across MULTIPLE micro-batches: pinned shards stay correct, per-batch scratch is deleted") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two micro-batches through a FULLY PINNED residency
+    // (residentShards = numShards): batch 2 is served by indexes
+    // loaded during batch 1 — a stale or mis-keyed pin would corrupt
+    // exactly these rows; and each batch's scratch dir must be gone
+    // after its callback returns (the caller-owned lifetime contract)
+    val rnd = new scala.util.Random(31)
+    val corpus = (0L until 400L).map(i => i -> Seq.fill(16)(rnd.nextGaussian()))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val build = Similarity.buildIvfPqShardedWithLayout(
+      corpusDf, "vec_id", "embedding", numShards = 3, nCells = 4, m = 8)
+    val ixDir = java.nio.file.Files.createTempDirectory("serve-waves-mb").toString + "/ix"
+    graft.sources.Sink.writeIvfPqShardedIndex(spark, build, ixDir, overwrite = false)
+    val queries = (1000L until 1040L).map(i => i -> Seq.fill(16)(rnd.nextGaussian()))
+    val expected = Similarity.topkIvfPqSharded(
+        queries.toDF("vec_id", "embedding"), "embedding", "vec_id",
+        build.shards, k = 5, nProbe = 3, shortlist = 20)
+      .select("vec_id", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val scratchRoot = java.nio.file.Files.createTempDirectory("serve-waves-mb-scr").toString
+    val results = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val batchIds = scala.collection.mutable.Set.empty[Long]
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val writer = EventStream.topkServeIvfPqShardedWaves(
+      mem.toDF.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ixDir,
+      k = 5, nProbe = 3, shortlist = 20, waveSize = 2,
+      residentShards = 3, scratchDir = scratchRoot) { (out, bid) =>
+      val rows = out.select("vec_id", "rank", "index").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      results.synchronized { results ++= rows; batchIds += bid }
+      ()
+    }
+    val q = writer.start()
+    try {
+      mem.addData(queries.take(20))
+      q.processAllAvailable()
+      mem.addData(queries.drop(20))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batchIds.size >= 2, s"expected >=2 micro-batches, got $batchIds")
+    assert(results.toSet == expected)
+    // every batch_<id> scratch dir was deleted after its callback
+    val leftovers = java.nio.file.Files.list(
+      java.nio.file.Paths.get(scratchRoot)).toArray.toSeq
+    assert(leftovers.isEmpty, s"scratch not cleaned: $leftovers")
+  }
+
   test("watermark drops too-late events; in-watermark late arrivals still count") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
