@@ -1175,7 +1175,13 @@ object SparkEntry {
       }
       val sq = writer.start()
       try sq.processAllAvailable() finally sq.stop()
-      val per = build.shards.map(ix =>
+      // size the DISK-LOADED shards, like the meter did: the serve
+      // re-reads each shard from ixDir, and the in-memory build's
+      // object graph (e.g. the ids array shared with the sq8 sidecar)
+      // need not match the reconstructed one byte-for-byte — sizing
+      // build.shards made the equality hostage to read-path layout
+      // (round-12 advisor)
+      val per = graft.sources.Source.readIvfPqShardedIndex(s, ixDir).map(ix =>
         org.apache.spark.util.SizeEstimator.estimate(ix))
       val bounded = meter.peakLiveBroadcastBytes ==
         per.grouped(2).map(_.sum).max &&

@@ -484,16 +484,29 @@ object Dedup {
     * gate calls [[simhashPairsWide]] directly) — both produce the
     * SAME pair set (DedupSpec asserts equality).
     *
-    * `nDocsHint` is kept for signature stability and as documentation
-    * that the choice is size-independent now; it no longer affects
-    * anything.
     */
   def simhashPairsAuto(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxDist: Int = 3,
-      nDocsHint: Long = -1L): DataFrame =
+      maxDist: Int = 3): DataFrame =
+    simhashPairs(docs, idCol, textCol, maxDist)
+
+  /** Signature-stable overload from the pre-round-12 contract, where
+    * `nDocsHint` selected the (since-refuted) wide geometry past a doc
+    * -count crossover. The hint is IGNORED — callers tuning it, or
+    * passing a count to avoid a scan, get a compile-time deprecation
+    * warning instead of a silent no-op.
+    */
+  @deprecated("nDocsHint is ignored: simhashPairsAuto has routed narrow " +
+    "unconditionally since round 12 (the wide crossover was refuted at 10M docs)",
+    "round 12")
+  def simhashPairsAuto(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int,
+      nDocsHint: Long): DataFrame =
     simhashPairs(docs, idCol, textCol, maxDist)
 
   /** Connected components over a near-dup pair graph: every doc gets

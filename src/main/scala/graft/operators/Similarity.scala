@@ -242,6 +242,13 @@ object Similarity {
         m match {
           case Metric.Dot => ()
           case Metric.Cosine =>
+            // Zero-norm guard follows the reference's per-path epsilon:
+            // the f32 kernel zeroes at norm ≤ 1e-6 (src/metrics.rs:331-334
+            // — the looser bound papers over f32 accumulation error), the
+            // f64 kernel at ≤ 1e-10 (src/metrics.rs:277-289). A vector
+            // with norm in [1e-10, 1e-6) therefore scores 0.0 on the f32
+            // path and divides on the f64 path, exactly like the reference.
+            val normEps = if (useF32) 1e-6 else 1e-10
             var qi = 0
             while (qi < mRows) {
               val base = qi * cx.n
@@ -249,7 +256,7 @@ object Similarity {
               var j = 0
               while (j < cx.n) {
                 scores(base + j) =
-                  if (qn <= 1e-10 || cx.norms(j) <= 1e-10) 0.0
+                  if (qn <= normEps || cx.norms(j) <= normEps) 0.0
                   else scores(base + j) / (qn * cx.norms(j))
                 j += 1
               }
@@ -463,10 +470,29 @@ object Similarity {
     * result bound the caller. A null query embedding nulls the WHOLE
     * buffer (`flatten` null propagation) — a corrupted input is
     * visible, never silently position-shifted.
+    *
+    * PRICED REFUSAL, not an OOM: the buffer is n_q·n_c f64s in ONE
+    * task and then the driver, so the cost is known exactly before
+    * any work runs. When it exceeds `maxBufferBytes` (default: a
+    * quarter of driver heap, floor 64 MB) the call throws a named
+    * IllegalArgumentException pointing at [[matmulFlat]] — the same
+    * contract as `intervalJoin`'s candidate budget and
+    * `embeddingPairsExact`'s row guard. The one extra `count()`
+    * action is trivial next to the buffer it prices.
     */
   def matmulScores(
       queries: DataFrame, idCol: String, embCol: String,
-      corpus: CorpusIndex): DataFrame =
+      corpus: CorpusIndex, maxBufferBytes: Long = 0L): DataFrame = {
+    val budget =
+      if (maxBufferBytes > 0L) maxBufferBytes
+      else math.max(64L << 20, Runtime.getRuntime.maxMemory() / 4)
+    val nQ = queries.count()
+    val bytes = nQ * corpus.n.toLong * 8L
+    if (bytes > budget) throw new IllegalArgumentException(
+      s"matmulScores refused: $nQ queries x ${corpus.n} corpus rows = $bytes bytes " +
+      s"in a single score buffer, over the driver budget of $budget bytes (heap/4). " +
+      "This flatten=True buffer shape is numpy-interop ergonomics; use matmulFlat " +
+      "for the relational (index, score) form of the same pairs at any scale.")
     matmul(queries.select(col(idCol).as("__qid"), col(embCol)), embCol, corpus, "__s")
       .agg(
         count(lit(1)).as("n_queries"),
@@ -474,6 +500,7 @@ object Similarity {
           array_sort(collect_list(struct(col("__qid"), col("__s")))),
           x => x.getField("__s"))).as("scores"))
       .select(col("n_queries"), lit(corpus.n.toLong).as("n_corpus"), col("scores"))
+  }
 
   /** All pairs (id1 < id2) with cosine ≥ threshold, via the GEMM
     * kernel: the corpus is broadcast once, each query partition runs a
@@ -2132,9 +2159,20 @@ object Similarity {
   final class ShardedServeMeter {
     private val live = new java.util.concurrent.atomic.AtomicLong(0L)
     private val peak = new java.util.concurrent.atomic.AtomicLong(0L)
-    def reset(): Unit = { live.set(0L); peak.set(0L) }
+    private val pinnedN = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val pinnedB = new java.util.concurrent.atomic.AtomicLong(0L)
+    def reset(): Unit = { live.set(0L); peak.set(0L); pinnedN.set(0); pinnedB.set(0L) }
     def liveBroadcastBytes: Long = live.get
     def peakLiveBroadcastBytes: Long = peak.get
+    /** Driver-resident shard count/bytes pinned by the streaming
+      * serve's residency policy (auto or explicit) — set once at
+      * wiring time, the observable the auto-residency spec gates on.
+      */
+    def pinnedShards: Int = pinnedN.get
+    def pinnedShardBytes: Long = pinnedB.get
+    private[graft] def setPinned(n: Int, bytes: Long): Unit = {
+      pinnedN.set(n); pinnedB.set(bytes)
+    }
     private[graft] def add(bytes: Long): Unit = {
       val v = live.addAndGet(bytes)
       peak.accumulateAndGet(v, (a: Long, b: Long) => math.max(a, b))
@@ -2217,18 +2255,36 @@ object Similarity {
         "topkIvfPqShardedWaves needs an explicit shared-filesystem scratchDir " +
           "when the master is not local: the default driver-local temp dir is " +
           "not visible to remote executors, so wave partials would be lost")
-      val dir = java.nio.file.Files.createTempDirectory("graft-sharded-serve-")
-      log.info(s"wave-serve scratch dir: $dir (deleted at JVM exit)")
-      sys.addShutdownHook {
-        def rm(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.list(p).forEach(rm(_))
-          java.nio.file.Files.deleteIfExists(p); ()
-        }
-        rm(dir)
-      }
-      dir.toString
+      WaveScratch.next()
     }
+
+  /** ONE process-wide temp scratch root with ONE JVM shutdown hook,
+    * minting a fresh subdir per default-scratch invocation. The
+    * previous shape (a new temp dir + a new `sys.addShutdownHook` per
+    * call) accumulated hooks and undeleted dirs without bound in a
+    * long-lived local service that serves repeatedly, and its
+    * recursive delete leaked the `Files.list` stream (round-12
+    * advisor). Cleanup walks the whole root deepest-first with the
+    * stream closed via try/finally.
+    */
+  private[graft] object WaveScratch {
+    private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+    private lazy val root: java.nio.file.Path = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sharded-serve-")
+      log.info(s"wave-serve scratch root: $dir (deleted at JVM exit)")
+      sys.addShutdownHook {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach { p => java.nio.file.Files.deleteIfExists(p); () }
+        finally walk.close()
+      }
+      dir
+    }
+    /** A fresh per-invocation subdir under the shared root. */
+    def next(): String = java.nio.file.Files
+      .createDirectories(root.resolve(s"call_${counter.getAndIncrement()}"))
+      .toString
+  }
 
   /** The wave loop behind [[topkIvfPqShardedWaves]], over shard
     * PROVIDERS rather than resident indexes: each provider is invoked

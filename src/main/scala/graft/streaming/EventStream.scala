@@ -13,6 +13,8 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Parquet schema of events with `ts` as `tsType` — the generator's
     * ts encoding has varied across testdata drops (TIMESTAMP(NANOS),
     * which Spark reads as raw long under `nanosAsLong`, vs plain
@@ -397,20 +399,38 @@ object EventStream {
     * unpinned shard's parquet once per micro-batch (sequential
     * columnar scans of the compressed packs — the OS page cache
     * and/or shared-FS caching absorb most of it). `residentShards`
-    * pins that many shards (the FIRST r, a deterministic prefix —
-    * under the cyclic per-batch scan an LRU of r < B would evict
-    * exactly what the next wave needs, so pinning beats LRU here) in
-    * the driver across batches to dial paging down; `residentShards
-    * >= numShards` recovers the all-resident wall-clock while STILL
-    * bounding executor broadcasts to one wave.
+    * pins shards (the FIRST r, a deterministic prefix — under the
+    * cyclic per-batch scan an LRU of r < B would evict exactly what
+    * the next wave needs, so pinning beats LRU here) in the driver
+    * across batches to dial paging down; pinning every shard recovers
+    * the all-resident wall-clock while STILL bounding executor
+    * broadcasts to one wave.
+    *
+    * RESIDENCY IS BUDGET-PRICED BY DEFAULT (`residentShards = -1`):
+    * shards are loaded and `SizeEstimator`-sized in order at wiring
+    * time and the longest prefix whose cumulative bytes fit
+    * `residentBudgetBytes` (default driver heap/8, floor 64 MB) is
+    * pinned — StreamServeProbe measured the re-read tax at ~2×
+    * wall-clock (17.6 s unpinned vs 8.9 s all-pinned at 10M×16
+    * shards), so free driver heap should buy paging down without the
+    * caller hand-counting shard bytes (round-12 verdict #4). The
+    * decision is observable: `meter.pinnedShards` /
+    * `meter.pinnedShardBytes` record it. An explicit
+    * `residentShards >= 0` overrides the budget entirely.
     *
     * Each micro-batch writes its wave partials under
-    * `scratchDir/batch_<id>` and deletes them after `onBatch`
-    * returns, so `onBatch` MUST consume its DataFrame synchronously
+    * `<scratch>/batch_<id>` and deletes them after `onBatch` returns,
+    * so `onBatch` MUST consume its DataFrame synchronously
     * (collect/write — anything that runs the plan). Scratch policy is
     * [[graft.operators.Similarity.topkIvfPqShardedWaves]]'s: the
     * temp-dir default refuses off local mode (wave partials need a
-    * filesystem every executor can read).
+    * filesystem every executor can read). The scratch is NAMESPACED
+    * per serve instance (`serve_<uuid8>` under the resolved root):
+    * two serves wired at the same explicit shared-FS root both start
+    * at batch_0, and without the namespace serve A's overwrite-mode
+    * wave writes and end-of-batch recursive delete would race serve
+    * B's reads of the same `batch_0` dir — silent wrong/missing rows
+    * (round-12 advisor).
     *
     * Returns the configured `DataStreamWriter` — the caller attaches
     * trigger/checkpoint and calls `start()`.
@@ -424,8 +444,9 @@ object EventStream {
       nProbe: Int,
       shortlist: Int = 0,
       waveSize: Int = 2,
-      residentShards: Int = 0,
+      residentShards: Int = -1,
       scratchDir: String = "",
+      residentBudgetBytes: Long = 0L,
       meter: graft.operators.Similarity.ShardedServeMeter =
         graft.operators.Similarity.ShardedServeStats.default)(
       onBatch: (DataFrame, Long) => Unit)
@@ -433,17 +454,52 @@ object EventStream {
     import graft.operators.Similarity
     val spark = queries.sparkSession
     require(waveSize >= 1, s"waveSize must be >= 1, got $waveSize")
-    require(residentShards >= 0, s"residentShards must be >= 0, got $residentShards")
+    require(residentShards >= -1,
+      s"residentShards must be >= 0, or -1 for budget-priced auto, got $residentShards")
     val scratchRoot =
-      Similarity.resolveWaveScratch(spark.sparkContext.isLocal, scratchDir)
+      Similarity.resolveWaveScratch(spark.sparkContext.isLocal, scratchDir) +
+        s"/serve_${java.util.UUID.randomUUID().toString.take(8)}"
     // manifest read once at wiring time; shards page per wave
     val manifest = spark.read.parquet(s"$indexPath/manifest").head()
     val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
     require(numShards >= 1, s"corrupt sharded index manifest: num_shards=$numShards")
     def shardDir(i: Int) = f"$indexPath/shard_$i%04d"
     val pinned = new java.util.concurrent.ConcurrentHashMap[Int, Similarity.CorpusIndexIvfPq]
+    // Residency decision at wiring time. Auto mode loads shards IN
+    // ORDER, sizing each, and pins while the running total fits the
+    // budget — one shard is read at a time, so peak driver memory
+    // during the walk is pinned-so-far + one candidate, never
+    // Σ-shards. Explicit mode pins exactly the requested prefix.
+    val resident: Int = {
+      var used = 0L
+      var n = 0
+      if (residentShards >= 0) {
+        val target = math.min(residentShards, numShards)
+        while (n < target) {
+          val ix = graft.sources.Source.readIvfPqIndex(spark, shardDir(n))
+          pinned.put(n, ix)
+          used += org.apache.spark.util.SizeEstimator.estimate(ix)
+          n += 1
+        }
+      } else {
+        val budget =
+          if (residentBudgetBytes > 0L) residentBudgetBytes
+          else math.max(64L << 20, Runtime.getRuntime.maxMemory() / 8)
+        var stop = false
+        while (n < numShards && !stop) {
+          val ix = graft.sources.Source.readIvfPqIndex(spark, shardDir(n))
+          val bytes = org.apache.spark.util.SizeEstimator.estimate(ix)
+          if (used + bytes <= budget) { pinned.put(n, ix); used += bytes; n += 1 }
+          else stop = true
+        }
+        log.info(s"auto shard residency: pinned $n/$numShards shards " +
+          s"($used bytes within budget $budget)")
+      }
+      meter.setPinned(n, used)
+      n
+    }
     def shardAt(i: Int): Similarity.CorpusIndexIvfPq =
-      if (i < residentShards)
+      if (i < resident)
         pinned.computeIfAbsent(i, _ => graft.sources.Source.readIvfPqIndex(spark, shardDir(i)))
       else graft.sources.Source.readIvfPqIndex(spark, shardDir(i))
     val providers = (0 until numShards).map(i => () => shardAt(i))

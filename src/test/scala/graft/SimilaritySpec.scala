@@ -283,4 +283,50 @@ class SimilaritySpec extends AnyFunSuite {
       .select($"id", $"pred").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(re == out)
   }
+
+  test("f32 cosine zero-norm epsilon is the reference's 1e-6; f64 path keeps 1e-10") {
+    // reference src/metrics.rs:331-334 zeroes f32 cosine when a norm
+    // <= 1e-6 (papering over f32 accumulation error); the f64 kernel
+    // (metrics.rs:277-289) divides down to 1e-10. A vector with norm
+    // ~2e-7 — inside [1e-10, 1e-6) — must therefore score 0.0 on the
+    // f32 path and a REAL cosine (here 1.0, same direction) on f64.
+    val tiny = 1e-7f
+    val qf = Seq((0L, Seq(tiny, tiny, tiny, tiny)))
+      .toDF("qid", "embedding")
+    val cf32 = Similarity.collectCorpus(
+      Seq((0L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("cid", "embedding"),
+      "cid", "embedding")
+    val f32Score = Similarity.topkFlat(qf, "embedding", cf32, 1, Metric.Cosine)
+      .head.getAs[Double]("score")
+    assert(f32Score == 0.0, s"f32 path must zero norms <= 1e-6, got $f32Score")
+    // same geometry through the f64 kernel: norm 2e-7 > 1e-10 divides
+    val qd = queriesDf(Seq((0L, Seq.fill(4)(1e-7))))
+    val cd = corpusOf(Seq((0L, Seq.fill(4)(1.0))))
+    val f64Score = Similarity.topkFlat(qd, "embedding", cd, 1, Metric.Cosine)
+      .head.getAs[Double]("score")
+    assert(math.abs(f64Score - 1.0) < 1e-6, s"f64 path must divide at norm 2e-7, got $f64Score")
+    // and a truly-zero norm still guards on BOTH paths
+    val qz = Seq((0L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("qid", "embedding")
+    assert(Similarity.topkFlat(qz, "embedding", cf32, 1, Metric.Cosine)
+      .head.getAs[Double]("score") == 0.0)
+  }
+
+  test("matmulScores refuses a buffer over the driver budget, naming matmulFlat") {
+    // round-12 verdict #3: the flatten=True buffer is ONE n_q*n_c f64
+    // allocation in a single task — past the priced budget the call
+    // must refuse eagerly with a named error, not OOM an executor.
+    val qRows = (0L until 8L).map(i => (i, Seq(1.0, 0.0)))
+    val c = corpusOf(Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))))
+    // 8 queries x 2 corpus x 8B = 128 bytes; cap at 100 to trip it
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.matmulScores(queriesDf(qRows), "qid", "embedding", c,
+        maxBufferBytes = 100L)
+    }
+    assert(ex.getMessage.contains("matmulScores refused") &&
+      ex.getMessage.contains("matmulFlat"), ex.getMessage)
+    // under the cap the same call succeeds
+    val ok = Similarity.matmulScores(queriesDf(qRows), "qid", "embedding", c,
+      maxBufferBytes = 1024L).head
+    assert(ok.getLong(0) == 8L && ok.getSeq[Double](2).length == 16)
+  }
 }

@@ -400,10 +400,123 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     assert(batchIds.size >= 2, s"expected >=2 micro-batches, got $batchIds")
     assert(results.toSet == expected)
-    // every batch_<id> scratch dir was deleted after its callback
-    val leftovers = java.nio.file.Files.list(
+    // the serve namespaces its scratch (serve_<uuid8> under the root,
+    // round-12 advisor) and every batch_<id> dir under it was deleted
+    // after its callback
+    val serveDirs = java.nio.file.Files.list(
       java.nio.file.Paths.get(scratchRoot)).toArray.toSeq
+    assert(serveDirs.size == 1 &&
+      serveDirs.head.toString.split("/").last.startsWith("serve_"),
+      s"expected one namespaced serve dir, got $serveDirs")
+    val leftovers = java.nio.file.Files.list(
+      serveDirs.head.asInstanceOf[java.nio.file.Path]).toArray.toSeq
+      .filter(_.toString.contains("batch_"))
     assert(leftovers.isEmpty, s"scratch not cleaned: $leftovers")
+  }
+
+  test("two serves sharing one scratch root do not collide: namespaced batch dirs, both streams exact") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // round-12 advisor (medium): both serves start at batch_0, so an
+    // un-namespaced shared scratch root has stream A overwriting (and
+    // then deleting) stream B's batch_0 wave partials mid-read —
+    // silent wrong or missing top-k rows. Run two serves against the
+    // SAME explicit root, interleaved, and require exact results from
+    // both.
+    val rnd = new scala.util.Random(47)
+    val corpus = (0L until 300L).map(i => i -> Seq.fill(12)(rnd.nextGaussian()))
+    val build = Similarity.buildIvfPqShardedWithLayout(
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      numShards = 2, nCells = 4, m = 6)
+    val ixDir = java.nio.file.Files.createTempDirectory("serve-collide").toString + "/ix"
+    graft.sources.Sink.writeIvfPqShardedIndex(spark, build, ixDir, overwrite = false)
+    val queries = (1000L until 1030L).map(i => i -> Seq.fill(12)(rnd.nextGaussian()))
+    val expected = Similarity.topkIvfPqSharded(
+        queries.toDF("vec_id", "embedding"), "embedding", "vec_id",
+        build.shards, k = 3, nProbe = 2, shortlist = 10)
+      .select("vec_id", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val sharedRoot = java.nio.file.Files.createTempDirectory("serve-collide-scr").toString
+    def wire(mem: MemoryStream[(Long, Seq[Double])],
+             sink: scala.collection.mutable.Set[(Long, Int, Long)]) =
+      EventStream.topkServeIvfPqShardedWaves(
+        mem.toDF.toDF("vec_id", "embedding"), "embedding", "vec_id", ixDir,
+        k = 3, nProbe = 2, shortlist = 10, waveSize = 1,
+        scratchDir = sharedRoot) { (out, _) =>
+        val rows = out.select("vec_id", "rank", "index").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        sink.synchronized { sink ++= rows }
+        ()
+      }
+    val memA = MemoryStream[(Long, Seq[Double])]
+    val memB = MemoryStream[(Long, Seq[Double])]
+    val resA = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val resB = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val qA = wire(memA, resA).start()
+    val qB = wire(memB, resB).start()
+    try {
+      // interleave so both streams have in-flight batch ids 0 and 1
+      memA.addData(queries.take(15)); memB.addData(queries.take(15))
+      qA.processAllAvailable(); qB.processAllAvailable()
+      memA.addData(queries.drop(15)); memB.addData(queries.drop(15))
+      qA.processAllAvailable(); qB.processAllAvailable()
+    } finally { qA.stop(); qB.stop() }
+    assert(resA.toSet == expected, "stream A corrupted by shared scratch")
+    assert(resB.toSet == expected, "stream B corrupted by shared scratch")
+    // and the namespace is visible: two distinct serve_* dirs
+    val serveDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(sharedRoot)).toArray.toSeq.map(_.toString)
+    assert(serveDirs.size == 2 && serveDirs.forall(_.split("/").last.startsWith("serve_")),
+      s"expected two namespaced serve dirs, got $serveDirs")
+  }
+
+  test("auto residency: pinned prefix is budget-priced, observable, and rows stay exact") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // round-12 verdict #4: residency should come from a driver-byte
+    // budget, not a caller-counted shard number. Wire with a budget
+    // sized to fit SOME but not ALL shards and require: pinned
+    // prefix > 0, pinned bytes <= budget, pinned < numShards, and
+    // exact row parity with the batch operator.
+    val rnd = new scala.util.Random(53)
+    val corpus = (0L until 600L).map(i => i -> Seq.fill(16)(rnd.nextGaussian()))
+    val build = Similarity.buildIvfPqShardedWithLayout(
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      numShards = 4, nCells = 4, m = 8)
+    val ixDir = java.nio.file.Files.createTempDirectory("serve-autores").toString + "/ix"
+    graft.sources.Sink.writeIvfPqShardedIndex(spark, build, ixDir, overwrite = false)
+    val loaded = graft.sources.Source.readIvfPqShardedIndex(spark, ixDir)
+    val sizes = loaded.map(ix => org.apache.spark.util.SizeEstimator.estimate(ix))
+    // a budget that fits the first two shards but not three
+    val budget = sizes(0) + sizes(1) + (sizes(2) / 2)
+    val queries = (1000L until 1040L).map(i => i -> Seq.fill(16)(rnd.nextGaussian()))
+    val expected = Similarity.topkIvfPqSharded(
+        queries.toDF("vec_id", "embedding"), "embedding", "vec_id",
+        loaded, k = 5, nProbe = 3, shortlist = 20)
+      .select("vec_id", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val meter = new Similarity.ShardedServeMeter
+    val results = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val writer = EventStream.topkServeIvfPqShardedWaves(
+      mem.toDF.toDF("vec_id", "embedding"), "embedding", "vec_id", ixDir,
+      k = 5, nProbe = 3, shortlist = 20, waveSize = 2,
+      residentBudgetBytes = budget, meter = meter) { (out, _) =>
+      val rows = out.select("vec_id", "rank", "index").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      results.synchronized { results ++= rows }
+      ()
+    }
+    // the residency decision happens at wiring time, before start()
+    assert(meter.pinnedShards == 2,
+      s"budget fits exactly 2 shards, auto pinned ${meter.pinnedShards}")
+    assert(meter.pinnedShardBytes <= budget,
+      s"pinned ${meter.pinnedShardBytes} bytes over budget $budget")
+    val q = writer.start()
+    try { mem.addData(queries); q.processAllAvailable() } finally q.stop()
+    assert(results.toSet == expected)
   }
 
   test("watermark drops too-late events; in-watermark late arrivals still count") {
