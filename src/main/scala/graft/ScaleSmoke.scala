@@ -371,6 +371,91 @@ object ScaleSmoke {
       zipf.unpersist(); dense.unpersist()
     }
 
+    // NAME-SHAPED fuzzy join at scale (round-12 verdict #2's 1M-name
+    // point): three syllables from a 14×5 consonant-vowel table + a
+    // numeric suffix — letter-trigram df is human-name-like (rarest
+    // prefix grams in the tens-to-hundreds at 1M), unlike the hex /
+    // digit alphabets of the adversarial corpora above, so the
+    // default candidate budget stays silent and the full verified
+    // join runs. Opt-in:
+    //   SPARK_GRAFT_SMOKE_FUZZY_NAMES=1000000 sbt "runMain graft.ScaleSmoke"
+    val fuzzyNamesN = sys.env.getOrElse("SPARK_GRAFT_SMOKE_FUZZY_NAMES", "0").toLong
+    if (fuzzyNamesN > 0) {
+      import graft.operators.Relational
+      // cv + cvc syllable inventory over the full consonant set
+      // (21×5 + 21×5×21 = 2310 forms), five syllables per name
+      // (10-15 letters) — a human-name-like gram space where the
+      // rarest-gram prefix blocks (specific cross-syllable 4-grams,
+      // df in the tens-to-hundreds at 1M) stay well under the priced
+      // cap. Numeric suffixes were tried and REFUSED correctly: a
+      // 3-digit uniquifier concentrates every name's rarest grams
+      // into ~1k digit patterns (df ~800-1000 at 1M) — keyspace
+      // density is about the ALPHABET of the rare grams, not string
+      // uniqueness.
+      val sylC = "bcdfghjklmnpqrstvwxyz"
+      val sylV = "aeiou"
+      val syls = (for (c <- sylC; v <- sylV) yield s"$c$v") ++
+        (for (c <- sylC; v <- sylV; c2 <- sylC) yield s"$c$v$c2")
+      val sylArr = array(syls.map(lit(_)): _*)
+      def syl(k: Int) =
+        element_at(sylArr, (pmod(xxhash64(col("id"), lit(k)), lit(syls.length)) + 1).cast("int"))
+      val baseNames = spark.range(fuzzyNamesN).select(col("id"),
+        concat(syl(1), syl(2), syl(3), syl(4), syl(5)).as("s"))
+      // plant a distance-1 typo twin for 1% of names ('9' is outside
+      // the letter alphabet, so the edit is exactly one substitution)
+      // — the verified join must FIND them, a zero-hit run would only
+      // measure candidate cost
+      val twins = baseNames.filter(pmod(col("id"), lit(100)) === 0)
+        .select((col("id") + fuzzyNamesN).as("id"),
+          concat(substring(col("s"), 1, 1), lit("9"),
+            expr("substring(s, 3, length(s) - 2)")).as("s"))
+      val names = baseNames.unionAll(twins).cache()
+      names.count()
+      // q=4 is the Ed-Join parameter for this scale (the paper tunes
+      // q up with corpus size): 4-grams are ~15x rarer than trigrams
+      // on this namespace, cutting candidate fan-out ~100x while the
+      // pigeonhole guarantee (len >= q*(d+1) = 8, the generator's
+      // minimum) keeps the join lossless.
+      timed(s"fuzzy-join candidates, syllable names ($fuzzyNamesN strings, d=1, q=4, default budget)") {
+        Relational.fuzzyJoinCandidates(names, "id", "s", maxDist = 1, q = 4).count()
+      }
+      timed(s"fuzzy-join verified pairs, syllable names ($fuzzyNamesN strings, d=1, q=4, default budget)") {
+        Relational.fuzzyJoinPairs(names, "id", "s", maxDist = 1, q = 4).count()
+      }
+      names.unpersist()
+    }
+
+    // Fan-out REFUSAL point (round-12 verdict #2): at ≥1M the dense
+    // zero-padded keyspace must trip the priced candidate guard (cap =
+    // maxCandidates / (n·(q·d+1)) — at 1M that's df>1000, and every
+    // rarest digit-gram carries df ~6000), and it must trip in the
+    // time of the PRICING stages (shingle+df+window), never the
+    // quadratic self-join. Opt-in:
+    //   SPARK_GRAFT_SMOKE_FUZZY_REFUSE=1000000 sbt "runMain graft.ScaleSmoke"
+    val fuzzyRefuseN = sys.env.getOrElse("SPARK_GRAFT_SMOKE_FUZZY_REFUSE", "0").toLong
+    if (fuzzyRefuseN > 0) {
+      import graft.operators.Relational
+      val dense = spark.range(fuzzyRefuseN).select(col("id"),
+        concat(lit("doc-"), lpad(col("id").cast("string"), 8, "0")).as("s")).cache()
+      dense.count()
+      timed(s"fuzzy-join dense-keyspace REFUSAL ($fuzzyRefuseN strings, default budget)") {
+        val refused =
+          try { Relational.fuzzyJoinPairs(dense, "id", "s", maxDist = 1).count(); false }
+          catch { case e: Exception =>
+            def chain(t: Throwable): String =
+              Option(t.getMessage).getOrElse("") +
+                Option(t.getCause).map(c => " | " + chain(c)).getOrElse("")
+            val m = chain(e)
+            require(m.contains("fuzzy join candidate runaway"),
+              s"expected the named refusal, got: $m")
+            true
+          }
+        require(refused, s"dense keyspace at $fuzzyRefuseN must refuse under the default budget")
+        1L
+      }
+      dense.unpersist()
+    }
+
     // End-to-end CAPSTONE at 10M docs (round-6 verdict #7): the
     // curate_full shape — near-dup pair graph → stars CC → scan-stage
     // quality gates → deterministic split — with per-stage walls, so
@@ -706,6 +791,26 @@ object ScaleSmoke {
         "wave serve rows diverge from the all-resident serve")
       require(peakWave <= perShardBytes.grouped(waveSize).map(_.sum).max,
         f"wave peak $peakWave exceeds one wave's shards")
+      // A/B: the same wave serve with IN-MEMORY partials (eager
+      // localCheckpoint, no parquet write+read per wave) — isolates
+      // the scratch-persist share of the wave-serve overhead vs the
+      // all-resident rerank (round-12 verdict #6)
+      Similarity.ShardedServeStats.reset()
+      val tWaveM = System.nanoTime()
+      val waveRowsM = Similarity.topkIvfPqShardedWaves(queries, "vec", "qid",
+          shards, 10, nProbe = nProbe, shortlist = 100, waveSize = waveSize,
+          memoryPartials = true)
+        .select(col("qid"), col("index")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val waveSecM = (System.nanoTime() - tWaveM) / 1e9
+      val peakWaveM = Similarity.ShardedServeStats.peakLiveBroadcastBytes
+      val waveTopM = waveRowsM.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      require(waveTopM == rerankTop,
+        "memory-partials wave serve rows diverge from the all-resident serve")
+      require(peakWaveM <= perShardBytes.grouped(waveSize).map(_.sum).max,
+        f"memory-partials wave peak $peakWaveM exceeds one wave's shards")
+      println(f"ivfpq sharded WAVE serve, MEMORY partials (waveSize=$waveSize, " +
+        f"shortlist=100): $waveSecM%.2f s (parquet-scratch form: $waveSec%.2f s)")
       val mode = if (distBuild) "DISTRIBUTED train-on-sample + restore"
         else s"par=$shardPar, concurrent collect"
       println(f"ivfpq sharded build ($ivfpqDocs x ${dim}d, $blocks shards, " +

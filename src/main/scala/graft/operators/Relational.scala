@@ -636,12 +636,29 @@ object Relational {
       idCol: String,
       strCol: String,
       maxDist: Int,
-      q: Int = 3): DataFrame = {
+      q: Int = 3,
+      maxGramDf: Int = 0,
+      maxCandidates: Long = 4_000_000_000L): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 2, s"q must be >= 2, got $q")
+    require(maxGramDf >= 0, s"maxGramDf must be >= 0 (0 = derive from maxCandidates), got $maxGramDf")
+    require(maxCandidates >= 1, s"maxCandidates must be >= 1, got $maxCandidates")
     import graft.functions.TextFunctions.charShingles
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("len", length(col("s")))
+    // PRICED per-gram cap: Σ pdf² (the candidate volume) is bounded by
+    // max_pdf · Σ pdf ≤ cap · n·(q·maxDist+1), so cap =
+    // maxCandidates / (n·(q·maxDist+1)) makes `maxCandidates` a hard
+    // ceiling on candidate rows whatever the gram distribution. The
+    // one count() is trivial next to the shingle passes. An explicit
+    // maxGramDf overrides the derivation (tests, callers that know
+    // their keyspace).
+    val gramCap: Long =
+      if (maxGramDf > 0) maxGramDf.toLong
+      else {
+        val n = math.max(1L, base.count())
+        math.max(256L, maxCandidates / (n * (q.toLong * maxDist + 1)))
+      }
     val minLen = q * (maxDist + 1)
     val long = base.filter(col("len") >= minLen)
     // positional q-grams are the Ed-Join unit; charShingles is
@@ -651,11 +668,34 @@ object Relational {
     val sh = long.select(col("id"), explode(charShingles(col("s"), q)).as("g"))
     val dfs = sh.groupBy("g").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id").orderBy(col("df").asc, col("g").asc)
+    // FAN-OUT GUARD (the intervalJoin treatment — round-12 verdict
+    // #2): a prefix gram with df D contributes up to D² candidate
+    // rows; on a dense keyspace (all strings near-identical — the
+    // BASELINE-documented degradation) even each string's RAREST
+    // grams index a large fraction of the corpus and the self-join
+    // below runs away quadratically in shuffle rows, not FLOPs.
+    // Refuse loudly, in-plan (zero extra jobs beyond the count: the
+    // df is already on every prefix row), when a SELECTED prefix
+    // gram's df exceeds the priced cap — global df bounds the
+    // prefix-side df, so each gram contributes at most cap² and the
+    // total stays under `maxCandidates`. The guard wraps the join
+    // key itself so column pruning can never drop it.
+    val gramGuardMsg = concat(
+      lit("fuzzy join candidate runaway: prefix gram '"), col("g"),
+      lit(s"' indexes "), col("df"),
+      lit(s" strings (> cap $gramCap, up to df² candidate pairs from " +
+        "this gram alone; cap = maxCandidates / (n*(q*maxDist+1))). The " +
+        "keyspace is too dense for Ed-Join blocking at this (q, maxDist): " +
+        "raise q, lower maxDist, pre-block on another key, or raise " +
+        "maxGramDf/maxCandidates if the quadratic cost is intended"))
     val prefix = sh.join(dfs, Seq("g"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= q * maxDist + 1)
       .join(long.select(col("id"), col("len")), Seq("id"))
-      .select("id", "g", "len")
+      .select(col("id"),
+        when(col("df") > gramCap, raise_error(gramGuardMsg))
+          .otherwise(col("g")).as("g"),
+        col("len"))
     val candLong = prefix.select(col("id").as("id1"), col("g"), col("len").as("l1"))
       .join(prefix.select(col("id").as("id2"), col("g"), col("len").as("l2")), Seq("g"))
       .filter(col("id1") < col("id2") &&
@@ -666,10 +706,31 @@ object Relational {
     // bounded). The band condition is EXPLODED to exact-length keys so
     // the join is an equi-join — a |l1−l2| ≤ d predicate would plan as
     // a nested-loop join, the shape the plan audit bans.
+    //
+    // "Bounded" holds for LENGTH DIVERSITY, not row counts: a corpus
+    // of 10⁶ two-char codes puts 10⁶ rows in one length block →
+    // 10¹² in-band pairs. Same guard: a length block larger than
+    // max(cap, √maxCandidates) refuses with the block named (√ because
+    // a block's pairs are lcnt², not df·lcnt).
     val short = base.filter(col("len") < minLen)
+    val bandCnt = base.filter(col("len") < minLen + maxDist)
+      .groupBy(col("len").as("lk")).agg(count(lit(1)).as("lcnt"))
+    val bandCap: Long =
+      if (maxGramDf > 0) maxGramDf.toLong
+      else math.max(gramCap, math.sqrt(maxCandidates.toDouble).toLong)
+    val bandGuardMsg = concat(
+      lit("fuzzy join candidate runaway: length band "), col("lk"),
+      lit(" holds "), col("lcnt"),
+      lit(s" short strings (> cap $bandCap; short strings join their " +
+        "whole ±maxDist length band). Pre-block on another key or raise " +
+        "maxGramDf/maxCandidates if the quadratic cost is intended"))
     val candShort = short.select(col("id").as("id1"),
         explode(sequence(greatest(col("len") - maxDist, lit(0)),
           col("len") + maxDist)).as("lk"))
+      .join(bandCnt, Seq("lk"), "left")
+      .select(col("id1"),
+        when(col("lcnt") > bandCap, raise_error(bandGuardMsg))
+          .otherwise(col("lk")).as("lk"))
       .join(base.select(col("id").as("id2"), col("len").as("lk")), Seq("lk"))
       .filter(col("id1") =!= col("id2"))
       .select(least(col("id1"), col("id2")).as("id1"),
@@ -697,14 +758,22 @@ object Relational {
     * because the band of a short string is itself short). Fan-out is
     * Σ df² over prefix grams — rare grams by construction. Output:
     * (id1, id2, dist), id1 < id2.
+    *
+    * `maxGramDf` is the candidate-runaway valve: any SELECTED prefix
+    * gram (or short-string length band) indexing more than this many
+    * strings refuses in-plan with a named raise_error instead of
+    * shuffling up to df² candidate rows — the dense-keyspace
+    * degradation is priced (via [[fuzzyJoinCandidates]]) and refused,
+    * never silently quadratic (round-12 verdict #2).
     */
   def fuzzyJoinPairs(
       df: DataFrame,
       idCol: String,
       strCol: String,
       maxDist: Int,
-      q: Int = 3): DataFrame = {
-    val cand = fuzzyJoinCandidates(df, idCol, strCol, maxDist, q)
+      q: Int = 3,
+      maxGramDf: Int = 20000): DataFrame = {
+    val cand = fuzzyJoinCandidates(df, idCol, strCol, maxDist, q, maxGramDf)
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
     val strs = base.select(col("id"), col("s"))
     cand

@@ -2223,6 +2223,16 @@ object Similarity {
     * #2). On a cluster, pass a shared filesystem path; the partials
     * are |queries| × k narrow rows per wave, marginal next to the
     * scans.
+    *
+    * `memoryPartials = true` keeps the per-wave partials as EAGER
+    * `localCheckpoint`s in the block manager (MEMORY_AND_DISK)
+    * instead of parquet scratch — no per-wave write+read, which the
+    * round-12/13 A/B isolated as the wave-serve's overhead vs the
+    * all-resident form. The checkpoint materializes while the wave's
+    * broadcasts are live and CUTS lineage, so a lost block fails
+    * loudly rather than recomputing against a destroyed broadcast.
+    * Fit for local mode and reliable block managers; parquet scratch
+    * remains the durable default for long-lived cluster serves.
     */
   def topkIvfPqShardedWaves(
       queries: DataFrame,
@@ -2234,12 +2244,14 @@ object Similarity {
       shortlist: Int = 0,
       waveSize: Int = 2,
       scratchDir: String = "",
-      meter: ShardedServeMeter = ShardedServeStats.default): DataFrame = {
+      meter: ShardedServeMeter = ShardedServeStats.default,
+      memoryPartials: Boolean = false): DataFrame = {
     require(shards.nonEmpty, "Empty shard list")
     topkIvfPqWavesCore(queries, embCol, qIdCol, shards.map(ix => () => ix),
       k, nProbe, shortlist, waveSize,
-      resolveWaveScratch(queries.sparkSession.sparkContext.isLocal, scratchDir),
-      meter)
+      if (memoryPartials) ""
+      else resolveWaveScratch(queries.sparkSession.sparkContext.isLocal, scratchDir),
+      meter, memoryPartials)
   }
 
   /** Scratch-dir policy for the wave server (see
@@ -2303,13 +2315,15 @@ object Similarity {
       shortlist: Int,
       waveSize: Int,
       scratch: String,
-      meter: ShardedServeMeter): DataFrame = {
+      meter: ShardedServeMeter,
+      memoryPartials: Boolean = false): DataFrame = {
     require(shardProviders.nonEmpty, "Empty shard list")
     require(waveSize >= 1, s"waveSize must be >= 1, got $waveSize")
     val spark = queries.sparkSession
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("score").desc, col("index").asc)
     val waves = shardProviders.grouped(waveSize).toIndexedSeq
+    val memParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     waves.zipWithIndex.foreach { case (wave, wi) =>
       val sized = wave.map { load =>
         val ix = load()
@@ -2321,19 +2335,33 @@ object Similarity {
         bc -> bytes
       }
       try {
-        bcs.map { case (bc, _) =>
+        val partial = bcs.map { case (bc, _) =>
             topkIvfPqFlatBc(queries, embCol, bc, k, nProbe, shortlist).drop("rank")
           }
           .reduce(_ unionAll _)
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
           .drop("rank")
-          .write.mode("overwrite").parquet(s"$scratch/wave_$wi")
+        if (memoryPartials)
+          // eager localCheckpoint: materialized in the block manager
+          // (MEMORY_AND_DISK) while this wave's broadcasts are still
+          // live, lineage CUT so a lost block can never re-demand a
+          // destroyed broadcast (it fails loudly instead of silently
+          // recomputing wrong) — the round-12 wave-overhead A/B's
+          // in-memory path, skipping the parquet write+read per wave.
+          // Fit for local mode / reliable block managers; the parquet
+          // scratch stays the durable cluster default.
+          memParts += partial.localCheckpoint(true)
+        else
+          partial.write.mode("overwrite").parquet(s"$scratch/wave_$wi")
       } finally bcs.foreach { case (bc, bytes) =>
         bc.destroy(); meter.sub(bytes)
       }
     }
-    waves.indices.map(wi => spark.read.parquet(s"$scratch/wave_$wi"))
+    val parts =
+      if (memoryPartials) memParts.toSeq
+      else waves.indices.map(wi => spark.read.parquet(s"$scratch/wave_$wi"))
+    parts
       .reduce(_ unionAll _)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -173,6 +173,22 @@ class IvfPqSpec extends AnyFunSuite {
       qDf, "emb", "qid", shards, 10, nProbe = 4, shortlist = 50, waveSize = 1))
     assert(oneAtATime == allResident)
     assert(Similarity.ShardedServeStats.peakLiveBroadcastBytes == per.max)
+    // memoryPartials: eager localCheckpoint partials instead of
+    // parquet scratch (the round-12 wave-overhead A/B's in-memory
+    // path) — identical rows, same one-wave broadcast bound, and the
+    // result stays readable AFTER the wave broadcasts are destroyed
+    // (the lineage cut is what makes that legal)
+    Similarity.ShardedServeStats.reset()
+    val inMem = Similarity.topkIvfPqShardedWaves(
+      qDf, "emb", "qid", shards, 10, nProbe = 4, shortlist = 50,
+      waveSize = 2, memoryPartials = true)
+    assert(rows(inMem) == allResident)
+    assert(Similarity.ShardedServeStats.peakLiveBroadcastBytes ==
+      per.grouped(2).map(_.sum).max)
+    assert(Similarity.ShardedServeStats.liveBroadcastBytes == 0L)
+    // a second action over the same result re-reads the checkpoints,
+    // not the (destroyed) broadcasts
+    assert(inMem.count() == allResident.size)
   }
 
   test("wave scratch policy: the driver-local temp default REFUSES off local mode") {
