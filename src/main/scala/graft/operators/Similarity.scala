@@ -1939,7 +1939,8 @@ object Similarity {
       k: Int,
       metric: Metric,
       numBlocks: Int,
-      quantized: Boolean = false): DataFrame = {
+      quantized: Boolean = false,
+      maxInFlightBytes: Long = 0L): DataFrame = {
     require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
     val blockOf = pmod(xxhash64(col(cIdCol).cast(LongType)), lit(numBlocks))
     // the B block-index builds are independent driver-side collects —
@@ -1948,6 +1949,37 @@ object Similarity {
     // trips ahead of the first executor GEMM (round-2 verdict #7).
     // Results are re-assembled in block order, so the unioned plan is
     // identical to the sequential build's.
+    //
+    // PRICED ADMISSION (round 13): concurrency alone multiplies peak
+    // driver memory by the thread count — the EXACT (quantized=false)
+    // path holds each in-flight block's Row[] + f64 pack + f32
+    // sidecar, ~40 B/element like the sharded build, and the 10M×256
+    // ground-truth run OOMed a 96 GB heap with 8 unthrottled 625k-row
+    // collects in flight. Same gate as [[buildIvfPqSharded]]: one
+    // narrow count pass prices each block and a collect starts only
+    // while priced in-flight bytes fit the budget (default heap/4);
+    // a single over-budget block still runs alone, so the throttle
+    // degrades to sequential, never deadlocks. Results identical,
+    // just admitted later.
+    val budget =
+      if (maxInFlightBytes > 0L) maxInFlightBytes
+      else math.max(256L << 20, Runtime.getRuntime.maxMemory() / 4)
+    val counts: Map[Int, Long] = corpus
+      .groupBy(blockOf.cast(IntegerType).as("b")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) throw new IllegalArgumentException("Empty corpus")
+    val dim = corpus.select(col(cEmbCol)).filter(col(cEmbCol).isNotNull)
+      .head().getSeq[Any](0).length
+    def priceOf(b: Int): Long = counts.getOrElse(b, 0L) * dim * 40L
+    val gate = new Object
+    var inFlight = 0L
+    def acquire(bytes: Long): Unit = gate.synchronized {
+      while (inFlight > 0L && inFlight + bytes > budget) gate.wait()
+      inFlight += bytes
+    }
+    def release(bytes: Long): Unit = gate.synchronized {
+      inFlight -= bytes; gate.notifyAll()
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(numBlocks, 8))
     val blocks =
       try {
@@ -1957,9 +1989,13 @@ object Similarity {
           // quantize INSIDE the collect task: the f64 pack becomes
           // garbage before the future resolves, so at most the
           // in-flight blocks' packs coexist (the doc comment's claim)
-          scala.concurrent.Future(
-            collectCorpusOpt(corpus.filter(blockOf === b), cIdCol, cEmbCol)
-              .map(cx => if (quantized) Right(quantizeSq8(cx)) else Left(cx)))
+          scala.concurrent.Future {
+            val price = priceOf(b)
+            acquire(price)
+            try collectCorpusOpt(corpus.filter(blockOf === b), cIdCol, cEmbCol)
+              .map(cx => if (quantized) Right(quantizeSq8(cx)) else Left(cx))
+            finally release(price)
+          }
         }
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(fs), scala.concurrent.duration.Duration.Inf)
