@@ -58,7 +58,7 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("topkBlocked: construction runs exactly one job per block — no id-universe collect") {
+  test("topkBlocked: one job per block + the priced-admission passes — no id-universe collect") {
     import graft.operators.{Metric, Similarity}
     val emb = Tables.embeddings(spark, dir)
     val numBlocks = 4
@@ -67,7 +67,12 @@ class PlanAuditSpec extends AnyFunSuite {
     try {
       // constructing the plan collects each hash-mod block once to build
       // its broadcast index; a driver-side collect of the corpus id
-      // universe (the round-1 defect) would show up as an extra job
+      // universe (the round-1 defect) would show up as an extra job.
+      // Since round 13 the construction ALSO prices admission: one
+      // narrow per-block count (AQE plans it as up to 2 jobs) and one
+      // dim-probe head — a fixed +3 budget independent of block count,
+      // so an id-universe collect (≥ +1 full-width job PER BLOCK)
+      // still fails this audit at any realistic numBlocks.
       Similarity.topkBlocked(emb.limit(10), "embedding", "vec_id",
         emb, "vec_id", "embedding", 5, Metric.Cosine, numBlocks)
     } finally spark.sparkContext.clearJobGroup()
@@ -75,8 +80,8 @@ class PlanAuditSpec extends AnyFunSuite {
     def jobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
     val deadline = System.currentTimeMillis() + 10000
     while (jobs() < numBlocks && System.currentTimeMillis() < deadline) Thread.sleep(50)
-    assert(jobs() == numBlocks,
-      s"expected exactly $numBlocks per-block collect jobs, saw ${jobs()}")
+    assert(jobs() >= numBlocks && jobs() <= numBlocks + 3,
+      s"expected $numBlocks per-block collect jobs (+<=3 pricing passes), saw ${jobs()}")
   }
 
   test("ann paths: no embedding vector ever rides an exchange; one candidate shuffle") {
