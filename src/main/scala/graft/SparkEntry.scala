@@ -998,6 +998,71 @@ object SparkEntry {
         .crossJoin(rerank.select(col("ok").as("ivfpq_rerank_ok")))
     }),
 
+    // FILTERED IVF+PQ search, rows-only (the gate below carries
+    // correctness): top-k restricted to the even-vec_id half of the
+    // corpus via the priced DataFrame overload — the vector-DB
+    // metadata-filter serve (FAISS IDSelector shape) without a
+    // per-predicate index rebuild.
+    "ann_ivfpq_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val ix = Similarity.quantizeIvfPq(corpus(s, dir), nCells = 16, m = 16)
+      val allowed = emb.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+      Similarity.topkIvfPqFilteredFlat(q, "embedding", ix, allowed, "vec_id",
+          10, 8, 100)
+        .orderBy("vec_id", "rank")
+    }),
+
+    // Filtered-search gate: three engine-checked properties on the
+    // even-vec_id filter — (a) SUBSET: every returned index is
+    // allowed (the mask can't leak); (b) RECALL vs the exact
+    // brute-force kernel over ONLY the allowed rows (the filtered
+    // ground truth — scan-time masking is pre-filter, so the floor
+    // matches the unfiltered rerank gate's); (c) PARITY: an all-id
+    // filter is row-identical to the unfiltered search (the mask adds
+    // no behavior when it selects everything). DuckDB independently
+    // pins n_queries and n_allowed (the filter population) and the
+    // constant-TRUE booleans.
+    "ann_ivfpq_filtered_gate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val ix = Similarity.quantizeIvfPq(corpus(s, dir), nCells = 16, m = 16)
+      val allowedDf = emb.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+      val filtered = Similarity.topkIvfPqFilteredFlat(q, "embedding", ix,
+          allowedDf, "vec_id", 10, 8, 100)
+        .localCheckpoint(eager = false)
+      val fcx = Similarity.collectCorpus(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+      val bruteF = Similarity.topkFlat(q, "embedding", fcx, 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      val recall = bruteF
+        .join(filtered.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"), recallAtLeast(0.75).as("filtered_recall_ok"))
+      val subset = filtered
+        .agg((coalesce(sum((col("index") % 2).cast("long")), lit(0L)) === 0)
+          .as("filtered_subset_ok"))
+      // parity action runs here, inside the gate (the stream-waves
+      // gate's convention): set equality on the full (vec_id, rank,
+      // index) rows, both directions
+      val full = Similarity.topkIvfPqFilteredFlat(q, "embedding", ix,
+          emb.select(col("vec_id")), "vec_id", 10, 8, 100)
+        .select("vec_id", "rank", "index")
+      val unfiltered = Similarity.topkIvfPqFlat(q, "embedding", ix, 10, 8, 100)
+        .select("vec_id", "rank", "index")
+      val parityOk = full.exceptAll(unfiltered).isEmpty &&
+        unfiltered.exceptAll(full).isEmpty
+      recall
+        .crossJoin(subset)
+        .withColumn("n_allowed", lit(allowedDf.count()))
+        .withColumn("filtered_parity_ok", lit(parityOk))
+    }),
+
     // SHARDED IVF+PQ search path, rows-only (the gate below carries
     // correctness; this row times concurrent shard builds + the
     // distributed window merge — the past-the-broadcast-envelope
@@ -3006,6 +3071,17 @@ object SparkEntry {
     "ann_ivfpq_sharded_recall" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS sharded_adc_ok,
         |       CAST(1 AS BOOLEAN) AS sharded_rerank_ok
+        |FROM embeddings""".stripMargin,
+
+    // n_allowed is DuckDB's own count of the filter population — the
+    // value-level anchor proving the Spark side filtered on the same
+    // predicate the oracle did
+    "ann_ivfpq_filtered_gate" ->
+      """SELECT count(*) AS n_queries,
+        |       count(*) FILTER (WHERE vec_id % 2 = 0) AS n_allowed,
+        |       CAST(1 AS BOOLEAN) AS filtered_recall_ok,
+        |       CAST(1 AS BOOLEAN) AS filtered_subset_ok,
+        |       CAST(1 AS BOOLEAN) AS filtered_parity_ok
         |FROM embeddings""".stripMargin,
 
     "ann_ivfpq_dist_gate" ->

@@ -1674,6 +1674,133 @@ object Similarity {
       broadcastOf(queries.sparkSession, corpus), k, nProbe, shortlist, outputCol)
   }
 
+  /** FILTERED IVF+PQ search — [[topkIvfPq]] restricted to an
+    * allowed-id subset of the corpus (the vector-DB "metadata filter"
+    * / FAISS `IDSelector` shape: serve top-k among documents matching
+    * a predicate WITHOUT rebuilding a per-predicate index). The
+    * allowed ids become a boolean mask over corpus row indices,
+    * broadcast beside the index (1 byte/corpus row — noise next to
+    * the codes), and the kernel skips masked-out members INSIDE the
+    * probed-cell scan, before their ADC dot. That pre-filter is exact
+    * w.r.t. the probed cells, so no over-fetch factor is needed — but
+    * at very low selectivity the allowed rows concentrate in few
+    * cells, so recall vs the FILTERED exact ground truth wants a
+    * proportionally higher `nProbe` (the gate pins floors at the
+    * driver's geometry).
+    *
+    * Semantics: ids in `allowedIds` that aren't in the corpus are
+    * ignored; k > |allowed ∩ corpus| returns every allowed row
+    * (the k>corpus clamp, applied to the allowed population); an
+    * empty intersection returns empty match arrays, not nulls.
+    * An all-true mask is bit-identical to [[topkIvfPq]].
+    */
+  def topkIvfPqFiltered(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexIvfPq,
+      allowedIds: Array[Long],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0,
+      outputCol: String = "matches"): DataFrame = {
+    validateIvfPqArgs(corpus, k, nProbe, shortlist)
+    val (mask, nAllowed) = allowedMask(corpus, allowedIds)
+    val spark = queries.sparkSession
+    topkIvfPqBc(queries, embCol, broadcastOf(spark, corpus),
+      k, nProbe, shortlist, outputCol,
+      maskBc = spark.sparkContext.broadcast(mask), allowedCount = nAllowed)
+  }
+
+  /** [[topkIvfPqFiltered]] with the allowed set as a one-column
+    * DataFrame — the relational form. The set collects to the driver
+    * to become the mask, PRICED against a quarter of the driver heap
+    * at 8 B/id (the standard admission budget): an allowed set is at
+    * most corpus-sized and the corpus is already a driver-built
+    * broadcast, so anything the budget refuses was not a filter but
+    * a join — use `topkIvfPqFlat(...).join(allowed, "index")` there.
+    */
+  def topkIvfPqFiltered(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexIvfPq,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      outputCol: String): DataFrame = {
+    validateIvfPqArgs(corpus, k, nProbe, shortlist)
+    val idsDf = allowed.select(col(allowedIdCol).cast(LongType)).na.drop().distinct()
+    val cnt = idsDf.count()
+    val budget = math.max(256L << 20, Runtime.getRuntime.maxMemory() / 4)
+    require(cnt * 8L <= budget,
+      s"topkIvfPqFiltered refused: $cnt allowed ids price at ${cnt * 8L} bytes " +
+        s"against a $budget-byte driver budget — an allowed set larger than the " +
+        "corpus's own broadcast is a join, not a filter; run topkIvfPqFlat and " +
+        "semi-join the allowed ids on `index` instead")
+    topkIvfPqFiltered(queries, embCol, corpus,
+      idsDf.collect().map(_.getLong(0)), k, nProbe, shortlist, outputCol)
+  }
+
+  /** [[topkIvfPqFiltered]] then explode+unnest — the flat
+    * (rank, index, score) shape of [[topkFlat]].
+    */
+  def topkIvfPqFilteredFlat(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexIvfPq,
+      allowedIds: Array[Long],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0): DataFrame =
+    flattenMatches(
+      topkIvfPqFiltered(queries, embCol, corpus, allowedIds,
+        k, nProbe, shortlist, "matches"), embCol)
+
+  /** [[topkIvfPqFilteredFlat]] with the allowed set as a one-column
+    * DataFrame (see the priced DataFrame overload of
+    * [[topkIvfPqFiltered]]).
+    */
+  def topkIvfPqFilteredFlat(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexIvfPq,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame =
+    flattenMatches(
+      topkIvfPqFiltered(queries, embCol, corpus, allowed, allowedIdCol,
+        k, nProbe, shortlist, "matches"), embCol)
+
+  /** The allowed-id mask over corpus ROW indices: sort (id, row) once,
+    * binary-search each allowed id — O((n + a)·log n), no boxing, no
+    * hash map. Unknown ids are ignored; the returned count is
+    * |allowed ∩ corpus| AFTER dedup (corpus ids are unique by the
+    * build contract).
+    */
+  private[graft] def allowedMask(
+      corpus: CorpusIndexIvfPq, allowedIds: Array[Long]): (Array[Boolean], Int) = {
+    val n = corpus.n
+    val sortedIds = new Array[Long](n)
+    val perm = Array.range(0, n).sortBy(corpus.ids(_))
+    var i = 0
+    while (i < n) { sortedIds(i) = corpus.ids(perm(i)); i += 1 }
+    val mask = new Array[Boolean](n)
+    var nAllowed = 0
+    var a = 0
+    while (a < allowedIds.length) {
+      val pos = java.util.Arrays.binarySearch(sortedIds, allowedIds(a))
+      if (pos >= 0) {
+        val g = perm(pos)
+        if (!mask(g)) { mask(g) = true; nAllowed += 1 }
+      }
+      a += 1
+    }
+    (mask, nAllowed)
+  }
+
   /** The IVF+PQ argument contract, shared by the broadcast-owning
     * wrapper (which must validate before it broadcasts) and
     * [[topkIvfPqBc]] (whose callers hand it an already-minted
@@ -1702,7 +1829,9 @@ object Similarity {
       k: Int,
       nProbe: Int,
       shortlist: Int = 0,
-      outputCol: String = "matches"): DataFrame = {
+      outputCol: String = "matches",
+      maskBc: Broadcast[Array[Boolean]] = null,
+      allowedCount: Int = -1): DataFrame = {
     val corpus = bc.value
     validateIvfPqArgs(corpus, k, nProbe, shortlist)
     val spark = queries.sparkSession
@@ -1720,12 +1849,17 @@ object Similarity {
         StructField("index", LongType, nullable = false),
         StructField("score", DoubleType, nullable = false))), containsNull = false),
       nullable = true))
-    val kk = math.min(math.max(k, 0), corpus.n)
-    val sl = if (shortlist == 0) 0 else math.min(shortlist, corpus.n)
+    // With a mask, k and shortlist clamp to the ALLOWED population —
+    // k > |allowed| returns every allowed row, mirroring the k>corpus
+    // clamp (reference tests/test_polars_matmul.py:117 semantics).
+    val nEff = if (allowedCount >= 0) math.min(allowedCount, corpus.n) else corpus.n
+    val kk = math.min(math.max(k, 0), nEff)
+    val sl = if (shortlist == 0) 0 else math.min(shortlist, nEff)
     val cap = math.max(if (sl > 0) sl else kk, 1)
 
     val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
       val cx = bc.value
+      val mask: Array[Boolean] = if (maskBc == null) null else maskBc.value
       val np = math.min(nProbe, cx.nCells)
       val sub = cx.dim / cx.m
       val lut = new Array[Float](cx.m * 256)
@@ -1801,28 +1935,33 @@ object Similarity {
             val end = cx.cellStart(cell + 1)
             while (mi < end) {
               val g = cx.cellMembers(mi)
-              var dot = qc
-              var j2 = 0
-              val base = g * cx.m
-              while (j2 < cx.m) {
-                dot += lut(j2 * 256 + (cx.codes(base + j2) & 0xFF)); j2 += 1
-              }
-              val s = if (qNorm <= 1e-10) 0.0 else dot / qNorm
-              val beatsWorst = size < cap || {
-                val w = selScore(size - 1)
-                s > w || (s == w && cx.ids(g) < cx.ids(selIdx(size - 1)))
-              }
-              if (beatsWorst) {
-                var pos = if (size < cap) size else cap - 1
-                while (pos > 0 && {
-                  val ps = selScore(pos - 1)
-                  s > ps || (s == ps && cx.ids(g) < cx.ids(selIdx(pos - 1)))
-                }) {
-                  selScore(pos) = selScore(pos - 1); selIdx(pos) = selIdx(pos - 1)
-                  pos -= 1
+              // ID-selector gate (FAISS IDSelector analog): a masked-out
+              // member is skipped BEFORE its ADC scan, so filtering is
+              // exact w.r.t. the probed cells — no post-filter over-fetch.
+              if (mask == null || mask(g)) {
+                var dot = qc
+                var j2 = 0
+                val base = g * cx.m
+                while (j2 < cx.m) {
+                  dot += lut(j2 * 256 + (cx.codes(base + j2) & 0xFF)); j2 += 1
                 }
-                selScore(pos) = s; selIdx(pos) = g
-                if (size < cap) size += 1
+                val s = if (qNorm <= 1e-10) 0.0 else dot / qNorm
+                val beatsWorst = size < cap || {
+                  val w = selScore(size - 1)
+                  s > w || (s == w && cx.ids(g) < cx.ids(selIdx(size - 1)))
+                }
+                if (beatsWorst) {
+                  var pos = if (size < cap) size else cap - 1
+                  while (pos > 0 && {
+                    val ps = selScore(pos - 1)
+                    s > ps || (s == ps && cx.ids(g) < cx.ids(selIdx(pos - 1)))
+                  }) {
+                    selScore(pos) = selScore(pos - 1); selIdx(pos) = selIdx(pos - 1)
+                    pos -= 1
+                  }
+                  selScore(pos) = s; selIdx(pos) = g
+                  if (size < cap) size += 1
+                }
               }
               mi += 1
             }
@@ -2169,6 +2308,38 @@ object Similarity {
     require(shards.nonEmpty, "Empty shard list")
     val partials = shards.map(ix =>
       topkIvfPqFlat(queries, embCol, ix, k, nProbe, shortlist).drop("rank"))
+    val unioned = partials.reduce(_ unionAll _)
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col("index").asc)
+    unioned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[topkIvfPqSharded]] restricted to an allowed-id subset — the
+    * sharded composition of [[topkIvfPqFiltered]]. Each shard builds
+    * its own mask from the SAME allowed-id array (ids routed to other
+    * shards fall out as not-found, which is exactly the per-shard
+    * intersection), so the merge needs no filter awareness at all: a
+    * shard whose allowed intersection is empty contributes zero
+    * partial rows and the row_number merge is unchanged. The global
+    * k > |allowed| clamp emerges from the merge: every shard returns
+    * min(k, allowed-in-shard) rows and the union can only contain
+    * allowed rows.
+    */
+  def topkIvfPqShardedFiltered(
+      queries: DataFrame,
+      embCol: String,
+      qIdCol: String,
+      shards: Seq[CorpusIndexIvfPq],
+      allowedIds: Array[Long],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val partials = shards.map(ix =>
+      topkIvfPqFilteredFlat(queries, embCol, ix, allowedIds, k, nProbe, shortlist)
+        .drop("rank"))
     val unioned = partials.reduce(_ unionAll _)
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("score").desc, col("index").asc)

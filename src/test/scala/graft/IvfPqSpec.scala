@@ -264,4 +264,87 @@ class IvfPqSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("filtered search: subset-only results; full probe finds the exact filtered set; parity on all-true mask") {
+    val cDf = randVecs(800, 32, 29).toDF("id", "emb")
+    val qDf = randVecs(40, 32, 31).toDF("qid", "emb")
+    val cx = Similarity.collectCorpus(cDf, "id", "emb")
+    val ix = Similarity.quantizeIvfPq(cx, nCells = 8, m = 8)
+    val allowed = (0L until 800L).filter(_ % 3 == 0).toArray
+    // SUBSET + exactness of the mask at full probe: every allowed row
+    // is scanned when all cells are probed, so the result set is the
+    // true filtered ADC top-k — and never contains a disallowed id
+    val got = Similarity.topkIvfPqFilteredFlat(qDf, "emb", ix, allowed,
+        10, nProbe = 8, shortlist = 50)
+      .select("qid", "index").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 % 3 == 0), "mask leaked a disallowed id")
+    // filtered recall vs the brute-force kernel over ONLY allowed rows
+    val fcx = Similarity.collectCorpus(
+      cDf.filter(col("id") % 3 === 0), "id", "emb")
+    val exact = Similarity.topkFlat(qDf, "emb", fcx, 10, Metric.Cosine)
+      .select("qid", "index").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recall(exact, got.toSet) >= 0.7,
+      s"filtered full-probe rerank recall: ${recall(exact, got.toSet)}")
+    // PARITY: all-id mask == unfiltered, scores included
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "index", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Similarity.topkIvfPqFilteredFlat(qDf, "emb", ix,
+        (0L until 800L).toArray, 5, nProbe = 4, shortlist = 20))
+      == rows(Similarity.topkIvfPqFlat(qDf, "emb", ix, 5, nProbe = 4, shortlist = 20)))
+  }
+
+  test("filtered edges: k clamps to |allowed|; empty/unknown allowed sets; DataFrame overload dedups and ignores strangers") {
+    val cDf = randVecs(200, 16, 37).toDF("id", "emb")
+    val qDf = randVecs(5, 16, 41).toDF("qid", "emb")
+    val ix = Similarity.quantizeIvfPq(
+      Similarity.collectCorpus(cDf, "id", "emb"), nCells = 4, m = 8)
+    // k > |allowed| returns exactly the allowed rows (full probe)
+    val tiny = Array(7L, 11L, 13L)
+    val out = Similarity.topkIvfPqFiltered(qDf, "emb", ix, tiny,
+        k = 50, nProbe = 4)
+      .select("qid", "matches").collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    out.values.foreach { ms =>
+      assert(ms.map(_.getLong(0)).toSet == tiny.toSet,
+        s"k>|allowed| must return every allowed row, got ${ms.map(_.getLong(0))}")
+    }
+    // empty intersection → empty match arrays, not nulls
+    val empty = Similarity.topkIvfPqFiltered(qDf, "emb", ix,
+        Array(9999L, -5L), k = 3, nProbe = 4)
+      .select("matches").collect()
+    assert(empty.forall(r => !r.isNullAt(0) && r.getSeq[Any](0).isEmpty))
+    // DataFrame overload: duplicates and unknown ids fall out; result
+    // matches the array form on the deduped intersection
+    val dfAllowed = Seq(7L, 7L, 11L, 13L, 9999L).toDF("id")
+    val viaDf = Similarity.topkIvfPqFiltered(qDf, "emb", ix, dfAllowed, "id",
+        50, 4, 0, "matches")
+      .select("qid", "matches").collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(m => (m.getLong(0), m.getDouble(1))).toSet).toMap
+    val viaArr = out.map { case (q, ms) =>
+      q -> ms.map(m => (m.getLong(0), m.getDouble(1))).toSet }
+    assert(viaDf == viaArr)
+  }
+
+  test("sharded filtered search: subset holds across the merge; all-id filter == plain sharded") {
+    val cDf = randVecs(600, 16, 43).toDF("id", "emb")
+    val qDf = randVecs(20, 16, 47).toDF("qid", "emb")
+    val shards = Similarity.buildIvfPqSharded(cDf, "id", "emb",
+      numShards = 3, nCells = 4, m = 8)
+    val allowed = (0L until 600L).filter(_ % 2 == 0).toArray
+    val got = Similarity.topkIvfPqShardedFiltered(qDf, "emb", "qid", shards,
+        allowed, 8, nProbe = 4, shortlist = 30)
+      .select("qid", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.nonEmpty && got.forall(_._3 % 2 == 0))
+    assert(got.groupBy(_._1).values.forall(_.length <= 8))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "index", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Similarity.topkIvfPqShardedFiltered(qDf, "emb", "qid", shards,
+        (0L until 600L).toArray, 5, nProbe = 4))
+      == rows(Similarity.topkIvfPqSharded(qDf, "emb", "qid", shards, 5, nProbe = 4)))
+  }
 }
