@@ -811,6 +811,38 @@ object ScaleSmoke {
         f"memory-partials wave peak $peakWaveM exceeds one wave's shards")
       println(f"ivfpq sharded WAVE serve, MEMORY partials (waveSize=$waveSize, " +
         f"shortlist=100): $waveSecM%.2f s (parquet-scratch form: $waveSec%.2f s)")
+      // round 13: FILTERED serve at scale (the ID-selector mask).
+      // Parity leg: an all-id mask must reproduce the rerank rows
+      // exactly — the mask adds no behavior when it selects
+      // everything. Subset leg: an even-id mask (50% selectivity) may
+      // only return even ids, and since masked-out members skip their
+      // ADC dot inside the scan, the filtered serve's wall should sit
+      // AT OR UNDER the unfiltered serve's, not above it — the point
+      // of pre-filter over post-filter+over-fetch. Driver-side mask
+      // builds (sort each shard's ids once + binary-search the
+      // allowed array per shard) are part of the measured wall.
+      val allIds = Array.tabulate(ivfpqDocs.toInt)(_.toLong)
+      val tFillAll = System.nanoTime()
+      val filtAllTop = Similarity.topkIvfPqShardedFiltered(queries, "vec",
+          "qid", shards, allIds, 10, nProbe = nProbe, shortlist = 100)
+        .select(col("qid"), col("index")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val filtAllSec = (System.nanoTime() - tFillAll) / 1e9
+      require(filtAllTop == rerankTop,
+        "all-id filtered serve diverges from the unfiltered rerank serve")
+      val evenIds = allIds.filter(_ % 2 == 0)
+      val tFillEven = System.nanoTime()
+      val evenRows = Similarity.topkIvfPqShardedFiltered(queries, "vec",
+          "qid", shards, evenIds, 10, nProbe = nProbe, shortlist = 100)
+        .select(col("qid"), col("index")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val filtEvenSec = (System.nanoTime() - tFillEven) / 1e9
+      require(evenRows.nonEmpty && evenRows.forall(_._2 % 2 == 0),
+        "even-id mask leaked a disallowed id at scale")
+      println(f"ivfpq sharded FILTERED serve (all-id parity leg): " +
+        f"$filtAllSec%.2f s; even-id 50%% mask: $filtEvenSec%.2f s " +
+        f"(unfiltered rerank: $rerankSec%.2f s)")
       val mode = if (distBuild) "DISTRIBUTED train-on-sample + restore"
         else s"par=$shardPar, concurrent collect"
       println(f"ivfpq sharded build ($ivfpqDocs x ${dim}d, $blocks shards, " +

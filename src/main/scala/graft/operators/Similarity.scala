@@ -2045,9 +2045,12 @@ object Similarity {
       bc: Broadcast[CorpusIndexIvfPq],
       k: Int,
       nProbe: Int,
-      shortlist: Int = 0): DataFrame =
+      shortlist: Int = 0,
+      maskBc: Broadcast[Array[Boolean]] = null,
+      allowedCount: Int = -1): DataFrame =
     flattenMatches(
-      topkIvfPqBc(queries, embCol, bc, k, nProbe, shortlist, "matches"), embCol)
+      topkIvfPqBc(queries, embCol, bc, k, nProbe, shortlist, "matches",
+        maskBc, allowedCount), embCol)
 
   private def flattenMatches(withMatches: DataFrame, embCol: String): DataFrame =
     withMatches
@@ -2452,13 +2455,14 @@ object Similarity {
       waveSize: Int = 2,
       scratchDir: String = "",
       meter: ShardedServeMeter = ShardedServeStats.default,
-      memoryPartials: Boolean = false): DataFrame = {
+      memoryPartials: Boolean = false,
+      allowedIds: Array[Long] = null): DataFrame = {
     require(shards.nonEmpty, "Empty shard list")
     topkIvfPqWavesCore(queries, embCol, qIdCol, shards.map(ix => () => ix),
       k, nProbe, shortlist, waveSize,
       if (memoryPartials) ""
       else resolveWaveScratch(queries.sparkSession.sparkContext.isLocal, scratchDir),
-      meter, memoryPartials)
+      meter, memoryPartials, allowedIds)
   }
 
   /** Scratch-dir policy for the wave server (see
@@ -2523,7 +2527,8 @@ object Similarity {
       waveSize: Int,
       scratch: String,
       meter: ShardedServeMeter,
-      memoryPartials: Boolean = false): DataFrame = {
+      memoryPartials: Boolean = false,
+      allowedIds: Array[Long] = null): DataFrame = {
     require(shardProviders.nonEmpty, "Empty shard list")
     require(waveSize >= 1, s"waveSize must be >= 1, got $waveSize")
     val spark = queries.sparkSession
@@ -2536,14 +2541,25 @@ object Similarity {
         val ix = load()
         ix -> org.apache.spark.util.SizeEstimator.estimate(ix)
       }
+      // per-shard ID-selector masks (see [[topkIvfPqFiltered]]) ride
+      // each wave: built only while the shard is live, broadcast with
+      // it, destroyed with it — the mask never outlives its wave, so
+      // the one-wave peak bound carries over to filtered serving
       val bcs = sized.map { case (ix, bytes) =>
+        val (maskBc, nAllowed) =
+          if (allowedIds == null) (null: Broadcast[Array[Boolean]], -1)
+          else {
+            val (mask, n) = allowedMask(ix, allowedIds)
+            (spark.sparkContext.broadcast(mask), n)
+          }
         val bc = broadcastOf(spark, ix)
         meter.add(bytes)
-        bc -> bytes
+        (bc, bytes, maskBc, nAllowed)
       }
       try {
-        val partial = bcs.map { case (bc, _) =>
-            topkIvfPqFlatBc(queries, embCol, bc, k, nProbe, shortlist).drop("rank")
+        val partial = bcs.map { case (bc, _, maskBc, nAllowed) =>
+            topkIvfPqFlatBc(queries, embCol, bc, k, nProbe, shortlist,
+              maskBc, nAllowed).drop("rank")
           }
           .reduce(_ unionAll _)
           .withColumn("rank", row_number().over(w))
@@ -2561,8 +2577,8 @@ object Similarity {
           memParts += partial.localCheckpoint(true)
         else
           partial.write.mode("overwrite").parquet(s"$scratch/wave_$wi")
-      } finally bcs.foreach { case (bc, bytes) =>
-        bc.destroy(); meter.sub(bytes)
+      } finally bcs.foreach { case (bc, bytes, maskBc, _) =>
+        bc.destroy(); if (maskBc != null) maskBc.destroy(); meter.sub(bytes)
       }
     }
     val parts =

@@ -432,6 +432,14 @@ object EventStream {
     * B's reads of the same `batch_0` dir — silent wrong/missing rows
     * (round-12 advisor).
     *
+    * `allowedIds` (optional) restricts serving to an id subset — the
+    * ID-selector mask of
+    * [[graft.operators.Similarity.topkIvfPqFiltered]]: each shard's
+    * mask is built at its wave, broadcast with it, and destroyed with
+    * it, so the one-wave peak bound carries over to filtered serving
+    * unchanged. The set is fixed at wiring time (tenant/collection
+    * filters); per-query predicates belong in `onBatch`.
+    *
     * Returns the configured `DataStreamWriter` — the caller attaches
     * trigger/checkpoint and calls `start()`.
     */
@@ -448,7 +456,8 @@ object EventStream {
       scratchDir: String = "",
       residentBudgetBytes: Long = 0L,
       meter: graft.operators.Similarity.ShardedServeMeter =
-        graft.operators.Similarity.ShardedServeStats.default)(
+        graft.operators.Similarity.ShardedServeStats.default,
+      allowedIds: Array[Long] = null)(
       onBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Similarity
@@ -513,7 +522,8 @@ object EventStream {
       try {
         val merged = Similarity.topkIvfPqWavesCore(
           pinnedBatch, embCol, qIdCol, providers,
-          k, nProbe, shortlist, waveSize, batchScratch, meter)
+          k, nProbe, shortlist, waveSize, batchScratch, meter,
+          allowedIds = allowedIds)
         onBatch(merged, batchId)
       } finally {
         pinnedBatch.unpersist()

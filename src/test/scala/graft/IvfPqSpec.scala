@@ -347,4 +347,26 @@ class IvfPqSpec extends AnyFunSuite {
         (0L until 600L).toArray, 5, nProbe = 4))
       == rows(Similarity.topkIvfPqSharded(qDf, "emb", "qid", shards, 5, nProbe = 4)))
   }
+
+  test("wave-served filtered search: row parity with the all-resident filtered form; peak stays one wave") {
+    val cDf = randVecs(600, 16, 53).toDF("id", "emb")
+    val qDf = randVecs(15, 16, 59).toDF("qid", "emb")
+    val shards = Similarity.buildIvfPqSharded(cDf, "id", "emb",
+      numShards = 4, nCells = 4, m = 8)
+    val allowed = (0L until 600L).filter(_ % 3 == 0).toArray
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "index", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val meter = new Similarity.ShardedServeMeter
+    val waved = rows(Similarity.topkIvfPqShardedWaves(qDf, "emb", "qid", shards,
+      6, nProbe = 4, shortlist = 20, waveSize = 2, meter = meter,
+      allowedIds = allowed))
+    assert(waved == rows(Similarity.topkIvfPqShardedFiltered(qDf, "emb", "qid",
+      shards, allowed, 6, nProbe = 4, shortlist = 20)))
+    assert(waved.nonEmpty && waved.forall(_._3 % 3 == 0))
+    val perShard = shards.map(ix => org.apache.spark.util.SizeEstimator.estimate(ix))
+    assert(meter.peakLiveBroadcastBytes <= perShard.grouped(2).map(_.sum).max,
+      "filtered wave serve exceeded the one-wave peak bound")
+    assert(meter.liveBroadcastBytes == 0L)
+  }
 }

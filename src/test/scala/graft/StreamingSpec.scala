@@ -355,6 +355,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(meter.liveBroadcastBytes == 0L, "wave broadcasts not all destroyed")
   }
 
+  test("FILTERED streaming sharded serve: allowed-id mask rides the waves, rows match the batch filtered search") {
+    import graft.operators.Similarity
+    // the ID-selector mask wired at serve time (tenant/collection
+    // filter): per-shard masks are built at each shard's wave and
+    // destroyed with it, so rows must equal the batch
+    // topkIvfPqShardedFiltered and never contain a disallowed id
+    val emb = Tables.embeddings(spark, dir)
+    val corpusDf = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val built = Similarity.buildIvfPqShardedWithLayout(
+      corpusDf, "vec_id", "embedding", numShards = 4, nCells = 4, m = 8)
+    val ixDir = java.nio.file.Files
+      .createTempDirectory("serve-ivfpq-filt").toString + "/ix"
+    graft.sources.Sink.writeIvfPqShardedIndex(spark, built, ixDir, overwrite = false)
+    val loaded = graft.sources.Source.readIvfPqShardedIndex(spark, ixDir)
+    val allowed = emb.select("vec_id").collect().map(_.getLong(0)).filter(_ % 2 == 0)
+    val expected = Similarity.topkIvfPqShardedFiltered(
+        emb.select("vec_id", "embedding"), "embedding", "vec_id", loaded,
+        allowed, 5, nProbe = 4, shortlist = 20)
+      .select("vec_id", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val results = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val writer = EventStream.topkServeIvfPqShardedWaves(
+      spark.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir),
+      "embedding", "vec_id", ixDir,
+      k = 5, nProbe = 4, shortlist = 20, waveSize = 2,
+      allowedIds = allowed) { (out, _) =>
+      val batchRows = out.select("vec_id", "rank", "index").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      results.synchronized { results ++= batchRows }
+      ()
+    }
+    val q = writer.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(results.toSet == expected)
+    assert(results.nonEmpty && results.forall(_._3 % 2 == 0),
+      "filtered streaming serve leaked a disallowed id")
+  }
+
   test("bounded streaming serve across MULTIPLE micro-batches: pinned shards stay correct, per-batch scratch is deleted") {
     import spark.implicits._
     import graft.operators.Similarity
