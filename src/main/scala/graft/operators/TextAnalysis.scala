@@ -651,8 +651,23 @@ object TextAnalysis {
       s"bm25 inlines per-term scoring into the scan plan — ${terms.length} terms " +
         "exceed the 256-term query contract; for vocabulary-scale scoring use an " +
         "explode + join on a term table instead")
-    val base = docs.select(col(idCol).as("id"),
-        tokens(normalize(col(textCol))).as("toks"))
+    bm25WithStats(docs, idCol, textCol, terms,
+      bm25Stats(docs, textCol, terms), k1, b, topN)
+  }
+
+  /** Corpus-level BM25 statistics: doc count, mean doc length, and
+    * per-query-term document frequency — ONE tokenizing scan + agg.
+    * These are a trained artifact of the corpus (deterministic per
+    * (corpus, terms), independent of k1/b/topN), so a caller scoring
+    * many queries — or the same query repeatedly — should compute
+    * them once and pass them to [[bm25WithStats]] (the
+    * DSIR/LM/codebook train-once convention); [[bm25]] recomputes
+    * them per call.
+    */
+  final case class Bm25Stats(nDocs: Double, avgdl: Double, df: Map[String, Double])
+
+  def bm25Stats(docs: DataFrame, textCol: String, terms: Seq[String]): Bm25Stats = {
+    val base = docs.select(tokens(normalize(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$i")
@@ -661,14 +676,45 @@ object TextAnalysis {
       count(lit(1)).cast("double").as("n_docs"),
       (avg(col("dl")).as("avgdl") +: dfCols): _*).collect().head
     val nDocs = stats.getDouble(0)
-    // empty corpus: avgdl is NULL and nothing can match
-    if (nDocs == 0.0) return base.select(col("id"), lit(0.0).as("score")).limit(0)
-    val avgdl = stats.getDouble(1)
-    val score = terms.zipWithIndex.map { case (t, i) =>
+    Bm25Stats(nDocs,
+      if (nDocs == 0.0) 0.0 else stats.getDouble(1),
+      terms.zipWithIndex.map { case (t, i) =>
+        t -> stats.getLong(2 + i).toDouble }.toMap)
+  }
+
+  /** BM25 scoring against precomputed [[Bm25Stats]] — one tokenizing
+    * scan + the top-N sort, no stats job.
+    */
+  def bm25WithStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      stats: Bm25Stats,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topN: Int = 100): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct.length == terms.length, "bm25 terms must be distinct")
+    require(terms.length <= 256,
+      s"bm25 inlines per-term scoring into the scan plan — ${terms.length} terms " +
+        "exceed the 256-term query contract; for vocabulary-scale scoring use an " +
+        "explode + join on a term table instead")
+    require(terms.forall(stats.df.contains),
+      s"stats are missing df for ${terms.filterNot(stats.df.contains)} — " +
+        "compute bm25Stats over the same term list")
+    val base = docs.select(col(idCol).as("id"),
+        tokens(normalize(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    // empty corpus: avgdl is degenerate and nothing can match
+    if (stats.nDocs == 0.0)
+      return base.select(col("id"), lit(0.0).as("score")).limit(0)
+    val score = terms.map { t =>
       val tf = size(filter(col("toks"), x => x === t)).cast("double")
-      val dfT = stats.getLong(2 + i).toDouble
-      val idf = math.log((nDocs - dfT + 0.5) / (dfT + 0.5) + 1.0)
-      lit(idf) * tf * lit(k1 + 1) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
+      val dfT = stats.df(t)
+      val idf = math.log((stats.nDocs - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      lit(idf) * tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(stats.avgdl)))
     }.reduce(_ + _)
     base
       .select(col("id"), score.as("score"))

@@ -265,6 +265,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.head._1 == 3L)
   }
 
+  test("bm25 train-once split: bm25WithStats(bm25Stats) == bm25; wrong-term stats refuse") {
+    val docs = Seq(
+      (1L, "cat dog"), (2L, "dog fish"), (3L, "cat cat"), (4L, "bird fish"))
+      .toDF("doc_id", "text")
+    val terms = Seq("cat", "fish")
+    val stats = TextAnalysis.bm25Stats(docs, "text", terms)
+    assert(stats.nDocs == 4.0 && stats.avgdl == 2.0)
+    assert(stats.df == Map("cat" -> 2.0, "fish" -> 2.0))
+    val viaStats = TextAnalysis.bm25WithStats(docs, "doc_id", "text", terms, stats)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = TextAnalysis.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaStats == direct)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25WithStats(docs, "doc_id", "text", Seq("dog"), stats)
+    }
+    assert(e.getMessage.contains("missing df"))
+  }
+
   test("unigram LM: hand-computed add-one bits/token, OOV costs most, empty scores null") {
     // reference: "a a b" -> counts {a:2, b:1}, N=3, V=2, denom=6
     // p(a)=3/6, p(b)=2/6, p(oov)=1/6
