@@ -538,6 +538,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // keep-BEST near-dup drop: same pair graph and components as
+    // dedup_drop, but each cluster keeps its LONGEST doc (ties to the
+    // lowest id) — the curation form. The oracle replays CC with the
+    // recursive CTE and picks the same argmax via QUALIFY.
+    "dedup_drop_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      Dedup.dropDuplicatesByPairsKeepBest(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7),
+          "n_chars")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // substring-overlap (copy-detection) pairs via winnow fingerprints
     // — rows-only; DedupSpec asserts passage detection + df-cut. The
     // synthetic docs are heavily templated, so the gate uses a tight
@@ -1903,6 +1916,15 @@ object SparkEntry {
       |JOIN documents d ON d.doc_id = keep.id
       |ORDER BY d.doc_id""".stripMargin
 
+  private val dedupDropBestOracle: String = clustersCtes +
+    """, comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      |SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+      |FROM comp JOIN documents d ON d.doc_id = comp.id
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY comp.cluster
+      |  ORDER BY d.n_chars DESC, d.doc_id ASC) = 1
+      |ORDER BY d.doc_id""".stripMargin
+
   private val curateFullOracle: String = clustersCtes +
     """, keep AS (SELECT id FROM reach GROUP BY id HAVING min(r) = id),
       |scored AS (
@@ -2766,6 +2788,7 @@ object SparkEntry {
     "dedup_clusters_stars" -> clustersOracle,
 
     "dedup_drop" -> dedupDropOracle,
+    "dedup_drop_best" -> dedupDropBestOracle,
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -711,6 +711,36 @@ object Dedup {
     docs.join(reps, Seq(idCol), "leftsemi")
   }
 
+  /** [[dropDuplicatesByPairs]] keeping the BEST row per near-dup
+    * cluster instead of the min-id one: the curation form — when a
+    * page was crawled five times, keep the longest/highest-quality
+    * variant, not whichever got the smallest id. `scoreCol` is any
+    * orderable quality column (chars, words, a model score); ties
+    * break to the LOWEST id so the result is deterministic.
+    *
+    * Plan shape: components come from the same diameter-independent
+    * [[clusterPairsStars]]; the per-cluster argmax is ONE groupBy over
+    * (cluster → max(score, -id) struct) — an aggregation with map-side
+    * partials, not a per-cluster window, so a pathological giant
+    * cluster costs a hot reduce key, never a single-task sort. Ids
+    * must be numeric (they ride the struct-max negated for the
+    * tie-break), the same contract as the hash-routed index builders.
+    */
+  def dropDuplicatesByPairsKeepBest(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val comps = clusterPairsStars(docs.select(col(idCol)), idCol, pairs)
+    val winners = docs
+      .select(col(idCol).cast("long").as("id"),
+        col(scoreCol).as("graft_kb_score"))
+      .join(comps, "id")
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("graft_kb_score").as("s"), (-col("id")).as("nid")))
+        .as("w"))
+      .select((-col("w.nid")).as(idCol))
+    docs.join(winners, Seq(idCol), "leftsemi")
+  }
+
   /** [[dropDuplicatesByPairs]] with the MinHash+LSH near-dup generator
     * — the one-call "dedupe this corpus" most pipelines want.
     */

@@ -260,6 +260,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall { case (id, c) => id == c } && out.length == 10)
   }
 
+  test("keep-best drop: argmax score per cluster, ties to lowest id, singletons survive") {
+    // clusters: {0,1,2} (chain), {5,6}, singleton 9
+    val docs = Seq(
+      (0L, "a", 10), (1L, "b", 30), (2L, "c", 20),  // best: 1 (score 30)
+      (5L, "d", 7), (6L, "e", 7),                   // tie → lowest id 5
+      (9L, "f", 1)                                   // singleton stays
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id1", "id2")
+    val kept = Dedup.dropDuplicatesByPairsKeepBest(docs, "doc_id", pairs, "quality")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 9L))
+    // keep-first on the same graph keeps min ids — different winners
+    val first = Dedup.dropDuplicatesByPairs(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first == Set(0L, 5L, 9L))
+  }
+
   test("dropNearDuplicates keeps exactly one representative per dup group") {
     val base = "the quick brown fox jumps over the lazy dog in the sunny park today"
     val rows = Seq(
