@@ -1774,29 +1774,37 @@ object Similarity {
       topkIvfPqFiltered(queries, embCol, corpus, allowed, allowedIdCol,
         k, nProbe, shortlist, "matches"), embCol)
 
-  /** The allowed-id mask over corpus ROW indices: sort (id, row) once,
-    * binary-search each allowed id — O((n + a)·log n), no boxing, no
-    * hash map. Unknown ids are ignored; the returned count is
-    * |allowed ∩ corpus| AFTER dedup (corpus ids are unique by the
-    * build contract).
+  /** The allowed-id mask over corpus ROW indices: sort the allowed
+    * set once, binary-search each CORPUS id against it — O(a·log a +
+    * n·log a), corpus-side-bound, so the SHARDED forms (which build
+    * one mask per shard against the SAME allowed array) sort once via
+    * [[allowedMaskPresorted]] and pay only n·log a per shard instead
+    * of re-walking a 10M-id allowed set per shard. Unknown ids are
+    * ignored; duplicates in the allowed set are harmless; the
+    * returned count is |allowed ∩ corpus| (corpus ids are unique by
+    * the build contract).
     */
   private[graft] def allowedMask(
-      corpus: CorpusIndexIvfPq, allowedIds: Array[Long]): (Array[Boolean], Int) = {
+      corpus: CorpusIndexIvfPq, allowedIds: Array[Long]): (Array[Boolean], Int) =
+    allowedMaskPresorted(corpus, sortedAllowed(allowedIds))
+
+  private[graft] def sortedAllowed(allowedIds: Array[Long]): Array[Long] = {
+    val sorted = java.util.Arrays.copyOf(allowedIds, allowedIds.length)
+    java.util.Arrays.sort(sorted)
+    sorted
+  }
+
+  private[graft] def allowedMaskPresorted(
+      corpus: CorpusIndexIvfPq, sorted: Array[Long]): (Array[Boolean], Int) = {
     val n = corpus.n
-    val sortedIds = new Array[Long](n)
-    val perm = Array.range(0, n).sortBy(corpus.ids(_))
-    var i = 0
-    while (i < n) { sortedIds(i) = corpus.ids(perm(i)); i += 1 }
     val mask = new Array[Boolean](n)
     var nAllowed = 0
-    var a = 0
-    while (a < allowedIds.length) {
-      val pos = java.util.Arrays.binarySearch(sortedIds, allowedIds(a))
-      if (pos >= 0) {
-        val g = perm(pos)
-        if (!mask(g)) { mask(g) = true; nAllowed += 1 }
+    var g = 0
+    while (g < n) {
+      if (java.util.Arrays.binarySearch(sorted, corpus.ids(g)) >= 0) {
+        mask(g) = true; nAllowed += 1
       }
-      a += 1
+      g += 1
     }
     (mask, nAllowed)
   }
@@ -2340,9 +2348,14 @@ object Similarity {
       nProbe: Int,
       shortlist: Int = 0): DataFrame = {
     require(shards.nonEmpty, "Empty shard list")
-    val partials = shards.map(ix =>
-      topkIvfPqFilteredFlat(queries, embCol, ix, allowedIds, k, nProbe, shortlist)
-        .drop("rank"))
+    val spark = queries.sparkSession
+    val sorted = sortedAllowed(allowedIds)
+    val partials = shards.map { ix =>
+      val (mask, nAllowed) = allowedMaskPresorted(ix, sorted)
+      topkIvfPqFlatBc(queries, embCol, broadcastOf(spark, ix), k, nProbe,
+          shortlist, spark.sparkContext.broadcast(mask), nAllowed)
+        .drop("rank")
+    }
     val unioned = partials.reduce(_ unionAll _)
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("score").desc, col("index").asc)
@@ -2535,6 +2548,7 @@ object Similarity {
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("score").desc, col("index").asc)
     val waves = shardProviders.grouped(waveSize).toIndexedSeq
+    val sorted = if (allowedIds == null) null else sortedAllowed(allowedIds)
     val memParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     waves.zipWithIndex.foreach { case (wave, wi) =>
       val sized = wave.map { load =>
@@ -2542,14 +2556,16 @@ object Similarity {
         ix -> org.apache.spark.util.SizeEstimator.estimate(ix)
       }
       // per-shard ID-selector masks (see [[topkIvfPqFiltered]]) ride
-      // each wave: built only while the shard is live, broadcast with
-      // it, destroyed with it — the mask never outlives its wave, so
-      // the one-wave peak bound carries over to filtered serving
+      // each wave: built only while the shard is live (corpus-side
+      // cost — the allowed set sorts ONCE per serve), broadcast with
+      // the shard, destroyed with it — the mask never outlives its
+      // wave, so the one-wave peak bound carries over to filtered
+      // serving
       val bcs = sized.map { case (ix, bytes) =>
         val (maskBc, nAllowed) =
-          if (allowedIds == null) (null: Broadcast[Array[Boolean]], -1)
+          if (sorted == null) (null: Broadcast[Array[Boolean]], -1)
           else {
-            val (mask, n) = allowedMask(ix, allowedIds)
+            val (mask, n) = allowedMaskPresorted(ix, sorted)
             (spark.sparkContext.broadcast(mask), n)
           }
         val bc = broadcastOf(spark, ix)
