@@ -1855,6 +1855,30 @@ object SparkEntry {
 
     "q_split" -> ((s, dir) => Curate.splitSummary(s, dir)),
 
+    // LEAKAGE-SAFE split: near-dup clusters never straddle train/eval
+    // (the eval-contamination failure mode of id-hash splits). Same
+    // 500-doc pair graph as dedup_drop; the oracle replays CC with the
+    // recursive CTE, the md5 bucket rule on the cluster label, AND the
+    // cross-split pair count — which both engines must agree is 0.
+    "q_split_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.7)
+        .localCheckpoint(eager = false)
+      val assigned = Curate.splitByClusters(docs, "doc_id", pairs, 80)
+        .select("doc_id", "split")
+        .localCheckpoint(eager = false)
+      val leaks = pairs
+        .join(assigned.select(col("doc_id").as("id1"), col("split").as("s1")), "id1")
+        .join(assigned.select(col("doc_id").as("id2"), col("split").as("s2")), "id2")
+        .filter(col("s1") =!= col("s2")).count()
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .withColumn("n_cross_split_pairs", lit(leaks))
+        .orderBy("split")
+    }),
+
     // three-way split over the same engine-portable hash bucket:
     // train slice provably identical to the two-way 80% split
     "q_split3" -> ((s, dir) =>
@@ -1915,6 +1939,25 @@ object SparkEntry {
       |FROM (SELECT id FROM reach GROUP BY id HAVING min(r) = id) keep
       |JOIN documents d ON d.doc_id = keep.id
       |ORDER BY d.doc_id""".stripMargin
+
+  private val splitClustersOracle: String = clustersCtes +
+    """, comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      |assigned AS (
+      |  SELECT id AS doc_id,
+      |    CASE WHEN (ascii(substr(md5(CAST(cluster AS VARCHAR)), 1, 1)) * 31
+      |             + ascii(substr(md5(CAST(cluster AS VARCHAR)), 2, 1))) % 100 < 80
+      |         THEN 'train' ELSE 'eval' END AS split
+      |  FROM comp
+      |), leaks AS (
+      |  SELECT count(*) AS n
+      |  FROM edges e
+      |  JOIN assigned a1 ON a1.doc_id = e.id1
+      |  JOIN assigned a2 ON a2.doc_id = e.id2
+      |  WHERE a1.split <> a2.split
+      |)
+      |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id,
+      |       max(doc_id) AS max_id, (SELECT n FROM leaks) AS n_cross_split_pairs
+      |FROM assigned GROUP BY split ORDER BY split""".stripMargin
 
   private val dedupDropBestOracle: String = clustersCtes +
     """, comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
@@ -2789,6 +2832,7 @@ object SparkEntry {
 
     "dedup_drop" -> dedupDropOracle,
     "dedup_drop_best" -> dedupDropBestOracle,
+    "q_split_clusters" -> splitClustersOracle,
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -235,6 +235,40 @@ object Curate {
           "drop or key null-id rows before splitting"))).otherwise(assign))
   }
 
+  /** LEAKAGE-SAFE train/eval split: membership is a pure function of
+    * the near-dup CLUSTER, not the document — every member of a
+    * connected component lands in the same slice, so a crawl variant
+    * of a training document can never sit in the eval set (the
+    * id-hash [[split]]'s known failure mode: near-duplicates straddle
+    * the boundary at the background dup rate, quietly inflating eval
+    * scores). Components come from the caller's pair graph (any of
+    * the near-dup generators — MinHash, n-gram Jaccard, SimHash,
+    * embedding pairs) via the diameter-independent
+    * [[Dedup.clusterPairsStars]]; the slice rule is the same
+    * engine-portable [[hashBucket]] applied to the cluster label, so
+    * singleton docs (cluster = own id) split exactly like [[split]]
+    * and the assignment replays in ANSI SQL. Null ids refuse loudly
+    * (the [[splitN]] convention — a silent join-drop here would
+    * vanish rows instead of filing them).
+    */
+  def splitByClusters(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int): DataFrame = {
+    require(trainPct > 0 && trainPct < 100)
+    val guarded = docs.withColumn("graft_split_id",
+      when(col(idCol).isNull, raise_error(lit(
+        s"splitByClusters: null $idCol — split membership is a pure function " +
+          "of the id; drop or key null-id rows before splitting")))
+        .otherwise(col(idCol)))
+    val comps = Dedup.clusterPairsStars(
+      guarded.select(col("graft_split_id").as(idCol)), idCol, pairs)
+    guarded
+      .join(comps, col("graft_split_id") === col("id"))
+      .withColumn("split",
+        when(hashBucket(col("cluster")) < trainPct, "train").otherwise("eval"))
+      .drop("graft_split_id", "id", "cluster")
+  }
+
   /** Per-source quota: cap every source/domain at `maxPerSource`
     * documents, hash-ordered so the survivors are a deterministic
     * uniform sample of each source (web-scale curation's standard

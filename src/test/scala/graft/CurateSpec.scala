@@ -164,6 +164,39 @@ class CurateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sum to 100"))
   }
 
+  test("splitByClusters: near-dup clusters never straddle the boundary; singletons match split(); null id refuses") {
+    import graft.operators.Dedup
+    // 60 docs; pairs chain {0..9}, {20,21}, rest singletons
+    val docs = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) :+ (20L, 21L)).toDF("id1", "id2")
+    val out = Curate.splitByClusters(docs, "doc_id", pairs, 80)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 60)
+    // every cluster member shares one slice
+    assert((0L until 10L).map(out).toSet.size == 1, "chain cluster straddles")
+    assert(out(20L) == out(21L), "pair cluster straddles")
+    // zero cross-split pairs, by construction
+    pairs.collect().foreach { r =>
+      assert(out(r.getLong(0)) == out(r.getLong(1)))
+    }
+    // singletons (cluster = own id) split exactly like the id-hash split
+    val plain = Curate.split(docs, "doc_id", 80)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (22L until 60L).foreach(i => assert(out(i) == plain(i)))
+    // the chain cluster takes the slice of its min label (cluster id 0)
+    assert(out(5L) == plain(0L))
+    val e = intercept[Exception] {
+      Curate.splitByClusters(
+        Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+          .toDF("doc_id", "text"),
+        "doc_id", pairs, 80).collect()
+    }
+    assert(e.getMessage.contains("null doc_id") ||
+      e.getCause != null && e.getCause.getMessage.contains("null doc_id"))
+  }
+
   test("splitN: a null id is an error, not a silent test-set member") {
     // pre-fix, the foldRight's otherwise filed null-id rows into the
     // LAST slice — eval contamination for a train/val/test split
