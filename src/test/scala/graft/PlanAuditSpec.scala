@@ -301,7 +301,12 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("round-4 sweep: no cartesian/NLJ in sq8, bloom, perplexity, bm25, cube, quota") {
     for (q <- Seq("ann_sq8_recall", "dedup_incremental_bloom", "text_perplexity",
-      "text_bm25", "q_cube", "q_source_quota")) {
+      "text_bm25", "q_cube", "q_source_quota",
+      // round 13: the filtered search (mask rides the broadcast, no
+      // join), the keep-best drop, and the cluster split (CC +
+      // semi-join/groupBy shapes — a cartesian here would mean the
+      // pair graph leaked into a plan-level cross)
+      "ann_ivfpq_filtered", "dedup_drop_best", "q_split_clusters")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
