@@ -1026,6 +1026,52 @@ object SparkEntry {
         .crossJoin(rerank.select(col("ok").as("ivfpq_rerank_ok")))
     }),
 
+    // PCA pretransform, rows-only (the gate below carries
+    // correctness): train the top-16 basis on the 64-d embeddings and
+    // emit every row's projection — FAISS PCAMatrix shape, 4× fewer
+    // dims into any downstream index.
+    "emb_pca" -> ((s, dir) => {
+      val df = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val m = Ann.pcaTrain(df, "embedding", 16)
+      Ann.pcaProject(df, "embedding", m)
+        .select(col("vec_id"), col("pca"))
+        .orderBy("vec_id")
+    }),
+
+    // PCA gate: one full-rank train, then three engine-checked
+    // properties — (a) VARIANCE: the top-16/64 slice must beat the
+    // isotropic 0.25 floor (measured 0.31–0.38 on this corpus — the
+    // synthetic embeddings are mostly isotropic, which is also why
+    // there is deliberately NO neighbor-recall leg here: 16/64 PCA on
+    // isotropic noise scrambles fine ordering by construction,
+    // measured 0.18–0.30, and pinning that would gate on noise; the
+    // near-low-rank regime where neighbors DO survive is spec-pinned
+    // in PcaSpec); (b) ISOMETRY: the full-rank projection preserves
+    // every row's centered energy, ‖y‖² = ‖x−μ‖² (orthonormal basis,
+    // checked distributedly row-by-row); (c) CONTRACTION: the
+    // truncated 16-dim energy never exceeds it (Parseval). DuckDB
+    // pins the corpus count and the constant-TRUE booleans.
+    "emb_pca_gate" -> ((s, dir) => {
+      val df = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val m64 = Ann.pcaTrain(df, "embedding", 64)
+      val m16 = m64.truncate(16)
+      val meanLit = typedLit(m64.mean.toSeq)
+      val withY = Ann.pcaProject(
+        Ann.pcaProject(df, "embedding", m64, "y64"), "embedding", m16, "y16")
+      val energies = withY.select(
+        aggregate(zip_with(col("embedding"), meanLit,
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("ex"),
+        aggregate(transform(col("y64"), v => v * v), lit(0.0), _ + _).as("e64"),
+        aggregate(transform(col("y16"), v => v * v), lit(0.0), _ + _).as("e16"))
+      energies.agg(
+        count(lit(1)).as("n_vectors"),
+        (max(abs(col("e64") - col("ex"))) < 1e-6).as("pca_isometry_ok"),
+        (max(col("e16") - col("ex")) < 1e-9).as("pca_contraction_ok"))
+        .withColumn("pca_var_ok", lit(m16.varianceCaptured >= 0.25))
+    }),
+
     // FILTERED IVF+PQ search, rows-only (the gate below carries
     // correctness): top-k restricted to the even-vec_id half of the
     // corpus via the priced DataFrame overload — the vector-DB
@@ -3153,6 +3199,12 @@ object SparkEntry {
     "ann_ivfpq_sharded_recall" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS sharded_adc_ok,
         |       CAST(1 AS BOOLEAN) AS sharded_rerank_ok
+        |FROM embeddings""".stripMargin,
+
+    "emb_pca_gate" ->
+      """SELECT count(*) AS n_vectors, CAST(1 AS BOOLEAN) AS pca_isometry_ok,
+        |       CAST(1 AS BOOLEAN) AS pca_contraction_ok,
+        |       CAST(1 AS BOOLEAN) AS pca_var_ok
         |FROM embeddings""".stripMargin,
 
     // n_allowed is DuckDB's own count of the filter population — the

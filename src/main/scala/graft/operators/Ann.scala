@@ -342,4 +342,264 @@ object Ann {
       .select(col(idCol), col("index").as("cluster"),
         (round(col("score"), 4) + lit(0.0)).as("sim"))
       .orderBy(idCol)
+
+  /** Trained PCA basis for an embedding column: top-`k` principal
+    * directions of the (mean-centered) corpus — the standard
+    * dimension-reduction step BEFORE quantized indexing (FAISS's
+    * `PCAMatrix` pretransform): project 256-d embeddings to 64-d,
+    * index the projection, pay 4× less in codes, centroids, and ADC
+    * work for a measured recall cost (`emb_pca_gate` pins it).
+    *
+    * `basis` is row-major k×dim, rows orthonormal, ordered by
+    * eigenvalue descending (ties by first-index order; each row's
+    * sign is fixed by its largest-|·| entry). The Jacobi solver is
+    * deterministic, so the model is reproducible for a given
+    * partitioning; across REpartitionings the moments reduce in a
+    * different floating-point order, so components agree only to
+    * accumulation error (~1e-12 on unit-scale data) — train once and
+    * persist if bit-stability across layouts matters.
+    * `varianceCaptured` = Σ top-k λ / Σ λ.
+    */
+  final case class PcaModel(
+      dim: Int,
+      k: Int,
+      n: Long,
+      mean: Array[Double],
+      basis: Array[Double],
+      eigenvalues: Array[Double],
+      totalVariance: Double,
+      varianceCaptured: Double) extends Serializable {
+    /** The nested smaller model — PCA's defining property: the top-k₂
+      * rows of a k-component basis ARE the k₂-component model, so
+      * train once at the largest k you might serve and truncate per
+      * consumer (the train-once convention, without retraining).
+      * Truncation is an EXACT slice of this model; a direct smaller
+      * train agrees only to the train pass's floating-point reduction
+      * order (~1e-14, see [[pcaTrain]]).
+      */
+    def truncate(k2: Int): PcaModel = {
+      require(k2 >= 1 && k2 <= k, s"truncate($k2) outside [1, $k]")
+      copy(k = k2,
+        basis = java.util.Arrays.copyOf(basis, k2 * dim),
+        eigenvalues = java.util.Arrays.copyOf(eigenvalues, k2),
+        varianceCaptured =
+          if (totalVariance <= 0.0) 1.0
+          else eigenvalues.take(k2).map(math.max(_, 0.0)).sum / totalVariance)
+    }
+  }
+
+  /** Train PCA in ONE distributed pass: every partition folds its
+    * rows into (count, Σx, upper-triangular Σxxᵀ) — d(d+3)/2 + 1
+    * doubles of state, combined associatively (treeAggregate), so
+    * nothing row-shaped ever reaches the driver; the covariance
+    * eigenproblem is solved driver-side by a cyclic Jacobi sweep
+    * (d×d, deterministic — no library dependency). `dim` is guarded
+    * at 1024 so the per-partition grammian buffer stays ≤ ~4 MB;
+    * reduce wider embeddings in two hops or shard the columns first.
+    */
+  def pcaTrain(corpus: DataFrame, embCol: String, k: Int): PcaModel = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vecs = corpus.select(col(embCol).cast("array<double>").as("v")).na.drop()
+    val head = vecs.limit(1).collect()
+    require(head.nonEmpty, "Empty corpus")
+    val dim = head.head.getSeq[Double](0).length
+    require(k <= dim, s"k=$k exceeds embedding dim $dim")
+    require(dim <= 1024,
+      s"pcaTrain's per-partition grammian is O(dim²): dim=$dim exceeds the " +
+        "1024 contract — project in two hops (block the columns) instead")
+    val tri = dim * (dim + 1) / 2
+    // state: [0] = count, [1..dim] = Σx, [dim+1 ..] = packed upper Σxxᵀ
+    val zero = new Array[Double](1 + dim + tri)
+    val agg = org.apache.spark.sql.graft.InternalRowBridge.toInternalRdd(vecs)
+      .treeAggregate(zero)(
+        seqOp = (s, row) => {
+          val a = row.getArray(0)
+          if (a.numElements() != dim) throw new IllegalArgumentException(
+            s"pcaTrain: ragged embedding — expected $dim elements, got ${a.numElements()}")
+          val v = a.toDoubleArray()
+          s(0) += 1.0
+          var i = 0
+          var t = 1 + dim
+          while (i < dim) {
+            s(1 + i) += v(i)
+            var j = i
+            while (j < dim) { s(t) += v(i) * v(j); j += 1; t += 1 }
+            i += 1
+          }
+          s
+        },
+        combOp = (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        })
+    val n = agg(0).toLong
+    require(n >= 2, s"pcaTrain needs at least 2 rows, got $n")
+    val mean = Array.tabulate(dim)(i => agg(1 + i) / n)
+    // covariance from the raw moments: C = Σxxᵀ/n − μμᵀ (population
+    // normalization — the eigenvectors are scale-invariant either way)
+    val cov = Array.ofDim[Double](dim, dim)
+    var i = 0
+    var t = 1 + dim
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = agg(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    val (eigVals, eigVecs) = jacobiEigSym(cov)
+    // order by eigenvalue desc, stable
+    val order = eigVals.indices.sortBy(i => (-eigVals(i), i))
+    val totalVar = eigVals.map(math.max(_, 0.0)).sum
+    val topVar = order.take(k).map(i => math.max(eigVals(i), 0.0)).sum
+    val basis = new Array[Double](k * dim)
+    var r = 0
+    while (r < k) {
+      val src = order(r)
+      var d = 0
+      // deterministic sign: make each component's largest-|.| entry
+      // positive, so the basis doesn't flip between runs/partitionings
+      var mx = 0; var mv = 0.0
+      while (d < dim) {
+        val x = math.abs(eigVecs(d)(src)); if (x > mv) { mv = x; mx = d }; d += 1
+      }
+      val sgn = if (eigVecs(mx)(src) < 0) -1.0 else 1.0
+      d = 0
+      while (d < dim) { basis(r * dim + d) = sgn * eigVecs(d)(src); d += 1 }
+      r += 1
+    }
+    PcaModel(dim, k, n, mean,
+      basis, order.take(k).map(eigVals(_)).toArray, totalVar,
+      if (totalVar <= 0.0) 1.0 else topVar / totalVar)
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix — returns
+    * (eigenvalues, eigenvector MATRIX with vectors in COLUMNS).
+    * Deterministic (fixed sweep order, fixed tolerance), O(d³) per
+    * sweep; the 1024-dim contract keeps it a driver-side blink.
+    */
+  private[graft] def jacobiEigSym(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-22) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t0 = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t0 * t0 + 1.0)
+            val s = t0 * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < d - 1) {
+        var j = i + 1
+        while (j < d) { off += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project an embedding column through a trained [[PcaModel]] —
+    * scan-stage (model broadcasts with the plan closure, no shuffle):
+    * out[j] = Σ_d (x[d] − μ[d]) · basis[j][d]. Null embeddings stay
+    * null; f32 columns widen per element like the kernels.
+    */
+  def pcaProject(
+      df: DataFrame, embCol: String, model: PcaModel,
+      outCol: String = "pca"): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val spark = df.sparkSession
+    val schema = df.schema
+    val embIdx = schema.fieldIndex(embCol)
+    val embIsF32 = schema(embCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case dt => throw new IllegalArgumentException(
+        s"$embCol must be array<float>/array<double>, got ${dt.simpleString}")
+    }
+    val fieldTypes = schema.fields.map(_.dataType)
+    val outSchema = StructType(schema.fields :+ StructField(outCol,
+      ArrayType(DoubleType, containsNull = false), nullable = true))
+    val bc = spark.sparkContext.broadcast(model)
+    val outRdd = org.apache.spark.sql.graft.InternalRowBridge.toInternalRdd(df)
+      .mapPartitions { it =>
+        val m = bc.value
+        val x = new Array[Double](m.dim)
+        it.map { row0 =>
+          val row = row0.copy()
+          val result: AnyRef =
+            if (row.isNullAt(embIdx)) null
+            else {
+              val a = row.getArray(embIdx)
+              if (a.numElements() != m.dim) throw new IllegalArgumentException(
+                s"pcaProject: expected ${m.dim} elements, got ${a.numElements()}")
+              var d = 0
+              if (embIsF32) {
+                val fa = a.toFloatArray()
+                while (d < m.dim) { x(d) = fa(d).toDouble - m.mean(d); d += 1 }
+              } else {
+                val da = a.toDoubleArray()
+                while (d < m.dim) { x(d) = da(d) - m.mean(d); d += 1 }
+              }
+              val out = new Array[Any](m.k)
+              var j = 0
+              while (j < m.k) {
+                var acc = 0.0
+                var d2 = 0
+                val base = j * m.dim
+                while (d2 < m.dim) { acc += x(d2) * m.basis(base + d2); d2 += 1 }
+                out(j) = acc
+                j += 1
+              }
+              new GenericArrayData(out)
+            }
+          val vals = new Array[Any](fieldTypes.length + 1)
+          var f = 0
+          while (f < fieldTypes.length) { vals(f) = row.get(f, fieldTypes(f)); f += 1 }
+          vals(fieldTypes.length) = result
+          new GenericInternalRow(vals): InternalRow
+        }
+      }
+    org.apache.spark.sql.graft.InternalRowBridge.fromInternalRdd(spark, outRdd, outSchema)
+  }
 }
