@@ -1072,6 +1072,39 @@ object SparkEntry {
         .withColumn("pca_var_ok", lit(m16.varianceCaptured >= 0.25))
     }),
 
+    // Johnson–Lindenstrauss random projection gate: 64→32 on a
+    // deterministic 200-row sample; every pair's squared-distance
+    // ratio must concentrate near 1 (p95 |ratio−1| under the pinned
+    // bound) — the distance-preservation guarantee PCA cannot give on
+    // flat-spectrum corpora (this one: PCA-16 keeps 0.31 of variance;
+    // JL doesn't care). No training pass — R is a pure function of
+    // (dim, k, seed).
+    "emb_rp_gate" -> ((s, dir) => {
+      val df = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val proj = Ann.randomProject(df, "embedding", 32)
+        .select(col("vec_id"), col("embedding"), col("rp"))
+        .localCheckpoint(eager = false)
+      val a = proj.select(col("vec_id").as("id1"),
+        col("embedding").as("x1"), col("rp").as("y1"))
+      val b = proj.select(col("vec_id").as("id2"),
+        col("embedding").as("x2"), col("rp").as("y2"))
+      def sq(u: Column, v: Column) =
+        aggregate(zip_with(u, v, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+      val pairs = a.join(b, col("id1") < col("id2"))
+        .select(sq(col("x1"), col("x2")).as("de"), sq(col("y1"), col("y2")).as("dp"))
+        .filter(col("de") > 0)
+        .select(abs(col("dp") / col("de") - 1).as("distortion"))
+      // measured on the 200-row prefix: p95 0.4768/0.4769 and max
+      // 1.26/1.36 at sf0.01/sf0.1 (the k=32 χ² concentration,
+      // std ≈ √(2/32) ≈ 0.25) — floors pinned with margin
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        (expr("percentile(distortion, 0.95)") <= 0.55).as("rp_p95_ok"),
+        (max(col("distortion")) <= 1.8).as("rp_max_ok"))
+    }),
+
     // FILTERED IVF+PQ search, rows-only (the gate below carries
     // correctness): top-k restricted to the even-vec_id half of the
     // corpus via the priced DataFrame overload — the vector-DB
@@ -3206,6 +3239,17 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS pca_contraction_ok,
         |       CAST(1 AS BOOLEAN) AS pca_var_ok
         |FROM embeddings""".stripMargin,
+
+    // n_pairs is DuckDB's own count of the distinct-embedding pair set
+    // (the Spark side drops de=0 pairs, which exist iff two sampled
+    // embeddings are identical)
+    "emb_rp_gate" ->
+      """SELECT count(*) AS n_pairs, CAST(1 AS BOOLEAN) AS rp_p95_ok,
+        |       CAST(1 AS BOOLEAN) AS rp_max_ok
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND b.vec_id < 200
+        |WHERE a.vec_id < 200
+        |  AND CAST(a.embedding AS DOUBLE[]) <> CAST(b.embedding AS DOUBLE[])""".stripMargin,
 
     // n_allowed is DuckDB's own count of the filter population — the
     // value-level anchor proving the Spark side filtered on the same

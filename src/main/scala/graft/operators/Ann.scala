@@ -536,6 +536,36 @@ object Ann {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
+  /** Random (Johnson–Lindenstrauss) projection to k dims: out = R·x
+    * with R a seeded gaussian matrix scaled 1/√k — the
+    * dimension-reduction for corpora PCA can't help (isotropic or
+    * flat-spectrum embeddings, where no k-dim subspace holds the
+    * variance): JL preserves ALL pairwise euclidean distances within
+    * (1±ε) w.h.p. regardless of spectrum, ε ~ √(8·ln n / k). No
+    * training pass at all — the matrix is a pure function of
+    * (dim, k, seed), so two sites project identically without
+    * shipping a model. Distortion is driver-gated (`emb_rp_gate`
+    * pins the p95 squared-distance ratio on sampled pairs).
+    */
+  def randomProject(
+      df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
+      outCol: String = "rp"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dim = embDim(df, embCol)
+    require(k <= dim, s"k=$k exceeds embedding dim $dim")
+    val rnd = new scala.util.Random(seed)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    // row-major k×dim like PcaModel.basis — JL needs no centering
+    val r = Array.fill(k * dim)(rnd.nextGaussian() * scale)
+    projectMatrix(df, embCol, dim, k, new Array[Double](dim), r, outCol)
+  }
+
+  private def embDim(df: DataFrame, embCol: String): Int = {
+    val head = df.select(col(embCol)).na.drop().limit(1).collect()
+    require(head.nonEmpty, "Empty corpus")
+    head.head.getSeq[Any](0).length
+  }
+
   /** Project an embedding column through a trained [[PcaModel]] —
     * scan-stage (model broadcasts with the plan closure, no shuffle):
     * out[j] = Σ_d (x[d] − μ[d]) · basis[j][d]. Null embeddings stay
@@ -543,7 +573,15 @@ object Ann {
     */
   def pcaProject(
       df: DataFrame, embCol: String, model: PcaModel,
-      outCol: String = "pca"): DataFrame = {
+      outCol: String = "pca"): DataFrame =
+    projectMatrix(df, embCol, model.dim, model.k, model.mean, model.basis, outCol)
+
+  /** Shared scan-stage affine projection: out[j] = Σ_d (x[d] − μ[d]) ·
+    * m[j][d] (row-major k×dim).
+    */
+  private def projectMatrix(
+      df: DataFrame, embCol: String, dim: Int, k: Int,
+      mean: Array[Double], matrix: Array[Double], outCol: String): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -560,34 +598,34 @@ object Ann {
     val fieldTypes = schema.fields.map(_.dataType)
     val outSchema = StructType(schema.fields :+ StructField(outCol,
       ArrayType(DoubleType, containsNull = false), nullable = true))
-    val bc = spark.sparkContext.broadcast(model)
+    val bc = spark.sparkContext.broadcast((mean, matrix))
     val outRdd = org.apache.spark.sql.graft.InternalRowBridge.toInternalRdd(df)
       .mapPartitions { it =>
-        val m = bc.value
-        val x = new Array[Double](m.dim)
+        val (mu, mat) = bc.value
+        val x = new Array[Double](dim)
         it.map { row0 =>
           val row = row0.copy()
           val result: AnyRef =
             if (row.isNullAt(embIdx)) null
             else {
               val a = row.getArray(embIdx)
-              if (a.numElements() != m.dim) throw new IllegalArgumentException(
-                s"pcaProject: expected ${m.dim} elements, got ${a.numElements()}")
+              if (a.numElements() != dim) throw new IllegalArgumentException(
+                s"projection: expected $dim elements, got ${a.numElements()}")
               var d = 0
               if (embIsF32) {
                 val fa = a.toFloatArray()
-                while (d < m.dim) { x(d) = fa(d).toDouble - m.mean(d); d += 1 }
+                while (d < dim) { x(d) = fa(d).toDouble - mu(d); d += 1 }
               } else {
                 val da = a.toDoubleArray()
-                while (d < m.dim) { x(d) = da(d) - m.mean(d); d += 1 }
+                while (d < dim) { x(d) = da(d) - mu(d); d += 1 }
               }
-              val out = new Array[Any](m.k)
+              val out = new Array[Any](k)
               var j = 0
-              while (j < m.k) {
+              while (j < k) {
                 var acc = 0.0
                 var d2 = 0
-                val base = j * m.dim
-                while (d2 < m.dim) { acc += x(d2) * m.basis(base + d2); d2 += 1 }
+                val base = j * dim
+                while (d2 < dim) { acc += x(d2) * mat(base + d2); d2 += 1 }
                 out(j) = acc
                 j += 1
               }

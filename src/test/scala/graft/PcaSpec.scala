@@ -147,6 +147,42 @@ class PcaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { m10.truncate(0) }
   }
 
+  test("random projection: distortion concentrates with k; seeded determinism; nulls pass through") {
+    val data = randVecs(300, 64, 23)
+    val df = data.toDF("id", "emb")
+    def meanDistortion(k: Int): Double = {
+      val proj = Ann.randomProject(df, "emb", k, seed = 7L)
+        .select(col("id"), col("emb"), col("rp")).collect()
+        .map(r => (r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+      val rnd = new scala.util.Random(1)
+      val pairs = Array.fill(400)((rnd.nextInt(300), rnd.nextInt(300))).filter(p => p._1 != p._2)
+      pairs.map { case (i, j) =>
+        val de = proj(i)._1.zip(proj(j)._1).map(p => (p._1 - p._2) * (p._1 - p._2)).sum
+        val dp = proj(i)._2.zip(proj(j)._2).map(p => (p._1 - p._2) * (p._1 - p._2)).sum
+        math.abs(dp / de - 1.0)
+      }.sum / pairs.length
+    }
+    val d8 = meanDistortion(8)
+    val d48 = meanDistortion(48)
+    assert(d48 < d8, s"distortion must concentrate with k: k=8 $d8 vs k=48 $d48")
+    assert(d48 < 0.2, s"k=48/64 mean distortion: $d48")
+    // determinism: same seed → identical columns; different seed differs
+    val a = Ann.randomProject(df, "emb", 16, seed = 7L).select("rp").collect()
+      .map(_.getSeq[Double](0))
+    val b = Ann.randomProject(df, "emb", 16, seed = 7L).select("rp").collect()
+      .map(_.getSeq[Double](0))
+    val c = Ann.randomProject(df, "emb", 16, seed = 8L).select("rp").collect()
+      .map(_.getSeq[Double](0))
+    assert(a.zip(b).forall(p => p._1 == p._2))
+    assert(a.zip(c).exists(p => p._1 != p._2))
+    // nulls stay null; k > dim refuses
+    val withNull = Seq((1L, Some(Seq.fill(4)(1.0))), (2L, None)).toDF("id", "emb")
+    val out = Ann.randomProject(withNull, "emb", 2).select("id", "rp").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!out(1L) && out(2L))
+    intercept[IllegalArgumentException] { Ann.randomProject(withNull, "emb", 5) }
+  }
+
   test("jacobi solver: recovers a planted spectrum") {
     // A = Q diag(5,2,1) Qᵀ for a fixed rotation Q
     val q = Ann.jacobiEigSym(Array(
