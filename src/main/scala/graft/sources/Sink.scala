@@ -351,6 +351,31 @@ object Sink {
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
     }
 
+  /** Persist a trained PCA model — the pretransform's train-once
+    * artifact (same story as the SQ8/PQ codebooks: the distributed
+    * moments pass + eigensolve is the expensive step, and two trains
+    * agree only to floating-point reduction order, so a pipeline that
+    * wants bit-stable projections across sessions/layouts MUST
+    * restore rather than retrain). The model is tiny (k×dim doubles),
+    * so the layout is a single meta row.
+    * [[graft.sources.Source.readPcaModel]] restores it
+    * byte-identically (round-trip + identical-projection pinned in
+    * SinkSpec).
+    */
+  def writePcaModel(
+      spark: org.apache.spark.sql.SparkSession,
+      m: graft.operators.Ann.PcaModel,
+      path: String,
+      overwrite: Boolean = false): Unit =
+    publishAtomically(spark, path, overwrite) { tmp =>
+      import spark.implicits._
+      Seq((m.dim, m.k, m.n, m.mean.toSeq, m.basis.toSeq,
+          m.eigenvalues.toSeq, m.totalVariance, m.varianceCaptured))
+        .toDF("dim", "k", "n", "mean", "basis",
+          "eigenvalues", "total_variance", "variance_captured")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+    }
+
   /** Persist a flat PQ index — same train-once story as
     * [[writeSq8Index]]/[[writeIvfPqIndex]] for the one index family
     * that previously could not persist (#9d): codebook training is the

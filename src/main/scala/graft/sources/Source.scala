@@ -143,6 +143,27 @@ object Source {
     * serving session loads the trained codebooks + codes instead of
     * re-collecting and re-quantizing the corpus.
     */
+  /** Restore a persisted PCA model byte-identically (see
+    * [[graft.sources.Sink.writePcaModel]]).
+    */
+  def readPcaModel(
+      spark: SparkSession, path: String): graft.operators.Ann.PcaModel = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("dim", "k", "n", "mean", "basis",
+        "eigenvalues", "total_variance", "variance_captured")
+      .head()
+    val dim = meta.getInt(0)
+    val k = meta.getInt(1)
+    val mean = meta.getSeq[Double](3).toArray
+    val basis = meta.getSeq[Double](4).toArray
+    val eig = meta.getSeq[Double](5).toArray
+    require(mean.length == dim && basis.length == k * dim && eig.length == k,
+      s"corrupt PCA model: dim=$dim k=$k but mean=${mean.length} " +
+        s"basis=${basis.length} eigenvalues=${eig.length}")
+    graft.operators.Ann.PcaModel(dim, k, meta.getLong(2), mean, basis, eig,
+      meta.getDouble(6), meta.getDouble(7))
+  }
+
   def readPqIndex(
       spark: SparkSession, path: String): graft.operators.Similarity.CorpusIndexPq = {
     val meta = spark.read.parquet(s"$path/meta").head()

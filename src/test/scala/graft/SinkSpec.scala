@@ -145,6 +145,34 @@ class SinkSpec extends AnyFunSuite {
     assert(back.join(df, Seq("doc_id", "text", "lang"), "left_anti").isEmpty)
   }
 
+  test("PCA model round-trip: byte-identical restore, identical projection") {
+    import spark.implicits._
+    import graft.operators.Ann
+    val rnd = new scala.util.Random(37)
+    val df = (0L until 200L).map(i => i -> Seq.fill(12)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    val m = Ann.pcaTrain(df, "emb", 5)
+    val out = tmpDir("sink-pca")
+    Sink.writePcaModel(spark, m, out)
+    val loaded = graft.sources.Source.readPcaModel(spark, out)
+    assert(loaded.dim == m.dim && loaded.k == m.k && loaded.n == m.n)
+    assert(loaded.mean.sameElements(m.mean))
+    assert(loaded.basis.sameElements(m.basis))
+    assert(loaded.eigenvalues.sameElements(m.eigenvalues))
+    assert(loaded.totalVariance == m.totalVariance)
+    assert(loaded.varianceCaptured == m.varianceCaptured)
+    // projection through the restored model is bit-identical
+    val a = Ann.pcaProject(df, "emb", m).select("pca").collect()
+      .map(_.getSeq[Double](0))
+    val b = Ann.pcaProject(df, "emb", loaded).select("pca").collect()
+      .map(_.getSeq[Double](0))
+    assert(a.zip(b).forall(p => p._1 == p._2))
+    // overwrite contract: refuse by default on an existing path
+    intercept[Exception] { Sink.writePcaModel(spark, m, out) }
+    Sink.writePcaModel(spark, m.truncate(2), out, overwrite = true)
+    assert(graft.sources.Source.readPcaModel(spark, out).k == 2)
+  }
+
   test("SQ8 index round-trip: byte-identical restore, identical search results") {
     import spark.implicits._
     import graft.operators.{Metric, Similarity}
