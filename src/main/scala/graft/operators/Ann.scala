@@ -570,11 +570,34 @@ object Ann {
     * scan-stage (model broadcasts with the plan closure, no shuffle):
     * out[j] = Σ_d (x[d] − μ[d]) · basis[j][d]. Null embeddings stay
     * null; f32 columns widen per element like the kernels.
+    *
+    * `whiten = true` additionally scales component j by 1/√λⱼ (PCA
+    * whitening — each retained direction leaves with ~unit variance
+    * on the training corpus), the usual prep before cosine/dot
+    * indexing so one dominant direction can't drown the rest.
+    * Near-zero eigenvalues are floored at 1e-12·λ₁ so a degenerate
+    * direction amplifies to ~0 instead of exploding.
     */
   def pcaProject(
       df: DataFrame, embCol: String, model: PcaModel,
-      outCol: String = "pca"): DataFrame =
-    projectMatrix(df, embCol, model.dim, model.k, model.mean, model.basis, outCol)
+      outCol: String = "pca", whiten: Boolean = false): DataFrame = {
+    val mat =
+      if (!whiten) model.basis
+      else {
+        val floor = math.max(model.eigenvalues.headOption.getOrElse(0.0), 0.0) * 1e-12
+        val m = model.basis.clone()
+        var j = 0
+        while (j < model.k) {
+          val lam = math.max(model.eigenvalues(j), floor)
+          val s = if (lam <= 0.0) 0.0 else 1.0 / math.sqrt(lam)
+          var d = 0
+          while (d < model.dim) { m(j * model.dim + d) *= s; d += 1 }
+          j += 1
+        }
+        m
+      }
+    projectMatrix(df, embCol, model.dim, model.k, model.mean, mat, outCol)
+  }
 
   /** Shared scan-stage affine projection: out[j] = Σ_d (x[d] − μ[d]) ·
     * m[j][d] (row-major k×dim).

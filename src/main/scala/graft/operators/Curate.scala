@@ -260,13 +260,17 @@ object Curate {
         s"splitByClusters: null $idCol — split membership is a pure function " +
           "of the id; drop or key null-id rows before splitting")))
         .otherwise(col(idCol)))
+    // CC output columns are renamed behind a graft_ prefix before the
+    // join so a caller's own `id`/`cluster` columns can't collide
     val comps = Dedup.clusterPairsStars(
-      guarded.select(col("graft_split_id").as(idCol)), idCol, pairs)
+        guarded.select(col("graft_split_id").as(idCol)), idCol, pairs)
+      .select(col("id").as("graft_cc_id"), col("cluster").as("graft_cc_cluster"))
     guarded
-      .join(comps, col("graft_split_id") === col("id"))
+      .join(comps, col("graft_split_id") === col("graft_cc_id"))
       .withColumn("split",
-        when(hashBucket(col("cluster")) < trainPct, "train").otherwise("eval"))
-      .drop("graft_split_id", "id", "cluster")
+        when(hashBucket(col("graft_cc_cluster")) < trainPct, "train")
+          .otherwise("eval"))
+      .drop("graft_split_id", "graft_cc_id", "graft_cc_cluster")
   }
 
   /** Per-source quota: cap every source/domain at `maxPerSource`

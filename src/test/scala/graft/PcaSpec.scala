@@ -147,6 +147,31 @@ class PcaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { m10.truncate(0) }
   }
 
+  test("whitened projection: each retained component has ~unit variance on the training corpus") {
+    // anisotropic data: dim 0 scaled 10x, dim 3 scaled 0.2x
+    val rnd = new scala.util.Random(41)
+    val data = (0L until 2000L).map { i =>
+      i -> Seq.tabulate(6)(d =>
+        rnd.nextGaussian() * (if (d == 0) 10.0 else if (d == 3) 0.2 else 1.0))
+    }
+    val df = data.toDF("id", "emb")
+    val m = Ann.pcaTrain(df, "emb", 6)
+    val white = Ann.pcaProject(df, "emb", m, "w", whiten = true)
+      .select(col("w")).collect().map(_.getSeq[Double](0).toArray)
+    (0 until 6).foreach { j =>
+      val xs = white.map(_(j))
+      val mu = xs.sum / xs.length
+      val va = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+      assert(math.abs(va - 1.0) < 0.05, s"whitened component $j variance $va")
+    }
+    // unwhitened leading component carries the 10x direction's variance
+    val raw = Ann.pcaProject(df, "emb", m).select(col("pca")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val v0 = { val xs = raw.map(_(0)); val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length }
+    assert(v0 > 50.0, s"unwhitened PC1 variance should be ~100, got $v0")
+  }
+
   test("random projection: distortion concentrates with k; seeded determinism; nulls pass through") {
     val data = randVecs(300, 64, 23)
     val df = data.toDF("id", "emb")
