@@ -843,6 +843,53 @@ object ScaleSmoke {
       println(f"ivfpq sharded FILTERED serve (all-id parity leg): " +
         f"$filtAllSec%.2f s; even-id 50%% mask: $filtEvenSec%.2f s " +
         f"(unfiltered rerank: $rerankSec%.2f s)")
+      // round 13: the COMPRESSED-PIPELINE leg — JL-project corpus and
+      // queries to SPARK_GRAFT_SMOKE_IVFPQ_RP dims (scan-stage, no
+      // training pass), build the sharded index on the projection,
+      // serve, and grade recall against the FULL-dim exact truth:
+      // every downstream cost (pack collects, codes, centroids, ADC
+      // LUTs) scales with dim, so a 4× reduction compresses the whole
+      // index pipeline if the corpus's neighbor structure survives —
+      // which is the measured question. Pure-euclidean JL vs the
+      // cosine metric: family gaps on this corpus are large enough
+      // that the distinction washes out; the recall number is the
+      // honest answer either way.
+      val rpDim = sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFPQ_RP", "0").toInt
+      if (rpDim > 0) {
+        val tRp = System.nanoTime()
+        val corpusRp = graft.operators.Ann.randomProject(
+            corpusD, "vec", rpDim, seed = 20260816L)
+          .select(col("doc_id"), col("rp").as("vec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        corpusRp.count()
+        val queriesRp = graft.operators.Ann.randomProject(
+            queries, "vec", rpDim, seed = 20260816L)
+          .select(col("qid"), col("rp").as("vec")).cache()
+        queriesRp.count()
+        val projSec = (System.nanoTime() - tRp) / 1e9
+        val tRpBuild = System.nanoTime()
+        val shardsRp = Similarity.buildIvfPqSharded(corpusRp, "doc_id", "vec",
+          numShards = blocks, nCells = nCells, m = rpDim / 4,
+          parallelism = shardPar)
+        val rpBuildSec = (System.nanoTime() - tRpBuild) / 1e9
+        val tRpSearch = System.nanoTime()
+        val rpTop = Similarity.topkIvfPqSharded(queriesRp, "vec", "qid",
+            shardsRp, 10, nProbe = nProbe, shortlist = 100)
+          .select(col("qid"), col("index")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q2, rs) => q2 -> rs.map(_._2).toSet }
+        val rpSearchSec = (System.nanoTime() - tRpSearch) / 1e9
+        val rpRecall = {
+          val per = truth.toSeq.map { case (q2, t) =>
+            (t.intersect(rpTop.getOrElse(q2, Set.empty)).size, t.size) }
+          per.map(_._1).sum.toDouble / math.max(1, per.map(_._2).sum)
+        }
+        println(f"ivfpq COMPRESSED pipeline (JL $dim->$rpDim, m=${rpDim / 4}): " +
+          f"project $projSec%.2f s, build $rpBuildSec%.2f s (full-dim $buildSec%.2f s), " +
+          f"rerank search $rpSearchSec%.2f s (full-dim $rerankSec%.2f s), " +
+          f"recall@10 vs FULL-dim truth $rpRecall%.4f (full-dim rerank recall printed below)")
+        corpusRp.unpersist(); queriesRp.unpersist()
+      }
       val mode = if (distBuild) "DISTRIBUTED train-on-sample + restore"
         else s"par=$shardPar, concurrent collect"
       println(f"ivfpq sharded build ($ivfpqDocs x ${dim}d, $blocks shards, " +
