@@ -1055,8 +1055,13 @@ object SparkEntry {
       val df = Tables.embeddings(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
       val m = Ann.pcaTrain(df, "embedding", 16)
+      // Driver harness canonicalizes via pandas, which cannot hash an
+      // array cell — emit the projection as a rounded scalar string
+      // (same computation; the math gate is emb_pca_gate).
       Ann.pcaProject(df, "embedding", m)
-        .select(col("vec_id"), col("pca"))
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("pca"),
+            v => format_string("%.4f", v))).as("pca_csv"))
         .orderBy("vec_id")
     }),
 

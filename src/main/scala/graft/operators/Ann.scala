@@ -480,15 +480,28 @@ object Ann {
     * (eigenvalues, eigenvector MATRIX with vectors in COLUMNS).
     * Deterministic (fixed sweep order, fixed tolerance), O(d³) per
     * sweep; the 1024-dim contract keeps it a driver-side blink.
+    * Convergence is RELATIVE — off-diagonal energy against the
+    * matrix's own squared Frobenius norm — so covariances with
+    * entries far above unit scale converge in the usual ≤ ~10 sweeps
+    * instead of grinding all 64 against an absolute floor their
+    * rounding noise can never reach.
     */
   private[graft] def jacobiEigSym(
       m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = m.length
     val a = Array.tabulate(d, d)((i, j) => m(i)(j))
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var frob2 = 0.0
+    var fi = 0
+    while (fi < d) {
+      var fj = 0
+      while (fj < d) { frob2 += m(fi)(fj) * m(fi)(fj); fj += 1 }
+      fi += 1
+    }
+    val tol = math.max(1e-22, 1e-24 * frob2)
     var sweep = 0
     var off = Double.MaxValue
-    while (sweep < 64 && off > 1e-22) {
+    while (sweep < 64 && off > tol) {
       off = 0.0
       var p = 0
       while (p < d - 1) {

@@ -1693,6 +1693,13 @@ object Similarity {
     * (the k>corpus clamp, applied to the allowed population); an
     * empty intersection returns empty match arrays, not nulls.
     * An all-true mask is bit-identical to [[topkIvfPq]].
+    *
+    * Broadcast lifetime: the returned plan is LAZY, so the index and
+    * mask broadcasts this call mints cannot be destroyed eagerly —
+    * they live until Spark's ContextCleaner collects the unreferenced
+    * plan. A long-lived driver issuing many filtered serves should
+    * prefer [[topkIvfPqShardedWaves]] (with `allowedIds`), which owns
+    * its broadcasts per-wave and destroys them with each wave.
     */
   def topkIvfPqFiltered(
       queries: DataFrame,
@@ -1712,12 +1719,14 @@ object Similarity {
   }
 
   /** [[topkIvfPqFiltered]] with the allowed set as a one-column
-    * DataFrame — the relational form. The set collects to the driver
-    * to become the mask, PRICED against a quarter of the driver heap
-    * at 8 B/id (the standard admission budget): an allowed set is at
-    * most corpus-sized and the corpus is already a driver-built
-    * broadcast, so anything the budget refuses was not a filter but
-    * a join — use `topkIvfPqFlat(...).join(allowed, "index")` there.
+    * DataFrame — the relational form. The allowed ids NEVER collect
+    * to the driver: the mask is built executor-side
+    * ([[allowedMaskFromDf]] — broadcast the sorted corpus ids,
+    * binary-search each allowed id where it lives, ship back only the
+    * MATCHED row positions), so an arbitrarily large allowed set —
+    * a predicate over a 100 TB metadata table — works; what returns
+    * is bounded by the corpus the driver already holds (≤ 4 B/corpus
+    * row), not by the filter's input size.
     */
   def topkIvfPqFiltered(
       queries: DataFrame,
@@ -1730,16 +1739,46 @@ object Similarity {
       shortlist: Int,
       outputCol: String): DataFrame = {
     validateIvfPqArgs(corpus, k, nProbe, shortlist)
-    val idsDf = allowed.select(col(allowedIdCol).cast(LongType)).na.drop().distinct()
-    val cnt = idsDf.count()
-    val budget = math.max(256L << 20, Runtime.getRuntime.maxMemory() / 4)
-    require(cnt * 8L <= budget,
-      s"topkIvfPqFiltered refused: $cnt allowed ids price at ${cnt * 8L} bytes " +
-        s"against a $budget-byte driver budget — an allowed set larger than the " +
-        "corpus's own broadcast is a join, not a filter; run topkIvfPqFlat and " +
-        "semi-join the allowed ids on `index` instead")
-    topkIvfPqFiltered(queries, embCol, corpus,
-      idsDf.collect().map(_.getLong(0)), k, nProbe, shortlist, outputCol)
+    val (mask, nAllowed) = allowedMaskFromDf(corpus, allowed, allowedIdCol)
+    val spark = queries.sparkSession
+    topkIvfPqBc(queries, embCol, broadcastOf(spark, corpus),
+      k, nProbe, shortlist, outputCol,
+      maskBc = spark.sparkContext.broadcast(mask), allowedCount = nAllowed)
+  }
+
+  /** Executor-side mask build for the DataFrame-allowed forms: the
+    * corpus ids are sorted ascending (the pack contract,
+    * [[CorpusIndex]]), so broadcast them once (8 B/row — a copy of
+    * state the driver already holds) and binary-search each allowed
+    * id in place over the allowed DataFrame; only matched row
+    * POSITIONS come back through a distinct (≤ 4 B/corpus row).
+    * The allowed set itself is never counted, collected, or priced —
+    * its size does not bound this path. Unknown ids fall out as
+    * not-found; duplicates collapse in the distinct.
+    */
+  private[graft] def allowedMaskFromDf(
+      corpus: CorpusIndexIvfPq,
+      allowed: DataFrame,
+      allowedIdCol: String): (Array[Boolean], Int) = {
+    val spark = allowed.sparkSession
+    import spark.implicits._
+    val idsBc = spark.sparkContext.broadcast(corpus.ids)
+    try {
+      val positions = allowed
+        .select(col(allowedIdCol).cast(LongType)).na.drop().as[Long]
+        .mapPartitions { iter =>
+          val ids = idsBc.value
+          iter.flatMap { id =>
+            val p = java.util.Arrays.binarySearch(ids, id)
+            if (p >= 0) Iterator.single(p) else Iterator.empty
+          }
+        }
+        .distinct()
+        .collect()
+      val mask = new Array[Boolean](corpus.n)
+      positions.foreach(mask(_) = true)
+      (mask, positions.length)
+    } finally { idsBc.destroy(); () }
   }
 
   /** [[topkIvfPqFiltered]] then explode+unnest — the flat
@@ -2336,7 +2375,9 @@ object Similarity {
     * partial rows and the row_number merge is unchanged. The global
     * k > |allowed| clamp emerges from the merge: every shard returns
     * min(k, allowed-in-shard) rows and the union can only contain
-    * allowed rows.
+    * allowed rows. Per-shard mask broadcasts share the lazy-plan
+    * lifetime caveat of [[topkIvfPqFiltered]] — long-lived drivers
+    * should prefer the wave form, which destroys per wave.
     */
   def topkIvfPqShardedFiltered(
       queries: DataFrame,

@@ -137,12 +137,6 @@ object Source {
       ids, codes, n, dim, dimMin, dimScale, norms, sqNorms)
   }
 
-  /** Restore a flat PQ index persisted by
-    * [[graft.sources.Sink.writePqIndex]] — byte-identical to the
-    * written [[graft.operators.Similarity.CorpusIndexPq]], so a
-    * serving session loads the trained codebooks + codes instead of
-    * re-collecting and re-quantizing the corpus.
-    */
   /** Restore a persisted PCA model byte-identically (see
     * [[graft.sources.Sink.writePcaModel]]).
     */
@@ -164,6 +158,12 @@ object Source {
       meta.getDouble(6), meta.getDouble(7))
   }
 
+  /** Restore a flat PQ index persisted by
+    * [[graft.sources.Sink.writePqIndex]] — byte-identical to the
+    * written [[graft.operators.Similarity.CorpusIndexPq]], so a
+    * serving session loads the trained codebooks + codes instead of
+    * re-collecting and re-quantizing the corpus.
+    */
   def readPqIndex(
       spark: SparkSession, path: String): graft.operators.Similarity.CorpusIndexPq = {
     val meta = spark.read.parquet(s"$path/meta").head()

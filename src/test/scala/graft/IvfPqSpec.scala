@@ -326,6 +326,19 @@ class IvfPqSpec extends AnyFunSuite {
     val viaArr = out.map { case (q, ms) =>
       q -> ms.map(m => (m.getLong(0), m.getDouble(1))).toSet }
     assert(viaDf == viaArr)
+    // the distributed mask build: an allowed DataFrame FAR larger
+    // than the corpus (the shape the old driver-collect overload
+    // refused) works — ids never collect; only matched positions
+    // (≤ corpus n) come back. A strict superset == unfiltered.
+    val spark2 = qDf.sparkSession
+    val huge = spark2.range(0L, 100000L).toDF("id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "matches").collect()
+        .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(m => (m.getLong(0), m.getDouble(1))).toSet).toMap
+    assert(rows(Similarity.topkIvfPqFiltered(qDf, "emb", ix, huge, "id",
+        5, 4, 0, "matches"))
+      == rows(Similarity.topkIvfPq(qDf, "emb", ix, 5, nProbe = 4)))
   }
 
   test("sharded filtered search: subset holds across the merge; all-id filter == plain sharded") {
