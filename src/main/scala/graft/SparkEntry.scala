@@ -37,19 +37,35 @@ object SparkEntry {
     * weights query's training job.
     *
     * CACHE CONTRACT (applies to all the train-once caches below):
-    * keyed on the dataset DIR PATH for the life of the process, no
-    * invalidation — the driver's testdata dirs are immutable, which
-    * is the contract. A long-lived process that REWRITES parquet
-    * under a previously-seen path would be scored with the stale
-    * model; call [[clearModelCaches]] after mutating a dataset in
-    * place (the TextOpsSpec dir-keying test documents the granularity).
-    * Growth is bounded by the number of distinct dirs ever queried
-    * (three, for the driver).
+    * keyed on the dataset dir PLUS a file-metadata FINGERPRINT of the
+    * `documents` table (part names + lengths + mtimes — a filesystem
+    * metadata listing, no data scan), so a dataset REWRITTEN in place
+    * at a previously-seen path re-trains instead of silently serving
+    * the stale model (round-13 advisor). [[clearModelCaches]] remains
+    * for the same-metadata-rewrite edge (equal lengths AND mtimes).
+    * Growth is bounded by the number of distinct (dir, fingerprint)
+    * pairs ever queried (three dirs, for the driver).
     */
+  /** Cache key for the train-once caches: dir + documents-table
+    * file-metadata fingerprint (see the cache contract above).
+    */
+  private def modelCacheKey(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fp = try {
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      java.util.Arrays.sort(parts.asInstanceOf[Array[AnyRef]])
+      Integer.toHexString(
+        scala.util.hashing.MurmurHash3.arrayHash(parts))
+    } catch { case _: java.io.IOException => "nofp" }
+    s"$dir|$fp"
+  }
+
   private val dsirRatioCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
   private def dsirRatios(s: SparkSession, dir: String): Array[Double] =
-    dsirRatioCache.computeIfAbsent(dir, _ => {
+    dsirRatioCache.computeIfAbsent(modelCacheKey(s, dir), _ => {
       val docs = Tables.documents(s, dir)
       Curate.dsirLogRatios(
         docs.filter(col("doc_id") % 3 === 0), docs, "text", nBuckets = 4096)
@@ -66,7 +82,7 @@ object SparkEntry {
     String, (java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
       java.lang.Double], Double)]()
   private def unigramLm(s: SparkSession, dir: String) =
-    unigramLmCache.computeIfAbsent(dir, _ =>
+    unigramLmCache.computeIfAbsent(modelCacheKey(s, dir), _ =>
       TextAnalysis.unigramModel(
         Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), "text",
         requireUncut = true))
@@ -76,7 +92,7 @@ object SparkEntry {
       java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
         java.lang.Double], Double)]()
   private def bigramLm(s: SparkSession, dir: String) =
-    bigramLmCache.computeIfAbsent(dir, _ =>
+    bigramLmCache.computeIfAbsent(modelCacheKey(s, dir), _ =>
       TextAnalysis.bigramModel(
         Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), "text",
         requireUncut = true))
@@ -101,7 +117,7 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, TextAnalysis.Bm25Stats]()
   private val bm25Terms = Seq("vector", "spark", "merge")
   private def bm25DriverStats(s: SparkSession, dir: String): TextAnalysis.Bm25Stats =
-    bm25StatsCache.computeIfAbsent(dir, _ =>
+    bm25StatsCache.computeIfAbsent(modelCacheKey(s, dir), _ =>
       TextAnalysis.bm25Stats(Tables.documents(s, dir), "text", bm25Terms))
 
   /** The 500-doc n-gram Jaccard pair graph, computed ONCE per dataset
@@ -116,7 +132,7 @@ object SparkEntry {
   private val dropPairs500Cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
   private def dropPairs500(s: SparkSession, dir: String): DataFrame = {
-    val arr = dropPairs500Cache.computeIfAbsent(dir, _ => {
+    val arr = dropPairs500Cache.computeIfAbsent(modelCacheKey(s, dir), _ => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
         .select("id1", "id2").collect()
@@ -141,7 +157,7 @@ object SparkEntry {
   private val exactJaccardCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
   private def exactJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val arr = exactJaccardCache.computeIfAbsent(s"$dir|$threshold", _ => {
+    val arr = exactJaccardCache.computeIfAbsent(s"${modelCacheKey(s, dir)}|$threshold", _ => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = threshold)
         .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))

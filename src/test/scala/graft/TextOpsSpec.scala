@@ -399,6 +399,38 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("train-once caches re-train when a dataset dir is rewritten in place") {
+    // Round-13 advisor: a dir-path-only key silently serves the stale
+    // model after an in-place rewrite. The key now carries a
+    // file-metadata fingerprint of the documents table, so the SAME
+    // path with different data re-trains without clearModelCaches.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def bpt(): Map[Long, Double] =
+      SparkEntry.queries("text_perplexity")(spark, tmp).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    writeDocs(Seq((0L, "alpha beta gamma"), (1L, "alpha beta beta"),
+      (2L, "alpha alpha gamma"), (3L, "beta gamma gamma")))
+    val before = bpt()
+    // rewrite with a DIFFERENT corpus (different sizes → new fingerprint)
+    writeDocs(Seq((0L, "delta epsilon zeta eta theta"), (1L, "delta delta"),
+      (2L, "epsilon zeta zeta eta"), (3L, "theta theta delta epsilon")))
+    val after = bpt()
+    assert(before != after,
+      "rewritten dir served the stale train-once model (fingerprint key inert)")
+    // and the rewritten dir matches a FRESH computation of the new data
+    val docs = Tables.documents(spark, tmp)
+    val fresh = TextAnalysis.unigramNll(docs, "doc_id", "text",
+        TextAnalysis.unigramModel(
+          docs.filter(col("doc_id") % 2 === 0), "text", requireUncut = true))
+      .select(col("id"), (round(col("bits_per_token"), 4) + lit(0.0)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == fresh)
+  }
+
   test("canonicalUrl: variants fold, distinct pages don't, junk degrades to lower(url)") {
     val urls = Seq(
       (1L, "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
