@@ -1147,6 +1147,59 @@ object SparkEntry {
         (max(col("distortion")) <= 1.8).as("rp_max_ok"))
     }),
 
+    // COMPRESSED-PIPELINE composition gate (round-13 directives #4 +
+    // #6): JL-project 64→32, build IVF+PQ at the REDUCED dim, ADC
+    // proposes a 200-candidate shortlist, the FULL-dim SQ8 envelope
+    // reranks to the final top-10 — the project→build→search→rerank
+    // recipe end to end, recall-graded against the full-dim exact
+    // kernel. Pins (a) the reranked recall floor, (b) RECOVERY: the
+    // rerank must beat the reduced-dim ADC top-10 alone (the gap it
+    // exists to close), (c) the ADC-alone floor documenting what the
+    // 4× compression costs without the rerank rung. DuckDB pins the
+    // corpus count and the constant-TRUE booleans.
+    "emb_rp_rerank_gate" -> ((s, dir) => {
+      val q0 = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val cxFull = corpus(s, dir)
+      val full = Similarity.quantizeSq8(cxFull)
+      val qProj = Ann.randomProject(q0, "embedding", 32, seed = 20260816L)
+        .localCheckpoint(eager = false)
+      val ixRp = Similarity.quantizeIvfPq(
+        Similarity.collectCorpus(
+          qProj.select(col("vec_id"), col("rp")), "vec_id", "rp"),
+        nCells = 16, m = 8)
+      val brute = Similarity.topkFlat(q0, "embedding", cxFull, 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      def recallCol(hits: DataFrame) = brute
+        .join(hits.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"),
+          (col("n_hit") / col("n_exact")).as("recall"))
+      val adc = recallCol(Similarity.topkIvfPqFlat(
+        qProj.select(col("vec_id"), col("rp")), "rp", ixRp, 10, nProbe = 8))
+      val rr = recallCol(Ann.topkIvfPqRerankFull(
+        qProj, "vec_id", "embedding", "rp", ixRp, full,
+        10, nProbe = 8, shortlist = 200))
+      // measured at sf0.01/sf0.1: adc 0.275/0.203, rerank 0.770/0.619
+      // — absolute recall is bounded by the corpus, not the engine:
+      // these embeddings are near-isotropic (see emb_pca_gate), so a
+      // 2x JL cut scrambles fine ordering by construction and the
+      // 200-candidate shortlist caps what rerank can recover. The
+      // recall>=0.9 story lives on the clustered 10M family corpus
+      // (ScaleSmoke compressed leg, BENCH_NOTES); HERE the gate pins
+      // the recovery MECHANIC with wide margins.
+      rr.select(col("n_queries"), col("recall").as("rr_recall"))
+        .crossJoin(adc.select(col("recall").as("adc_recall")))
+        .select(col("n_queries"),
+          (col("rr_recall") >= 0.55).as("rp_rerank_ok"),
+          (col("rr_recall") >= col("adc_recall") + 0.25).as("rp_recovery_ok"),
+          (col("adc_recall") >= 0.15).as("rp_adc_floor_ok"))
+    }),
+
     // FILTERED IVF+PQ search, rows-only (the gate below carries
     // correctness): top-k restricted to the even-vec_id half of the
     // corpus via the priced DataFrame overload — the vector-DB
@@ -3278,6 +3331,12 @@ object SparkEntry {
       """SELECT count(*) AS n_vectors, CAST(1 AS BOOLEAN) AS pca_isometry_ok,
         |       CAST(1 AS BOOLEAN) AS pca_contraction_ok,
         |       CAST(1 AS BOOLEAN) AS pca_var_ok
+        |FROM embeddings""".stripMargin,
+
+    "emb_rp_rerank_gate" ->
+      """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS rp_rerank_ok,
+        |       CAST(1 AS BOOLEAN) AS rp_recovery_ok,
+        |       CAST(1 AS BOOLEAN) AS rp_adc_floor_ok
         |FROM embeddings""".stripMargin,
 
     // n_pairs is DuckDB's own count of the distinct-embedding pair set

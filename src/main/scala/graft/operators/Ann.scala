@@ -573,6 +573,84 @@ object Ann {
     projectMatrix(df, embCol, dim, k, new Array[Double](dim), r, outCol)
   }
 
+  /** FULL-DIMENSION rerank of a reduced-dim shortlist — the
+    * recall-recovery rung of the compressed pipeline (project →
+    * index at k dims → propose → rerank at full dim). The reduced
+    * index only PROPOSES candidates; the final order is the full-dim
+    * SQ8 cosine of the ORIGINAL query embedding against the SQ8
+    * envelope of the ORIGINAL corpus (8 bits/dim — 8× more corpus
+    * per broadcast GB than f64), one codegen'd decode-and-dot
+    * ([[Similarity.Sq8CosineAt]]) per candidate. Cost:
+    * O(shortlist · full_dim) per query on top of the compressed
+    * search — at the 10M/256→64 recipe this buys back most of the
+    * JL recall gap for a serve-time fraction.
+    *
+    * `shortlist` is ANY (qIdCol, index) proposal source — the flat,
+    * sharded, filtered, or wave form of the reduced-dim search
+    * composes unchanged. Output: (qIdCol, rank, index, score), the
+    * [[Similarity.topkFlat]] shape, scores the quantized cosine.
+    */
+  def rerankFullDim(
+      shortlist: DataFrame,
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      full: Similarity.CorpusIndexSq8,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(full)
+    val qe = queries.select(col(qIdCol),
+      col(embCol).cast("array<double>").as("__qe"))
+    import org.apache.spark.sql.graft.ColumnBridge.{column => C, expression => E}
+    // candidates are id pairs (16 B rows): join the query vector on
+    // qid first, then the scan-stage decode-and-dot — no corpus
+    // vector crosses any exchange (the rerank join-order rule)
+    val cand = shortlist.select(col(qIdCol), col("index"))
+      .join(qe, Seq(qIdCol))
+      .select(col(qIdCol), col("index"),
+        C(Similarity.Sq8CosineAt(E(col("index")), E(col("__qe")), bc)).as("score"))
+      .filter(col("score").isNotNull)
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col("index").asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col("index"),
+        (round(col("score"), 4) + lit(0.0)).as("score"))
+      .orderBy(qIdCol, "rank")
+  }
+
+  /** The compressed pipeline end-to-end: reduced-dim IVF+PQ proposes
+    * `shortlist` candidates (all ADC cost at the REDUCED dim), the
+    * full-dim SQ8 envelope reranks to the final top-k
+    * ([[rerankFullDim]]). `queries` must carry BOTH the original
+    * embedding (`embCol`) and its projection (`projCol`, from the
+    * SAME [[pcaProject]]/[[randomProject]] transform that built
+    * `reduced`'s corpus); `reduced` and `full` must pack the SAME
+    * corpus — checked by id-array equality.
+    */
+  def topkIvfPqRerankFull(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      projCol: String,
+      reduced: Similarity.CorpusIndexIvfPq,
+      full: Similarity.CorpusIndexSq8,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist must be >= k for the rerank to fill k, got $shortlist (k=$k)")
+    require(reduced.n == full.n &&
+        java.util.Arrays.equals(reduced.ids, full.ids),
+      "reduced index and full-dim SQ8 envelope must pack the SAME corpus " +
+        s"(ids differ: reduced n=${reduced.n}, full n=${full.n})")
+    val proposals = Similarity.topkIvfPqFlat(
+      queries.select(col(qIdCol), col(projCol)),
+      projCol, reduced, shortlist, nProbe)
+    rerankFullDim(proposals, queries, qIdCol, embCol, full, k)
+  }
+
   private def embDim(df: DataFrame, embCol: String): Int = {
     val head = df.select(col(embCol)).na.drop().limit(1).collect()
     require(head.nonEmpty, "Empty corpus")

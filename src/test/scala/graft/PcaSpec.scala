@@ -208,6 +208,60 @@ class PcaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Ann.randomProject(withNull, "emb", 5) }
   }
 
+  test("compressed pipeline full-dim rerank: recovers reduced-dim recall; full-probe full-shortlist == SQ8 exactness; contracts refuse") {
+    // aggressive JL 32→8 on a CLUSTERED corpus (the corpus shape
+    // where near-neighbor structure exists to recover — iid gaussian
+    // has none): reduced-dim ADC alone loses fine ordering, the
+    // full-dim SQ8 rerank of a 100-candidate shortlist buys it back
+    val rnd = new scala.util.Random(61)
+    val centers = Array.fill(40, 32)(rnd.nextGaussian())
+    def member(c: Int): Seq[Double] =
+      centers(c).toSeq.map(_ + rnd.nextGaussian() * 0.3)
+    val cDf = (0L until 400L).map(i => i -> member((i % 40).toInt))
+      .toDF("id", "emb")
+    val qDf = (0L until 30L).map(i => i -> member((i % 40).toInt))
+      .toDF("qid", "emb")
+    val cxFull = Similarity.collectCorpus(cDf, "id", "emb")
+    val full = Similarity.quantizeSq8(cxFull)
+    val ixRp = Similarity.quantizeIvfPq(
+      Similarity.collectCorpus(
+        Ann.randomProject(cDf, "emb", 8, seed = 7L).select(col("id"), col("rp")),
+        "id", "rp"),
+      nCells = 8, m = 4)
+    val qProj = Ann.randomProject(qDf, "emb", 8, seed = 7L)
+    def recallVsExact(hits: Set[(Long, Long)]): Double = {
+      val exact = Similarity.topkFlat(qDf, "emb", cxFull, 10, Metric.Cosine)
+        .select("qid", "index").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(hits).size.toDouble / exact.size
+    }
+    def hitsOf(df: org.apache.spark.sql.DataFrame, qid: String) =
+      df.select(col(qid), col("index")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcOnly = recallVsExact(hitsOf(Similarity.topkIvfPqFlat(
+      qProj.select(col("qid"), col("rp")), "rp", ixRp, 10, nProbe = 4), "qid"))
+    val reranked = recallVsExact(hitsOf(Ann.topkIvfPqRerankFull(
+      qProj, "qid", "emb", "rp", ixRp, full, 10, nProbe = 4, shortlist = 100), "qid"))
+    assert(reranked > adcOnly,
+      s"full-dim rerank did not improve reduced-dim recall: $reranked vs $adcOnly")
+    assert(reranked >= 0.8, s"reranked recall floor: $reranked (adc-only $adcOnly)")
+    // full probe + corpus-wide shortlist: proposals are ALL rows, so
+    // the result is the global SQ8 top-k — only the 8-bit grid error
+    // separates it from the f64 exact kernel (the ann_sq8_recall bound)
+    val sq8Exact = recallVsExact(hitsOf(Ann.topkIvfPqRerankFull(
+      qProj, "qid", "emb", "rp", ixRp, full, 10, nProbe = 8, shortlist = 400), "qid"))
+    assert(sq8Exact >= 0.95, s"full-probe full-shortlist recall: $sq8Exact")
+    // contracts: shortlist < k refuses; mismatched corpora refuse
+    intercept[IllegalArgumentException] {
+      Ann.topkIvfPqRerankFull(qProj, "qid", "emb", "rp", ixRp, full, 10, 4, 5)
+    }
+    val otherSq8 = Similarity.quantizeSq8(
+      Similarity.collectCorpus(randVecs(100, 32, 71).toDF("id", "emb"), "id", "emb"))
+    intercept[IllegalArgumentException] {
+      Ann.topkIvfPqRerankFull(qProj, "qid", "emb", "rp", ixRp, otherSq8, 10, 4, 100)
+    }
+  }
+
   test("jacobi solver: recovers a planted spectrum") {
     // A = Q diag(5,2,1) Qᵀ for a fixed rotation Q
     val q = Ann.jacobiEigSym(Array(
