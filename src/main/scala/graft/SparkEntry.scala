@@ -1383,6 +1383,61 @@ object SparkEntry {
         .crossJoin(rerank.select(col("ok").as("append_rerank_ok")))
     }),
 
+    // TOMBSTONE-DELETE gate (round-13 directive #5): the takedown
+    // path — build + persist the sharded index, DELETE a third of the
+    // corpus without rebuilding (metadata-only tombstone set), and
+    // pin the lifecycle: (a) the masked serve never returns a deleted
+    // id; (b) it is BIT-IDENTICAL to the complement allow-mask serve
+    // (the 27k machinery with the set inverted); (c) COMPACTION
+    // rewrites the shards dropping tombstoned rows and serves
+    // bit-identically to the masked form with zero masks; (d) the
+    // plain reader REFUSES the tombstoned index so no reader can
+    // serve deleted rows by accident. DuckDB pins the corpus count,
+    // its own count of the deleted population, and the booleans.
+    "ann_ivfpq_delete_gate" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-delete").toString
+      val build = Similarity.buildIvfPqShardedWithLayout(q, "vec_id",
+        "embedding", numShards = 4, nCells = 8, m = 16)
+      graft.sources.Sink.writeIvfPqShardedIndex(s, build, s"$base/ix",
+        overwrite = false)
+      graft.sources.Sink.deleteFromIvfPqShardedIndex(s,
+        emb.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id",
+        s"$base/ix", s"$base/del")
+      val refused =
+        try { graft.sources.Source.readIvfPqShardedIndex(s, s"$base/del"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("tombstoned") }
+      val (shards, ts) =
+        graft.sources.Source.readIvfPqShardedIndexWithTombstones(s, s"$base/del")
+      def rows(df: DataFrame) = df.select("vec_id", "rank", "index", "score")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val served = rows(Similarity.topkIvfPqShardedTombstoned(q, "embedding",
+        "vec_id", shards, ts, 10, nProbe = 4, shortlist = 100))
+      val complement = shards.flatMap(_.ids).filter(_ % 3 != 0).toArray
+      val parity = served == rows(Similarity.topkIvfPqShardedFiltered(q,
+        "embedding", "vec_id", shards, complement, 10, nProbe = 4,
+        shortlist = 100))
+      graft.sources.Sink.compactIvfPqShardedIndex(s, s"$base/del", s"$base/comp")
+      val cShards = graft.sources.Source.readIvfPqShardedIndex(s, s"$base/comp")
+      val compactOk =
+        cShards.map(_.n.toLong).sum == shards.map(_.n.toLong).sum - ts.length
+      val compactParity = compactOk && served == rows(
+        Similarity.topkIvfPqSharded(q, "embedding", "vec_id", cShards,
+          10, nProbe = 4, shortlist = 100))
+      val subset = served.nonEmpty && served.forall(_._3 % 3 != 0)
+      Seq((shards.map(_.n.toLong).sum, ts.length.toLong,
+          subset, parity, compactParity, refused))
+        .toDF("n_vectors", "n_deleted", "delete_subset_ok",
+          "delete_parity_ok", "delete_compact_ok", "delete_reader_refusal_ok")
+    }),
+
     // BOUNDED-MEMORY wave serving gate (round-10 verdict #1): the
     // plain sharded search unions all B per-shard plans, pinning
     // every shard's broadcast simultaneously — per-executor memory =
@@ -3373,6 +3428,18 @@ object SparkEntry {
     "ann_ivfpq_waves_gate" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS waves_parity_ok,
         |       CAST(1 AS BOOLEAN) AS waves_bounded_ok
+        |FROM embeddings""".stripMargin,
+
+    // n_deleted is DuckDB's own count of the takedown population —
+    // the value-level anchor that the Spark side deleted on the same
+    // predicate the oracle did
+    "ann_ivfpq_delete_gate" ->
+      """SELECT count(*) AS n_vectors,
+        |       count(*) FILTER (WHERE vec_id % 3 = 0) AS n_deleted,
+        |       CAST(1 AS BOOLEAN) AS delete_subset_ok,
+        |       CAST(1 AS BOOLEAN) AS delete_parity_ok,
+        |       CAST(1 AS BOOLEAN) AS delete_compact_ok,
+        |       CAST(1 AS BOOLEAN) AS delete_reader_refusal_ok
         |FROM embeddings""".stripMargin,
 
     "ann_ivfpq_stream_waves_gate" ->

@@ -1833,6 +1833,29 @@ object Similarity {
     sorted
   }
 
+  /** The DENY-set complement of [[allowedMaskPresorted]]: mask true
+    * everywhere EXCEPT ids in the sorted tombstone array — the serve
+    * form of a persisted delete ([[graft.sources.Sink
+    * .deleteFromIvfPqShardedIndex]]). Returned count is the LIVE
+    * population (n − tombstoned-in-this-shard), which the k clamp
+    * needs. Unknown tombstone ids are harmless (routing sends each
+    * id's tombstone to the shard that holds it — others just miss).
+    */
+  private[graft] def deniedMaskPresorted(
+      corpus: CorpusIndexIvfPq, sortedDeny: Array[Long]): (Array[Boolean], Int) = {
+    val n = corpus.n
+    val mask = new Array[Boolean](n)
+    var nAllowed = 0
+    var g = 0
+    while (g < n) {
+      if (java.util.Arrays.binarySearch(sortedDeny, corpus.ids(g)) < 0) {
+        mask(g) = true; nAllowed += 1
+      }
+      g += 1
+    }
+    (mask, nAllowed)
+  }
+
   private[graft] def allowedMaskPresorted(
       corpus: CorpusIndexIvfPq, sorted: Array[Long]): (Array[Boolean], Int) = {
     val n = corpus.n
@@ -2379,6 +2402,47 @@ object Similarity {
     * lifetime caveat of [[topkIvfPqFiltered]] — long-lived drivers
     * should prefer the wave form, which destroys per wave.
     */
+  /** [[topkIvfPqSharded]] over an index with TOMBSTONED ids — the
+    * serve half of the delete lifecycle ([[graft.sources.Sink
+    * .deleteFromIvfPqShardedIndex]] persists the tombstone set,
+    * [[graft.sources.Source.readIvfPqShardedIndexWithTombstones]]
+    * restores it beside the shards): each shard masks its tombstoned
+    * rows out of the probed-cell scan (the ID-selector machinery with
+    * the set INVERTED — deny, not allow), so a deleted row can never
+    * be served, k clamps to the LIVE population, and the result is
+    * bit-identical to serving the COMPACTED index (same geometry,
+    * same candidates, same scores — SinkSpec pins it). An empty
+    * tombstone array serves identically to [[topkIvfPqSharded]].
+    * Per-shard mask broadcasts share the lazy-plan lifetime caveat of
+    * [[topkIvfPqFiltered]]; compaction ([[graft.sources.Sink
+    * .compactIvfPqShardedIndex]]) retires the masks entirely.
+    */
+  def topkIvfPqShardedTombstoned(
+      queries: DataFrame,
+      embCol: String,
+      qIdCol: String,
+      shards: Seq[CorpusIndexIvfPq],
+      tombstoneIds: Array[Long],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val spark = queries.sparkSession
+    val sorted = sortedAllowed(tombstoneIds)
+    val partials = shards.map { ix =>
+      val (mask, nAllowed) = deniedMaskPresorted(ix, sorted)
+      topkIvfPqFlatBc(queries, embCol, broadcastOf(spark, ix), k, nProbe,
+          shortlist, spark.sparkContext.broadcast(mask), nAllowed)
+        .drop("rank")
+    }
+    val unioned = partials.reduce(_ unionAll _)
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col("index").asc)
+    unioned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def topkIvfPqShardedFiltered(
       queries: DataFrame,
       embCol: String,

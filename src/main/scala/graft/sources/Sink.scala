@@ -1143,7 +1143,134 @@ object Sink {
             .write.mode(SaveMode.ErrorIfExists).parquet(s"$shardDir/meta")
         }
         fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/__append__"), true)
+        // carry tombstones forward: a delete-then-append index keeps
+        // serving with the deleted rows masked (re-adding a
+        // tombstoned id is refused by the stored-id clash above —
+        // compact first to free the id)
+        val oldTs = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+        if (oldTs.getFileSystem(conf).exists(oldTs))
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            oldTs.getFileSystem(conf), oldTs, fs,
+            new org.apache.hadoop.fs.Path(s"$tmp/tombstones"), false, conf),
+            s"could not carry $oldTs forward")
       }
     } finally bcF.destroy()
+  }
+
+  /** TOMBSTONE delete from a persisted sharded IVF+PQ index — the
+    * takedown/GDPR path that does NOT rebuild: the output index is a
+    * file-level copy of the input (codes untouched, byte-identical)
+    * plus the grown tombstone id set under `tombstones/`. Serving
+    * applies the set as an always-on deny mask
+    * ([[graft.operators.Similarity.topkIvfPqShardedTombstoned]] —
+    * bit-identical results to the compacted index), and
+    * [[compactIvfPqShardedIndex]] eventually rewrites the shards
+    * dropping tombstoned rows so the masks retire.
+    *
+    * Contracts: every deleted id must be STORED in the index (a
+    * takedown for a row that was never there is a caller bug, not a
+    * no-op), and must not already be tombstoned (double-delete
+    * refused — the caller's bookkeeping is broken if it deletes
+    * twice). The plain [[graft.sources.Source.readIvfPqShardedIndex]]
+    * REFUSES a tombstoned index so no reader can serve deleted rows
+    * by accident; read through
+    * [[graft.sources.Source.readIvfPqShardedIndexWithTombstones]].
+    */
+  def deleteFromIvfPqShardedIndex(
+      spark: SparkSession,
+      deleteIds: DataFrame,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean = false): Unit = {
+    val manifest = spark.read.parquet(s"$indexPath/manifest").head()
+    val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
+    val del = deleteIds.select(col(idCol).cast(LongType).as("id"))
+      .na.drop().distinct()
+    require(del.limit(1).collect().nonEmpty, "empty delete set")
+    val storedIds = spark.read.parquet(
+      (0 until numShards).map(i => f"$indexPath/shard_$i%04d/vectors"): _*)
+      .select(col("id"))
+    val unknown = del.join(storedIds, Seq("id"), "left_anti").limit(1).collect()
+    require(unknown.isEmpty,
+      s"cannot delete id ${unknown.headOption.map(_.getLong(0)).getOrElse(-1L)}: " +
+        s"not stored in the index at $indexPath")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tsPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val hadTs = tsPath.getFileSystem(conf).exists(tsPath)
+    val existing =
+      if (hadTs) spark.read.parquet(tsPath.toString).select(col("id"))
+      else spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
+    val dbl = del.join(existing, Seq("id"), "left_semi").limit(1).collect()
+    require(dbl.isEmpty,
+      s"id ${dbl.headOption.map(_.getLong(0)).getOrElse(-1L)} is already " +
+        "tombstoned (double delete)")
+    publishAtomically(spark, outPath, overwrite) { tmp =>
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+      (Seq("manifest") ++ (0 until numShards).map(i => f"shard_$i%04d"))
+        .foreach { d =>
+          val src = new org.apache.hadoop.fs.Path(s"$indexPath/$d")
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            src.getFileSystem(conf), src, fs,
+            new org.apache.hadoop.fs.Path(s"$tmp/$d"), false, conf),
+            s"could not copy $src")
+        }
+      existing.unionAll(del).repartition(1)
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/tombstones")
+    }
+  }
+
+  /** Compact a tombstoned sharded IVF+PQ index: rewrite each shard's
+    * `vectors/` DROPPING tombstoned rows (pack positions renumbered
+    * contiguously in original order — a pure permutation-free
+    * deletion, trained models untouched), shrink each shard meta's
+    * `n` and the manifest's `total_n` to the live population, and
+    * emit NO tombstone set — the compacted index serves through the
+    * plain reader with zero masks, and freed ids become appendable
+    * again. Serving the compacted index is bit-identical to serving
+    * the tombstoned input through
+    * [[graft.operators.Similarity.topkIvfPqShardedTombstoned]]
+    * (same geometry, same surviving candidates — SinkSpec pins it).
+    */
+  def compactIvfPqShardedIndex(
+      spark: SparkSession,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean = false): Unit = {
+    val manifestDf = spark.read.parquet(s"$indexPath/manifest")
+    val manifest = manifestDf.head()
+    val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tsPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    require(tsPath.getFileSystem(conf).exists(tsPath),
+      s"no tombstones at $indexPath — nothing to compact")
+    val ts = spark.read.parquet(tsPath.toString).select(col("id"))
+      .localCheckpoint(eager = true)
+    publishAtomically(spark, outPath, overwrite) { tmp =>
+      var liveTotal = 0L
+      (0 until numShards).foreach { i =>
+        val shardDir = f"shard_$i%04d"
+        val kept = spark.read.parquet(s"$indexPath/$shardDir/vectors")
+          .join(ts, Seq("id"), "left_anti")
+        // renumber pack positions contiguously in original order; a
+        // shard is broadcast-sized by contract, so the single-shard
+        // window is bounded by what serving already holds in memory
+        val renumbered = kept
+          .withColumn("idx",
+            (row_number().over(Window.orderBy(col("idx"))) - 1)
+              .cast(IntegerType))
+        renumbered.write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"$tmp/$shardDir/vectors")
+        val liveN = spark.read.parquet(s"$tmp/$shardDir/vectors").count()
+        liveTotal += liveN
+        // meta rewritten by NAME so both build-written (8-col) and
+        // append-written (9-col, k_pq) schemas survive unchanged
+        spark.read.parquet(s"$indexPath/$shardDir/meta")
+          .withColumn("n", lit(liveN).cast(IntegerType))
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/$shardDir/meta")
+      }
+      manifestDf.withColumn("total_n", lit(liveTotal))
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
+    }
   }
 }

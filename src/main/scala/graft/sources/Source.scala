@@ -302,6 +302,48 @@ object Source {
   def readIvfPqShardedIndex(
       spark: SparkSession,
       path: String): IndexedSeq[graft.operators.Similarity.CorpusIndexIvfPq] = {
+    // a tombstoned index must NOT serve through the plain reader —
+    // every row it returns would include the deleted ones. Named
+    // refusal instead of a silent wrong serve.
+    val ts = readIvfPqShardedIndexTombstones(spark, path)
+    require(ts.isEmpty,
+      s"index at $path carries ${ts.length} tombstoned ids — read through " +
+        "readIvfPqShardedIndexWithTombstones and serve with " +
+        "topkIvfPqShardedTombstoned, or rewrite with " +
+        "Sink.compactIvfPqShardedIndex first")
+    readIvfPqShardedIndexShards(spark, path)
+  }
+
+  /** Restore a sharded IVF+PQ index TOGETHER with its tombstone id
+    * set (empty for a never-deleted or compacted index) — the serve
+    * pair for [[graft.operators.Similarity
+    * .topkIvfPqShardedTombstoned]]. Shards restore byte-identically;
+    * tombstoned rows stay in the pack (their bytes are untouched by
+    * design — [[graft.sources.Sink.deleteFromIvfPqShardedIndex]] is a
+    * metadata-only operation) and the deny mask excludes them at
+    * serve.
+    */
+  def readIvfPqShardedIndexWithTombstones(
+      spark: SparkSession,
+      path: String): (IndexedSeq[graft.operators.Similarity.CorpusIndexIvfPq], Array[Long]) =
+    (readIvfPqShardedIndexShards(spark, path),
+      readIvfPqShardedIndexTombstones(spark, path))
+
+  /** The tombstone id set of a persisted sharded index — empty when
+    * the `tombstones/` directory is absent (never-deleted index or
+    * post-compaction).
+    */
+  def readIvfPqShardedIndexTombstones(
+      spark: SparkSession, path: String): Array[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Array.empty[Long]
+    else spark.read.parquet(p.toString).select("id").collect().map(_.getLong(0))
+  }
+
+  private def readIvfPqShardedIndexShards(
+      spark: SparkSession,
+      path: String): IndexedSeq[graft.operators.Similarity.CorpusIndexIvfPq] = {
     // by field name, not position — the manifest schema has already
     // grown twice (hash_modulus, shard_hash_vals) and the append path
     // reads it by name; positional reads here were only correct while

@@ -458,6 +458,96 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("tombstone deletes: masked serve == complement filter == compacted serve; append-after-delete; refusals") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(53)
+    val corpus = (0L until 600L).map(i => i -> Seq.fill(32)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    val queries = (0L until 25L).map(i => i -> Seq.fill(32)(rnd.nextGaussian()))
+      .toDF("qid", "emb")
+    val built = Similarity.buildIvfPqSharded(corpus, "id", "emb",
+      numShards = 3, nCells = 4, m = 8)
+    val base = tmpDir("sink-ts-base")
+    Sink.writeIvfPqShardedIndex(spark, built, base)
+    val delIds = (0L until 600L).filter(_ % 5 == 0)
+    val deleted = tmpDir("sink-ts-del")
+    Sink.deleteFromIvfPqShardedIndex(spark, delIds.toDF("id"), "id", base, deleted)
+    // the plain reader refuses a tombstoned index by name
+    val eTs = intercept[IllegalArgumentException] {
+      graft.sources.Source.readIvfPqShardedIndex(spark, deleted)
+    }
+    assert(eTs.getMessage.contains("tombstoned"))
+    val (shards, ts) =
+      graft.sources.Source.readIvfPqShardedIndexWithTombstones(spark, deleted)
+    assert(ts.sorted.toSeq == delIds)
+    // shard bytes untouched by the delete (metadata-only operation)
+    shards.zip(built).foreach { case (l, b) =>
+      assert(l.ids.sameElements(b.ids) && l.codes.sameElements(b.codes))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "index", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val served = rows(Similarity.topkIvfPqShardedTombstoned(queries, "emb",
+      "qid", shards, ts, 8, nProbe = 4, shortlist = 30))
+    assert(served.nonEmpty && served.forall(_._3 % 5 != 0),
+      "tombstoned serve returned a deleted id")
+    // deny mask == complement allow mask, bit for bit
+    val complement = (0L until 600L).filter(_ % 5 != 0).toArray
+    assert(served == rows(Similarity.topkIvfPqShardedFiltered(queries, "emb",
+      "qid", shards, complement, 8, nProbe = 4, shortlist = 30)))
+    // compaction: plain reader works again, live population only,
+    // serve is bit-identical to the masked serve (same geometry)
+    val compacted = tmpDir("sink-ts-comp")
+    Sink.compactIvfPqShardedIndex(spark, deleted, compacted)
+    val cShards = graft.sources.Source.readIvfPqShardedIndex(spark, compacted)
+    assert(cShards.map(_.n).sum == 480)
+    assert(cShards.flatMap(_.ids).forall(_ % 5 != 0))
+    assert(served == rows(Similarity.topkIvfPqSharded(queries, "emb", "qid",
+      cShards, 8, nProbe = 4, shortlist = 30)))
+    // append AFTER delete: tombstones carry forward, new rows serve,
+    // deleted rows stay masked
+    val extra = (1000L until 1050L).map(i => i -> Seq.fill(32)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    val appended = tmpDir("sink-ts-app")
+    Sink.appendIvfPqShardedIndex(spark, extra, "id", "emb", deleted, appended)
+    val (aShards, aTs) =
+      graft.sources.Source.readIvfPqShardedIndexWithTombstones(spark, appended)
+    assert(aTs.length == delIds.size)
+    assert(aShards.map(_.n.toLong).sum == 650L)
+    val aServed = rows(Similarity.topkIvfPqShardedTombstoned(queries, "emb",
+      "qid", aShards, aTs, 650, nProbe = 4))
+    val delSet = delIds.toSet
+    assert(aServed.forall(r => !delSet.contains(r._3)),
+      "append-after-delete served a tombstoned id")
+    assert(aServed.exists(_._3 >= 1000L), "appended rows not served")
+    // re-adding a tombstoned id refuses (compact first to free the id)
+    intercept[IllegalArgumentException] {
+      Sink.appendIvfPqShardedIndex(spark,
+        Seq((0L, Seq.fill(32)(0.1))).toDF("id", "emb"),
+        "id", "emb", deleted, tmpDir("sink-ts-readd"))
+    }
+    // double delete refuses
+    val eDbl = intercept[IllegalArgumentException] {
+      Sink.deleteFromIvfPqShardedIndex(spark, Seq(0L, 10L).toDF("id"), "id",
+        deleted, tmpDir("sink-ts-dbl"))
+    }
+    assert(eDbl.getMessage.contains("already"))
+    // unknown id refuses; empty delete set refuses
+    intercept[IllegalArgumentException] {
+      Sink.deleteFromIvfPqShardedIndex(spark, Seq(99999L).toDF("id"), "id",
+        base, tmpDir("sink-ts-unk"))
+    }
+    intercept[IllegalArgumentException] {
+      Sink.deleteFromIvfPqShardedIndex(spark,
+        Seq.empty[Long].toDF("id"), "id", base, tmpDir("sink-ts-empty"))
+    }
+    // compacting a tombstone-free index refuses (nothing to compact)
+    intercept[IllegalArgumentException] {
+      Sink.compactIvfPqShardedIndex(spark, base, tmpDir("sink-ts-nocomp"))
+    }
+  }
+
   test("distributed build → append parity: byte-identical to collect build → append") {
     // round-10 verdict #5: the two build paths were pinned equal, and
     // append-on-append was pinned, but distributed-build-THEN-append
