@@ -888,6 +888,36 @@ object ScaleSmoke {
           f"project $projSec%.2f s, build $rpBuildSec%.2f s (full-dim $buildSec%.2f s), " +
           f"rerank search $rpSearchSec%.2f s (full-dim $rerankSec%.2f s), " +
           f"recall@10 vs FULL-dim truth $rpRecall%.4f (full-dim rerank recall printed below)")
+        // round 14: the FULL-DIM RERANK rung — the reduced index only
+        // PROPOSES a 100-candidate shortlist; the final top-10 is the
+        // full-dim SQ8 cosine against sharded SQ8 envelopes of the
+        // ORIGINAL corpus (1 B/element, shared corpus-global grid).
+        // This buys back most of the JL recall gap for one
+        // O(shortlist·dim) decode-dot per query + the envelope build.
+        val tEnv = System.nanoTime()
+        val fullEnv = Similarity.buildSq8Sharded(corpusD, "doc_id", "vec",
+          numShards = blocks)
+        val envSec = (System.nanoTime() - tEnv) / 1e9
+        val tRr = System.nanoTime()
+        val proposals = Similarity.topkIvfPqSharded(queriesRp, "vec", "qid",
+          shardsRp, 100, nProbe = nProbe, shortlist = 0)
+        val rrTop = graft.operators.Ann.rerankFullDim(proposals, queries,
+            "qid", "vec", fullEnv, 10)
+          .select(col("qid"), col("index")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q2, rs) => q2 -> rs.map(_._2).toSet }
+        val rrSec = (System.nanoTime() - tRr) / 1e9
+        val rrRecall = {
+          val per = truth.toSeq.map { case (q2, t) =>
+            (t.intersect(rrTop.getOrElse(q2, Set.empty)).size, t.size) }
+          per.map(_._1).sum.toDouble / math.max(1, per.map(_._2).sum)
+        }
+        println(f"ivfpq COMPRESSED + FULL-DIM RERANK: SQ8 envelope build " +
+          f"$envSec%.2f s, propose+rerank $rrSec%.2f s, " +
+          f"recall@10 vs FULL-dim truth $rrRecall%.4f " +
+          f"(compressed-alone $rpRecall%.4f)")
+        require(rrRecall >= rpRecall,
+          f"full-dim rerank lost recall: $rrRecall%.4f < $rpRecall%.4f")
         corpusRp.unpersist(); queriesRp.unpersist()
       }
       val mode = if (distBuild) "DISTRIBUTED train-on-sample + restore"

@@ -596,20 +596,38 @@ object Ann {
       qIdCol: String,
       embCol: String,
       full: Similarity.CorpusIndexSq8,
+      k: Int): DataFrame =
+    rerankFullDim(shortlist, queries, qIdCol, embCol, Seq(full), k)
+
+  /** [[rerankFullDim]] against SHARDED SQ8 envelopes
+    * ([[Similarity.buildSq8Sharded]]) — the form for corpora past one
+    * broadcast: each candidate scores against the shard that holds
+    * its id (shards are id-disjoint by the hash-mod build contract,
+    * so a coalesce over the per-shard decode-and-dots picks exactly
+    * the holder's score; ids in no shard drop out).
+    */
+  def rerankFullDim(
+      shortlist: DataFrame,
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      fulls: Seq[Similarity.CorpusIndexSq8],
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(fulls.nonEmpty, "Empty SQ8 envelope list")
     val spark = queries.sparkSession
-    val bc = spark.sparkContext.broadcast(full)
+    val bcs = fulls.map(f => spark.sparkContext.broadcast(f))
     val qe = queries.select(col(qIdCol),
       col(embCol).cast("array<double>").as("__qe"))
     import org.apache.spark.sql.graft.ColumnBridge.{column => C, expression => E}
     // candidates are id pairs (16 B rows): join the query vector on
     // qid first, then the scan-stage decode-and-dot — no corpus
     // vector crosses any exchange (the rerank join-order rule)
+    val scoreCol = coalesce(bcs.map(bc =>
+      C(Similarity.Sq8CosineAt(E(col("index")), E(col("__qe")), bc))): _*)
     val cand = shortlist.select(col(qIdCol), col("index"))
       .join(qe, Seq(qIdCol))
-      .select(col(qIdCol), col("index"),
-        C(Similarity.Sq8CosineAt(E(col("index")), E(col("__qe")), bc)).as("score"))
+      .select(col(qIdCol), col("index"), scoreCol.as("score"))
       .filter(col("score").isNotNull)
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("score").desc, col("index").asc)

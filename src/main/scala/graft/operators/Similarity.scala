@@ -820,6 +820,19 @@ object Similarity {
       dimScale(d) = if (mx > mn) ((mx - mn) / 255.0).toFloat else 0.0f
       d += 1
     }
+    quantizeSq8Bounded(cx, dimMin, dimScale)
+  }
+
+  /** [[quantizeSq8]] against CALLER-SUPPLIED per-dim bounds — the
+    * shared-grid encode [[buildSq8Sharded]] needs so every shard
+    * quantizes on the SAME corpus-global grid (per-shard grids decode
+    * to slightly different values and break bit-parity with the
+    * whole-corpus envelope).
+    */
+  private[graft] def quantizeSq8Bounded(
+      cx: CorpusIndex,
+      dimMin: Array[Float],
+      dimScale: Array[Float]): CorpusIndexSq8 = {
     val codes = new Array[Byte](cx.n * cx.dim)
     val norms = new Array[Double](cx.n)
     val sqNorms = new Array[Double](cx.n)
@@ -832,6 +845,61 @@ object Similarity {
       j += 1
     }
     CorpusIndexSq8(cx.ids, codes, cx.n, cx.dim, dimMin, dimScale, norms, sqNorms)
+  }
+
+  /** Corpus-global per-dim SQ8 bounds in ONE distributed agg pass
+    * (2·dim min/max aggregates — nothing row-shaped reaches the
+    * driver): exactly the grid [[quantizeSq8]] derives from a packed
+    * corpus, so shards encoded against it are bit-identical to the
+    * whole-corpus envelope's slices.
+    */
+  private[graft] def sq8GlobalBounds(
+      corpus: DataFrame, embCol: String, dim: Int): (Array[Float], Array[Float]) = {
+    // tight treeAggregate (2·dim doubles of per-partition state) — a
+    // 2·dim-wide Column aggregate was measured codegen-hostile at 256
+    // dims (the whole-stage function blows past the JIT limit)
+    val proj = corpus.select(col(embCol)).na.drop()
+    val isF32 = proj.schema.head.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case dt => throw new IllegalArgumentException(
+        s"$embCol must be array<float>/array<double>, got ${dt.simpleString}")
+    }
+    val zero = (Array.fill(dim)(Double.MaxValue), Array.fill(dim)(Double.MinValue))
+    val (mns, mxs) = InternalRowBridge.toInternalRdd(proj)
+      .treeAggregate(zero)(
+        seqOp = { case ((mn, mx), row) =>
+          val a = row.getArray(0)
+          require(a.numElements() == dim,
+            s"ragged embedding: ${a.numElements()} elements, corpus dim $dim")
+          var d = 0
+          while (d < dim) {
+            val v = if (isF32) a.getFloat(d).toDouble else a.getDouble(d)
+            if (v < mn(d)) mn(d) = v
+            if (v > mx(d)) mx(d) = v
+            d += 1
+          }
+          (mn, mx)
+        },
+        combOp = { case ((mn1, mx1), (mn2, mx2)) =>
+          var d = 0
+          while (d < dim) {
+            if (mn2(d) < mn1(d)) mn1(d) = mn2(d)
+            if (mx2(d) > mx1(d)) mx1(d) = mx2(d)
+            d += 1
+          }
+          (mn1, mx1)
+        })
+    val dimMin = new Array[Float](dim)
+    val dimScale = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      dimMin(i) = mns(i).toFloat
+      dimScale(i) =
+        if (mxs(i) > mns(i)) ((mxs(i) - mns(i)) / 255.0).toFloat else 0.0f
+      i += 1
+    }
+    (dimMin, dimScale)
   }
 
   /** SQ8-encode one row against fixed per-dim bounds from `data` at
@@ -2225,6 +2293,69 @@ object Similarity {
     unioned
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** One SQ8 envelope per hash-mod shard of the corpus — the
+    * full-dimension rerank sidecar at corpus sizes past one
+    * broadcast ([[graft.operators.Ann.rerankFullDim]] takes the
+    * sequence; each candidate scores against the shard that holds
+    * it). Same priced concurrent collect-and-quantize as the
+    * quantized [[topkBlocked]]: each shard's f64 pack lives only
+    * inside its build task, so peak driver memory is the in-flight
+    * shards' packs (budgeted, default heap/4), never the whole f64
+    * corpus — only the 8-bit codes survive (1 byte/element, 8× the
+    * corpus per broadcast GB). Every shard encodes against ONE
+    * corpus-global grid ([[sq8GlobalBounds]], a single distributed
+    * agg pass), so the sharded envelopes score BIT-IDENTICALLY to the
+    * whole-corpus [[quantizeSq8]] envelope (PcaSpec pins it). Shard
+    * membership is `xxhash64(id) mod numShards`, disjoint by
+    * construction; empty shards are skipped.
+    */
+  def buildSq8Sharded(
+      corpus: DataFrame,
+      cIdCol: String,
+      cEmbCol: String,
+      numShards: Int,
+      maxInFlightBytes: Long = 0L): Seq[CorpusIndexSq8] = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val blockOf = pmod(xxhash64(col(cIdCol).cast(LongType)), lit(numShards))
+    val budget =
+      if (maxInFlightBytes > 0L) maxInFlightBytes
+      else math.max(256L << 20, Runtime.getRuntime.maxMemory() / 4)
+    val counts: Map[Int, Long] = corpus
+      .groupBy(blockOf.cast(IntegerType).as("b")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) throw new IllegalArgumentException("Empty corpus")
+    val dim = corpus.select(col(cEmbCol)).filter(col(cEmbCol).isNotNull)
+      .head().getSeq[Any](0).length
+    val (gridMin, gridScale) = sq8GlobalBounds(corpus, cEmbCol, dim)
+    val gate = new Object
+    var inFlight = 0L
+    def acquire(bytes: Long): Unit = gate.synchronized {
+      while (inFlight > 0L && inFlight + bytes > budget) gate.wait()
+      inFlight += bytes
+    }
+    def release(bytes: Long): Unit = gate.synchronized {
+      inFlight -= bytes; gate.notifyAll()
+    }
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(numShards, 8))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = (0 until numShards).map { b =>
+        scala.concurrent.Future {
+          val price = counts.getOrElse(b, 0L) * dim * 40L
+          acquire(price)
+          try collectCorpusOpt(corpus.filter(blockOf === b), cIdCol, cEmbCol)
+            .map(quantizeSq8Bounded(_, gridMin, gridScale))
+          finally release(price)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf).flatten
+    } finally pool.shutdown()
   }
 
   /** Build one IVF+PQ index per hash-mod shard of the corpus, the

@@ -260,6 +260,18 @@ class PcaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Ann.topkIvfPqRerankFull(qProj, "qid", "emb", "rp", ixRp, otherSq8, 10, 4, 100)
     }
+    // SHARDED envelopes (buildSq8Sharded) rerank identically to the
+    // single whole-corpus envelope — coalesce picks each id's holder
+    val proposals = Similarity.topkIvfPqFlat(
+      qProj.select(col("qid"), col("rp")), "rp", ixRp, 100, nProbe = 4)
+    val single = Ann.rerankFullDim(proposals, qProj, "qid", "emb", full, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val shardedEnv = Similarity.buildSq8Sharded(cDf, "id", "emb", numShards = 3)
+    assert(shardedEnv.size == 3 && shardedEnv.map(_.n).sum == 400)
+    val viaSharded = Ann.rerankFullDim(proposals, qProj, "qid", "emb", shardedEnv, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaSharded == single,
+      "sharded SQ8 envelopes diverge from the whole-corpus envelope")
   }
 
   test("jacobi solver: recovers a planted spectrum") {
