@@ -2705,13 +2705,14 @@ object Similarity {
       scratchDir: String = "",
       meter: ShardedServeMeter = ShardedServeStats.default,
       memoryPartials: Boolean = false,
-      allowedIds: Array[Long] = null): DataFrame = {
+      allowedIds: Array[Long] = null,
+      deniedIds: Array[Long] = null): DataFrame = {
     require(shards.nonEmpty, "Empty shard list")
     topkIvfPqWavesCore(queries, embCol, qIdCol, shards.map(ix => () => ix),
       k, nProbe, shortlist, waveSize,
       if (memoryPartials) ""
       else resolveWaveScratch(queries.sparkSession.sparkContext.isLocal, scratchDir),
-      meter, memoryPartials, allowedIds)
+      meter, memoryPartials, allowedIds, deniedIds)
   }
 
   /** Scratch-dir policy for the wave server (see
@@ -2777,7 +2778,8 @@ object Similarity {
       scratch: String,
       meter: ShardedServeMeter,
       memoryPartials: Boolean = false,
-      allowedIds: Array[Long] = null): DataFrame = {
+      allowedIds: Array[Long] = null,
+      deniedIds: Array[Long] = null): DataFrame = {
     require(shardProviders.nonEmpty, "Empty shard list")
     require(waveSize >= 1, s"waveSize must be >= 1, got $waveSize")
     val spark = queries.sparkSession
@@ -2785,6 +2787,7 @@ object Similarity {
       .orderBy(col("score").desc, col("index").asc)
     val waves = shardProviders.grouped(waveSize).toIndexedSeq
     val sorted = if (allowedIds == null) null else sortedAllowed(allowedIds)
+    val sortedDeny = if (deniedIds == null) null else sortedAllowed(deniedIds)
     val memParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     waves.zipWithIndex.foreach { case (wave, wi) =>
       val sized = wave.map { load =>
@@ -2799,9 +2802,26 @@ object Similarity {
       // serving
       val bcs = sized.map { case (ix, bytes) =>
         val (maskBc, nAllowed) =
-          if (sorted == null) (null: Broadcast[Array[Boolean]], -1)
+          if (sorted == null && sortedDeny == null)
+            (null: Broadcast[Array[Boolean]], -1)
           else {
-            val (mask, n) = allowedMaskPresorted(ix, sorted)
+            // allow ∧ ¬deny: the deny set is the persisted tombstone
+            // form ([[graft.sources.Sink.deleteFromIvfPqShardedIndex]])
+            val (mask, n) =
+              if (sortedDeny == null) allowedMaskPresorted(ix, sorted)
+              else if (sorted == null) deniedMaskPresorted(ix, sortedDeny)
+              else {
+                val (am, _) = allowedMaskPresorted(ix, sorted)
+                var cnt = 0
+                var g = 0
+                while (g < ix.n) {
+                  if (am(g) && java.util.Arrays.binarySearch(
+                      sortedDeny, ix.ids(g)) >= 0) am(g) = false
+                  if (am(g)) cnt += 1
+                  g += 1
+                }
+                (am, cnt)
+              }
             (spark.sparkContext.broadcast(mask), n)
           }
         val bc = broadcastOf(spark, ix)

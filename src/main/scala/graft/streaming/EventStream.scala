@@ -440,6 +440,13 @@ object EventStream {
     * unchanged. The set is fixed at wiring time (tenant/collection
     * filters); per-query predicates belong in `onBatch`.
     *
+    * A TOMBSTONED index ([[graft.sources.Sink
+    * .deleteFromIvfPqShardedIndex]]) serves correctly without caller
+    * action: the tombstone set is read once at wiring time and
+    * applied as an always-on deny mask beside any `allowedIds`
+    * (allow ∧ ¬deleted) — this serve reads shard dirs directly, so
+    * it must enforce what the plain reader's refusal enforces.
+    *
     * Returns the configured `DataStreamWriter` — the caller attaches
     * trigger/checkpoint and calls `start()`.
     */
@@ -468,6 +475,15 @@ object EventStream {
     val scratchRoot =
       Similarity.resolveWaveScratch(spark.sparkContext.isLocal, scratchDir) +
         s"/serve_${java.util.UUID.randomUUID().toString.take(8)}"
+    // tombstones read once at wiring time and applied as an always-on
+    // deny mask — a takedown-carrying index must never serve deleted
+    // rows, and this serve reads shard dirs directly (it bypasses the
+    // plain reader's tombstone refusal)
+    val tombstones = {
+      val ts = graft.sources.Source
+        .readIvfPqShardedIndexTombstones(spark, indexPath)
+      if (ts.isEmpty) null else ts
+    }
     // manifest read once at wiring time; shards page per wave
     val manifest = spark.read.parquet(s"$indexPath/manifest").head()
     val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
@@ -523,7 +539,7 @@ object EventStream {
         val merged = Similarity.topkIvfPqWavesCore(
           pinnedBatch, embCol, qIdCol, providers,
           k, nProbe, shortlist, waveSize, batchScratch, meter,
-          allowedIds = allowedIds)
+          allowedIds = allowedIds, deniedIds = tombstones)
         onBatch(merged, batchId)
       } finally {
         pinnedBatch.unpersist()

@@ -398,6 +398,51 @@ class StreamingSpec extends AnyFunSuite {
       "filtered streaming serve leaked a disallowed id")
   }
 
+  test("TOMBSTONED streaming sharded serve: deleted ids never serve, rows match the batch tombstoned search") {
+    import graft.operators.Similarity
+    // this serve reads shard dirs directly (bypassing the plain
+    // reader's tombstone refusal), so it must auto-apply the
+    // persisted tombstone set as an always-on deny mask
+    val emb = Tables.embeddings(spark, dir)
+    val corpusDf = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val built = Similarity.buildIvfPqShardedWithLayout(
+      corpusDf, "vec_id", "embedding", numShards = 4, nCells = 4, m = 8)
+    val base = java.nio.file.Files
+      .createTempDirectory("serve-ivfpq-ts").toString
+    graft.sources.Sink.writeIvfPqShardedIndex(spark, built, s"$base/ix",
+      overwrite = false)
+    graft.sources.Sink.deleteFromIvfPqShardedIndex(spark,
+      emb.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id",
+      s"$base/ix", s"$base/del")
+    val (loaded, ts) = graft.sources.Source
+      .readIvfPqShardedIndexWithTombstones(spark, s"$base/del")
+    val expected = Similarity.topkIvfPqShardedTombstoned(
+        emb.select("vec_id", "embedding"), "embedding", "vec_id", loaded,
+        ts, 5, nProbe = 4, shortlist = 20)
+      .select("vec_id", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val results = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val writer = EventStream.topkServeIvfPqShardedWaves(
+      spark.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir),
+      "embedding", "vec_id", s"$base/del",
+      k = 5, nProbe = 4, shortlist = 20, waveSize = 2) { (out, _) =>
+      val batchRows = out.select("vec_id", "rank", "index").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      results.synchronized { results ++= batchRows }
+      ()
+    }
+    val q = writer.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(results.toSet == expected)
+    assert(results.nonEmpty && results.forall(_._3 % 3 != 0),
+      "tombstoned streaming serve returned a deleted id")
+  }
+
   test("bounded streaming serve across MULTIPLE micro-batches: pinned shards stay correct, per-batch scratch is deleted") {
     import spark.implicits._
     import graft.operators.Similarity
