@@ -74,7 +74,8 @@ object Bench {
     "text_perplexity", "text_perplexity2",
     "q_dsir_weights", "q_dsir_sample", "ann_pq_recall", "ann_ivfsq8_recall",
     "ann_ivfpq_recall", "ann_ivfpq", "dedup_minhash_recall08",
-    "dedup_paragraphs_near_recall", "emb_kmeans_gate")
+    "dedup_paragraphs_near_recall", "emb_kmeans_gate",
+    "ann_ivfpq_delete_gate", "emb_rp_rerank_gate")
 
   /** Quiet-host reference for [[cpuControl]], measured on the build
     * host (median of repeated runs across a quiet session — see
