@@ -898,26 +898,74 @@ object ScaleSmoke {
         val fullEnv = Similarity.buildSq8Sharded(corpusD, "doc_id", "vec",
           numShards = blocks)
         val envSec = (System.nanoTime() - tEnv) / 1e9
-        val tRr = System.nanoTime()
-        val proposals = Similarity.topkIvfPqSharded(queriesRp, "vec", "qid",
-          shardsRp, 100, nProbe = nProbe, shortlist = 0)
-        val rrTop = graft.operators.Ann.rerankFullDim(proposals, queries,
-            "qid", "vec", fullEnv, 10)
+        // two shortlist depths: 100 (the recipe's default — cheapest)
+        // and 400 (the depth that buys the reduced-dim proposal set
+        // enough coverage to clear 0.9 on this corpus). The rerank's
+        // recall ceiling is the shortlist's coverage of the true
+        // top-10 — the knob is depth, priced per-query as
+        // O(shortlist · full_dim) decode-dots.
+        for (depth <- Seq(100, 400)) {
+          val tRr = System.nanoTime()
+          val proposals = Similarity.topkIvfPqSharded(queriesRp, "vec", "qid",
+            shardsRp, depth, nProbe = nProbe, shortlist = 0)
+          val rrTop = graft.operators.Ann.rerankFullDim(proposals, queries,
+              "qid", "vec", fullEnv, 10)
+            .select(col("qid"), col("index")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).map { case (q2, rs) => q2 -> rs.map(_._2).toSet }
+          val rrSec = (System.nanoTime() - tRr) / 1e9
+          val rrRecall = {
+            val per = truth.toSeq.map { case (q2, t) =>
+              (t.intersect(rrTop.getOrElse(q2, Set.empty)).size, t.size) }
+            per.map(_._1).sum.toDouble / math.max(1, per.map(_._2).sum)
+          }
+          println(f"ivfpq COMPRESSED + FULL-DIM RERANK (shortlist=$depth): " +
+            f"SQ8 envelope build $envSec%.2f s, propose+rerank $rrSec%.2f s, " +
+            f"recall@10 vs FULL-dim truth $rrRecall%.4f " +
+            f"(compressed-alone $rpRecall%.4f)")
+          require(rrRecall >= rpRecall,
+            f"full-dim rerank lost recall: $rrRecall%.4f < $rpRecall%.4f")
+        }
+        // EXACT rerank of the same depth-400 shortlist: the family
+        // corpus's intra-cluster rank gaps sit BELOW the global 8-bit
+        // SQ8 grid (measured: SQ8 rerank plateaus at ~0.867 from
+        // depth 100 to 400 — precision-limited, not coverage-limited),
+        // so the last recall points need f64 — distributed, candidate
+        // ids joined back against the corpus TABLE, one corpus scan,
+        // no vector broadcast, no collect.
+        // the ≥0.9 recipe (measured at 200k: depth 400 → 0.878,
+        // depth 2000 → 0.896, depth 2000 + 2×probes → 0.904): the
+        // reduced-space ADC ordering loses true neighbors DEEP, so
+        // coverage needs both a deep shortlist and a wider probe —
+        // both priced at the reduced dim, where they are cheap
+        val exDepth = sys.env
+          .getOrElse("SPARK_GRAFT_SMOKE_EXACT_DEPTH", "2000").toInt
+        val exProbe = sys.env
+          .getOrElse("SPARK_GRAFT_SMOKE_EXACT_NPROBE", (2 * nProbe).toString).toInt
+        val tEx = System.nanoTime()
+        val proposalsEx = Similarity.topkIvfPqSharded(queriesRp, "vec", "qid",
+          shardsRp, exDepth, nProbe = exProbe, shortlist = 0)
+        val exTop = graft.operators.Ann.rerankExact(proposalsEx, queries,
+            "qid", "vec", corpusD, "doc_id", "vec", 10)
           .select(col("qid"), col("index")).collect()
           .map(r => (r.getLong(0), r.getLong(1)))
           .groupBy(_._1).map { case (q2, rs) => q2 -> rs.map(_._2).toSet }
-        val rrSec = (System.nanoTime() - tRr) / 1e9
-        val rrRecall = {
+        val exSec = (System.nanoTime() - tEx) / 1e9
+        val exRecall = {
           val per = truth.toSeq.map { case (q2, t) =>
-            (t.intersect(rrTop.getOrElse(q2, Set.empty)).size, t.size) }
+            (t.intersect(exTop.getOrElse(q2, Set.empty)).size, t.size) }
           per.map(_._1).sum.toDouble / math.max(1, per.map(_._2).sum)
         }
-        println(f"ivfpq COMPRESSED + FULL-DIM RERANK: SQ8 envelope build " +
-          f"$envSec%.2f s, propose+rerank $rrSec%.2f s, " +
-          f"recall@10 vs FULL-dim truth $rrRecall%.4f " +
-          f"(compressed-alone $rpRecall%.4f)")
-        require(rrRecall >= rpRecall,
-          f"full-dim rerank lost recall: $rrRecall%.4f < $rpRecall%.4f")
+        println(f"ivfpq COMPRESSED + EXACT RERANK (shortlist=$exDepth, " +
+          f"nProbe=$exProbe, distributed f64 corpus join): " +
+          f"propose+rerank $exSec%.2f s, " +
+          f"recall@10 vs FULL-dim truth $exRecall%.4f")
+        // the ≥0.9 floor binds the DEFAULT family corpus
+        // (uniform/diffuse controls are declared experiments, like
+        // the ADC floors above)
+        if (sys.env.get("SPARK_GRAFT_SMOKE_IVFPQ_CLUSTERS").isEmpty)
+          require(exRecall >= 0.9,
+            f"exact-rerank floor violated: $exRecall%.4f < 0.9 at depth $exDepth")
         corpusRp.unpersist(); queriesRp.unpersist()
       }
       val mode = if (distBuild) "DISTRIBUTED train-on-sample + restore"

@@ -272,6 +272,20 @@ class PcaSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(viaSharded == single,
       "sharded SQ8 envelopes diverge from the whole-corpus envelope")
+    // EXACT rerank (distributed f64 corpus join — no envelope, no
+    // collect): with corpus-wide proposals the result IS the exact
+    // top-k, so recall vs the f64 kernel must be ~1 (no 8-bit grid
+    // between them), and at the same 100-candidate shortlist it must
+    // do at least as well as the SQ8 envelope
+    val allProps = Similarity.topkIvfPqFlat(
+      qProj.select(col("qid"), col("rp")), "rp", ixRp, 400, nProbe = 8)
+    val exactAll = recallVsExact(hitsOf(
+      Ann.rerankExact(allProps, qProj, "qid", "emb", cDf, "id", "emb", 10), "qid"))
+    assert(exactAll >= 0.98, s"corpus-wide exact rerank recall: $exactAll")
+    val exact100 = recallVsExact(hitsOf(
+      Ann.rerankExact(proposals, qProj, "qid", "emb", cDf, "id", "emb", 10), "qid"))
+    assert(exact100 >= reranked - 1e-9,
+      s"exact rerank under SQ8 rerank at the same shortlist: $exact100 vs $reranked")
   }
 
   test("jacobi solver: recovers a planted spectrum") {
