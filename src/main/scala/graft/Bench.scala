@@ -75,7 +75,9 @@ object Bench {
     "q_dsir_weights", "q_dsir_sample", "ann_pq_recall", "ann_ivfsq8_recall",
     "ann_ivfpq_recall", "ann_ivfpq", "dedup_minhash_recall08",
     "dedup_paragraphs_near_recall", "emb_kmeans_gate",
-    "ann_ivfpq_delete_gate", "emb_rp_rerank_gate")
+    "ann_ivfpq_delete_gate", "emb_rp_rerank_gate", "ann_bq_recall",
+    // the memoized-input rows promoted to train-once in round 14
+    "dedup_drop_best", "q_split_clusters")
 
   /** Quiet-host reference for [[cpuControl]], measured on the build
     * host (median of repeated runs across a quiet session — see
@@ -257,10 +259,21 @@ object Bench {
     * `cold_sec` (the first rep's wall time IN ARRIVAL ORDER — the run
     * that actually paid the training) so the asymmetry against a
     * DuckDB oracle that retrains per query is visible in the artifact
-    * itself, not only in BASELINE prose (round-8 verdict #3).
+    * itself, not only in BASELINE prose (round-8 verdict #3). The
+    * round-13/14 memoizations join the same set (round-13 advisor:
+    * "time it separately and report both"): BM25 corpus stats
+    * (`text_bm25`), the 500-doc pair graph the keep-best/split gates
+    * take as input (`dedup_drop_best`, `q_split_clusters`), and the
+    * exact-Jaccard ground truth the recall gates compare against
+    * (`dedup_minhash_recall`, `dedup_minhash_recall08`,
+    * `dedup_incremental_recall`) — each row's cold_sec is the rep
+    * that paid the corpus pass the DuckDB oracle re-runs inline.
     */
   private[graft] val trainOnceQueries: Set[String] = Set(
-    "q_dsir_weights", "q_dsir_sample", "text_perplexity", "text_perplexity2")
+    "q_dsir_weights", "q_dsir_sample", "text_perplexity", "text_perplexity2",
+    "text_bm25", "dedup_drop_best", "q_split_clusters",
+    "dedup_minhash_recall", "dedup_minhash_recall08",
+    "dedup_incremental_recall")
 
   /** A suite row whose median lands more than this factor over the
     * COMMITTED table (the repo's last recorded bench_out.json) is

@@ -637,6 +637,60 @@ object ScaleSmoke {
       corpus.unpersist()
     }
 
+    // Binary quantization past the broadcast envelope: the 1-bit
+    // XOR+popcount pre-screen + SQ8 rerank at the same 10M×256 shape
+    // as the other index rungs. Sharded build on the corpus-global
+    // grid (bits bit-identical to a whole-corpus build by the integer
+    // threshold contract), per-shard Hamming shortlists, row_number
+    // merge. Opt-in:
+    //   SPARK_GRAFT_SMOKE_BQ_DOCS=10000000 SPARK_DRIVER_MEM=64g \
+    //     sbt "runMain graft.ScaleSmoke"
+    val bqDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_BQ_DOCS", "0").toLong
+    if (bqDocs > 0 && stageFilter.forall("bq sharded".contains)) {
+      val dim = 256
+      val blocks = sys.env.getOrElse("SPARK_GRAFT_SMOKE_BQ_BLOCKS", "16").toInt
+      val shortlist = sys.env.getOrElse("SPARK_GRAFT_SMOKE_BQ_SHORTLIST", "512").toInt
+      // clustered ~10-point families — the near-dup corpus shape the
+      // ivfpq leg documents (its uniform control applies here too:
+      // sign bits on structure-free vectors carry ~nothing)
+      val nClusters = math.max(1L, bqDocs / 10L).toInt
+      val corpus = synthEmbClustered(spark, bqDocs, dim, nClusters, 0.5, 0L)
+        .select(col("doc_id"), col("vec").cast("array<float>").as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.count()
+      val queries = synthEmbClustered(spark, 1000L, dim, nClusters, 0.5, 1000000000L)
+        .select(col("doc_id").as("qid"),
+          col("vec").cast("array<double>").as("vec")).cache()
+      queries.count()
+      val t0 = System.nanoTime()
+      val truth = Similarity.topkBlocked(queries, "vec", "qid", corpus,
+          "doc_id", "vec", 10, Metric.Cosine, numBlocks = blocks)
+        .select(col("qid"), col("index")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      println(f"bq: blocked exact ground truth: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t1 = System.nanoTime()
+      val shards = Similarity.buildBqSharded(corpus, "doc_id", "vec", blocks)
+      println(f"bq sharded build ($bqDocs x ${dim}d, $blocks shards, " +
+        f"bits ${shards.map(_.words.length.toLong * 8).sum / (1 << 20)} MB + " +
+        f"sq8 ${shards.map(_.sq8.codes.length.toLong).sum / (1 << 20)} MB): " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+      val t2 = System.nanoTime()
+      val got = Similarity.topkBqSharded(queries, "qid", "vec", shards,
+          10, Metric.Cosine, shortlist)
+        .select(col("qid"), col("index")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val hits = truth.map { case (q, ts) =>
+        (ts & got.getOrElse(q, Set.empty)).size }.sum
+      val nTruth = truth.map(_._2.size).sum
+      println(f"bq sharded search (1k q, shortlist $shortlist/shard, " +
+        f"popcount pre-screen + sq8 rerank): ${(System.nanoTime() - t2) / 1e9}%.2f s; " +
+        f"recall@10 vs exact = ${hits.toDouble / nTruth}%.4f")
+      queries.unpersist()
+      corpus.unpersist()
+    }
+
     // IVF+PQ past the broadcast envelope (round-8 verdict #7): the 10M
     // ×256 composition point the blocked+SQ8 row already has. A 10M
     // f64 corpus is 20 GB — past the broadcast envelope AND past the

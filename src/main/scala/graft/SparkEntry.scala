@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Curate, Dedup, Metric, Multimodal, Profile, Relational, Similarity, TextAnalysis}
+import graft.operators.{Ann, Curate, Dedup, Metric, Multimodal, Profile, Relational, Retrieval, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -974,6 +974,32 @@ object SparkEntry {
         .select(col("n_queries"), recallAtLeast(0.95).as("sq8_recall_ok"))
     }),
 
+    // binary-quantization recall gate: 1-bit Hamming pre-screen +
+    // SQ8 rerank must hold recall@10 >= 0.85 vs the exact kernel at
+    // shortlist 400 (measured band: 0.988 at sf0.01, 0.907 at sf0.1 —
+    // the corpus embeddings are CLUSTERED, so sign bits separate
+    // cells crisply but within-cell neighbors need shortlist depth;
+    // BqSpec prints the 100/200/400 depth curve). Deterministic end
+    // to end, so the margin catches encode/popcount/rerank
+    // regressions, not noise.
+    "ann_bq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val cx = corpus(s, dir) // one collect+pack feeds both indexes
+      val brute = Similarity.topkFlat(q, "embedding", cx, 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      val bq = Similarity.topkBqFlat(q, "embedding",
+        Similarity.quantizeBq(cx), 10, Metric.Cosine, shortlist = 400)
+      brute
+        .join(bq.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"), recallAtLeast(0.85).as("bq_recall_ok"))
+    }),
+
     // PQ recall gate: 16-subspace product quantization (16 bytes/vec
     // = 32× under f64) — pure-ADC top-10 must clear 0.6, and the
     // SQ8-sidecar shortlist-100 rerank must clear 0.9 (the two-stage
@@ -1611,6 +1637,31 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25WithStats(Tables.documents(s, dir), "doc_id", "text",
         bm25Terms, bm25DriverStats(s, dir), topN = 50)),
+
+    // HYBRID retrieval: BM25 keyword top-100 + dense-vector cosine
+    // top-100 (query = embedding 0), fused by reciprocal rank
+    // (rrf = Σ 1/(60+rank)), top-20. Both retriever rankings reuse the
+    // exact constructions their own green oracle rows prove (bm25
+    // ranks on the 4-rounded score, the vector side on raw cosine with
+    // id tiebreak), so the fused ranking is value-level comparable
+    // cross-engine. The two id spaces are the synthetic alignment
+    // vec_id ≡ doc_id.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val lexW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id").asc)
+      val lex = TextAnalysis.bm25WithStats(Tables.documents(s, dir),
+          "doc_id", "text", bm25Terms, bm25DriverStats(s, dir), topN = 100)
+        .select(col("id"), row_number().over(lexW).as("rank"))
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("embedding"))
+      val vec = Similarity.topkFlat(qv, "embedding", corpus(s, dir),
+          k = 100, Metric.Cosine)
+        .select(col("index").as("id"), col("rank").cast("int").as("rank"))
+      Retrieval.rrfFuse(Seq(lex, vec), queryCols = Nil,
+          idCol = "id", rankCol = "rank", k = 20)
+        .select(col("id"), (round(col("rrf"), 6) + lit(0.0)).as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+    }),
 
     // CCNet-style perplexity quality signal: unigram LM trained on the
     // even-id half of the corpus (so odd docs exercise the OOV path),
@@ -3367,6 +3418,10 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS sq8_recall_ok
         |FROM embeddings""".stripMargin,
 
+    "ann_bq_recall" ->
+      """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS bq_recall_ok
+        |FROM embeddings""".stripMargin,
+
     "ann_pq_recall" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS pq_adc_ok,
         |       CAST(1 AS BOOLEAN) AS pq_rerank_ok
@@ -3499,6 +3554,64 @@ object SparkEntry {
         |SELECT doc_id AS id, round(score, 4) + 0.0 AS score
         |FROM scored WHERE score > 0
         |ORDER BY round(score, 4) + 0.0 DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    // hybrid RRF: the text_bm25 CTE chain ranks the lexical top-100,
+    // the topk_cosine construction ranks the vector top-100 for
+    // query vec 0, rrf = sum(1/(60+rank)); the top-20 cut happens on
+    // the RAW fused double (identical in both engines — it's integer-
+    // rank arithmetic), the projection rounds for the value hash
+    "q_hybrid_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+        |  FROM documents
+        |), sized AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM base
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+        |    sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS df2
+        |  FROM sized
+        |), tfs AS (
+        |  SELECT doc_id, dl,
+        |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf2
+        |  FROM sized
+        |), scored AS (
+        |  SELECT doc_id,
+        |    ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+        |    ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+        |    ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+        |  FROM tfs CROSS JOIN stats
+        |), lex AS (
+        |  SELECT doc_id AS id,
+        |    row_number() OVER (
+        |      ORDER BY round(score, 4) + 0.0 DESC, doc_id ASC) AS rank
+        |  FROM scored WHERE score > 0
+        |  QUALIFY rank <= 100
+        |), vecscores AS (
+        |  SELECT c.vec_id AS id, list_cosine_similarity(
+        |    CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id = 0
+        |), vec AS (
+        |  SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS rank
+        |  FROM vecscores
+        |  QUALIFY rank <= 100
+        |), fused AS (
+        |  SELECT id, sum(1.0 / (60.0 + rank)) AS rrf
+        |  FROM (SELECT id, rank FROM lex UNION ALL SELECT id, rank FROM vec)
+        |  GROUP BY id
+        |), cut AS (
+        |  SELECT id, rrf FROM fused ORDER BY rrf DESC, id ASC LIMIT 20
+        |)
+        |SELECT id, round(rrf, 6) + 0.0 AS rrf FROM cut
+        |ORDER BY round(rrf, 6) + 0.0 DESC, id ASC""".stripMargin,
 
     // add-one unigram LM over the even-id half; bits/token via log2,
     // OOV cost log2(denom); empty token lists average to NULL

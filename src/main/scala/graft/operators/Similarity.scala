@@ -1132,6 +1132,372 @@ object Similarity {
     * (n·dim more bytes — still 8× under f64; `sq8 = None` drops it
     * for the pure-ADC envelope).
     */
+  /** Binary-quantized corpus index — ONE BIT per dimension: bit d of a
+    * row is `v_d > threshold_d`, thresholds the corpus per-dim MEAN
+    * (centering balances the bits, which maximizes the information a
+    * sign carries). 32× smaller than f32, and candidate scoring is
+    * XOR + popcount over `nWords = ceil(dim/64)` machine words — the
+    * cheapest scan rung below PQ's m-add ADC. Hamming distance between
+    * sign patterns is a monotone proxy for angle (it counts
+    * hyperquadrant disagreements, the same geometry the hyperplane-LSH
+    * dedup path exploits), so it PRE-SCREENS but cannot rank finely:
+    * a [[topkBq]] serve always reranks its Hamming shortlist against
+    * the bundled SQ8 envelope, and the returned scores are exactly the
+    * SQ8-dequantized metric scores ([[topkSq8]] semantics on the
+    * shortlist). At the 100 TB shape the bits are the only thing that
+    * must stay hot (10M rows × 256 dims = 320 MB resident) while the
+    * 8× larger SQ8 envelope is touched `shortlist` rows per query —
+    * the DiskANN memory split, here expressed as scan-vs-gather over
+    * one broadcast.
+    */
+  final case class CorpusIndexBq(
+      ids: Array[Long],
+      words: Array[Long],
+      n: Int,
+      dim: Int,
+      nWords: Int,
+      thresholds: Array[Double],
+      sq8: CorpusIndexSq8) extends Serializable
+
+  /** Binarize a packed [[CorpusIndex]]: SQ8-quantize first, then set
+    * each corpus bit from the DEQUANTIZED grid in pure INTEGER
+    * arithmetic — bit(j,d) = code(j,d)·n > Σ_j code(j,d). That is
+    * exactly "dequantized value above the dequantized per-dim mean"
+    * (dequant = min + code·Δ is affine in the code, so the comparison
+    * divides through), and because a sum of byte codes is an exact
+    * integer, the bits are independent of summation order — which is
+    * what lets [[buildBqSharded]] produce BIT-IDENTICAL shards from
+    * per-shard integer column totals. `thresholds` stores the same
+    * cut as f64 (min + (Σcode/n)·Δ) for the QUERY side, which
+    * binarizes raw values. Driver-side and transient like
+    * [[quantizeSq8]] — what ships is bits + bytes, never the f64
+    * matrix.
+    */
+  def quantizeBq(cx: CorpusIndex): CorpusIndexBq =
+    bqFromSq8(quantizeSq8(cx))
+
+  /** Derive the bit matrix from an SQ8 envelope (see [[quantizeBq]]
+    * for the integer-threshold contract). `colSum`/`nTotal` default to
+    * THIS envelope's own column totals; [[buildBqSharded]] passes the
+    * corpus-GLOBAL totals so every shard cuts on the same threshold.
+    */
+  private[graft] def bqFromSq8(
+      sq8: CorpusIndexSq8,
+      colSumGlobal: Array[Long] = null,
+      nTotal: Long = 0L): CorpusIndexBq = {
+    val nW = (sq8.dim + 63) >>> 6
+    val colSum =
+      if (colSumGlobal != null) colSumGlobal else bqColSums(sq8)
+    val nTot = if (nTotal > 0L) nTotal else sq8.n.toLong
+    require(colSum.length == sq8.dim,
+      s"column-total length ${colSum.length} != dim ${sq8.dim}")
+    require(sq8.n.toLong * nW <= Int.MaxValue,
+      s"bit matrix ${sq8.n} rows × $nW words exceeds a JVM array — " +
+        "shard the corpus before binarizing")
+    val words = new Array[Long](sq8.n * nW)
+    var j = 0
+    while (j < sq8.n) {
+      var d = 0
+      while (d < sq8.dim) {
+        val code = (sq8.codes(j * sq8.dim + d) & 0xFF).toLong
+        if (code * nTot > colSum(d)) words(j * nW + (d >>> 6)) |= 1L << (d & 63)
+        d += 1
+      }
+      j += 1
+    }
+    val thr = new Array[Double](sq8.dim)
+    var d1 = 0
+    while (d1 < sq8.dim) {
+      thr(d1) = sq8.dimMin(d1) +
+        (colSum(d1).toDouble / nTot) * sq8.dimScale(d1)
+      d1 += 1
+    }
+    CorpusIndexBq(sq8.ids, words, sq8.n, sq8.dim, nW, thr, sq8)
+  }
+
+  /** Per-dim integer column totals of an SQ8 envelope's codes — the
+    * exact, order-independent quantity the BQ threshold cuts on.
+    */
+  private[graft] def bqColSums(sq8: CorpusIndexSq8): Array[Long] = {
+    val colSum = new Array[Long](sq8.dim)
+    var j = 0
+    while (j < sq8.n) {
+      var d = 0
+      while (d < sq8.dim) {
+        colSum(d) += (sq8.codes(j * sq8.dim + d) & 0xFF).toLong; d += 1
+      }
+      j += 1
+    }
+    colSum
+  }
+
+  /** One binary-quantized index per hash-mod shard — the
+    * past-one-broadcast form of [[quantizeBq]], built on
+    * [[buildSq8Sharded]]'s priced concurrent collect (same budget
+    * semantics, same corpus-GLOBAL SQ8 grid). The bit threshold is
+    * the corpus-global integer column total (summed exactly across
+    * shards), so shard bits are BIT-IDENTICAL to what the whole-
+    * corpus [[quantizeBq]] would set for the same rows — BqSpec pins
+    * single-shard equality and multi-shard search parity. Serve with
+    * [[topkBqSharded]].
+    */
+  def buildBqSharded(
+      corpus: DataFrame,
+      cIdCol: String,
+      cEmbCol: String,
+      numShards: Int,
+      maxInFlightBytes: Long = 0L): Seq[CorpusIndexBq] = {
+    val sq8s = buildSq8Sharded(corpus, cIdCol, cEmbCol, numShards, maxInFlightBytes)
+    val dim = sq8s.head.dim
+    val nTot = sq8s.map(_.n.toLong).sum
+    val colSum = new Array[Long](dim)
+    sq8s.foreach { s =>
+      val cs = bqColSums(s)
+      var d = 0
+      while (d < dim) { colSum(d) += cs(d); d += 1 }
+    }
+    sq8s.map(bqFromSq8(_, colSum, nTot))
+  }
+
+  /** Merge per-shard [[topkBq]] serves into a global top-k — the
+    * [[topkIvfPqSharded]] merge shape: every shard returns its local
+    * reranked top-k (per-shard Hamming shortlists only WIDEN the
+    * candidate pool vs one global shortlist), then one distributed
+    * `row_number` over (query | score, index) keeps k. Queries must
+    * carry `qIdCol`; output is the flat (qIdCol, rank, index, score)
+    * shape of [[topkFlat]].
+    */
+  def topkBqSharded(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      shards: Seq[CorpusIndexBq],
+      k: Int,
+      metric: Metric,
+      shortlist: Int): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val partials = shards.map(sx =>
+      topkBqFlat(queries.select(col(qIdCol), col(embCol)), embCol, sx,
+        k, metric, shortlist).drop("rank"))
+    val unioned = partials.reduce(_ unionAll _)
+    val order = if (metric.higherIsBetter)
+      Seq(col("score").desc, col("index").asc)
+    else Seq(col("score").asc, col("index").asc)
+    val w = Window.partitionBy(col(qIdCol)).orderBy(order: _*)
+    unioned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Collect + pack + binarize in one call (one collect feeds both the
+    * bit matrix and the SQ8 envelope).
+    */
+  def collectCorpusBq(corpus: DataFrame, idCol: String, embCol: String): CorpusIndexBq =
+    quantizeBq(collectCorpus(corpus, idCol, embCol))
+
+  /** Sign-encode one row against fixed per-dim thresholds into packed
+    * words at `outOff` (words must be zero there). Shared by the
+    * corpus build and the per-query encode, so both sides binarize
+    * with identical arithmetic (strict `>`: a value exactly at the
+    * threshold encodes 0 on both sides).
+    */
+  private[graft] def bqEncodeRow(
+      data: Array[Double], off: Int, dim: Int,
+      thresholds: Array[Double], out: Array[Long], outOff: Int): Unit = {
+    var d = 0
+    while (d < dim) {
+      if (data(off + d) > thresholds(d)) out(outOff + (d >>> 6)) |= 1L << (d & 63)
+      d += 1
+    }
+  }
+
+  /** Per-query top-k against a binary-quantized corpus — same
+    * contract, output schema, tie rules, and null propagation as
+    * [[topk]]. Two passes per query: (1) Hamming distance of the
+    * sign-encoded query against every corpus row (XOR+popcount,
+    * `nWords` word ops per row — ties by id ascending) selects a
+    * `shortlist`; (2) the shortlist reranks against the SQ8 envelope,
+    * returning the top `k` by the requested metric with the exact
+    * [[topkSq8]] score definition (dequantized-corpus scores). The
+    * rerank is mandatory (`shortlist >= k`): raw Hamming ranks are a
+    * pre-screen, not a result — 1-bit scores can't order near-ties,
+    * and surfacing them as "scores" would leak the quantization into
+    * the caller's contract. With `shortlist = corpus.n` the output is
+    * bit-identical to [[topkSq8]].
+    */
+  def topkBq(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexBq,
+      k: Int,
+      metric: Metric,
+      shortlist: Int,
+      outputCol: String = "matches"): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist must be >= k, got $shortlist (k=$k) — the Hamming pass " +
+        "only pre-screens; k results come from the SQ8 rerank")
+    val spark = queries.sparkSession
+    val bc = broadcastOf(spark, corpus)
+    val schema = queries.schema
+    val embIdx = schema.fieldIndex(embCol)
+    val embIsF32 = schema(embCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case dt => throw new IllegalArgumentException(
+        s"Query column $embCol must be array<float>/array<double>, got ${dt.simpleString}")
+    }
+    val fieldTypes = schema.fields.map(_.dataType)
+    val outSchema = StructType(schema.fields :+ StructField(outputCol,
+      ArrayType(StructType(Seq(
+        StructField("index", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))), containsNull = false),
+      nullable = true))
+    val kk = math.min(math.max(k, 0), corpus.n)
+    val sl = math.min(shortlist, corpus.n)
+    val cap = math.max(sl, 1)
+    val higher = metric.higherIsBetter
+    val mt = metric
+
+    val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
+      val cx = bc.value
+      val sq8 = cx.sq8
+      val qf = new Array[Double](cx.dim)
+      val qWords = new Array[Long](cx.nWords)
+      val selIdx = new Array[Int](cap)
+      val selHam = new Array[Int](cap)
+      val rIdx = new Array[Int](math.max(kk, 1))
+      val rScore = new Array[Double](math.max(kk, 1))
+      it.map { row0 =>
+        val row = row0.copy()
+        val isNull = row.isNullAt(embIdx)
+        val result: AnyRef = if (isNull || kk == 0) {
+          if (isNull) null else new GenericArrayData(new Array[Any](0))
+        } else {
+          val emb = row.getArray(embIdx)
+          if (emb.numElements() != cx.dim) throw new IllegalArgumentException(
+            s"Dimension mismatch: query has ${emb.numElements()} elements, corpus has ${cx.dim}")
+          var qSq = 0.0
+          var d0 = 0
+          if (embIsF32) {
+            val fa = emb.toFloatArray()
+            while (d0 < cx.dim) { val v = fa(d0).toDouble; qf(d0) = v; qSq += v * v; d0 += 1 }
+          } else {
+            val da = emb.toDoubleArray()
+            while (d0 < cx.dim) { val v = da(d0); qf(d0) = v; qSq += v * v; d0 += 1 }
+          }
+          val qNorm = math.sqrt(qSq)
+          java.util.Arrays.fill(qWords, 0L)
+          bqEncodeRow(qf, 0, cx.dim, cx.thresholds, qWords, 0)
+          // pass 1: Hamming pre-screen into the shortlist buffer
+          // (insertion-ordered: distance asc, id asc)
+          var size = 0
+          var g = 0
+          while (g < cx.n) {
+            var ham = 0
+            var w = 0
+            val base = g * cx.nWords
+            while (w < cx.nWords) {
+              ham += java.lang.Long.bitCount(qWords(w) ^ cx.words(base + w))
+              w += 1
+            }
+            val beatsWorst = size < cap || {
+              val worst = selHam(size - 1)
+              ham < worst || (ham == worst && cx.ids(g) < cx.ids(selIdx(size - 1)))
+            }
+            if (beatsWorst) {
+              var pos = if (size < cap) size else cap - 1
+              while (pos > 0 && {
+                val ph = selHam(pos - 1)
+                ham < ph || (ham == ph && cx.ids(g) < cx.ids(selIdx(pos - 1)))
+              }) {
+                selHam(pos) = selHam(pos - 1); selIdx(pos) = selIdx(pos - 1)
+                pos -= 1
+              }
+              selHam(pos) = ham; selIdx(pos) = g
+              if (size < cap) size += 1
+            }
+            g += 1
+          }
+          // pass 2: SQ8 rerank of the shortlist — topkSq8's exact
+          // score definition (dequantized corpus, true decoded norms)
+          var rSize = 0
+          var ci = 0
+          val lim = math.min(size, sl)
+          while (ci < lim) {
+            val g2 = selIdx(ci)
+            var dot = 0.0
+            val src = g2 * cx.dim
+            var d = 0
+            while (d < cx.dim) {
+              dot += qf(d) * (sq8.dimMin(d) +
+                (sq8.codes(src + d) & 0xFF) * sq8.dimScale(d))
+              d += 1
+            }
+            val s = mt match {
+              case Metric.Dot => dot
+              case Metric.Cosine =>
+                if (qNorm <= 1e-10 || sq8.norms(g2) <= 1e-10) 0.0
+                else dot / (qNorm * sq8.norms(g2))
+              case Metric.Euclidean =>
+                math.sqrt(math.max(0.0, qSq + sq8.sqNorms(g2) - 2.0 * dot))
+            }
+            val beatsWorst = rSize < kk || {
+              val w2 = rScore(rSize - 1)
+              if (higher) s > w2 || (s == w2 && cx.ids(g2) < cx.ids(rIdx(rSize - 1)))
+              else s < w2 || (s == w2 && cx.ids(g2) < cx.ids(rIdx(rSize - 1)))
+            }
+            if (beatsWorst) {
+              var pos = if (rSize < kk) rSize else kk - 1
+              while (pos > 0 && {
+                val ps = rScore(pos - 1)
+                if (higher) s > ps || (s == ps && cx.ids(g2) < cx.ids(rIdx(pos - 1)))
+                else s < ps || (s == ps && cx.ids(g2) < cx.ids(rIdx(pos - 1)))
+              }) {
+                rScore(pos) = rScore(pos - 1); rIdx(pos) = rIdx(pos - 1)
+                pos -= 1
+              }
+              rScore(pos) = s; rIdx(pos) = g2
+              if (rSize < kk) rSize += 1
+            }
+            ci += 1
+          }
+          val structs = new Array[Any](rSize)
+          var r = 0
+          while (r < rSize) {
+            structs(r) = InternalRow(cx.ids(rIdx(r)), rScore(r)); r += 1
+          }
+          new GenericArrayData(structs)
+        }
+        val vals = new Array[Any](fieldTypes.length + 1)
+        var f = 0
+        while (f < fieldTypes.length) { vals(f) = row.get(f, fieldTypes(f)); f += 1 }
+        vals(fieldTypes.length) = result
+        new GenericInternalRow(vals): InternalRow
+      }
+    }
+    InternalRowBridge.fromInternalRdd(spark, outRdd, outSchema)
+  }
+
+  /** [[topkBq]] exploded to one row per (query, match) — the same
+    * flat shape as [[topkFlat]].
+    */
+  def topkBqFlat(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexBq,
+      k: Int,
+      metric: Metric,
+      shortlist: Int): DataFrame = {
+    val withMatches = topkBq(queries, embCol, corpus, k, metric, shortlist, "matches")
+    withMatches
+      .select((withMatches.columns.filter(_ != "matches").map(col).toSeq :+
+        posexplode(col("matches")).as(Seq("rank0", "m"))): _*)
+      .withColumn("rank", col("rank0") + 1)
+      .withColumn("index", col("m.index"))
+      .withColumn("score", col("m.score"))
+      .drop("rank0", "m", embCol)
+  }
+
   final case class CorpusIndexPq(
       ids: Array[Long],
       codes: Array[Byte],       // n * m, row-major subspace codes

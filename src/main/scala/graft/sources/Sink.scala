@@ -351,6 +351,42 @@ object Sink {
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
     }
 
+  /** Persist a binary-quantized index — bits + SQ8 envelope + the
+    * integer-derived thresholds, same train-once story as
+    * [[writeSq8Index]] (the build pays a full corpus collect; a
+    * serving session restores instead). Layout: `path/vectors/` one
+    * row per vector (idx, id, packed bit words, SQ8 codes, norms);
+    * `path/meta/` one row (n, dim, n_words, thresholds, grid bounds).
+    * [[graft.sources.Source.readBqIndex]] restores a byte-identical
+    * [[graft.operators.Similarity.CorpusIndexBq]].
+    */
+  def writeBqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      bx: graft.operators.Similarity.CorpusIndexBq,
+      path: String,
+      overwrite: Boolean = false): Unit =
+    publishAtomically(spark, path, overwrite) { tmp =>
+      import spark.implicits._
+      val sq8 = bx.sq8
+      val bytesPerRow = 8L * bx.nWords + bx.dim
+      val slices = math.max(1, (bx.n.toLong * bytesPerRow / (64L << 20)).toInt)
+      val bc = spark.sparkContext.broadcast(bx)
+      try {
+        spark.sparkContext.parallelize(0 until bx.n, slices).map { j =>
+          val x = bc.value
+          (j, x.ids(j),
+            java.util.Arrays.copyOfRange(x.words, j * x.nWords, (j + 1) * x.nWords),
+            java.util.Arrays.copyOfRange(x.sq8.codes, j * x.dim, (j + 1) * x.dim),
+            x.sq8.norms(j), x.sq8.sqNorms(j))
+        }.toDF("idx", "id", "words", "code", "norm", "sq_norm")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/vectors")
+      } finally bc.destroy()
+      Seq((bx.n, bx.dim, bx.nWords, bx.thresholds.toSeq,
+          sq8.dimMin.toSeq, sq8.dimScale.toSeq))
+        .toDF("n", "dim", "n_words", "thresholds", "dim_min", "dim_scale")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+    }
+
   /** Persist a trained PCA model — the pretransform's train-once
     * artifact (same story as the SQ8/PQ codebooks: the distributed
     * moments pass + eigensolve is the expensive step, and two trains

@@ -137,6 +137,54 @@ object Source {
       ids, codes, n, dim, dimMin, dimScale, norms, sqNorms)
   }
 
+  /** Restore a binary-quantized index persisted by
+    * [[graft.sources.Sink.writeBqIndex]] — byte-identical bits,
+    * thresholds, and SQ8 envelope, so a serving session loads the
+    * built index instead of re-collecting + re-binarizing.
+    */
+  def readBqIndex(
+      spark: SparkSession, path: String): graft.operators.Similarity.CorpusIndexBq = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("n", "dim", "n_words", "thresholds", "dim_min", "dim_scale")
+      .head()
+    val n = meta.getInt(0)
+    val dim = meta.getInt(1)
+    val nWords = meta.getInt(2)
+    val thresholds = meta.getSeq[Double](3).toArray
+    val dimMin = meta.getSeq[Float](4).toArray
+    val dimScale = meta.getSeq[Float](5).toArray
+    require(nWords == (dim + 63) >>> 6,
+      s"corrupt index meta: dim=$dim implies ${(dim + 63) >>> 6} words, got $nWords")
+    require(thresholds.length == dim && dimMin.length == dim && dimScale.length == dim,
+      s"corrupt index meta: dim=$dim but thresholds=${thresholds.length} " +
+        s"bounds=${dimMin.length}/${dimScale.length}")
+    val ids = new Array[Long](n)
+    val words = new Array[Long](n * nWords)
+    val codes = new Array[Byte](n * dim)
+    val norms = new Array[Double](n)
+    val sqNorms = new Array[Double](n)
+    val rows = spark.read.parquet(s"$path/vectors")
+      .select("idx", "id", "words", "code", "norm", "sq_norm").collect()
+    require(rows.length == n, s"corrupt index: meta n=$n but ${rows.length} vector rows")
+    rows.foreach { r =>
+      val j = r.getInt(0)
+      ids(j) = r.getLong(1)
+      val w = r.getSeq[Long](2)
+      require(w.length == nWords, s"corrupt index: row $j has ${w.length} words, expected $nWords")
+      var wi = 0
+      while (wi < nWords) { words(j * nWords + wi) = w(wi); wi += 1 }
+      val c = r.getAs[Array[Byte]](3)
+      require(c.length == dim, s"corrupt index: row $j has ${c.length} codes, dim=$dim")
+      System.arraycopy(c, 0, codes, j * dim, dim)
+      norms(j) = r.getDouble(4)
+      sqNorms(j) = r.getDouble(5)
+    }
+    graft.operators.Similarity.CorpusIndexBq(
+      ids, words, n, dim, nWords, thresholds,
+      graft.operators.Similarity.CorpusIndexSq8(
+        ids, codes, n, dim, dimMin, dimScale, norms, sqNorms))
+  }
+
   /** Restore a persisted PCA model byte-identically (see
     * [[graft.sources.Sink.writePcaModel]]).
     */

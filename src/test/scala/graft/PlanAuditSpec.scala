@@ -264,7 +264,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("new-op sweep: no cartesian/NLJ in semantic dedup, sampling, pivot, pii") {
     for (q <- Seq("dedup_semantic", "dedup_semantic_recall", "q_stratified_sample",
       "q_pivot", "text_pii", "text_repetition",
-      "dedup_incremental", "dedup_incremental_recall")) {
+      "dedup_incremental", "dedup_incremental_recall", "q_hybrid_rrf")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")

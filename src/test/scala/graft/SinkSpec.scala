@@ -211,6 +211,39 @@ class SinkSpec extends AnyFunSuite {
       s"publish staging dirs must not survive: ${parent.listFiles().map(_.getName).mkString(",")}")
   }
 
+  test("BQ index round-trip: byte-identical restore, identical search results") {
+    import spark.implicits._
+    import graft.operators.{Metric, Similarity}
+    val rnd = new scala.util.Random(37)
+    val corpus = (0L until 300L).map(i => i -> Seq.fill(70)(rnd.nextGaussian()))
+      .toDF("id", "emb") // 70 dims → 2 bit words/row
+    val queries = (0L until 20L).map(i => i -> Seq.fill(70)(rnd.nextGaussian()))
+      .toDF("qid", "emb")
+    val built = Similarity.collectCorpusBq(corpus, "id", "emb")
+    val out = tmpDir("sink-bq")
+    Sink.writeBqIndex(spark, built, out)
+    val loaded = graft.sources.Source.readBqIndex(spark, out)
+    assert(loaded.n == built.n && loaded.dim == built.dim && loaded.nWords == built.nWords)
+    assert(loaded.ids.sameElements(built.ids))
+    assert(loaded.words.sameElements(built.words))
+    assert(loaded.thresholds.sameElements(built.thresholds))
+    assert(loaded.sq8.codes.sameElements(built.sq8.codes))
+    assert(loaded.sq8.dimMin.sameElements(built.sq8.dimMin))
+    assert(loaded.sq8.dimScale.sameElements(built.sq8.dimScale))
+    assert(loaded.sq8.norms.sameElements(built.sq8.norms))
+    assert(loaded.sq8.sqNorms.sameElements(built.sq8.sqNorms))
+    def res(cx: Similarity.CorpusIndexBq) =
+      Similarity.topkBq(queries, "emb", cx, k = 5, Metric.Cosine, shortlist = 50)
+        .selectExpr("qid", "inline(matches)").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res(loaded) == res(built))
+    // overwrite contract matches the other index sinks
+    intercept[Exception] { Sink.writeBqIndex(spark, built, out) }
+    assert(graft.sources.Source.readBqIndex(spark, out).words.sameElements(built.words))
+    Sink.writeBqIndex(spark, built, out, overwrite = true)
+    assert(graft.sources.Source.readBqIndex(spark, out).words.sameElements(built.words))
+  }
+
   test("IVF+PQ index round-trip: byte-identical restore, identical search results") {
     import spark.implicits._
     import graft.operators.Similarity
