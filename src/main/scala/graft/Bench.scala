@@ -76,6 +76,7 @@ object Bench {
     "ann_ivfpq_recall", "ann_ivfpq", "dedup_minhash_recall08",
     "dedup_paragraphs_near_recall", "emb_kmeans_gate",
     "ann_ivfpq_delete_gate", "emb_rp_rerank_gate", "ann_bq_recall",
+    "ann_opq_recall", "q_hybrid_rrf",
     // the memoized-input rows promoted to train-once in round 14
     "dedup_drop_best", "q_split_clusters")
 
@@ -273,7 +274,10 @@ object Bench {
     "q_dsir_weights", "q_dsir_sample", "text_perplexity", "text_perplexity2",
     "text_bm25", "dedup_drop_best", "q_split_clusters",
     "dedup_minhash_recall", "dedup_minhash_recall08",
-    "dedup_incremental_recall")
+    "dedup_incremental_recall",
+    // shares bm25StatsCache with text_bm25 and sorts FIRST, so it is
+    // the row that actually pays the stats pass
+    "q_hybrid_rrf")
 
   /** A suite row whose median lands more than this factor over the
     * COMMITTED table (the repo's last recorded bench_out.json) is

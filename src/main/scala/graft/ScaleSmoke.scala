@@ -687,6 +687,7 @@ object ScaleSmoke {
       println(f"bq sharded search (1k q, shortlist $shortlist/shard, " +
         f"popcount pre-screen + sq8 rerank): ${(System.nanoTime() - t2) / 1e9}%.2f s; " +
         f"recall@10 vs exact = ${hits.toDouble / nTruth}%.4f")
+      stagesRan += 1
       queries.unpersist()
       corpus.unpersist()
     }

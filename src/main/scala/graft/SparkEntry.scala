@@ -1000,6 +1000,62 @@ object SparkEntry {
         .select(col("n_queries"), recallAtLeast(0.85).as("bq_recall_ok"))
     }),
 
+    // OPQ-vs-PQ gate: dim-slice PQ wastes code budget when dimensions
+    // are CORRELATED, and the raw embeddings are near-isotropic (the
+    // emb_pca_gate rationale) — so the gate builds a deterministic
+    // correlated VIEW of the corpus (per-dim 0.92^d decay, then a
+    // fixed seeded rotation mixes every latent into every observed
+    // dim) and pins that OPQ's learned rotation buys ADC-only recall
+    // back at IDENTICAL bits/vector. Floors from the measured band
+    // less margin; a polar/Procrustes or rotation-plumbing regression
+    // reddens the row.
+    "ann_opq_recall" -> ((s, dir) => {
+      val cx = corpus(s, dir)
+      val d = cx.dim
+      val rnd = new scala.util.Random(1234L)
+      val g = Array.tabulate(d, d)((_, _) => rnd.nextGaussian())
+      val q = Similarity.polarRotationMax(g)
+      val stretched = new Array[Double](cx.n * d)
+      val norms = new Array[Double](cx.n)
+      val sqNorms = new Array[Double](cx.n)
+      var i = 0
+      while (i < cx.n) {
+        var sq = 0.0
+        var dd = 0
+        while (dd < d) {
+          val v = cx.data(i * d + dd) * math.pow(0.92, dd)
+          stretched(i * d + dd) = v; sq += v * v; dd += 1
+        }
+        sqNorms(i) = sq; norms(i) = math.sqrt(sq)
+        i += 1
+      }
+      val cx2 = Similarity.rotateIndex(
+        graft.operators.CorpusIndex(cx.ids, stretched, null, cx.n, d, norms, sqNorms), q)
+      import s.implicits._
+      val qDf = (0 until cx2.n).map(j =>
+          (cx2.ids(j), (0 until d).map(dd => cx2.data(j * d + dd))))
+        .toDF("vec_id", "embedding")
+      val exact = Similarity.topkFlat(qDf, "embedding", cx2, 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      def hitsOf(df: DataFrame, nm: String) = exact
+        .join(df.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as(s"n_exact_$nm"),
+          sum(coalesce(col("hit"), lit(0))).as(s"n_hit_$nm"))
+      val m = 16 // 4-dim subspaces at the 64-dim contract
+      val pqHits = hitsOf(Similarity.topkPqFlat(qDf, "embedding",
+        Similarity.quantizePq(cx2, m, withRerank = false), 10, Metric.Cosine), "pq")
+      val opqHits = hitsOf(Similarity.topkOpqFlat(qDf, "embedding",
+        Similarity.quantizeOpq(cx2, m, withRerank = false), 10, Metric.Cosine), "opq")
+      // 1-row × 1-row aggregate attach — the accepted gate-scalar join
+      pqHits.crossJoin(opqHits).select(
+        lit(cx2.n.toLong).as("n_vectors"),
+        (col("n_hit_opq") / col("n_exact_opq") >=
+          col("n_hit_pq") / col("n_exact_pq") + 0.02).as("opq_gain_ok"),
+        (col("n_hit_opq") / col("n_exact_opq") >= 0.5).as("opq_floor_ok"))
+    }),
+
     // PQ recall gate: 16-subspace product quantization (16 bytes/vec
     // = 32× under f64) — pure-ADC top-10 must clear 0.6, and the
     // SQ8-sidecar shortlist-100 rerank must clear 0.9 (the two-stage
@@ -3420,6 +3476,11 @@ object SparkEntry {
 
     "ann_bq_recall" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS bq_recall_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_opq_recall" ->
+      """SELECT count(*) AS n_vectors, CAST(1 AS BOOLEAN) AS opq_gain_ok,
+        |       CAST(1 AS BOOLEAN) AS opq_floor_ok
         |FROM embeddings""".stripMargin,
 
     "ann_pq_recall" ->

@@ -1697,13 +1697,35 @@ object Similarity {
       k: Int,
       metric: Metric,
       shortlist: Int = 0,
-      outputCol: String = "matches"): DataFrame = {
+      outputCol: String = "matches"): DataFrame =
+    topkPqImpl(queries, embCol, corpus, k, metric, shortlist, outputCol, null)
+
+  /** [[topkPq]] body with an optional query-side ROTATION (the OPQ
+    * hook): when `rot` (d×d row-major, orthogonal) is non-null each
+    * query rotates q ← R·q before the ADC table build, putting it in
+    * the same rotated space the index's codes live in. R orthogonal
+    * preserves dots and norms, so every score/tie/clamp contract of
+    * the unrotated kernel carries over unchanged.
+    */
+  private def topkPqImpl(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexPq,
+      k: Int,
+      metric: Metric,
+      shortlist: Int,
+      outputCol: String,
+      rot: Array[Double]): DataFrame = {
     require(shortlist == 0 || shortlist >= k,
       s"shortlist must be 0 (off) or >= k, got $shortlist (k=$k)")
     require(shortlist == 0 || corpus.sq8.nonEmpty,
       "shortlist rerank needs the SQ8 sidecar — build the index with withRerank = true")
+    require(rot == null || rot.length == corpus.dim.toLong * corpus.dim,
+      s"rotation must be dim×dim = ${corpus.dim * corpus.dim} doubles, got ${if (rot == null) 0 else rot.length}")
     val spark = queries.sparkSession
     val bc = broadcastOf(spark, corpus)
+    val rotBc = if (rot == null) null
+      else spark.sparkContext.broadcast(rot)
     val schema = queries.schema
     val embIdx = schema.fieldIndex(embCol)
     val embIsF32 = schema(embCol).dataType match {
@@ -1726,6 +1748,8 @@ object Similarity {
 
     val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
       val cx = bc.value
+      val rm = if (rotBc == null) null else rotBc.value
+      val qraw = if (rm == null) null else new Array[Double](cx.dim)
       val sub = cx.dim / cx.m
       val lut = new Array[Float](cx.m * 256)
       val qf = new Array[Double](cx.dim)
@@ -1743,12 +1767,27 @@ object Similarity {
             s"Dimension mismatch: query has ${emb.numElements()} elements, corpus has ${cx.dim}")
           var qSq = 0.0
           var d0 = 0
+          val fillInto = if (rm == null) qf else qraw
           if (embIsF32) {
             val fa = emb.toFloatArray()
-            while (d0 < cx.dim) { val v = fa(d0).toDouble; qf(d0) = v; qSq += v * v; d0 += 1 }
+            while (d0 < cx.dim) { val v = fa(d0).toDouble; fillInto(d0) = v; qSq += v * v; d0 += 1 }
           } else {
             val da = emb.toDoubleArray()
-            while (d0 < cx.dim) { val v = da(d0); qf(d0) = v; qSq += v * v; d0 += 1 }
+            while (d0 < cx.dim) { val v = da(d0); fillInto(d0) = v; qSq += v * v; d0 += 1 }
+          }
+          if (rm != null) {
+            // q ← R·q, then score in rotated space; qSq stays the RAW
+            // squared norm (R orthogonal ⇒ equal in exact arithmetic,
+            // and the raw value is the one the euclidean/cosine
+            // contract defines against the caller's vector)
+            var r0 = 0
+            while (r0 < cx.dim) {
+              var acc = 0.0; var j0 = 0
+              val base = r0 * cx.dim
+              while (j0 < cx.dim) { acc += rm(base + j0) * qraw(j0); j0 += 1 }
+              qf(r0) = acc
+              r0 += 1
+            }
           }
           val qNorm = math.sqrt(qSq)
           // ADC table: lut[j*256+c] = <q_subj, codebook[j][c]>
@@ -1887,6 +1926,312 @@ object Similarity {
       .withColumn("index", col("m.index"))
       .withColumn("score", col("m.score"))
       .drop("rank0", "m", embCol)
+  }
+
+  /** OPQ — optimized product quantization (Ge et al., CVPR'13
+    * non-parametric form): a learned ORTHOGONAL rotation R applied
+    * before plain PQ. PQ quantizes each dim-slice subspace
+    * independently, so correlated/unevenly-scaled dimensions waste
+    * code budget (one hot subspace carries all the variance, the rest
+    * encode noise); rotating first decorrelates and balances the
+    * subspaces, cutting quantization error AT THE SAME bits/vector.
+    * Because R is orthogonal it preserves dots and norms exactly (up
+    * to FP), so scores, metrics, ties, and every kernel contract are
+    * unchanged — the index just reconstructs better. Training
+    * alternates encode (current R, fresh subspace codebooks) with the
+    * orthogonal-Procrustes update R ← argmax tr(R·Σxyᵀ) = VUᵀ on the
+    * same strided sample [[quantizePq]] trains on; the corpus rotates
+    * once at build, queries rotate per-row at serve (d² multiplies —
+    * noise next to the 256·dim ADC table build).
+    */
+  final case class CorpusIndexOpq(
+      rot: Array[Double],
+      pq: CorpusIndexPq) extends Serializable {
+    def n: Int = pq.n
+    def dim: Int = pq.dim
+  }
+
+  /** Train the OPQ rotation + PQ index. `opqIters` alternations, each
+    * with a short `trainPqSubspace` refresh (the inner k-means need
+    * not converge per alternation — Ge'13 runs it warm). Deterministic
+    * end to end: strided sample, strided k-means init, fixed Jacobi
+    * eigensolve, fixed Gram–Schmidt order.
+    */
+  def quantizeOpq(
+      cx: CorpusIndex,
+      m: Int,
+      trainSample: Int = 16384,
+      iters: Int = 10,
+      opqIters: Int = 8,
+      withRerank: Boolean = true): CorpusIndexOpq = {
+    require(m >= 1 && m <= cx.dim && cx.dim % m == 0,
+      s"m must divide dim: dim=${cx.dim}, m=$m")
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    val rot = trainOpqRotation(cx, m, trainSample, opqIters)
+    CorpusIndexOpq(rot, quantizePq(rotateIndex(cx, rot), m, trainSample,
+      iters, withRerank))
+  }
+
+  /** Collect + pack + OPQ-train in one call (see [[collectCorpus]]). */
+  def collectCorpusOpq(
+      corpus: DataFrame, idCol: String, embCol: String, m: Int,
+      withRerank: Boolean = true): CorpusIndexOpq =
+    quantizeOpq(collectCorpus(corpus, idCol, embCol), m, withRerank = withRerank)
+
+  /** Per-query top-k against an OPQ index — [[topkPq]]'s exact
+    * contract with the query rotated into the index's space first.
+    */
+  def topkOpq(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexOpq,
+      k: Int,
+      metric: Metric,
+      shortlist: Int = 0,
+      outputCol: String = "matches"): DataFrame =
+    topkPqImpl(queries, embCol, corpus.pq, k, metric, shortlist, outputCol,
+      corpus.rot)
+
+  /** [[topkOpq]] exploded to the flat (query, rank, index, score)
+    * shape of [[topkFlat]].
+    */
+  def topkOpqFlat(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexOpq,
+      k: Int,
+      metric: Metric,
+      shortlist: Int = 0): DataFrame = {
+    val withMatches = topkOpq(queries, embCol, corpus, k, metric, shortlist, "matches")
+    withMatches
+      .select((withMatches.columns.filter(_ != "matches").map(col).toSeq :+
+        posexplode(col("matches")).as(Seq("rank0", "m"))): _*)
+      .withColumn("rank", col("rank0") + 1)
+      .withColumn("index", col("m.index"))
+      .withColumn("score", col("m.score"))
+      .drop("rank0", "m", embCol)
+  }
+
+  /** Rotate a packed corpus: out-row = R·row, norms recomputed from
+    * the rotated values (equal to the originals up to FP — the
+    * quantizer trains on what it will decode). f32 mirror dropped:
+    * the rotated pack exists only en route to quantization.
+    */
+  private[graft] def rotateIndex(cx: CorpusIndex, rot: Array[Double]): CorpusIndex = {
+    require(rot.length == cx.dim.toLong * cx.dim,
+      s"rotation must be ${cx.dim}×${cx.dim}, got ${rot.length} values")
+    val d = cx.dim
+    val out = new Array[Double](cx.n * d)
+    val norms = new Array[Double](cx.n)
+    val sqNorms = new Array[Double](cx.n)
+    java.util.stream.IntStream.range(0, cx.n).parallel().forEach { i =>
+      val src = i * d
+      var sq = 0.0
+      var r = 0
+      while (r < d) {
+        var acc = 0.0; var j = 0
+        val base = r * d
+        while (j < d) { acc += rot(base + j) * cx.data(src + j); j += 1 }
+        out(src + r) = acc
+        sq += acc * acc
+        r += 1
+      }
+      sqNorms(i) = sq
+      norms(i) = math.sqrt(sq)
+    }
+    CorpusIndex(cx.ids, out, null, cx.n, d, norms, sqNorms)
+  }
+
+  /** The OPQ-NP alternation on the strided train sample: encode with
+    * the current rotation, refresh subspace codebooks, reconstruct,
+    * then the orthogonal-Procrustes update R ← VUᵀ of Σ x·yᵀ via
+    * [[polarRotationMax]]. Returns the d×d row-major rotation.
+    */
+  private[graft] def trainOpqRotation(
+      cx: CorpusIndex, m: Int, trainSample: Int, opqIters: Int): Array[Double] = {
+    val d = cx.dim
+    val sub = d / m
+    val k = math.min(256, cx.n)
+    val step = math.max(1, cx.n / trainSample)
+    val sampleIdx = (0 until cx.n by step).toArray
+    val sn = sampleIdx.length
+    // X: the fixed raw sample (sn × d), Z: rotated, Y: reconstruction
+    val x = new Array[Double](sn * d)
+    var s = 0
+    while (s < sn) {
+      System.arraycopy(cx.data, sampleIdx(s) * d, x, s * d, d); s += 1
+    }
+    var rot = Array.tabulate(d * d)(i => if (i / d == i % d) 1.0 else 0.0)
+    val z = new Array[Double](sn * d)
+    val y = new Array[Double](sn * d)
+    var it = 0
+    while (it < opqIters) {
+      // z = R x (per sample row)
+      var s1 = 0
+      while (s1 < sn) {
+        var r = 0
+        while (r < d) {
+          var acc = 0.0; var j = 0
+          val base = r * d
+          while (j < d) { acc += rot(base + j) * x(s1 * d + j); j += 1 }
+          z(s1 * d + r) = acc
+          r += 1
+        }
+        s1 += 1
+      }
+      // refresh subspace codebooks on z, encode, reconstruct into y
+      var j2 = 0
+      while (j2 < m) {
+        val pts = new Array[Double](sn * sub)
+        var s2 = 0
+        while (s2 < sn) {
+          System.arraycopy(z, s2 * d + j2 * sub, pts, s2 * sub, sub); s2 += 1
+        }
+        val cent = trainPqSubspace(pts, sn, sub, k, iters = 4)
+        var s3 = 0
+        while (s3 < sn) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var dist = 0.0; var dd = 0
+            while (dd < sub) {
+              val diff = pts(s3 * sub + dd) - cent(c * sub + dd)
+              dist += diff * diff; dd += 1
+            }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          System.arraycopy(cent, best * sub, y, s3 * d + j2 * sub, sub)
+          s3 += 1
+        }
+        j2 += 1
+      }
+      // a = Σ_s x_s y_sᵀ (d×d) — the Procrustes cross-covariance
+      val a = Array.ofDim[Double](d, d)
+      var s4 = 0
+      while (s4 < sn) {
+        var i = 0
+        while (i < d) {
+          val xi = x(s4 * d + i)
+          if (xi != 0.0) {
+            var j = 0
+            while (j < d) { a(i)(j) += xi * y(s4 * d + j); j += 1 }
+          }
+          i += 1
+        }
+        s4 += 1
+      }
+      rot = polarRotationMax(a)
+      it += 1
+    }
+    rot
+  }
+
+  /** argmax over ORTHOGONAL R of tr(R·A): A = UΣVᵀ ⇒ R = VUᵀ.
+    * SVD via the dependency-free route: AᵀA = VΣ²Vᵀ (cyclic Jacobi),
+    * U columns = A·v/σ; σ below a relative floor (rank-deficient A —
+    * an exactly-reconstructed sample direction) fall back to their V
+    * column and a final modified Gram–Schmidt over U's columns (σ-desc
+    * order, coordinate-axis fallback for collapsed columns) restores
+    * exact orthogonality, so the returned R is orthogonal BY
+    * CONSTRUCTION (a product of two orthogonal factors), never
+    * "nearly" — scores under R must preserve dots, not approximately
+    * preserve them. Deterministic: fixed sweep order, fixed GS order.
+    */
+  private[graft] def polarRotationMax(a: Array[Array[Double]]): Array[Double] = {
+    val d = a.length
+    val ata = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var acc = 0.0; var r = 0
+        while (r < d) { acc += a(r)(i) * a(r)(j); r += 1 }
+        ata(i)(j) = acc
+        j += 1
+      }
+      i += 1
+    }
+    val (eig, v) = graft.operators.Ann.jacobiEigSym(ata)
+    val sigma = eig.map(e => math.sqrt(math.max(e, 0.0)))
+    val sigMax = if (sigma.isEmpty) 0.0 else sigma.max
+    val tol = math.max(1e-300, sigMax * 1e-9)
+    // u_c = A v_c / σ_c (V columns are v(i)(c))
+    val u = Array.ofDim[Double](d, d) // u(i)(c)
+    var c = 0
+    while (c < d) {
+      if (sigma(c) > tol) {
+        var r = 0
+        while (r < d) {
+          var acc = 0.0; var j = 0
+          while (j < d) { acc += a(r)(j) * v(j)(c); j += 1 }
+          u(r)(c) = acc / sigma(c)
+          r += 1
+        }
+      } else {
+        var r = 0
+        while (r < d) { u(r)(c) = v(r)(c); r += 1 }
+      }
+      c += 1
+    }
+    // modified Gram–Schmidt over U's columns, strongest σ first
+    val order = (0 until d).sortBy(c0 => -sigma(c0))
+    val done = new Array[Int](0).toBuffer // accepted column indices, in order
+    order.foreach { c0 =>
+      done.foreach { p =>
+        var dot = 0.0; var r = 0
+        while (r < d) { dot += u(r)(c0) * u(r)(p); r += 1 }
+        var r2 = 0
+        while (r2 < d) { u(r2)(c0) -= dot * u(r2)(p); r2 += 1 }
+      }
+      var nrm = 0.0; var r3 = 0
+      while (r3 < d) { nrm += u(r3)(c0) * u(r3)(c0); r3 += 1 }
+      if (nrm > 1e-24) {
+        val inv = 1.0 / math.sqrt(nrm)
+        var r4 = 0
+        while (r4 < d) { u(r4)(c0) *= inv; r4 += 1 }
+      } else {
+        // collapsed: take the first coordinate axis with residual mass
+        var ax = 0
+        var placed = false
+        while (ax < d && !placed) {
+          var r5 = 0
+          while (r5 < d) { u(r5)(c0) = if (r5 == ax) 1.0 else 0.0; r5 += 1 }
+          done.foreach { p =>
+            var dot = 0.0; var r6 = 0
+            while (r6 < d) { dot += u(r6)(c0) * u(r6)(p); r6 += 1 }
+            var r7 = 0
+            while (r7 < d) { u(r7)(c0) -= dot * u(r7)(p); r7 += 1 }
+          }
+          var nn = 0.0; var r8 = 0
+          while (r8 < d) { nn += u(r8)(c0) * u(r8)(c0); r8 += 1 }
+          if (nn > 1e-12) {
+            val inv = 1.0 / math.sqrt(nn)
+            var r9 = 0
+            while (r9 < d) { u(r9)(c0) *= inv; r9 += 1 }
+            placed = true
+          }
+          ax += 1
+        }
+        require(placed, "polarRotationMax: could not complete an orthogonal basis")
+      }
+      done += c0
+      ()
+    }
+    // R = V Uᵀ: R(i)(j) = Σ_c v(i)(c) u(j)(c)
+    val rot = new Array[Double](d * d)
+    var i2 = 0
+    while (i2 < d) {
+      var j = 0
+      while (j < d) {
+        var acc = 0.0; var c2 = 0
+        while (c2 < d) { acc += v(i2)(c2) * u(j)(c2); c2 += 1 }
+        rot(i2 * d + j) = acc
+        j += 1
+      }
+      i2 += 1
+    }
+    rot
   }
 
   /** FAISS-style IVF+PQ composite (cosine): coarse spherical-k-means
