@@ -669,8 +669,18 @@ object ScaleSmoke {
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
       println(f"bq: blocked exact ground truth: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // de-residue between the exact pass and the priced concurrent
+      // collects: the ground truth's 16 exact-block broadcasts (f64 +
+      // f32 mirrors, ~2 GB each) linger until ContextCleaner runs, and
+      // sharing the heap high-water mark with 3-4 in-flight shard
+      // collects OOMed a 100g heap — the same overlap the ivfpq leg
+      // documents. gc → wait → gc lets the async cleanup land first,
+      // and the explicit in-flight cap keeps the collect spike under
+      // what the post-GT heap actually has free.
+      System.gc(); Thread.sleep(2000); System.gc()
       val t1 = System.nanoTime()
-      val shards = Similarity.buildBqSharded(corpus, "doc_id", "vec", blocks)
+      val shards = Similarity.buildBqSharded(corpus, "doc_id", "vec", blocks,
+        maxInFlightBytes = 16L << 30)
       println(f"bq sharded build ($bqDocs x ${dim}d, $blocks shards, " +
         f"bits ${shards.map(_.words.length.toLong * 8).sum / (1 << 20)} MB + " +
         f"sq8 ${shards.map(_.sq8.codes.length.toLong).sum / (1 << 20)} MB): " +
@@ -687,6 +697,11 @@ object ScaleSmoke {
       println(f"bq sharded search (1k q, shortlist $shortlist/shard, " +
         f"popcount pre-screen + sq8 rerank): ${(System.nanoTime() - t2) / 1e9}%.2f s; " +
         f"recall@10 vs exact = ${hits.toDouble / nTruth}%.4f")
+      // floor on the default family corpus (measured 0.9654 at 10M,
+      // shortlist 512/shard): an encode/popcount/merge regression
+      // craters this, clustering drift does not
+      require(hits.toDouble / nTruth >= 0.9,
+        f"bq recall floor violated: ${hits.toDouble / nTruth}%.4f < 0.9")
       stagesRan += 1
       queries.unpersist()
       corpus.unpersist()

@@ -351,6 +351,25 @@ object Sink {
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
     }
 
+  /** Persist an OPQ index — the learned rotation plus the PQ index it
+    * wraps (same train-once story as [[writePqIndex]]: the Procrustes
+    * alternation + codebook training is the expensive step). Layout:
+    * `path/rot/` one meta row with the d×d rotation, `path/pq/` the
+    * standard [[writePqIndex]] layout.
+    * [[graft.sources.Source.readOpqIndex]] restores byte-identically.
+    */
+  def writeOpqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ox: graft.operators.Similarity.CorpusIndexOpq,
+      path: String,
+      overwrite: Boolean = false): Unit =
+    publishAtomically(spark, path, overwrite) { tmp =>
+      import spark.implicits._
+      Seq((ox.dim, ox.rot.toSeq)).toDF("dim", "rot")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/rot")
+      writePqIndex(spark, ox.pq, s"$tmp/pq")
+    }
+
   /** Persist a binary-quantized index — bits + SQ8 envelope + the
     * integer-derived thresholds, same train-once story as
     * [[writeSq8Index]] (the build pays a full corpus collect; a

@@ -137,6 +137,24 @@ object Source {
       ids, codes, n, dim, dimMin, dimScale, norms, sqNorms)
   }
 
+  /** Restore an OPQ index persisted by
+    * [[graft.sources.Sink.writeOpqIndex]] — byte-identical rotation
+    * and PQ payload, so serving restores the trained alignment
+    * instead of re-running the Procrustes alternation.
+    */
+  def readOpqIndex(
+      spark: SparkSession, path: String): graft.operators.Similarity.CorpusIndexOpq = {
+    val meta = spark.read.parquet(s"$path/rot").select("dim", "rot").head()
+    val dim = meta.getInt(0)
+    val rot = meta.getSeq[Double](1).toArray
+    require(rot.length == dim.toLong * dim,
+      s"corrupt OPQ rotation: dim=$dim but ${rot.length} values")
+    val pq = readPqIndex(spark, s"$path/pq")
+    require(pq.dim == dim,
+      s"corrupt OPQ index: rotation dim=$dim but PQ payload dim=${pq.dim}")
+    graft.operators.Similarity.CorpusIndexOpq(rot, pq)
+  }
+
   /** Restore a binary-quantized index persisted by
     * [[graft.sources.Sink.writeBqIndex]] — byte-identical bits,
     * thresholds, and SQ8 envelope, so a serving session loads the

@@ -244,6 +244,34 @@ class SinkSpec extends AnyFunSuite {
     assert(graft.sources.Source.readBqIndex(spark, out).words.sameElements(built.words))
   }
 
+  test("OPQ index round-trip: byte-identical restore, identical search results") {
+    import spark.implicits._
+    import graft.operators.{Metric, Similarity}
+    val rnd = new scala.util.Random(43)
+    val corpus = (0L until 300L).map(i => i -> Seq.fill(24)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    val queries = (0L until 20L).map(i => i -> Seq.fill(24)(rnd.nextGaussian()))
+      .toDF("qid", "emb")
+    val built = Similarity.collectCorpusOpq(corpus, "id", "emb", m = 6)
+    val out = tmpDir("sink-opq")
+    Sink.writeOpqIndex(spark, built, out)
+    val loaded = graft.sources.Source.readOpqIndex(spark, out)
+    assert(loaded.rot.sameElements(built.rot))
+    assert(loaded.pq.ids.sameElements(built.pq.ids))
+    assert(loaded.pq.codes.sameElements(built.pq.codes))
+    assert(loaded.pq.codebooks.sameElements(built.pq.codebooks))
+    assert(loaded.pq.sq8.map(_.codes.toSeq) == built.pq.sq8.map(_.codes.toSeq))
+    def res(cx: Similarity.CorpusIndexOpq) =
+      Similarity.topkOpq(queries, "emb", cx, k = 5, Metric.Cosine, shortlist = 50)
+        .selectExpr("qid", "inline(matches)").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res(loaded) == res(built))
+    // overwrite contract matches the other index sinks
+    intercept[Exception] { Sink.writeOpqIndex(spark, built, out) }
+    Sink.writeOpqIndex(spark, built, out, overwrite = true)
+    assert(graft.sources.Source.readOpqIndex(spark, out).rot.sameElements(built.rot))
+  }
+
   test("IVF+PQ index round-trip: byte-identical restore, identical search results") {
     import spark.implicits._
     import graft.operators.Similarity
