@@ -76,7 +76,7 @@ object Bench {
     "ann_ivfpq_recall", "ann_ivfpq", "dedup_minhash_recall08",
     "dedup_paragraphs_near_recall", "emb_kmeans_gate",
     "ann_ivfpq_delete_gate", "emb_rp_rerank_gate", "ann_bq_recall",
-    "ann_opq_recall", "q_hybrid_rrf",
+    "ann_opq_recall", "ann_ivfbq_recall", "q_hybrid_rrf",
     // the memoized-input rows promoted to train-once in round 14
     "dedup_drop_best", "q_split_clusters")
 

@@ -702,6 +702,47 @@ object ScaleSmoke {
       // craters this, clustering drift does not
       require(hits.toDouble / nTruth >= 0.9,
         f"bq recall floor violated: ${hits.toDouble / nTruth}%.4f < 0.9")
+      // IVF+BQ: derive routed indexes from the SAME envelopes (no
+      // second collect — decode-from-envelope cell training), probe
+      // 25% of cells, same shortlist: the popcount pass drops ~4×
+      val nCells = 256
+      val nProbe = 64
+      val t3 = System.nanoTime()
+      val dimBq = shards.head.dim
+      val nTotBq = shards.map(_.n.toLong).sum
+      val colSumBq = new Array[Long](dimBq)
+      shards.foreach { s =>
+        val cs = Similarity.bqColSums(s.sq8)
+        var d = 0
+        while (d < dimBq) { colSumBq(d) += cs(d); d += 1 }
+      }
+      val ivfShards = shards.map(s =>
+        Similarity.ivfBqFromSq8(s.sq8, nCells, colSumGlobal = colSumBq,
+          nTotal = nTotBq))
+      println(f"ivf+bq sharded build from the SAME envelopes " +
+        f"($nCells cells/shard, decode-from-envelope): " +
+        f"${(System.nanoTime() - t3) / 1e9}%.2f s")
+      // two probe depths: 25% (first measurement: SLOWER than the
+      // flat linear scan at this geometry — the CSR gather loses to a
+      // sequential 4-word popcount sweep — and lower recall) and ~6%,
+      // the regime where routing must pay or the rung's honest answer
+      // at this dim is "use the flat scan"
+      for (npr <- Seq(nProbe, nProbe / 4)) {
+        val t4 = System.nanoTime()
+        val gotIvf = Similarity.topkIvfBqSharded(queries, "qid", "vec", ivfShards,
+            10, npr, shortlist)
+          .select(col("qid"), col("index")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+        val hitsIvf = truth.map { case (q, ts) =>
+          (ts & gotIvf.getOrElse(q, Set.empty)).size }.sum
+        println(f"ivf+bq sharded search (1k q, nProbe $npr/$nCells, " +
+          f"shortlist $shortlist/shard): ${(System.nanoTime() - t4) / 1e9}%.2f s; " +
+          f"recall@10 vs exact = ${hitsIvf.toDouble / nTruth}%.4f")
+        if (npr == nProbe)
+          require(hitsIvf.toDouble / nTruth >= 0.85,
+            f"ivf+bq recall floor violated: ${hitsIvf.toDouble / nTruth}%.4f < 0.85")
+      }
       stagesRan += 1
       queries.unpersist()
       corpus.unpersist()

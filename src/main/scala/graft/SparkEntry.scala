@@ -1000,6 +1000,32 @@ object SparkEntry {
         .select(col("n_queries"), recallAtLeast(0.85).as("bq_recall_ok"))
     }),
 
+    // IVF+BQ gate: the sublinear form of the BQ rung — spherical
+    // cells route, popcount pre-screens only probed members, SQ8
+    // reranks. The floor is ROUTING-limited on this near-isotropic
+    // corpus (the plain-IVF gate pins 0.5 at defaults for the same
+    // reason; clustered-regime behavior is IvfBqSpec's 0.97 and the
+    // 10M smoke); measured 0.686/0.664 at sf0.01/sf0.1 — a routing/
+    // CSR/popcount regression craters it far below 0.6.
+    "ann_ivfbq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val cx = corpus(s, dir)
+      val brute = Similarity.topkFlat(q, "embedding", cx, 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      val ivfbq = Similarity.topkIvfBqFlat(q, "embedding",
+        Similarity.quantizeIvfBq(cx, nCells = 32), 10, nProbe = 8,
+        shortlist = 400)
+      brute
+        .join(ivfbq.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"), recallAtLeast(0.6).as("ivfbq_recall_ok"))
+    }),
+
     // OPQ-vs-PQ gate: dim-slice PQ wastes code budget when dimensions
     // are CORRELATED, and the raw embeddings are near-isotropic (the
     // emb_pca_gate rationale) — so the gate builds a deterministic
@@ -3481,6 +3507,10 @@ object SparkEntry {
     "ann_opq_recall" ->
       """SELECT count(*) AS n_vectors, CAST(1 AS BOOLEAN) AS opq_gain_ok,
         |       CAST(1 AS BOOLEAN) AS opq_floor_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_ivfbq_recall" ->
+      """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS ivfbq_recall_ok
         |FROM embeddings""".stripMargin,
 
     "ann_pq_recall" ->

@@ -45,6 +45,11 @@ object Retrieval {
     * A candidate appearing twice in ONE list refuses (that is a
     * malformed ranking, and summing both occurrences would double-
     * count the list); appearing in several lists is the point.
+    *
+    * `weights` (optional, one per ranking, all > 0) scales each
+    * list's contribution — w_i/(c+rank) — the standard knob when one
+    * retriever is trusted more (e.g. 2:1 dense:lexical). Empty =
+    * unweighted (all 1.0).
     */
   def rrfFuse(
       rankings: Seq[DataFrame],
@@ -52,10 +57,17 @@ object Retrieval {
       idCol: String,
       rankCol: String,
       k: Int,
-      c: Double = 60.0): DataFrame = {
+      c: Double = 60.0,
+      weights: Seq[Double] = Nil): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     require(k >= 1, s"k must be >= 1, got $k")
     require(c > 0.0, s"rrf constant c must be > 0, got $c")
+    require(weights.isEmpty || weights.length == rankings.length,
+      s"weights must be empty or one per ranking: ${weights.length} weights, " +
+        s"${rankings.length} rankings")
+    require(weights.forall(_ > 0.0),
+      s"weights must be > 0, got ${weights.filter(_ <= 0.0).mkString(", ")}")
+    val wts = if (weights.isEmpty) Seq.fill(rankings.length)(1.0) else weights
     val keyCols = queryCols :+ idCol
     rankings.zipWithIndex.foreach { case (r, i) =>
       val missing = (keyCols :+ rankCol).filterNot(r.columns.contains)
@@ -68,7 +80,7 @@ object Retrieval {
     // pre-pass per input.
     val tagged = rankings.zipWithIndex.map { case (r, i) =>
       r.select((key :+ col(rankCol).cast("int").as("_rrf_rank") :+
-        lit(i).as("_rrf_list")): _*)
+        lit(i).as("_rrf_list") :+ lit(wts(i)).as("_rrf_w")): _*)
     }
     val unioned = tagged.reduce(_ unionByName _)
       .withColumn("_rrf_rank",
@@ -79,26 +91,24 @@ object Retrieval {
             lit(" for id "),
             coalesce(col(idCol).cast("string"), lit("null")))))
           .otherwise(col("_rrf_rank")))
-    // One shuffle on (list, query, id) does double duty: the duplicate
-    // check (count must be 1) and the per-key contribution. The second
-    // groupBy on (query, id) then reduces list contributions — both
-    // aggregations are partial (map-side combine), and the rows are
-    // shortlist-sized.
-    val perList = unioned
-      .groupBy((col("_rrf_list") +: key): _*)
-      .agg(count(lit(1)).as("_rrf_n"), min(col("_rrf_rank")).as("_rrf_rank"))
-      .withColumn("_rrf_n",
-        when(col("_rrf_n") > 1,
+    // ONE shuffle on (query, id) does double duty: the fused score
+    // and the within-list duplicate check — a candidate is duplicated
+    // inside a list iff its row count exceeds its DISTINCT list count
+    // (collect_set over ≤ |rankings| tags, partial-aggregatable, so
+    // no second exchange and no expanded distinct-agg plan).
+    val fused = unioned
+      .groupBy(key: _*)
+      .agg(sum(col("_rrf_w") / (lit(c) + col("_rrf_rank").cast("double"))).as("rrf"),
+        count(lit(1)).as("_rrf_n"),
+        size(collect_set(col("_rrf_list"))).as("_rrf_nlists"))
+      .withColumn("rrf",
+        when(col("_rrf_n") > col("_rrf_nlists"),
           raise_error(concat(lit("rrfFuse: candidate "),
             col(idCol).cast("string"),
-            lit(" appears more than once in ranking #"),
-            col("_rrf_list").cast("string"),
-            lit(" — rankings must list each candidate at most once"))))
-          .otherwise(col("_rrf_n")))
-    val fused = perList
-      .filter(col("_rrf_n") === 1) // always true; keeps the check in-plan
-      .groupBy(key: _*)
-      .agg(sum(lit(1.0) / (lit(c) + col("_rrf_rank").cast("double"))).as("rrf"))
+            lit(" appears more than once in one ranking — rankings " +
+              "must list each candidate at most once"))))
+          .otherwise(col("rrf")))
+      .drop("_rrf_n", "_rrf_nlists")
     val w =
       if (queryCols.isEmpty) Window.orderBy(col("rrf").desc, col(idCol).asc)
       else Window.partitionBy(queryCols.map(col): _*)

@@ -1498,6 +1498,380 @@ object Similarity {
       .drop("rank0", "m", embCol)
   }
 
+  /** IVF + binary quantization — coarse spherical cells ROUTE, sign
+    * bits PRE-SCREEN, the SQ8 envelope RERANKS: the [[topkBq]] scan
+    * goes sublinear by popcounting only the `nProbe` probed cells'
+    * members (the FAISS IVF+RaBitQ shape). Everything except the cell
+    * CSR is literally the flat [[CorpusIndexBq]] payload — bits cut on
+    * the same exact-integer dequantized-mean threshold, rerank scores
+    * are the same [[topkSq8]] dequantized-grid cosines — so probing
+    * every cell with the same shortlist reproduces [[topkBq]]'s rows
+    * exactly (IvfBqSpec pins it). Cells train on the DEQUANTIZED
+    * corpus (decode-from-envelope), which is what lets the sharded
+    * builder derive whole indexes from [[buildSq8Sharded]] envelopes
+    * without a second collect: the envelope IS the corpus as far as
+    * every scoring path is concerned. Cosine only, like
+    * [[topkIvfPq]] — the spherical routing is angle geometry.
+    */
+  final case class CorpusIndexIvfBq(
+      ids: Array[Long],
+      n: Int,
+      dim: Int,
+      nCells: Int,
+      centroids: Array[Double],   // nCells * dim, unit rows
+      words: Array[Long],         // n * nWords, CSR-POSITION order: the
+                                  // bit row at CSR slot p belongs to
+                                  // row cellMembers(p) — probed cells
+                                  // scan their bits SEQUENTIALLY (the
+                                  // FAISS inverted-list layout; a
+                                  // row-order gather loses to the flat
+                                  // linear sweep, measured at 10M)
+      nWords: Int,
+      thresholds: Array[Double],  // query-side sign cut
+      cellOf: Array[Int],
+      cellStart: Array[Int],      // nCells + 1 CSR offsets
+      cellMembers: Array[Int],    // n, row indices grouped by cell
+      sq8: CorpusIndexSq8) extends Serializable
+
+  /** Train an IVF+BQ index from a packed corpus: one SQ8 pass, then
+    * [[ivfBqFromSq8]] (decode-from-envelope — see there).
+    */
+  def quantizeIvfBq(
+      cx: CorpusIndex,
+      nCells: Int,
+      trainSample: Int = 16384,
+      iters: Int = 10): CorpusIndexIvfBq =
+    ivfBqFromSq8(quantizeSq8(cx), nCells, trainSample, iters)
+
+  /** Build the IVF+BQ index from an SQ8 envelope alone: bits via the
+    * integer-threshold contract ([[bqFromSq8]]), spherical cells
+    * trained and assigned on the UNIT-NORMALIZED DEQUANTIZED rows
+    * (same strided sample + k-means as IVF+PQ, ties to the lowest
+    * cell). `colSumGlobal`/`nTotal` as in [[bqFromSq8]] — the sharded
+    * builder passes corpus-global totals so every shard's bits cut
+    * identically.
+    */
+  private[graft] def ivfBqFromSq8(
+      sq8: CorpusIndexSq8,
+      nCells: Int,
+      trainSample: Int = 16384,
+      iters: Int = 10,
+      colSumGlobal: Array[Long] = null,
+      nTotal: Long = 0L): CorpusIndexIvfBq = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    require(trainSample >= 1, s"trainSample must be >= 1, got $trainSample")
+    val bq = bqFromSq8(sq8, colSumGlobal, nTotal)
+    val d = sq8.dim
+    val k = math.min(nCells, math.max(1, sq8.n))
+    // decode + unit-normalize (zero-norm rows stay zero)
+    val unit = new Array[Double](sq8.n * d)
+    java.util.stream.IntStream.range(0, sq8.n).parallel().forEach { g =>
+      val nrm = sq8.norms(g)
+      if (nrm > 1e-10) {
+        var dd = 0
+        while (dd < d) {
+          unit(g * d + dd) = (sq8.dimMin(dd) +
+            (sq8.codes(g * d + dd) & 0xFF) * sq8.dimScale(dd).toDouble) / nrm
+          dd += 1
+        }
+      }
+    }
+    val step = math.max(1, sq8.n / trainSample)
+    val sampleIdx = (0 until sq8.n by step).toArray
+    val sn = sampleIdx.length
+    val sample = new Array[Double](sn * d)
+    var s = 0
+    while (s < sn) {
+      System.arraycopy(unit, sampleIdx(s) * d, sample, s * d, d); s += 1
+    }
+    val centFlat = trainSphericalKmeans(sample, sn, d, k, iters)
+    val cellOf = new Array[Int](sq8.n)
+    java.util.stream.IntStream.range(0, sq8.n).parallel().forEach { g =>
+      val src = g * d
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < k) {
+        var dot = 0.0; var dd = 0
+        val cb = c * d
+        while (dd < d) { dot += unit(src + dd) * centFlat(cb + dd); dd += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+        c += 1
+      }
+      cellOf(g) = best
+    }
+    val (cellStart, cellMembers) = buildCsr(cellOf, k)
+    // repack the bit matrix into CSR-position order (see the field
+    // comment): probed cells then stream their bits sequentially
+    val cellWords = new Array[Long](bq.words.length)
+    var p = 0
+    while (p < sq8.n) {
+      System.arraycopy(bq.words, cellMembers(p) * bq.nWords,
+        cellWords, p * bq.nWords, bq.nWords)
+      p += 1
+    }
+    CorpusIndexIvfBq(sq8.ids, sq8.n, d, k, centFlat,
+      cellWords, bq.nWords, bq.thresholds, cellOf, cellStart, cellMembers, sq8)
+  }
+
+  /** Per-query cosine top-k against an IVF+BQ index: probe the
+    * `nProbe` best cells by centroid dot, XOR+popcount ONLY the
+    * probed members (global Hamming shortlist across probed cells,
+    * ties by id), then the mandatory SQ8 rerank — [[topkBq]]'s exact
+    * output/score/tie/null contract restricted to the probed
+    * population (k clamps to it like [[topkIvfPq]]).
+    */
+  def topkIvfBq(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexIvfBq,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      outputCol: String = "matches"): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(shortlist >= k,
+      s"shortlist must be >= k, got $shortlist (k=$k) — the Hamming pass " +
+        "only pre-screens; k results come from the SQ8 rerank")
+    val spark = queries.sparkSession
+    val bc = broadcastOf(spark, corpus)
+    val schema = queries.schema
+    val embIdx = schema.fieldIndex(embCol)
+    val embIsF32 = schema(embCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case dt => throw new IllegalArgumentException(
+        s"Query column $embCol must be array<float>/array<double>, got ${dt.simpleString}")
+    }
+    val fieldTypes = schema.fields.map(_.dataType)
+    val outSchema = StructType(schema.fields :+ StructField(outputCol,
+      ArrayType(StructType(Seq(
+        StructField("index", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))), containsNull = false),
+      nullable = true))
+    val kk = math.min(math.max(k, 0), corpus.n)
+    val sl = math.min(shortlist, corpus.n)
+    val cap = math.max(sl, 1)
+    val np = math.min(nProbe, corpus.nCells)
+
+    val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
+      val cx = bc.value
+      val sq8 = cx.sq8
+      val qf = new Array[Double](cx.dim)
+      val qWords = new Array[Long](cx.nWords)
+      val cellDots = new Array[Double](cx.nCells)
+      val probed = new Array[Int](np)
+      val selIdx = new Array[Int](cap)
+      val selHam = new Array[Int](cap)
+      val rIdx = new Array[Int](math.max(kk, 1))
+      val rScore = new Array[Double](math.max(kk, 1))
+      it.map { row0 =>
+        val row = row0.copy()
+        val isNull = row.isNullAt(embIdx)
+        val result: AnyRef = if (isNull || kk == 0) {
+          if (isNull) null else new GenericArrayData(new Array[Any](0))
+        } else {
+          val emb = row.getArray(embIdx)
+          if (emb.numElements() != cx.dim) throw new IllegalArgumentException(
+            s"Dimension mismatch: query has ${emb.numElements()} elements, corpus has ${cx.dim}")
+          var qSq = 0.0
+          var d0 = 0
+          if (embIsF32) {
+            val fa = emb.toFloatArray()
+            while (d0 < cx.dim) { val v = fa(d0).toDouble; qf(d0) = v; qSq += v * v; d0 += 1 }
+          } else {
+            val da = emb.toDoubleArray()
+            while (d0 < cx.dim) { val v = da(d0); qf(d0) = v; qSq += v * v; d0 += 1 }
+          }
+          val qNorm = math.sqrt(qSq)
+          java.util.Arrays.fill(qWords, 0L)
+          bqEncodeRow(qf, 0, cx.dim, cx.thresholds, qWords, 0)
+          // probe: nProbe best cells by centroid dot (ties to the
+          // lowest cell — selection sort over the dot array, np·nCells
+          // comparisons, nCells is hundreds)
+          var c = 0
+          while (c < cx.nCells) {
+            var dot = 0.0; var dd = 0
+            val cb = c * cx.dim
+            while (dd < cx.dim) { dot += qf(dd) * cx.centroids(cb + dd); dd += 1 }
+            cellDots(c) = dot
+            c += 1
+          }
+          var p = 0
+          while (p < np) {
+            var best = -1; var bestDot = Double.NegativeInfinity
+            var c2 = 0
+            while (c2 < cx.nCells) {
+              var taken = false
+              var t = 0
+              while (t < p && !taken) { if (probed(t) == c2) taken = true; t += 1 }
+              if (!taken && cellDots(c2) > bestDot) { bestDot = cellDots(c2); best = c2 }
+              c2 += 1
+            }
+            probed(p) = best
+            p += 1
+          }
+          // Hamming pre-screen over the probed cells' members — bits
+          // stream SEQUENTIALLY (CSR-position layout), only shortlist
+          // bookkeeping touches the member indirection
+          var size = 0
+          var pi = 0
+          while (pi < np) {
+            val cell = probed(pi)
+            var mi = cx.cellStart(cell)
+            val end = cx.cellStart(cell + 1)
+            while (mi < end) {
+              val g = cx.cellMembers(mi)
+              var ham = 0
+              var w = 0
+              val base = mi * cx.nWords
+              while (w < cx.nWords) {
+                ham += java.lang.Long.bitCount(qWords(w) ^ cx.words(base + w))
+                w += 1
+              }
+              val beatsWorst = size < cap || {
+                val worst = selHam(size - 1)
+                ham < worst || (ham == worst && cx.ids(g) < cx.ids(selIdx(size - 1)))
+              }
+              if (beatsWorst) {
+                var pos = if (size < cap) size else cap - 1
+                while (pos > 0 && {
+                  val ph = selHam(pos - 1)
+                  ham < ph || (ham == ph && cx.ids(g) < cx.ids(selIdx(pos - 1)))
+                }) {
+                  selHam(pos) = selHam(pos - 1); selIdx(pos) = selIdx(pos - 1)
+                  pos -= 1
+                }
+                selHam(pos) = ham; selIdx(pos) = g
+                if (size < cap) size += 1
+              }
+              mi += 1
+            }
+            pi += 1
+          }
+          // SQ8 rerank of the shortlist — topkSq8's score definition
+          var rSize = 0
+          var ci = 0
+          val lim = math.min(size, sl)
+          while (ci < lim) {
+            val g2 = selIdx(ci)
+            var dot = 0.0
+            val src = g2 * cx.dim
+            var dd = 0
+            while (dd < cx.dim) {
+              dot += qf(dd) * (sq8.dimMin(dd) +
+                (sq8.codes(src + dd) & 0xFF) * sq8.dimScale(dd))
+              dd += 1
+            }
+            val sc =
+              if (qNorm <= 1e-10 || sq8.norms(g2) <= 1e-10) 0.0
+              else dot / (qNorm * sq8.norms(g2))
+            val beatsWorst = rSize < kk || {
+              val w2 = rScore(rSize - 1)
+              sc > w2 || (sc == w2 && cx.ids(g2) < cx.ids(rIdx(rSize - 1)))
+            }
+            if (beatsWorst) {
+              var pos = if (rSize < kk) rSize else kk - 1
+              while (pos > 0 && {
+                val ps = rScore(pos - 1)
+                sc > ps || (sc == ps && cx.ids(g2) < cx.ids(rIdx(pos - 1)))
+              }) {
+                rScore(pos) = rScore(pos - 1); rIdx(pos) = rIdx(pos - 1)
+                pos -= 1
+              }
+              rScore(pos) = sc; rIdx(pos) = g2
+              if (rSize < kk) rSize += 1
+            }
+            ci += 1
+          }
+          val structs = new Array[Any](rSize)
+          var r = 0
+          while (r < rSize) {
+            structs(r) = InternalRow(cx.ids(rIdx(r)), rScore(r)); r += 1
+          }
+          new GenericArrayData(structs)
+        }
+        val vals = new Array[Any](fieldTypes.length + 1)
+        var f = 0
+        while (f < fieldTypes.length) { vals(f) = row.get(f, fieldTypes(f)); f += 1 }
+        vals(fieldTypes.length) = result
+        new GenericInternalRow(vals): InternalRow
+      }
+    }
+    InternalRowBridge.fromInternalRdd(spark, outRdd, outSchema)
+  }
+
+  /** [[topkIvfBq]] exploded to the flat (query, rank, index, score)
+    * shape of [[topkFlat]].
+    */
+  def topkIvfBqFlat(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexIvfBq,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame = {
+    val withMatches = topkIvfBq(queries, embCol, corpus, k, nProbe, shortlist, "matches")
+    withMatches
+      .select((withMatches.columns.filter(_ != "matches").map(col).toSeq :+
+        posexplode(col("matches")).as(Seq("rank0", "m"))): _*)
+      .withColumn("rank", col("rank0") + 1)
+      .withColumn("index", col("m.index"))
+      .withColumn("score", col("m.score"))
+      .drop("rank0", "m", embCol)
+  }
+
+  /** One IVF+BQ index per hash-mod shard, derived ENTIRELY from
+    * [[buildSq8Sharded]]'s envelopes — no second collect: bits from
+    * the corpus-global integer totals (bit-identical to a
+    * whole-corpus build, the [[buildBqSharded]] contract), cells
+    * trained per shard on the dequantized rows (per-shard geometry,
+    * like [[buildIvfPqSharded]]). Serve with [[topkIvfBqSharded]].
+    */
+  def buildIvfBqSharded(
+      corpus: DataFrame,
+      cIdCol: String,
+      cEmbCol: String,
+      numShards: Int,
+      nCells: Int,
+      trainSample: Int = 16384,
+      iters: Int = 10,
+      maxInFlightBytes: Long = 0L): Seq[CorpusIndexIvfBq] = {
+    val sq8s = buildSq8Sharded(corpus, cIdCol, cEmbCol, numShards, maxInFlightBytes)
+    val dim = sq8s.head.dim
+    val nTot = sq8s.map(_.n.toLong).sum
+    val colSum = new Array[Long](dim)
+    sq8s.foreach { s =>
+      val cs = bqColSums(s)
+      var d = 0
+      while (d < dim) { colSum(d) += cs(d); d += 1 }
+    }
+    sq8s.map(ivfBqFromSq8(_, nCells, trainSample, iters, colSum, nTot))
+  }
+
+  /** Merge per-shard [[topkIvfBq]] serves — the [[topkBqSharded]]
+    * row_number merge (cosine, so higher-is-better ordering).
+    */
+  def topkIvfBqSharded(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      shards: Seq[CorpusIndexIvfBq],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val partials = shards.map(sx =>
+      topkIvfBqFlat(queries.select(col(qIdCol), col(embCol)), embCol, sx,
+        k, nProbe, shortlist).drop("rank"))
+    val unioned = partials.reduce(_ unionAll _)
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col("index").asc)
+    unioned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   final case class CorpusIndexPq(
       ids: Array[Long],
       codes: Array[Byte],       // n * m, row-major subspace codes

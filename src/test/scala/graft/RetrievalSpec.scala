@@ -58,6 +58,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(math.abs(out(2L) - 1.0 / 3) < 1e-12)
   }
 
+  test("rrfFuse: per-list weights scale contributions; bad weights refuse") {
+    val a = Seq((1L, 1)).toDF("id", "rank") // only in A
+    val b = Seq((2L, 1)).toDF("id", "rank") // only in B
+    // 2:1 weights — candidate 1 must now outrank candidate 2 despite
+    // identical ranks, with hand-computable scores
+    val out = Retrieval.rrfFuse(Seq(a, b), Nil, "id", "rank", k = 10,
+        weights = Seq(2.0, 1.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 2.0 / 61) < 1e-12)
+    assert(math.abs(out(2L) - 1.0 / 61) < 1e-12)
+    // all-1.0 weights are exactly the unweighted fusion
+    val w1 = Retrieval.rrfFuse(Seq(a, b), Nil, "id", "rank", k = 10,
+        weights = Seq(1.0, 1.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w0 = Retrieval.rrfFuse(Seq(a, b), Nil, "id", "rank", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w1 == w0)
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(a, b), Nil, "id", "rank", k = 5, weights = Seq(1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(a, b), Nil, "id", "rank", k = 5,
+        weights = Seq(1.0, 0.0))
+    }
+  }
+
   test("rrfFuse: refuses non-positive and null ranks") {
     val bad = Seq((1L, 0)).toDF("id", "rank")
     val e = intercept[Exception] {
