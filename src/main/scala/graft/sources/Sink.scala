@@ -406,6 +406,44 @@ object Sink {
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
     }
 
+  /** Persist an IVF+BQ index — centroids + CSR routing + the
+    * CSR-position-ordered bit matrix + the SQ8 envelope, byte-exact.
+    * Layout: `path/vectors/` one row per CSR slot (slot, the member's
+    * original row index, id, bit words, SQ8 codes, norms — vectors
+    * restore in slot order so the sequential-bits layout survives);
+    * `path/meta/` one row (n, dim, n_words, n_cells, centroids,
+    * thresholds, cell_start, grid bounds).
+    * [[graft.sources.Source.readIvfBqIndex]] restores byte-identically.
+    */
+  def writeIvfBqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ix: graft.operators.Similarity.CorpusIndexIvfBq,
+      path: String,
+      overwrite: Boolean = false): Unit =
+    publishAtomically(spark, path, overwrite) { tmp =>
+      import spark.implicits._
+      val bytesPerRow = 8L * ix.nWords + ix.dim
+      val slices = math.max(1, (ix.n.toLong * bytesPerRow / (64L << 20)).toInt)
+      val bc = spark.sparkContext.broadcast(ix)
+      try {
+        spark.sparkContext.parallelize(0 until ix.n, slices).map { p =>
+          val x = bc.value
+          val g = x.cellMembers(p) // original row index at CSR slot p
+          (p, g, x.ids(g),
+            java.util.Arrays.copyOfRange(x.words, p * x.nWords, (p + 1) * x.nWords),
+            java.util.Arrays.copyOfRange(x.sq8.codes, g * x.dim, (g + 1) * x.dim),
+            x.sq8.norms(g), x.sq8.sqNorms(g))
+        }.toDF("slot", "row", "id", "words", "code", "norm", "sq_norm")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/vectors")
+      } finally bc.destroy()
+      Seq((ix.n, ix.dim, ix.nWords, ix.nCells, ix.centroids.toSeq,
+          ix.thresholds.toSeq, ix.cellStart.toSeq,
+          ix.sq8.dimMin.toSeq, ix.sq8.dimScale.toSeq))
+        .toDF("n", "dim", "n_words", "n_cells", "centroids",
+          "thresholds", "cell_start", "dim_min", "dim_scale")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+    }
+
   /** Persist a trained PCA model — the pretransform's train-once
     * artifact (same story as the SQ8/PQ codebooks: the distributed
     * moments pass + eigensolve is the expensive step, and two trains

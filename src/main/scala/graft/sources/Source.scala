@@ -155,6 +155,74 @@ object Source {
     graft.operators.Similarity.CorpusIndexOpq(rot, pq)
   }
 
+  /** Restore an IVF+BQ index persisted by
+    * [[graft.sources.Sink.writeIvfBqIndex]] — byte-identical bits (in
+    * the sequential CSR-position layout), routing, thresholds, and
+    * SQ8 envelope.
+    */
+  def readIvfBqIndex(
+      spark: SparkSession, path: String): graft.operators.Similarity.CorpusIndexIvfBq = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("n", "dim", "n_words", "n_cells", "centroids",
+        "thresholds", "cell_start", "dim_min", "dim_scale")
+      .head()
+    val n = meta.getInt(0)
+    val dim = meta.getInt(1)
+    val nWords = meta.getInt(2)
+    val nCells = meta.getInt(3)
+    val centroids = meta.getSeq[Double](4).toArray
+    val thresholds = meta.getSeq[Double](5).toArray
+    val cellStart = meta.getSeq[Int](6).toArray
+    val dimMin = meta.getSeq[Float](7).toArray
+    val dimScale = meta.getSeq[Float](8).toArray
+    require(nWords == (dim + 63) >>> 6,
+      s"corrupt index meta: dim=$dim implies ${(dim + 63) >>> 6} words, got $nWords")
+    require(centroids.length == nCells.toLong * dim && thresholds.length == dim &&
+        cellStart.length == nCells + 1 && cellStart(nCells) == n,
+      s"corrupt index meta: n=$n dim=$dim nCells=$nCells but " +
+        s"centroids=${centroids.length} thresholds=${thresholds.length} " +
+        s"cellStart=${cellStart.length}/${if (cellStart.nonEmpty) cellStart.last else -1}")
+    val ids = new Array[Long](n)
+    val words = new Array[Long](n * nWords)
+    val codes = new Array[Byte](n * dim)
+    val norms = new Array[Double](n)
+    val sqNorms = new Array[Double](n)
+    val cellMembers = new Array[Int](n)
+    val cellOf = new Array[Int](n)
+    val rows = spark.read.parquet(s"$path/vectors")
+      .select("slot", "row", "id", "words", "code", "norm", "sq_norm").collect()
+    require(rows.length == n, s"corrupt index: meta n=$n but ${rows.length} vector rows")
+    rows.foreach { r =>
+      val p = r.getInt(0)
+      val g = r.getInt(1)
+      cellMembers(p) = g
+      ids(g) = r.getLong(2)
+      val w = r.getSeq[Long](3)
+      require(w.length == nWords, s"corrupt index: slot $p has ${w.length} words")
+      var wi = 0
+      while (wi < nWords) { words(p * nWords + wi) = w(wi); wi += 1 }
+      val c = r.getAs[Array[Byte]](4)
+      require(c.length == dim, s"corrupt index: row $g has ${c.length} codes, dim=$dim")
+      System.arraycopy(c, 0, codes, g * dim, dim)
+      norms(g) = r.getDouble(5)
+      sqNorms(g) = r.getDouble(6)
+    }
+    // rebuild cellOf from the CSR offsets (slot p lies in the cell
+    // whose [start, end) bracket contains p)
+    var cell = 0
+    var p2 = 0
+    while (p2 < n) {
+      while (cell < nCells && cellStart(cell + 1) <= p2) cell += 1
+      cellOf(cellMembers(p2)) = cell
+      p2 += 1
+    }
+    graft.operators.Similarity.CorpusIndexIvfBq(
+      ids, n, dim, nCells, centroids, words, nWords, thresholds,
+      cellOf, cellStart, cellMembers,
+      graft.operators.Similarity.CorpusIndexSq8(
+        ids, codes, n, dim, dimMin, dimScale, norms, sqNorms))
+  }
+
   /** Restore a binary-quantized index persisted by
     * [[graft.sources.Sink.writeBqIndex]] — byte-identical bits,
     * thresholds, and SQ8 envelope, so a serving session loads the

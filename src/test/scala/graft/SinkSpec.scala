@@ -244,6 +244,40 @@ class SinkSpec extends AnyFunSuite {
     assert(graft.sources.Source.readBqIndex(spark, out).words.sameElements(built.words))
   }
 
+  test("IVF+BQ index round-trip: byte-identical restore, identical search results") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(47)
+    val corpus = (0L until 300L).map(i => i -> Seq.fill(70)(rnd.nextGaussian()))
+      .toDF("id", "emb") // 70 dims → 2 bit words/row
+    val queries = (0L until 20L).map(i => i -> Seq.fill(70)(rnd.nextGaussian()))
+      .toDF("qid", "emb")
+    val built = Similarity.quantizeIvfBq(
+      Similarity.collectCorpus(corpus, "id", "emb"), nCells = 6)
+    val out = tmpDir("sink-ivfbq")
+    Sink.writeIvfBqIndex(spark, built, out)
+    val loaded = graft.sources.Source.readIvfBqIndex(spark, out)
+    assert(loaded.n == built.n && loaded.dim == built.dim &&
+      loaded.nCells == built.nCells && loaded.nWords == built.nWords)
+    assert(loaded.ids.sameElements(built.ids))
+    assert(loaded.words.sameElements(built.words))
+    assert(loaded.centroids.sameElements(built.centroids))
+    assert(loaded.thresholds.sameElements(built.thresholds))
+    assert(loaded.cellOf.sameElements(built.cellOf))
+    assert(loaded.cellStart.sameElements(built.cellStart))
+    assert(loaded.cellMembers.sameElements(built.cellMembers))
+    assert(loaded.sq8.codes.sameElements(built.sq8.codes))
+    assert(loaded.sq8.norms.sameElements(built.sq8.norms))
+    def res(cx: Similarity.CorpusIndexIvfBq) =
+      Similarity.topkIvfBq(queries, "emb", cx, k = 5, nProbe = 3, shortlist = 50)
+        .selectExpr("qid", "inline(matches)").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res(loaded) == res(built))
+    intercept[Exception] { Sink.writeIvfBqIndex(spark, built, out) }
+    Sink.writeIvfBqIndex(spark, built, out, overwrite = true)
+    assert(graft.sources.Source.readIvfBqIndex(spark, out).words.sameElements(built.words))
+  }
+
   test("OPQ index round-trip: byte-identical restore, identical search results") {
     import spark.implicits._
     import graft.operators.{Metric, Similarity}
