@@ -1265,7 +1265,11 @@ object Similarity {
     * candidate pool vs one global shortlist), then one distributed
     * `row_number` over (query | score, index) keeps k. Queries must
     * carry `qIdCol`; output is the flat (qIdCol, rank, index, score)
-    * shape of [[topkFlat]].
+    * shape of [[topkFlat]] — which means queries with a NULL
+    * embedding produce NO output rows (the per-shard posexplode of
+    * their null match array yields nothing), unlike [[topkBq]]'s
+    * null-passthrough match column. Same shape as every sharded flat
+    * serve ([[topkIvfPqSharded]], [[topkIvfBqSharded]]).
     */
   def topkBqSharded(
       queries: DataFrame,
@@ -1323,7 +1327,11 @@ object Similarity {
     * pre-screen, not a result — 1-bit scores can't order near-ties,
     * and surfacing them as "scores" would leak the quantization into
     * the caller's contract. With `shortlist = corpus.n` the output is
-    * bit-identical to [[topkSq8]].
+    * RANK-EQUIVALENT to [[topkSq8]] up to FP summation-order noise:
+    * the rerank sums dequantized products in f64 scalar order while
+    * [[topkSq8]] scores off an f32 GEMM tile, so a near-tie pair can
+    * order differently between the two paths (BqSpec asserts 1e-4
+    * score agreement, not bit equality).
     */
   def topkBq(
       queries: DataFrame,
@@ -1333,11 +1341,125 @@ object Similarity {
       metric: Metric,
       shortlist: Int,
       outputCol: String = "matches"): DataFrame = {
+    // validate BEFORE minting the broadcast (a failed require after
+    // broadcastOf leaks an undestroyed broadcast of the whole index)
+    validateBqArgs(k, shortlist)
+    topkBqBc(queries, embCol, broadcastOf(queries.sparkSession, corpus),
+      k, metric, shortlist, outputCol)
+  }
+
+  /** FILTERED BQ search — [[topkBq]] restricted to an allowed-id
+    * subset (the FAISS `IDSelector` shape the IVF+PQ family already
+    * has, [[topkIvfPqFiltered]]): the allowed ids become a boolean
+    * mask over corpus row positions, broadcast beside the index, and
+    * the kernel skips masked rows BEFORE their XOR+popcount — the
+    * Hamming pre-screen itself is filtered, so the shortlist holds
+    * only allowed candidates and no over-fetch factor is needed.
+    * Semantics mirror [[topkIvfPqFiltered]]: unknown allowed ids are
+    * ignored, k and shortlist clamp to |allowed ∩ corpus|, an empty
+    * intersection returns empty match arrays (not nulls), and an
+    * all-id filter is bit-identical to [[topkBq]]. Shares that
+    * form's lazy-plan broadcast-lifetime caveat — long-lived drivers
+    * should prefer [[topkBqShardedWaves]] with `allowedIds`.
+    */
+  def topkBqFiltered(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexBq,
+      allowedIds: Array[Long],
+      k: Int,
+      metric: Metric,
+      shortlist: Int,
+      outputCol: String = "matches"): DataFrame = {
+    validateBqArgs(k, shortlist)
+    val spark = queries.sparkSession
+    val (mask, nAllowed) =
+      allowedMaskPresortedIds(corpus.ids, sortedAllowed(allowedIds))
+    topkBqBc(queries, embCol, broadcastOf(spark, corpus), k, metric,
+      shortlist, outputCol,
+      maskBc = spark.sparkContext.broadcast(mask), allowedCount = nAllowed)
+  }
+
+  /** [[topkBqFiltered]] with the allowed set as a one-column
+    * DataFrame — the relational form ([[topkIvfPqFiltered]]'s
+    * DataFrame overload): the allowed ids never collect to the
+    * driver; the mask is built executor-side against the broadcast
+    * corpus ids, so an arbitrarily large allowed set works.
+    */
+  def topkBqFiltered(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexBq,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      k: Int,
+      metric: Metric,
+      shortlist: Int,
+      outputCol: String): DataFrame = {
+    validateBqArgs(k, shortlist)
+    val spark = queries.sparkSession
+    val (mask, nAllowed) = allowedMaskFromDfIds(corpus.ids, allowed, allowedIdCol)
+    topkBqBc(queries, embCol, broadcastOf(spark, corpus), k, metric,
+      shortlist, outputCol,
+      maskBc = spark.sparkContext.broadcast(mask), allowedCount = nAllowed)
+  }
+
+  /** [[topkBqFiltered]] then explode+unnest — the flat
+    * (rank, index, score) shape of [[topkFlat]].
+    */
+  def topkBqFilteredFlat(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexBq,
+      allowedIds: Array[Long],
+      k: Int,
+      metric: Metric,
+      shortlist: Int): DataFrame =
+    flattenMatches(
+      topkBqFiltered(queries, embCol, corpus, allowedIds, k, metric,
+        shortlist, "matches"), embCol)
+
+  /** [[topkBqFilteredFlat]] with the allowed set as a one-column
+    * DataFrame (never collected — see [[topkBqFiltered]]).
+    */
+  def topkBqFilteredFlat(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexBq,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      k: Int,
+      metric: Metric,
+      shortlist: Int): DataFrame =
+    flattenMatches(
+      topkBqFiltered(queries, embCol, corpus, allowed, allowedIdCol, k,
+        metric, shortlist, "matches"), embCol)
+
+  private def validateBqArgs(k: Int, shortlist: Int): Unit =
     require(shortlist >= k,
       s"shortlist must be >= k, got $shortlist (k=$k) — the Hamming pass " +
         "only pre-screens; k results come from the SQ8 rerank")
+
+  /** [[topkBq]] against a CALLER-OWNED broadcast of the index, with
+    * an optional allowed-row mask (see [[topkIvfPqBc]] — the wave
+    * server creates, uses, and DESTROYS its shard broadcasts, so the
+    * plan-building body must not mint its own). With a mask, k and
+    * shortlist clamp to the ALLOWED population and masked rows are
+    * skipped BEFORE their XOR+popcount.
+    */
+  private[graft] def topkBqBc(
+      queries: DataFrame,
+      embCol: String,
+      bc: Broadcast[CorpusIndexBq],
+      k: Int,
+      metric: Metric,
+      shortlist: Int,
+      outputCol: String = "matches",
+      maskBc: Broadcast[Array[Boolean]] = null,
+      allowedCount: Int = -1): DataFrame = {
+    val corpus = bc.value
+    validateBqArgs(k, shortlist)
     val spark = queries.sparkSession
-    val bc = broadcastOf(spark, corpus)
     val schema = queries.schema
     val embIdx = schema.fieldIndex(embCol)
     val embIsF32 = schema(embCol).dataType match {
@@ -1352,14 +1474,19 @@ object Similarity {
         StructField("index", LongType, nullable = false),
         StructField("score", DoubleType, nullable = false))), containsNull = false),
       nullable = true))
-    val kk = math.min(math.max(k, 0), corpus.n)
-    val sl = math.min(shortlist, corpus.n)
+    // with a mask, k and shortlist clamp to the ALLOWED population —
+    // k > |allowed| returns every allowed row (the k>corpus clamp
+    // applied to the allowed set, the [[topkIvfPqBc]] contract)
+    val nEff = if (allowedCount >= 0) math.min(allowedCount, corpus.n) else corpus.n
+    val kk = math.min(math.max(k, 0), nEff)
+    val sl = math.min(shortlist, nEff)
     val cap = math.max(sl, 1)
     val higher = metric.higherIsBetter
     val mt = metric
 
     val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
       val cx = bc.value
+      val mask: Array[Boolean] = if (maskBc == null) null else maskBc.value
       val sq8 = cx.sq8
       val qf = new Array[Double](cx.dim)
       val qWords = new Array[Long](cx.nWords)
@@ -1389,32 +1516,36 @@ object Similarity {
           java.util.Arrays.fill(qWords, 0L)
           bqEncodeRow(qf, 0, cx.dim, cx.thresholds, qWords, 0)
           // pass 1: Hamming pre-screen into the shortlist buffer
-          // (insertion-ordered: distance asc, id asc)
+          // (insertion-ordered: distance asc, id asc); masked-out
+          // rows are skipped BEFORE their XOR — the filter is exact,
+          // not an over-fetch
           var size = 0
           var g = 0
           while (g < cx.n) {
-            var ham = 0
-            var w = 0
-            val base = g * cx.nWords
-            while (w < cx.nWords) {
-              ham += java.lang.Long.bitCount(qWords(w) ^ cx.words(base + w))
-              w += 1
-            }
-            val beatsWorst = size < cap || {
-              val worst = selHam(size - 1)
-              ham < worst || (ham == worst && cx.ids(g) < cx.ids(selIdx(size - 1)))
-            }
-            if (beatsWorst) {
-              var pos = if (size < cap) size else cap - 1
-              while (pos > 0 && {
-                val ph = selHam(pos - 1)
-                ham < ph || (ham == ph && cx.ids(g) < cx.ids(selIdx(pos - 1)))
-              }) {
-                selHam(pos) = selHam(pos - 1); selIdx(pos) = selIdx(pos - 1)
-                pos -= 1
+            if (mask == null || mask(g)) {
+              var ham = 0
+              var w = 0
+              val base = g * cx.nWords
+              while (w < cx.nWords) {
+                ham += java.lang.Long.bitCount(qWords(w) ^ cx.words(base + w))
+                w += 1
               }
-              selHam(pos) = ham; selIdx(pos) = g
-              if (size < cap) size += 1
+              val beatsWorst = size < cap || {
+                val worst = selHam(size - 1)
+                ham < worst || (ham == worst && cx.ids(g) < cx.ids(selIdx(size - 1)))
+              }
+              if (beatsWorst) {
+                var pos = if (size < cap) size else cap - 1
+                while (pos > 0 && {
+                  val ph = selHam(pos - 1)
+                  ham < ph || (ham == ph && cx.ids(g) < cx.ids(selIdx(pos - 1)))
+                }) {
+                  selHam(pos) = selHam(pos - 1); selIdx(pos) = selIdx(pos - 1)
+                  pos -= 1
+                }
+                selHam(pos) = ham; selIdx(pos) = g
+                if (size < cap) size += 1
+              }
             }
             g += 1
           }
@@ -1496,6 +1627,155 @@ object Similarity {
       .withColumn("index", col("m.index"))
       .withColumn("score", col("m.score"))
       .drop("rank0", "m", embCol)
+  }
+
+  /** [[topkBqFlat]] over a caller-owned broadcast (see [[topkBqBc]])
+    * — the BQ wave server's per-shard partial.
+    */
+  private[graft] def topkBqFlatBc(
+      queries: DataFrame,
+      embCol: String,
+      bc: Broadcast[CorpusIndexBq],
+      k: Int,
+      metric: Metric,
+      shortlist: Int,
+      maskBc: Broadcast[Array[Boolean]] = null,
+      allowedCount: Int = -1): DataFrame =
+    flattenMatches(
+      topkBqBc(queries, embCol, bc, k, metric, shortlist, "matches",
+        maskBc, allowedCount), embCol)
+
+  /** [[topkBqSharded]] restricted to an allowed-id subset — the
+    * sharded composition of [[topkBqFiltered]] ([[
+    * topkIvfPqShardedFiltered]]'s shape): each shard masks against
+    * the SAME sorted allowed array (ids living in other shards fall
+    * out as not-found, which is exactly the per-shard intersection),
+    * so the merge needs no filter awareness; the global
+    * k > |allowed| clamp emerges from the merge. Per-shard mask
+    * broadcasts share the lazy-plan lifetime caveat of
+    * [[topkBqFiltered]]; long-lived drivers should prefer
+    * [[topkBqShardedWaves]] with `allowedIds`.
+    */
+  def topkBqShardedFiltered(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      shards: Seq[CorpusIndexBq],
+      allowedIds: Array[Long],
+      k: Int,
+      metric: Metric,
+      shortlist: Int): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val spark = queries.sparkSession
+    val sorted = sortedAllowed(allowedIds)
+    val partials = shards.map { sx =>
+      val (mask, nAllowed) = allowedMaskPresortedIds(sx.ids, sorted)
+      topkBqFlatBc(queries.select(col(qIdCol), col(embCol)), embCol,
+          broadcastOf(spark, sx), k, metric, shortlist,
+          spark.sparkContext.broadcast(mask), nAllowed)
+        .drop("rank")
+    }
+    mergeShardPartials(partials, qIdCol, k, metric)
+  }
+
+  /** [[topkBqSharded]] over an index with TOMBSTONED ids — the deny
+    * form of [[topkBqShardedFiltered]] (the [[
+    * topkIvfPqShardedTombstoned]] shape): each shard masks its
+    * tombstoned rows out of the popcount scan, a deleted row can
+    * never be served, and k clamps to the LIVE population. An empty
+    * tombstone array serves identically to [[topkBqSharded]].
+    */
+  def topkBqShardedTombstoned(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      shards: Seq[CorpusIndexBq],
+      tombstoneIds: Array[Long],
+      k: Int,
+      metric: Metric,
+      shortlist: Int): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val spark = queries.sparkSession
+    val sorted = sortedAllowed(tombstoneIds)
+    val partials = shards.map { sx =>
+      val (mask, nAllowed) = deniedMaskPresortedIds(sx.ids, sorted)
+      topkBqFlatBc(queries.select(col(qIdCol), col(embCol)), embCol,
+          broadcastOf(spark, sx), k, metric, shortlist,
+          spark.sparkContext.broadcast(mask), nAllowed)
+        .drop("rank")
+    }
+    mergeShardPartials(partials, qIdCol, k, metric)
+  }
+
+  /** The distributed union + row_number merge every sharded flat
+    * serve ends with — metric-aware ordering (score desc for
+    * higher-is-better metrics, asc otherwise; ties to the lowest
+    * index, the exact kernel's rule).
+    */
+  private def mergeShardPartials(
+      partials: Seq[DataFrame], qIdCol: String, k: Int, metric: Metric): DataFrame = {
+    val unioned = partials.reduce(_ unionAll _)
+    val order = if (metric.higherIsBetter)
+      Seq(col("score").desc, col("index").asc)
+    else Seq(col("score").asc, col("index").asc)
+    val w = Window.partitionBy(col(qIdCol)).orderBy(order: _*)
+    unioned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[topkBqSharded]] with BOUNDED broadcast memory — the BQ family
+    * member of [[topkIvfPqShardedWaves]]: the plain sharded form
+    * unions all B per-shard plans into one job, so every executor
+    * pins every shard's broadcast simultaneously — the bits AND the
+    * 8× larger SQ8 rerank envelope, i.e. the TOTAL index, exactly
+    * the per-executor ceiling sharding exists to break (2.75 GB at
+    * 10M×256, growing linearly). This form serves the shards in
+    * waves of `waveSize` on the shared wave machinery: per-wave
+    * broadcasts → per-query top-k partial (k rows per query — the
+    * only state that outlives a wave) → destroy, so peak
+    * per-executor broadcast memory is ONE WAVE's shards, measured by
+    * `meter`. Rows are IDENTICAL to [[topkBqSharded]] (per-wave
+    * top-k cuts are lossless for a global top-k; ties pin to the
+    * lowest index both times — BqSpec parity at waveSize 1).
+    * `allowedIds`/`deniedIds` compose the [[topkBqFiltered]] /
+    * tombstone masks per wave (allow ∧ ¬deny), built only while the
+    * shard is live and destroyed with it. Scratch-dir policy,
+    * `memoryPartials`, and the cluster refusal are
+    * [[topkIvfPqShardedWaves]]'s, verbatim.
+    */
+  def topkBqShardedWaves(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      shards: Seq[CorpusIndexBq],
+      k: Int,
+      metric: Metric,
+      shortlist: Int,
+      waveSize: Int = 2,
+      scratchDir: String = "",
+      meter: ShardedServeMeter = ShardedServeStats.default,
+      memoryPartials: Boolean = false,
+      allowedIds: Array[Long] = null,
+      deniedIds: Array[Long] = null): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val spark = queries.sparkSession
+    val q = queries.select(col(qIdCol), col(embCol))
+    val order = if (metric.higherIsBetter)
+      Seq(col("score").desc, col("index").asc)
+    else Seq(col("score").asc, col("index").asc)
+    topkShardedWavesCore[CorpusIndexBq](
+      spark, qIdCol, order, shards.map(sx => () => sx),
+      maskOf = (sx, a, dny) => combinedMaskIds(sx.ids, a, dny),
+      partialOf = (bc, maskBc, nAllowed) =>
+        topkBqFlatBc(q, embCol, bc, k, metric, shortlist, maskBc, nAllowed)
+          .drop("rank"),
+      k = k, waveSize = waveSize,
+      scratch =
+        if (memoryPartials) ""
+        else resolveWaveScratch(spark.sparkContext.isLocal, scratchDir),
+      meter = meter, memoryPartials = memoryPartials,
+      allowedIds = allowedIds, deniedIds = deniedIds)
   }
 
   /** IVF + binary quantization — coarse spherical cells ROUTE, sign
@@ -1628,13 +1908,81 @@ object Similarity {
       nProbe: Int,
       shortlist: Int,
       outputCol: String = "matches"): DataFrame = {
+    validateIvfBqArgs(k, nProbe, shortlist)
+    topkIvfBqBc(queries, embCol, broadcastOf(queries.sparkSession, corpus),
+      k, nProbe, shortlist, outputCol)
+  }
+
+  /** FILTERED IVF+BQ search — [[topkIvfBq]] restricted to an
+    * allowed-id subset: the mask skips masked members of the probed
+    * cells BEFORE their XOR+popcount (the [[topkBqFiltered]] /
+    * [[topkIvfPqFiltered]] semantics: k clamps to
+    * |allowed ∩ corpus|, unknown ids ignored, empty intersection →
+    * empty arrays, all-true mask bit-identical to [[topkIvfBq]]).
+    * Low selectivity concentrates allowed rows in few cells — recall
+    * vs the filtered exact ground truth wants proportionally higher
+    * `nProbe`, exactly the IVF+PQ filtered caveat.
+    */
+  def topkIvfBqFiltered(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexIvfBq,
+      allowedIds: Array[Long],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      outputCol: String = "matches"): DataFrame = {
+    validateIvfBqArgs(k, nProbe, shortlist)
+    val spark = queries.sparkSession
+    val (mask, nAllowed) =
+      allowedMaskPresortedIds(corpus.ids, sortedAllowed(allowedIds))
+    topkIvfBqBc(queries, embCol, broadcastOf(spark, corpus), k, nProbe,
+      shortlist, outputCol,
+      maskBc = spark.sparkContext.broadcast(mask), allowedCount = nAllowed)
+  }
+
+  /** [[topkIvfBqFiltered]] then explode+unnest — the flat
+    * (rank, index, score) shape of [[topkFlat]].
+    */
+  def topkIvfBqFilteredFlat(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexIvfBq,
+      allowedIds: Array[Long],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame =
+    flattenMatches(
+      topkIvfBqFiltered(queries, embCol, corpus, allowedIds, k, nProbe,
+        shortlist, "matches"), embCol)
+
+  private def validateIvfBqArgs(k: Int, nProbe: Int, shortlist: Int): Unit = {
     require(k >= 0, s"k must be >= 0, got $k")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     require(shortlist >= k,
       s"shortlist must be >= k, got $shortlist (k=$k) — the Hamming pass " +
         "only pre-screens; k results come from the SQ8 rerank")
+  }
+
+  /** [[topkIvfBq]] against a CALLER-OWNED broadcast with an optional
+    * allowed-row mask (the [[topkBqBc]] / [[topkIvfPqBc]] shape —
+    * wave servers own their broadcasts; masked members skip their
+    * popcount inside the probed-cell scan; k clamps to the allowed
+    * population).
+    */
+  private[graft] def topkIvfBqBc(
+      queries: DataFrame,
+      embCol: String,
+      bc: Broadcast[CorpusIndexIvfBq],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      outputCol: String = "matches",
+      maskBc: Broadcast[Array[Boolean]] = null,
+      allowedCount: Int = -1): DataFrame = {
+    val corpus = bc.value
+    validateIvfBqArgs(k, nProbe, shortlist)
     val spark = queries.sparkSession
-    val bc = broadcastOf(spark, corpus)
     val schema = queries.schema
     val embIdx = schema.fieldIndex(embCol)
     val embIsF32 = schema(embCol).dataType match {
@@ -1649,13 +1997,17 @@ object Similarity {
         StructField("index", LongType, nullable = false),
         StructField("score", DoubleType, nullable = false))), containsNull = false),
       nullable = true))
-    val kk = math.min(math.max(k, 0), corpus.n)
-    val sl = math.min(shortlist, corpus.n)
+    // mask ⇒ k/shortlist clamp to the ALLOWED population (the
+    // topkBqBc contract)
+    val nEff = if (allowedCount >= 0) math.min(allowedCount, corpus.n) else corpus.n
+    val kk = math.min(math.max(k, 0), nEff)
+    val sl = math.min(shortlist, nEff)
     val cap = math.max(sl, 1)
     val np = math.min(nProbe, corpus.nCells)
 
     val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
       val cx = bc.value
+      val mask: Array[Boolean] = if (maskBc == null) null else maskBc.value
       val sq8 = cx.sq8
       val qf = new Array[Double](cx.dim)
       val qWords = new Array[Long](cx.nWords)
@@ -1713,7 +2065,8 @@ object Similarity {
           }
           // Hamming pre-screen over the probed cells' members — bits
           // stream SEQUENTIALLY (CSR-position layout), only shortlist
-          // bookkeeping touches the member indirection
+          // bookkeeping touches the member indirection; masked-out
+          // members skip their XOR entirely (exact pre-filter)
           var size = 0
           var pi = 0
           while (pi < np) {
@@ -1722,28 +2075,30 @@ object Similarity {
             val end = cx.cellStart(cell + 1)
             while (mi < end) {
               val g = cx.cellMembers(mi)
-              var ham = 0
-              var w = 0
-              val base = mi * cx.nWords
-              while (w < cx.nWords) {
-                ham += java.lang.Long.bitCount(qWords(w) ^ cx.words(base + w))
-                w += 1
-              }
-              val beatsWorst = size < cap || {
-                val worst = selHam(size - 1)
-                ham < worst || (ham == worst && cx.ids(g) < cx.ids(selIdx(size - 1)))
-              }
-              if (beatsWorst) {
-                var pos = if (size < cap) size else cap - 1
-                while (pos > 0 && {
-                  val ph = selHam(pos - 1)
-                  ham < ph || (ham == ph && cx.ids(g) < cx.ids(selIdx(pos - 1)))
-                }) {
-                  selHam(pos) = selHam(pos - 1); selIdx(pos) = selIdx(pos - 1)
-                  pos -= 1
+              if (mask == null || mask(g)) {
+                var ham = 0
+                var w = 0
+                val base = mi * cx.nWords
+                while (w < cx.nWords) {
+                  ham += java.lang.Long.bitCount(qWords(w) ^ cx.words(base + w))
+                  w += 1
                 }
-                selHam(pos) = ham; selIdx(pos) = g
-                if (size < cap) size += 1
+                val beatsWorst = size < cap || {
+                  val worst = selHam(size - 1)
+                  ham < worst || (ham == worst && cx.ids(g) < cx.ids(selIdx(size - 1)))
+                }
+                if (beatsWorst) {
+                  var pos = if (size < cap) size else cap - 1
+                  while (pos > 0 && {
+                    val ph = selHam(pos - 1)
+                    ham < ph || (ham == ph && cx.ids(g) < cx.ids(selIdx(pos - 1)))
+                  }) {
+                    selHam(pos) = selHam(pos - 1); selIdx(pos) = selIdx(pos - 1)
+                    pos -= 1
+                  }
+                  selHam(pos) = ham; selIdx(pos) = g
+                  if (size < cap) size += 1
+                }
               }
               mi += 1
             }
@@ -1864,12 +2219,115 @@ object Similarity {
     val partials = shards.map(sx =>
       topkIvfBqFlat(queries.select(col(qIdCol), col(embCol)), embCol, sx,
         k, nProbe, shortlist).drop("rank"))
-    val unioned = partials.reduce(_ unionAll _)
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("score").desc, col("index").asc)
-    unioned
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    mergeShardPartials(partials, qIdCol, k, Metric.Cosine)
+  }
+
+  /** [[topkIvfBqFlat]] over a caller-owned broadcast (see
+    * [[topkIvfBqBc]]) — the wave server's per-shard partial.
+    */
+  private[graft] def topkIvfBqFlatBc(
+      queries: DataFrame,
+      embCol: String,
+      bc: Broadcast[CorpusIndexIvfBq],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      maskBc: Broadcast[Array[Boolean]] = null,
+      allowedCount: Int = -1): DataFrame =
+    flattenMatches(
+      topkIvfBqBc(queries, embCol, bc, k, nProbe, shortlist, "matches",
+        maskBc, allowedCount), embCol)
+
+  /** [[topkIvfBqSharded]] restricted to an allowed-id subset — the
+    * [[topkBqShardedFiltered]] composition over the routed form
+    * (per-shard masks from the SAME sorted allowed array; the merge
+    * needs no filter awareness).
+    */
+  def topkIvfBqShardedFiltered(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      shards: Seq[CorpusIndexIvfBq],
+      allowedIds: Array[Long],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val spark = queries.sparkSession
+    val sorted = sortedAllowed(allowedIds)
+    val partials = shards.map { sx =>
+      val (mask, nAllowed) = allowedMaskPresortedIds(sx.ids, sorted)
+      topkIvfBqFlatBc(queries.select(col(qIdCol), col(embCol)), embCol,
+          broadcastOf(spark, sx), k, nProbe, shortlist,
+          spark.sparkContext.broadcast(mask), nAllowed)
+        .drop("rank")
+    }
+    mergeShardPartials(partials, qIdCol, k, Metric.Cosine)
+  }
+
+  /** [[topkIvfBqSharded]] with TOMBSTONED ids masked out of the
+    * probed-cell scan — the deny form (the
+    * [[topkIvfPqShardedTombstoned]] shape; an empty tombstone array
+    * serves identically to [[topkIvfBqSharded]]).
+    */
+  def topkIvfBqShardedTombstoned(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      shards: Seq[CorpusIndexIvfBq],
+      tombstoneIds: Array[Long],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val spark = queries.sparkSession
+    val sorted = sortedAllowed(tombstoneIds)
+    val partials = shards.map { sx =>
+      val (mask, nAllowed) = deniedMaskPresortedIds(sx.ids, sorted)
+      topkIvfBqFlatBc(queries.select(col(qIdCol), col(embCol)), embCol,
+          broadcastOf(spark, sx), k, nProbe, shortlist,
+          spark.sparkContext.broadcast(mask), nAllowed)
+        .drop("rank")
+    }
+    mergeShardPartials(partials, qIdCol, k, Metric.Cosine)
+  }
+
+  /** [[topkIvfBqSharded]] with BOUNDED broadcast memory — the routed
+    * sibling of [[topkBqShardedWaves]] on the shared wave machinery
+    * (one wave's shards resident at a time, `allowedIds`/`deniedIds`
+    * masks built and destroyed per wave, rows identical to the
+    * all-resident form).
+    */
+  def topkIvfBqShardedWaves(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      shards: Seq[CorpusIndexIvfBq],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      waveSize: Int = 2,
+      scratchDir: String = "",
+      meter: ShardedServeMeter = ShardedServeStats.default,
+      memoryPartials: Boolean = false,
+      allowedIds: Array[Long] = null,
+      deniedIds: Array[Long] = null): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val spark = queries.sparkSession
+    val q = queries.select(col(qIdCol), col(embCol))
+    topkShardedWavesCore[CorpusIndexIvfBq](
+      spark, qIdCol, Seq(col("score").desc, col("index").asc),
+      shards.map(sx => () => sx),
+      maskOf = (sx, a, dny) => combinedMaskIds(sx.ids, a, dny),
+      partialOf = (bc, maskBc, nAllowed) =>
+        topkIvfBqFlatBc(q, embCol, bc, k, nProbe, shortlist, maskBc, nAllowed)
+          .drop("rank"),
+      k = k, waveSize = waveSize,
+      scratch =
+        if (memoryPartials) ""
+        else resolveWaveScratch(spark.sparkContext.isLocal, scratchDir),
+      meter = meter, memoryPartials = memoryPartials,
+      allowedIds = allowedIds, deniedIds = deniedIds)
   }
 
   final case class CorpusIndexPq(
@@ -2341,6 +2799,9 @@ object Similarity {
     require(m >= 1 && m <= cx.dim && cx.dim % m == 0,
       s"m must divide dim: dim=${cx.dim}, m=$m")
     require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    // the inner quantizePq enforces this too, but only AFTER the
+    // expensive Procrustes alternation would have run — refuse eagerly
+    require(trainSample >= 256, s"trainSample must be >= 256, got $trainSample")
     val rot = trainOpqRotation(cx, m, trainSample, opqIters)
     CorpusIndexOpq(rot, quantizePq(rotateIndex(cx, rot), m, trainSample,
       iters, withRerank))
@@ -2425,10 +2886,14 @@ object Similarity {
       cx: CorpusIndex, m: Int, trainSample: Int, opqIters: Int): Array[Double] = {
     val d = cx.dim
     val sub = d / m
-    val k = math.min(256, cx.n)
     val step = math.max(1, cx.n / trainSample)
     val sampleIdx = (0 until cx.n by step).toArray
     val sn = sampleIdx.length
+    // codebook size is bounded by the SAMPLE, not the corpus — with
+    // trainSample >= 256 the two only differ when n < 256, where they
+    // are equal anyway, but the sample is what the k-means actually
+    // sees
+    val k = math.min(256, sn)
     // X: the fixed raw sample (sn × d), Z: rotated, Y: reconstruction
     val x = new Array[Double](sn * d)
     var s = 0
@@ -2912,23 +3377,47 @@ object Similarity {
   private[graft] def allowedMaskFromDf(
       corpus: CorpusIndexIvfPq,
       allowed: DataFrame,
+      allowedIdCol: String): (Array[Boolean], Int) =
+    allowedMaskFromDfIds(corpus.ids, allowed, allowedIdCol)
+
+  /** [[allowedMaskFromDf]] over a bare id array. The ids are NOT
+    * assumed sorted: an APPENDED index's pack is old-rows-then-new
+    * (two sorted runs, not one), so the broadcast carries a sorted
+    * copy plus the permutation back to pack positions — still
+    * 12 B/corpus row of state the driver already holds, and the
+    * executor-side binary search is unchanged.
+    */
+  private[graft] def allowedMaskFromDfIds(
+      ids: Array[Long],
+      allowed: DataFrame,
       allowedIdCol: String): (Array[Boolean], Int) = {
     val spark = allowed.sparkSession
     import spark.implicits._
-    val idsBc = spark.sparkContext.broadcast(corpus.ids)
+    val n = ids.length
+    val order = Array.range(0, n)
+    // sort positions by id (boxed sort on the index array — n log n
+    // driver work on state the serve already holds)
+    val orderBoxed = order.map(Integer.valueOf)
+    java.util.Arrays.sort(orderBoxed,
+      (a: Integer, b: Integer) => java.lang.Long.compare(ids(a), ids(b)))
+    val sortedIds = new Array[Long](n)
+    val perm = new Array[Int](n)
+    var i = 0
+    while (i < n) { perm(i) = orderBoxed(i); sortedIds(i) = ids(perm(i)); i += 1 }
+    val idsBc = spark.sparkContext.broadcast((sortedIds, perm))
     try {
       val positions = allowed
         .select(col(allowedIdCol).cast(LongType)).na.drop().as[Long]
         .mapPartitions { iter =>
-          val ids = idsBc.value
+          val (sIds, p) = idsBc.value
           iter.flatMap { id =>
-            val p = java.util.Arrays.binarySearch(ids, id)
-            if (p >= 0) Iterator.single(p) else Iterator.empty
+            val pos = java.util.Arrays.binarySearch(sIds, id)
+            if (pos >= 0) Iterator.single(p(pos)) else Iterator.empty
           }
         }
         .distinct()
         .collect()
-      val mask = new Array[Boolean](corpus.n)
+      val mask = new Array[Boolean](n)
       positions.foreach(mask(_) = true)
       (mask, positions.length)
     } finally { idsBc.destroy(); () }
@@ -2995,13 +3484,22 @@ object Similarity {
     * id's tombstone to the shard that holds it — others just miss).
     */
   private[graft] def deniedMaskPresorted(
-      corpus: CorpusIndexIvfPq, sortedDeny: Array[Long]): (Array[Boolean], Int) = {
-    val n = corpus.n
+      corpus: CorpusIndexIvfPq, sortedDeny: Array[Long]): (Array[Boolean], Int) =
+    deniedMaskPresortedIds(corpus.ids, sortedDeny)
+
+  /** [[deniedMaskPresorted]] over a bare id array — every index
+    * family (BQ, IVF+BQ, IVF+PQ) masks by row position against its
+    * own `ids`, so the mask math lives once here. Returned count is
+    * the LIVE population (the k clamp's input).
+    */
+  private[graft] def deniedMaskPresortedIds(
+      ids: Array[Long], sortedDeny: Array[Long]): (Array[Boolean], Int) = {
+    val n = ids.length
     val mask = new Array[Boolean](n)
     var nAllowed = 0
     var g = 0
     while (g < n) {
-      if (java.util.Arrays.binarySearch(sortedDeny, corpus.ids(g)) < 0) {
+      if (java.util.Arrays.binarySearch(sortedDeny, ids(g)) < 0) {
         mask(g) = true; nAllowed += 1
       }
       g += 1
@@ -3009,14 +3507,45 @@ object Similarity {
     (mask, nAllowed)
   }
 
+  /** allow ∧ ¬deny over a bare id array — the wave servers' combined
+    * mask (the deny set is the persisted tombstone form). Both null →
+    * (null, -1): no mask at all, the unfiltered serve.
+    */
+  private[graft] def combinedMaskIds(
+      ids: Array[Long],
+      sortedAllow: Array[Long],
+      sortedDeny: Array[Long]): (Array[Boolean], Int) =
+    if (sortedAllow == null && sortedDeny == null) (null, -1)
+    else if (sortedDeny == null) allowedMaskPresortedIds(ids, sortedAllow)
+    else if (sortedAllow == null) deniedMaskPresortedIds(ids, sortedDeny)
+    else {
+      val (am, _) = allowedMaskPresortedIds(ids, sortedAllow)
+      var cnt = 0
+      var g = 0
+      while (g < ids.length) {
+        if (am(g) && java.util.Arrays.binarySearch(sortedDeny, ids(g)) >= 0)
+          am(g) = false
+        if (am(g)) cnt += 1
+        g += 1
+      }
+      (am, cnt)
+    }
+
   private[graft] def allowedMaskPresorted(
-      corpus: CorpusIndexIvfPq, sorted: Array[Long]): (Array[Boolean], Int) = {
-    val n = corpus.n
+      corpus: CorpusIndexIvfPq, sorted: Array[Long]): (Array[Boolean], Int) =
+    allowedMaskPresortedIds(corpus.ids, sorted)
+
+  /** [[allowedMaskPresorted]] over a bare id array (see
+    * [[deniedMaskPresortedIds]] for why the math lives id-shaped).
+    */
+  private[graft] def allowedMaskPresortedIds(
+      ids: Array[Long], sorted: Array[Long]): (Array[Boolean], Int) = {
+    val n = ids.length
     val mask = new Array[Boolean](n)
     var nAllowed = 0
     var g = 0
     while (g < n) {
-      if (java.util.Arrays.binarySearch(sorted, corpus.ids(g)) >= 0) {
+      if (java.util.Arrays.binarySearch(sorted, ids(g)) >= 0) {
         mask(g) = true; nAllowed += 1
       }
       g += 1
@@ -3864,12 +4393,50 @@ object Similarity {
       meter: ShardedServeMeter,
       memoryPartials: Boolean = false,
       allowedIds: Array[Long] = null,
-      deniedIds: Array[Long] = null): DataFrame = {
+      deniedIds: Array[Long] = null): DataFrame =
+    topkShardedWavesCore[CorpusIndexIvfPq](
+      queries.sparkSession, qIdCol,
+      Seq(col("score").desc, col("index").asc), shardProviders,
+      maskOf = (ix, a, dny) => combinedMaskIds(ix.ids, a, dny),
+      partialOf = (bc, maskBc, nAllowed) =>
+        topkIvfPqFlatBc(queries, embCol, bc, k, nProbe, shortlist,
+          maskBc, nAllowed).drop("rank"),
+      k = k, waveSize = waveSize, scratch = scratch, meter = meter,
+      memoryPartials = memoryPartials,
+      allowedIds = allowedIds, deniedIds = deniedIds)
+
+  /** The index-family-agnostic wave loop — ONE machinery serves
+    * IVF+PQ, BQ, and IVF+BQ shards ([[topkIvfPqShardedWaves]] /
+    * [[topkBqShardedWaves]] / [[topkIvfBqShardedWaves]]): per wave,
+    * invoke at most `waveSize` shard providers, broadcast each shard
+    * (+ its optional allow∧¬deny mask, built only while the shard is
+    * live), reduce the wave's union to a k-row-per-query partial
+    * (the only state that outlives the wave), persist it (parquet
+    * scratch or eager localCheckpoint), then DESTROY the wave's
+    * broadcasts. Peak per-executor broadcast memory is one wave's
+    * shards, metered; the final broadcast-free merge re-ranks the
+    * partials. Per-wave top-k cuts are lossless for a global top-k
+    * under any total `order` whose ties pin deterministically —
+    * callers pass their metric's ordering.
+    */
+  private[graft] def topkShardedWavesCore[I <: AnyRef](
+      spark: org.apache.spark.sql.SparkSession,
+      qIdCol: String,
+      order: Seq[Column],
+      shardProviders: Seq[() => I],
+      maskOf: (I, Array[Long], Array[Long]) => (Array[Boolean], Int),
+      partialOf: (Broadcast[I], Broadcast[Array[Boolean]], Int) => DataFrame,
+      k: Int,
+      waveSize: Int,
+      scratch: String,
+      meter: ShardedServeMeter,
+      memoryPartials: Boolean,
+      allowedIds: Array[Long],
+      deniedIds: Array[Long])(
+      implicit ct: scala.reflect.ClassTag[I]): DataFrame = {
     require(shardProviders.nonEmpty, "Empty shard list")
     require(waveSize >= 1, s"waveSize must be >= 1, got $waveSize")
-    val spark = queries.sparkSession
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("score").desc, col("index").asc)
+    val w = Window.partitionBy(col(qIdCol)).orderBy(order: _*)
     val waves = shardProviders.grouped(waveSize).toIndexedSeq
     val sorted = if (allowedIds == null) null else sortedAllowed(allowedIds)
     val sortedDeny = if (deniedIds == null) null else sortedAllowed(deniedIds)
@@ -3879,12 +4446,11 @@ object Similarity {
         val ix = load()
         ix -> org.apache.spark.util.SizeEstimator.estimate(ix)
       }
-      // per-shard ID-selector masks (see [[topkIvfPqFiltered]]) ride
-      // each wave: built only while the shard is live (corpus-side
-      // cost — the allowed set sorts ONCE per serve), broadcast with
-      // the shard, destroyed with it — the mask never outlives its
-      // wave, so the one-wave peak bound carries over to filtered
-      // serving
+      // per-shard ID-selector masks ride each wave: built only while
+      // the shard is live (corpus-side cost — the allowed set sorts
+      // ONCE per serve), broadcast with the shard, destroyed with it
+      // — the mask never outlives its wave, so the one-wave peak
+      // bound carries over to filtered/tombstoned serving
       val bcs = sized.map { case (ix, bytes) =>
         val (maskBc, nAllowed) =
           if (sorted == null && sortedDeny == null)
@@ -3892,21 +4458,7 @@ object Similarity {
           else {
             // allow ∧ ¬deny: the deny set is the persisted tombstone
             // form ([[graft.sources.Sink.deleteFromIvfPqShardedIndex]])
-            val (mask, n) =
-              if (sortedDeny == null) allowedMaskPresorted(ix, sorted)
-              else if (sorted == null) deniedMaskPresorted(ix, sortedDeny)
-              else {
-                val (am, _) = allowedMaskPresorted(ix, sorted)
-                var cnt = 0
-                var g = 0
-                while (g < ix.n) {
-                  if (am(g) && java.util.Arrays.binarySearch(
-                      sortedDeny, ix.ids(g)) >= 0) am(g) = false
-                  if (am(g)) cnt += 1
-                  g += 1
-                }
-                (am, cnt)
-              }
+            val (mask, n) = maskOf(ix, sorted, sortedDeny)
             (spark.sparkContext.broadcast(mask), n)
           }
         val bc = broadcastOf(spark, ix)
@@ -3915,8 +4467,7 @@ object Similarity {
       }
       try {
         val partial = bcs.map { case (bc, _, maskBc, nAllowed) =>
-            topkIvfPqFlatBc(queries, embCol, bc, k, nProbe, shortlist,
-              maskBc, nAllowed).drop("rank")
+            partialOf(bc, maskBc, nAllowed)
           }
           .reduce(_ unionAll _)
           .withColumn("rank", row_number().over(w))

@@ -206,4 +206,114 @@ class BqSpec extends AnyFunSuite {
         .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(run(1) == run(7))
   }
+
+  private def flatRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.select("qid", "rank", "index", "score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("filtered: subset, k clamp to allowed, all-id parity, DF overload, exact vs restricted index") {
+    val cDf = randVecs(400, 32, seed = 71).toDF("id", "emb")
+    val qDf = randVecs(40, 32, seed = 72).toDF("qid", "emb")
+    val cx = Similarity.collectCorpus(cDf, "id", "emb")
+    val bq = Similarity.quantizeBq(cx)
+    val allowed = bq.ids.filter(_ % 3 == 0)
+    val filtered = flatRows(Similarity.topkBqFilteredFlat(qDf, "emb", bq,
+      allowed, 5, Metric.Cosine, shortlist = 60))
+    // subset: only allowed ids are ever served
+    assert(filtered.nonEmpty && filtered.forall(_._3 % 3 == 0))
+    // the DataFrame-allowed overload (mask built executor-side, ids
+    // never collected) returns the identical rows
+    val viaDf = flatRows(Similarity.topkBqFilteredFlat(qDf, "emb", bq,
+      allowed.toSeq.toDF("id"), "id", 5, Metric.Cosine, shortlist = 60))
+    assert(filtered == viaDf)
+    // EXACT parity with an index physically restricted to the allowed
+    // rows but sharing the full corpus' SQ8 grid and bit thresholds:
+    // per-row codes/bits depend only on the row and the global cut,
+    // and bounded best-by-(hamming,id) selection is scan-order
+    // independent, so the masked scan and the restricted scan must
+    // agree bit for bit
+    val keepPos = bq.ids.zipWithIndex.filter(_._1 % 3 == 0).map(_._2)
+    val rIds = keepPos.map(bq.ids)
+    val rCodes = keepPos.flatMap(p =>
+      bq.sq8.codes.slice(p * bq.dim, (p + 1) * bq.dim))
+    val rSq8 = Similarity.CorpusIndexSq8(rIds, rCodes, rIds.length, bq.dim,
+      bq.sq8.dimMin, bq.sq8.dimScale,
+      keepPos.map(bq.sq8.norms), keepPos.map(bq.sq8.sqNorms))
+    val rWords = keepPos.flatMap(p =>
+      bq.words.slice(p * bq.nWords, (p + 1) * bq.nWords))
+    val restricted = Similarity.CorpusIndexBq(rIds, rWords, rIds.length,
+      bq.dim, bq.nWords, bq.thresholds, rSq8)
+    val viaRestricted = flatRows(Similarity.topkBqFlat(qDf, "emb",
+      restricted, 5, Metric.Cosine, shortlist = 60))
+    assert(filtered == viaRestricted)
+    // all-id filter is bit-identical to the unfiltered serve
+    val all = flatRows(Similarity.topkBqFlat(qDf, "emb", bq, 5,
+      Metric.Cosine, shortlist = 60))
+    val allFiltered = flatRows(Similarity.topkBqFilteredFlat(qDf, "emb",
+      bq, bq.ids, 5, Metric.Cosine, shortlist = 60))
+    assert(all == allFiltered)
+    // k > |allowed| clamps: every allowed row comes back, none twice
+    val tiny = bq.ids.filter(_ % 100 == 0) // 4 ids
+    val clamped = flatRows(Similarity.topkBqFilteredFlat(qDf, "emb", bq,
+      tiny, 50, Metric.Cosine, shortlist = 60))
+    assert(clamped.groupBy(_._1).values.forall(_.map(_._3).toSet == tiny.toSet))
+    // empty intersection → empty match arrays, not nulls
+    val none = Similarity.topkBqFiltered(qDf, "emb", bq,
+      Array(999999L), 5, Metric.Cosine, shortlist = 60).collect()
+    assert(none.forall(r => !r.isNullAt(r.fieldIndex("matches")) &&
+      r.getSeq[Any](r.fieldIndex("matches")).isEmpty))
+  }
+
+  test("sharded filtered/tombstoned: complement parity, never serves a tombstone") {
+    val cDf = randVecs(500, 40, seed = 81).toDF("id", "emb")
+    val qDf = randVecs(40, 40, seed = 82).toDF("qid", "emb")
+    val shards = Similarity.buildBqSharded(cDf, "id", "emb", numShards = 3)
+    val allIds = shards.flatMap(_.ids)
+    val dead = allIds.filter(_ % 4 == 0).toArray
+    val live = allIds.filter(_ % 4 != 0).toArray
+    val tombstoned = flatRows(Similarity.topkBqShardedTombstoned(qDf, "qid",
+      "emb", shards, dead, 5, Metric.Cosine, shortlist = 200))
+    assert(tombstoned.nonEmpty && tombstoned.forall(_._3 % 4 != 0))
+    // deny(dead) == allow(complement), bit for bit
+    val viaAllow = flatRows(Similarity.topkBqShardedFiltered(qDf, "qid",
+      "emb", shards, live, 5, Metric.Cosine, shortlist = 200))
+    assert(tombstoned == viaAllow)
+    // empty tombstone set serves identically to the plain sharded form
+    val plain = flatRows(Similarity.topkBqSharded(qDf, "qid", "emb",
+      shards, 5, Metric.Cosine, shortlist = 200))
+    val noDeny = flatRows(Similarity.topkBqShardedTombstoned(qDf, "qid",
+      "emb", shards, Array.empty[Long], 5, Metric.Cosine, shortlist = 200))
+    assert(plain == noDeny)
+  }
+
+  test("wave serve: waveSize-1 row parity with the all-resident form, bounded peak, filtered waves") {
+    val cDf = randVecs(600, 32, seed = 91).toDF("id", "emb")
+    val qDf = randVecs(50, 32, seed = 92).toDF("qid", "emb")
+    val shards = Similarity.buildBqSharded(cDf, "id", "emb", numShards = 4)
+    val all = flatRows(Similarity.topkBqSharded(qDf, "qid", "emb", shards,
+      5, Metric.Cosine, shortlist = 150))
+    val meter = new Similarity.ShardedServeMeter
+    val waved = flatRows(Similarity.topkBqShardedWaves(qDf, "qid", "emb",
+      shards, 5, Metric.Cosine, shortlist = 150, waveSize = 1, meter = meter))
+    assert(all.map(r => (r._1, r._2, r._3)) == waved.map(r => (r._1, r._2, r._3)))
+    // peak live broadcast bytes = the largest single shard (< Σ shards)
+    val per = shards.map(sx => org.apache.spark.util.SizeEstimator.estimate(sx))
+    assert(meter.peakLiveBroadcastBytes == per.max &&
+      meter.peakLiveBroadcastBytes < per.sum,
+      s"peak ${meter.peakLiveBroadcastBytes} vs per-shard $per")
+    assert(meter.liveBroadcastBytes == 0L)
+    // filtered + tombstoned masks ride the waves: parity with the
+    // all-resident filtered/tombstoned serves
+    val allIds = shards.flatMap(_.ids)
+    val allow = allIds.filter(_ % 2 == 0).toArray
+    val deny = allIds.filter(_ % 10 == 0).toArray
+    val wavedMasked = flatRows(Similarity.topkBqShardedWaves(qDf, "qid",
+      "emb", shards, 5, Metric.Cosine, shortlist = 150, waveSize = 2,
+      allowedIds = allow, deniedIds = deny))
+    val expect = flatRows(Similarity.topkBqShardedFiltered(qDf, "qid",
+      "emb", shards, allow.filter(id => !deny.contains(id)), 5,
+      Metric.Cosine, shortlist = 150))
+    assert(wavedMasked == expect)
+    assert(wavedMasked.forall(r => r._3 % 2 == 0 && r._3 % 10 != 0))
+  }
 }

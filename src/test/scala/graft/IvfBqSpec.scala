@@ -166,4 +166,71 @@ class IvfBqSpec extends AnyFunSuite {
         .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(run(1) == run(7))
   }
+
+  private def flatRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.select("qid", "rank", "index", "score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("filtered: subset, full-probe parity with filtered flat BQ, all-id parity, k clamp") {
+    val cDf = clustered(500, 24, 10, seed = 151).toDF("id", "emb")
+    val qDf = clustered(40, 24, 10, seed = 152).toDF("qid", "emb")
+    val cx = Similarity.collectCorpus(cDf, "id", "emb")
+    val flat = Similarity.quantizeBq(cx)
+    val ivf = Similarity.quantizeIvfBq(cx, nCells = 8)
+    val allowed = ivf.ids.filter(_ % 3 == 0)
+    val filtered = flatRows(Similarity.topkIvfBqFilteredFlat(qDf, "emb",
+      ivf, allowed, 5, nProbe = 8, shortlist = 500))
+    assert(filtered.nonEmpty && filtered.forall(_._3 % 3 == 0))
+    // probing EVERY cell with a full shortlist reproduces the
+    // filtered flat serve exactly (same bits, same mask semantics,
+    // scan-order-independent bounded selection)
+    val viaFlat = flatRows(Similarity.topkBqFilteredFlat(qDf, "emb",
+      flat, allowed, 5, Metric.Cosine, shortlist = 500))
+    assert(filtered == viaFlat)
+    // all-id filter == unfiltered, bit for bit
+    val all = flatRows(Similarity.topkIvfBqFlat(qDf, "emb", ivf, 5,
+      nProbe = 4, shortlist = 100))
+    val allF = flatRows(Similarity.topkIvfBqFilteredFlat(qDf, "emb", ivf,
+      ivf.ids, 5, nProbe = 4, shortlist = 100))
+    assert(all == allF)
+    // k > |allowed| clamps to the allowed population (full probe so
+    // routing can't hide an allowed row)
+    val tiny = ivf.ids.filter(_ % 100 == 0)
+    val clamped = flatRows(Similarity.topkIvfBqFilteredFlat(qDf, "emb",
+      ivf, tiny, 50, nProbe = 8, shortlist = 500))
+    assert(clamped.groupBy(_._1).values.forall(_.map(_._3).toSet == tiny.toSet))
+  }
+
+  test("sharded filtered/tombstoned/waves: complement parity, bounded peak") {
+    val cDf = clustered(600, 24, 12, seed = 161).toDF("id", "emb")
+    val qDf = clustered(40, 24, 12, seed = 162).toDF("qid", "emb")
+    val shards = Similarity.buildIvfBqSharded(cDf, "id", "emb",
+      numShards = 3, nCells = 4)
+    val allIds = shards.flatMap(_.ids)
+    val dead = allIds.filter(_ % 4 == 0).toArray
+    val live = allIds.filter(_ % 4 != 0).toArray
+    val tombstoned = flatRows(Similarity.topkIvfBqShardedTombstoned(qDf,
+      "qid", "emb", shards, dead, 5, nProbe = 4, shortlist = 200))
+    assert(tombstoned.nonEmpty && tombstoned.forall(_._3 % 4 != 0))
+    val viaAllow = flatRows(Similarity.topkIvfBqShardedFiltered(qDf,
+      "qid", "emb", shards, live, 5, nProbe = 4, shortlist = 200))
+    assert(tombstoned == viaAllow)
+    // wave serve: waveSize-1 parity with the all-resident sharded form
+    val plain = flatRows(Similarity.topkIvfBqSharded(qDf, "qid", "emb",
+      shards, 5, nProbe = 4, shortlist = 200))
+    val meter = new Similarity.ShardedServeMeter
+    val waved = flatRows(Similarity.topkIvfBqShardedWaves(qDf, "qid",
+      "emb", shards, 5, nProbe = 4, shortlist = 200, waveSize = 1,
+      meter = meter))
+    assert(plain == waved)
+    val per = shards.map(sx => org.apache.spark.util.SizeEstimator.estimate(sx))
+    assert(meter.peakLiveBroadcastBytes == per.max &&
+      meter.peakLiveBroadcastBytes < per.sum)
+    assert(meter.liveBroadcastBytes == 0L)
+    // tombstones ride the waves too
+    val wavedDeny = flatRows(Similarity.topkIvfBqShardedWaves(qDf, "qid",
+      "emb", shards, 5, nProbe = 4, shortlist = 200, waveSize = 2,
+      deniedIds = dead))
+    assert(wavedDeny == tombstoned)
+  }
 }
