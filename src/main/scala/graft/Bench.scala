@@ -77,6 +77,9 @@ object Bench {
     "dedup_paragraphs_near_recall", "emb_kmeans_gate",
     "ann_ivfpq_delete_gate", "emb_rp_rerank_gate", "ann_bq_recall",
     "ann_opq_recall", "ann_ivfbq_recall", "q_hybrid_rrf",
+    // round-15 BQ lifecycle gates: each builds at least one sharded
+    // or flat BQ index (collect + quantize) before serving
+    "ann_bq_sharded_recall", "ann_bq_waves_gate", "ann_bq_filtered_gate",
     // the memoized-input rows promoted to train-once in round 14
     "dedup_drop_best", "q_split_clusters")
 

@@ -1026,6 +1026,150 @@ object SparkEntry {
         .select(col("n_queries"), recallAtLeast(0.6).as("ivfbq_recall_ok"))
     }),
 
+    // SHARDED-BQ gate (round-14 directive #6): the form the 10M
+    // story sells had spec coverage only. Pins (a) per-shard
+    // BIT-PARITY with the whole-corpus build — every shard cuts its
+    // bits on the corpus-GLOBAL integer column totals, so each
+    // sharded row's words must equal the flat index's words for the
+    // same id; (b) the merged sharded serve holds the flat gate's
+    // recall floor vs the exact kernel (per-shard Hamming shortlists
+    // only WIDEN the candidate pool, so the floor carries). DuckDB
+    // pins the query count and the constant-TRUE booleans.
+    "ann_bq_sharded_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val cx = corpus(s, dir)
+      val flat = Similarity.quantizeBq(cx)
+      val shards = Similarity.buildBqSharded(q, "vec_id", "embedding",
+        numShards = 4)
+      val flatPos = flat.ids.zipWithIndex.toMap
+      val bitsOk = shards.forall { sx =>
+        sx.thresholds.sameElements(flat.thresholds) && (0 until sx.n).forall { j =>
+          val fj = flatPos(sx.ids(j))
+          (0 until sx.nWords).forall(w =>
+            sx.words(j * sx.nWords + w) == flat.words(fj * flat.nWords + w))
+        }
+      }
+      val brute = Similarity.topkFlat(q, "embedding", cx, 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      val served = Similarity.topkBqSharded(q, "vec_id", "embedding",
+        shards, 10, Metric.Cosine, shortlist = 400)
+      brute
+        .join(served.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"),
+          recallAtLeast(0.85).as("bq_sharded_recall_ok"))
+        .withColumn("bq_shard_bits_ok", lit(bitsOk))
+    }),
+
+    // BQ wave-serving gate (round-14 directive #1): the plain sharded
+    // BQ serve pins every shard's bits AND SQ8 envelope per executor
+    // — the all-resident ceiling the IVF+PQ wave server already
+    // breaks. Pins row parity between the wave serve and the
+    // all-resident form, and measured peak live broadcast bytes = one
+    // wave's shards (< Σ shards). DuckDB pins the count and the
+    // constant-TRUE booleans.
+    "ann_bq_waves_gate" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val shards = Similarity.buildBqSharded(q, "vec_id", "embedding",
+        numShards = 4)
+      val all = Similarity.topkBqSharded(q, "vec_id", "embedding", shards,
+        10, Metric.Cosine, shortlist = 200).select("vec_id", "rank", "index")
+      val meter = new Similarity.ShardedServeMeter
+      val waved = Similarity.topkBqShardedWaves(q, "vec_id", "embedding",
+          shards, 10, Metric.Cosine, shortlist = 200, waveSize = 2,
+          meter = meter)
+        .select("vec_id", "rank", "index")
+      val mismatches =
+        all.exceptAll(waved).unionAll(waved.exceptAll(all)).count()
+      val peak = meter.peakLiveBroadcastBytes
+      val per = shards.map(ix =>
+        org.apache.spark.util.SizeEstimator.estimate(ix))
+      val bounded =
+        peak == per.grouped(2).map(_.sum).max && peak < per.sum
+      Seq((q.count(), mismatches == 0L, bounded))
+        .toDF("n_queries", "bq_waves_parity_ok", "bq_waves_bounded_ok")
+    }),
+
+    // BQ filtered-serve gate (round-14 directive #3): the ID-selector
+    // masks ported into the popcount scans. Pins, for the FLAT BQ
+    // form: (a) recall vs brute force over ONLY the allowed rows (the
+    // filtered ground truth — the mask pre-filters the Hamming
+    // screen, so the floor matches the unfiltered gate's); (b) SUBSET
+    // (only allowed ids are ever served, via the never-collected
+    // DataFrame-allowed overload); (c) PARITY: an all-id filter is
+    // row-identical to the unfiltered search. And for the IVF+BQ
+    // form: subset + all-id parity through the probed-cell scan.
+    // DuckDB independently pins n_queries, n_allowed, and the
+    // constant-TRUE booleans.
+    "ann_bq_filtered_gate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val cx = corpus(s, dir)
+      val bq = Similarity.quantizeBq(cx)
+      val allowedDf = emb.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+      val filtered = Similarity.topkBqFilteredFlat(q, "embedding", bq,
+          allowedDf, "vec_id", 10, Metric.Cosine, shortlist = 400)
+        .localCheckpoint(eager = false)
+      val fcx = Similarity.collectCorpus(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+      val bruteF = Similarity.topkFlat(q, "embedding", fcx, 10, Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      val recall = bruteF
+        .join(filtered.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"),
+          recallAtLeast(0.85).as("bq_filtered_recall_ok"))
+      val subset = filtered
+        .agg((coalesce(sum((col("index") % 2).cast("long")), lit(0L)) === 0)
+          .as("bq_filtered_subset_ok"))
+      val full = Similarity.topkBqFilteredFlat(q, "embedding", bq, bq.ids,
+          10, Metric.Cosine, shortlist = 400)
+        .select("vec_id", "rank", "index")
+      val unfiltered = Similarity.topkBqFlat(q, "embedding", bq, 10,
+          Metric.Cosine, shortlist = 400)
+        .select("vec_id", "rank", "index")
+      val parityOk = full.exceptAll(unfiltered).isEmpty &&
+        unfiltered.exceptAll(full).isEmpty
+      // the routed form: subset through the probed-cell scan + all-id
+      // parity (recall floors live with the flat form above — routing
+      // loss is ann_ivfbq_recall's number)
+      val ivf = Similarity.quantizeIvfBq(cx, nCells = 32)
+      val ivfAllowed = ivf.ids.filter(_ % 2 == 0)
+      val ivfFiltered = Similarity.topkIvfBqFilteredFlat(q, "embedding",
+          ivf, ivfAllowed, 10, nProbe = 8, shortlist = 400)
+        .localCheckpoint(eager = false)
+      val ivfSubset = ivfFiltered
+        .agg((coalesce(sum((col("index") % 2).cast("long")), lit(0L)) === 0)
+          .as("ivfbq_filtered_subset_ok"))
+      val ivfFull = Similarity.topkIvfBqFilteredFlat(q, "embedding", ivf,
+          ivf.ids, 10, nProbe = 8, shortlist = 400)
+        .select("vec_id", "rank", "index")
+      val ivfUnfiltered = Similarity.topkIvfBqFlat(q, "embedding", ivf,
+          10, nProbe = 8, shortlist = 400)
+        .select("vec_id", "rank", "index")
+      val ivfParityOk = ivfFull.exceptAll(ivfUnfiltered).isEmpty &&
+        ivfUnfiltered.exceptAll(ivfFull).isEmpty
+      recall
+        .crossJoin(subset)
+        .withColumn("n_allowed", lit(allowedDf.count()))
+        .withColumn("bq_filtered_parity_ok", lit(parityOk))
+        .crossJoin(ivfSubset)
+        .withColumn("ivfbq_filtered_parity_ok", lit(ivfParityOk))
+    }),
+
     // OPQ-vs-PQ gate: dim-slice PQ wastes code budget when dimensions
     // are CORRELATED, and the raw embeddings are near-isotropic (the
     // emb_pca_gate rationale) — so the gate builds a deterministic
@@ -3511,6 +3655,30 @@ object SparkEntry {
 
     "ann_ivfbq_recall" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS ivfbq_recall_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_bq_sharded_recall" ->
+      """SELECT count(*) AS n_queries,
+        |       CAST(1 AS BOOLEAN) AS bq_sharded_recall_ok,
+        |       CAST(1 AS BOOLEAN) AS bq_shard_bits_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_bq_waves_gate" ->
+      """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS bq_waves_parity_ok,
+        |       CAST(1 AS BOOLEAN) AS bq_waves_bounded_ok
+        |FROM embeddings""".stripMargin,
+
+    // n_allowed is DuckDB's own count of the filter population — the
+    // value-level anchor that the Spark side filtered on the same
+    // predicate the oracle did (the ann_ivfpq_filtered_gate shape)
+    "ann_bq_filtered_gate" ->
+      """SELECT count(*) AS n_queries,
+        |       count(*) FILTER (WHERE vec_id % 2 = 0) AS n_allowed,
+        |       CAST(1 AS BOOLEAN) AS bq_filtered_recall_ok,
+        |       CAST(1 AS BOOLEAN) AS bq_filtered_subset_ok,
+        |       CAST(1 AS BOOLEAN) AS bq_filtered_parity_ok,
+        |       CAST(1 AS BOOLEAN) AS ivfbq_filtered_subset_ok,
+        |       CAST(1 AS BOOLEAN) AS ivfbq_filtered_parity_ok
         |FROM embeddings""".stripMargin,
 
     "ann_pq_recall" ->
