@@ -1170,6 +1170,44 @@ object SparkEntry {
         .withColumn("ivfbq_filtered_parity_ok", lit(ivfParityOk))
     }),
 
+    // BQ APPEND gate (round-14 directive #5): the daily-ingest path
+    // for the flat BQ family — build + persist the index on HALF the
+    // corpus (even vec_ids), append the other half encode-only
+    // (frozen SQ8 grid, frozen integer bit cut, no retrain, source
+    // index untouched), and the grown index must still clear the
+    // ann_bq_recall floor against brute force over the FULL corpus.
+    // The grid and threshold were trained on half the data, so a pass
+    // means the append encodes correctly AND the frozen-model ingest
+    // degrades gracefully — the property a growing corpus relies on
+    // between retrains. DuckDB pins the count and the constant-TRUE
+    // boolean.
+    "ann_bq_append_gate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bq-append").toString
+      val half = Similarity.collectCorpusBq(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+      graft.sources.Sink.writeBqIndex(s, half, s"$base/ix")
+      graft.sources.Sink.appendBqIndex(s,
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+        s"$base/ix", s"$base/grown")
+      val grown = graft.sources.Source.readBqIndex(s, s"$base/grown")
+      val brute = Similarity.topkFlat(q, "embedding", corpus(s, dir), 10,
+          Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      val served = Similarity.topkBqFlat(q, "embedding", grown, 10,
+        Metric.Cosine, shortlist = 400)
+      brute
+        .join(served.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"), recallAtLeast(0.85).as("bq_append_recall_ok"))
+    }),
+
     // OPQ-vs-PQ gate: dim-slice PQ wastes code budget when dimensions
     // are CORRELATED, and the raw embeddings are near-isotropic (the
     // emb_pca_gate rationale) — so the gate builds a deterministic
@@ -3666,6 +3704,10 @@ object SparkEntry {
     "ann_bq_waves_gate" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS bq_waves_parity_ok,
         |       CAST(1 AS BOOLEAN) AS bq_waves_bounded_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_bq_append_gate" ->
+      """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS bq_append_recall_ok
         |FROM embeddings""".stripMargin,
 
     // n_allowed is DuckDB's own count of the filter population — the

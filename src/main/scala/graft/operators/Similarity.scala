@@ -1157,6 +1157,14 @@ object Similarity {
       dim: Int,
       nWords: Int,
       thresholds: Array[Double],
+      bitCut: Array[Int],         // per-dim SMALLEST CODE whose bit is
+                                  // 1 (= ⌊Σcode/n⌋+1): the CORPUS-side
+                                  // threshold in exact integer form —
+                                  // what an encode-only APPEND cuts new
+                                  // rows' bits on so they match the
+                                  // build's integer contract bit for
+                                  // bit; `thresholds` is the same cut
+                                  // as f64 for the raw-value QUERY side
       sq8: CorpusIndexSq8) extends Serializable
 
   /** Binarize a packed [[CorpusIndex]]: SQ8-quantize first, then set
@@ -1194,13 +1202,23 @@ object Similarity {
     require(sq8.n.toLong * nW <= Int.MaxValue,
       s"bit matrix ${sq8.n} rows × $nW words exceeds a JVM array — " +
         "shard the corpus before binarizing")
+    // the integer cut, precomputed per dim: code·nTot > colSum ⟺
+    // code ≥ ⌊colSum/nTot⌋+1 (exact for integers whether or not nTot
+    // divides colSum) — one compare per element instead of a long
+    // multiply, and the artifact an encode-only append needs frozen
+    val cut = new Array[Int](sq8.dim)
+    var d0 = 0
+    while (d0 < sq8.dim) {
+      cut(d0) = (colSum(d0) / nTot + 1L).toInt
+      d0 += 1
+    }
     val words = new Array[Long](sq8.n * nW)
     var j = 0
     while (j < sq8.n) {
       var d = 0
       while (d < sq8.dim) {
-        val code = (sq8.codes(j * sq8.dim + d) & 0xFF).toLong
-        if (code * nTot > colSum(d)) words(j * nW + (d >>> 6)) |= 1L << (d & 63)
+        if ((sq8.codes(j * sq8.dim + d) & 0xFF) >= cut(d))
+          words(j * nW + (d >>> 6)) |= 1L << (d & 63)
         d += 1
       }
       j += 1
@@ -1212,7 +1230,7 @@ object Similarity {
         (colSum(d1).toDouble / nTot) * sq8.dimScale(d1)
       d1 += 1
     }
-    CorpusIndexBq(sq8.ids, words, sq8.n, sq8.dim, nW, thr, sq8)
+    CorpusIndexBq(sq8.ids, words, sq8.n, sq8.dim, nW, thr, cut, sq8)
   }
 
   /** Per-dim integer column totals of an SQ8 envelope's codes — the

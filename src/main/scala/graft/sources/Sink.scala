@@ -400,11 +400,151 @@ object Sink {
         }.toDF("idx", "id", "words", "code", "norm", "sq_norm")
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/vectors")
       } finally bc.destroy()
+      // bit_cut is the frozen-threshold artifact [[appendBqIndex]]
+      // encodes against (appended LAST so readers by name are
+      // untouched)
       Seq((bx.n, bx.dim, bx.nWords, bx.thresholds.toSeq,
-          sq8.dimMin.toSeq, sq8.dimScale.toSeq))
-        .toDF("n", "dim", "n_words", "thresholds", "dim_min", "dim_scale")
+          sq8.dimMin.toSeq, sq8.dimScale.toSeq, bx.bitCut.toSeq))
+        .toDF("n", "dim", "n_words", "thresholds", "dim_min", "dim_scale",
+          "bit_cut")
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
     }
+
+  /** APPEND new rows to a persisted BQ index — the encode-only daily
+    * ingest of the flat binary-quantized family (the
+    * [[appendIvfPqShardedIndex]] contracts, verbatim): NO retraining,
+    * no raw-vector collect, and the source index is never mutated
+    * (the grown index publishes atomically at `outPath`; a crash
+    * leaves no torn state anywhere).
+    *
+    *  - The SQ8 grid, the f64 query thresholds, and the integer
+    *    `bit_cut` are FROZEN: new rows SQ8-encode against the stored
+    *    bounds (values outside the grid clamp to the edge — the
+    *    rerank degrades gracefully for outliers instead of
+    *    corrupting) and their bits cut at `code >= bit_cut`, exactly
+    *    the build's integer contract, so an appended row's bits equal
+    *    what a build over the same grid would set. The threshold is
+    *    intentionally NOT re-derived from the grown corpus: moving
+    *    the cut would flip OLD rows' bits (a rebuild, not an append);
+    *    re-train on a schedule instead.
+    *  - Old vectors are COPIED AS FILES (the bytes are already
+    *    right); new rows land as additional parquet files in
+    *    `vectors/` with pack positions continuing from the old `n`
+    *    (encode is scan-stage; the dense numbering is a sort +
+    *    zipWithIndex over the batch, never the corpus). Meta is
+    *    rewritten with the grown `n`; everything else is copied
+    *    through unchanged.
+    *
+    * Duplicate ids — within `newRows` or against the stored index —
+    * REFUSE (ids key an index); dimension mismatches throw the
+    * kernel's named error; an index persisted before the `bit_cut`
+    * meta column refuses by name (re-persist once with the current
+    * writer to upgrade). The result reads back through
+    * [[graft.sources.Source.readBqIndex]] and serves like any built
+    * index (SinkSpec pins old-row byte identity, new-row encode
+    * correctness, and search recall over the grown corpus).
+    */
+  def appendBqIndex(
+      spark: SparkSession,
+      newRows: DataFrame,
+      idCol: String,
+      embCol: String,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean = false): Unit = {
+    import spark.implicits._
+    requireEmbColType(newRows, embCol)
+    val metaDf = spark.read.parquet(s"$indexPath/meta")
+    require(metaDf.schema.fieldNames.contains("bit_cut"),
+      s"the BQ index at $indexPath predates the bit_cut meta column — " +
+        "appends need the frozen integer threshold; re-persist the index " +
+        "with writeBqIndex once to upgrade the layout")
+    val meta = metaDf
+      .select("n", "dim", "n_words", "thresholds", "dim_min", "dim_scale",
+        "bit_cut").head()
+    val oldN = meta.getInt(0)
+    val dim = meta.getInt(1)
+    val nWords = meta.getInt(2)
+    val thresholds = meta.getSeq[Double](3)
+    val dimMin = meta.getSeq[Float](4).toArray
+    val dimScale = meta.getSeq[Float](5).toArray
+    val bitCut = meta.getSeq[Int](6).toArray
+
+    val narrow = newRows.select(
+      col(idCol).cast(LongType).as("id"), col(embCol).as("emb"))
+    // id hygiene: unique within the batch, disjoint from the index
+    val dupIn = narrow.groupBy("id").count().filter(col("count") > 1)
+      .limit(1).collect()
+    require(dupIn.isEmpty,
+      s"duplicate id in append batch: ${dupIn.headOption.map(_.getLong(0)).getOrElse(-1L)}")
+    val storedIds = spark.read.parquet(s"$indexPath/vectors").select(col("id"))
+    val clash = narrow.select("id").join(storedIds, Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} already " +
+        s"exists in the index at $indexPath")
+    val newN = narrow.count()
+    require(oldN + newN <= Int.MaxValue && (oldN + newN) * nWords.toLong <= Int.MaxValue,
+      s"index would grow to ${oldN + newN} rows × $nWords words — past the " +
+        "JVM array cap; shard the corpus (buildBqSharded) instead")
+
+    val dd = dim
+    val nW = nWords
+    val bcG = spark.sparkContext.broadcast((dimMin, dimScale, bitCut))
+    try {
+      publishAtomically(spark, outPath, overwrite) { tmp =>
+        val encoded = narrow.orderBy("id").rdd.zipWithIndex.mapPartitions { it =>
+          val (mn, sc, cut) = bcG.value
+          it.map { case (row, i) =>
+            val v = embDoubles(row.getSeq[Any](1))
+            if (v.length != dd) throw new IllegalArgumentException(
+              s"Dimension mismatch: corpus rows have $dd and ${v.length} elements")
+            val codes = new Array[Byte](dd)
+            val sq = graft.operators.Similarity.sq8EncodeRow(
+              v, 0, dd, mn, sc, codes, 0)
+            val words = new Array[Long](nW)
+            var d = 0
+            while (d < dd) {
+              if ((codes(d) & 0xFF) >= cut(d)) words(d >>> 6) |= 1L << (d & 63)
+              d += 1
+            }
+            Row(oldN + i.toInt, row.getLong(0), words, codes, math.sqrt(sq), sq)
+          }
+        }
+        val encSchema = StructType(Seq(
+          StructField("idx", IntegerType, nullable = false),
+          StructField("id", LongType, nullable = false),
+          StructField("words", ArrayType(LongType, containsNull = false),
+            nullable = false),
+          StructField("code", BinaryType, nullable = false),
+          StructField("norm", DoubleType, nullable = false),
+          StructField("sq_norm", DoubleType, nullable = false)))
+        spark.createDataFrame(encoded, encSchema)
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/__append__")
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+        val oldVec = new org.apache.hadoop.fs.Path(s"$indexPath/vectors")
+        val dstVec = new org.apache.hadoop.fs.Path(s"$tmp/vectors")
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          oldVec.getFileSystem(conf), oldVec, fs, dstVec, false, conf),
+          s"could not copy $oldVec into $tmp")
+        val appDir = new org.apache.hadoop.fs.Path(s"$tmp/__append__")
+        fs.listStatus(appDir).foreach { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("part-"))
+            require(fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(dstVec, s"append-$nm")),
+              s"could not move ${st.getPath} into $dstVec")
+        }
+        fs.delete(appDir, true)
+        Seq(((oldN + newN).toInt, dim, nWords, thresholds,
+            dimMin.toSeq, dimScale.toSeq, bitCut.toSeq))
+          .toDF("n", "dim", "n_words", "thresholds", "dim_min", "dim_scale",
+            "bit_cut")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+      }
+    } finally bcG.destroy()
+  }
 
   /** Persist an IVF+BQ index — centroids + CSR routing + the
     * CSR-position-ordered bit matrix + the SQ8 envelope, byte-exact.

@@ -231,7 +231,8 @@ object Source {
   def readBqIndex(
       spark: SparkSession, path: String): graft.operators.Similarity.CorpusIndexBq = {
     val meta = spark.read.parquet(s"$path/meta")
-      .select("n", "dim", "n_words", "thresholds", "dim_min", "dim_scale")
+      .select("n", "dim", "n_words", "thresholds", "dim_min", "dim_scale",
+        "bit_cut")
       .head()
     val n = meta.getInt(0)
     val dim = meta.getInt(1)
@@ -239,11 +240,13 @@ object Source {
     val thresholds = meta.getSeq[Double](3).toArray
     val dimMin = meta.getSeq[Float](4).toArray
     val dimScale = meta.getSeq[Float](5).toArray
+    val bitCut = meta.getSeq[Int](6).toArray
     require(nWords == (dim + 63) >>> 6,
       s"corrupt index meta: dim=$dim implies ${(dim + 63) >>> 6} words, got $nWords")
-    require(thresholds.length == dim && dimMin.length == dim && dimScale.length == dim,
+    require(thresholds.length == dim && dimMin.length == dim &&
+      dimScale.length == dim && bitCut.length == dim,
       s"corrupt index meta: dim=$dim but thresholds=${thresholds.length} " +
-        s"bounds=${dimMin.length}/${dimScale.length}")
+        s"bounds=${dimMin.length}/${dimScale.length} bit_cut=${bitCut.length}")
     val ids = new Array[Long](n)
     val words = new Array[Long](n * nWords)
     val codes = new Array[Byte](n * dim)
@@ -266,7 +269,7 @@ object Source {
       sqNorms(j) = r.getDouble(5)
     }
     graft.operators.Similarity.CorpusIndexBq(
-      ids, words, n, dim, nWords, thresholds,
+      ids, words, n, dim, nWords, thresholds, bitCut,
       graft.operators.Similarity.CorpusIndexSq8(
         ids, codes, n, dim, dimMin, dimScale, norms, sqNorms))
   }

@@ -242,7 +242,7 @@ class BqSpec extends AnyFunSuite {
     val rWords = keepPos.flatMap(p =>
       bq.words.slice(p * bq.nWords, (p + 1) * bq.nWords))
     val restricted = Similarity.CorpusIndexBq(rIds, rWords, rIds.length,
-      bq.dim, bq.nWords, bq.thresholds, rSq8)
+      bq.dim, bq.nWords, bq.thresholds, bq.bitCut, rSq8)
     val viaRestricted = flatRows(Similarity.topkBqFlat(qDf, "emb",
       restricted, 5, Metric.Cosine, shortlist = 60))
     assert(filtered == viaRestricted)

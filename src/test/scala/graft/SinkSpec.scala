@@ -242,6 +242,97 @@ class SinkSpec extends AnyFunSuite {
     assert(graft.sources.Source.readBqIndex(spark, out).words.sameElements(built.words))
     Sink.writeBqIndex(spark, built, out, overwrite = true)
     assert(graft.sources.Source.readBqIndex(spark, out).words.sameElements(built.words))
+    // bit_cut survives the round-trip (the append path's frozen cut)
+    assert(graft.sources.Source.readBqIndex(spark, out).bitCut
+      .sameElements(built.bitCut))
+  }
+
+  test("BQ append: encode-only ingest on the frozen grid, old bytes untouched, refusals") {
+    import spark.implicits._
+    import graft.operators.{Metric, Similarity}
+    val rnd = new scala.util.Random(57)
+    val all = (0L until 300L).map(i => i -> Seq.fill(40)(rnd.nextGaussian()))
+    val evens = all.filter(_._1 % 2 == 0)
+    val odds = all.filter(_._1 % 2 != 0)
+    val base = Files.createTempDirectory("sink-bq-append").toString
+    val built = Similarity.collectCorpusBq(evens.toDF("id", "emb"), "id", "emb")
+    Sink.writeBqIndex(spark, built, s"$base/ix")
+    Sink.appendBqIndex(spark, odds.toDF("id", "emb"), "id", "emb",
+      s"$base/ix", s"$base/grown")
+    val grown = graft.sources.Source.readBqIndex(spark, s"$base/grown")
+    assert(grown.n == built.n + odds.size)
+    // frozen threshold/grid identity — an append must never move the cut
+    assert(grown.thresholds.sameElements(built.thresholds))
+    assert(grown.bitCut.sameElements(built.bitCut))
+    assert(grown.sq8.dimMin.sameElements(built.sq8.dimMin))
+    assert(grown.sq8.dimScale.sameElements(built.sq8.dimScale))
+    // old rows byte-identical at their original pack positions
+    for (j <- 0 until built.n) {
+      assert(grown.ids(j) == built.ids(j))
+      for (w <- 0 until built.nWords)
+        assert(grown.words(j * grown.nWords + w) == built.words(j * built.nWords + w))
+      for (d <- 0 until built.dim)
+        assert(grown.sq8.codes(j * grown.dim + d) == built.sq8.codes(j * built.dim + d))
+      assert(grown.sq8.norms(j) == built.sq8.norms(j))
+    }
+    // new rows: id-ascending after the old block, codes = direct
+    // encode against the FROZEN grid (clamped), bits = code >= cut
+    val oddVecs = odds.toMap
+    assert((built.n until grown.n).map(grown.ids).toSeq ==
+      odds.map(_._1).sorted)
+    for (j <- built.n until grown.n) {
+      val v = oddVecs(grown.ids(j)).toArray
+      val expect = new Array[Byte](grown.dim)
+      val sq = Similarity.sq8EncodeRow(v, 0, grown.dim,
+        grown.sq8.dimMin, grown.sq8.dimScale, expect, 0)
+      for (d <- 0 until grown.dim) {
+        assert(grown.sq8.codes(j * grown.dim + d) == expect(d), s"row $j dim $d")
+        val bit = (grown.words(j * grown.nWords + (d >>> 6)) >>> (d & 63)) & 1L
+        val expBit = if ((expect(d) & 0xFF) >= grown.bitCut(d)) 1L else 0L
+        assert(bit == expBit, s"row $j dim $d bit")
+      }
+      assert(grown.sq8.sqNorms(j) == sq)
+    }
+    // the grown index serves the whole corpus: recall vs the exact
+    // kernel over ALL rows (grid trained on half — clamping degrades
+    // gracefully, it must not crater)
+    val q = all.toDF("qid", "emb")
+    val cxAll = Similarity.collectCorpus(all.toDF("id", "emb"), "id", "emb")
+    val exact = Similarity.topkFlat(q, "emb", cxAll, 5, Metric.Cosine)
+      .select("qid", "index").as[(Long, Long)].collect().toSet
+    val got = Similarity.topkBqFlat(q, "emb", grown, 5, Metric.Cosine,
+        shortlist = 150)
+      .select("qid", "index").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"grown-index recall@5 = $recall%.4f")
+    assert(recall >= 0.7, s"recall $recall")
+    // refusals: dup within batch, clash with stored, dim mismatch,
+    // pre-bit_cut layout
+    val dup = Seq(1000L -> Seq.fill(40)(0.1), 1000L -> Seq.fill(40)(0.2))
+      .toDF("id", "emb")
+    assert(intercept[IllegalArgumentException] {
+      Sink.appendBqIndex(spark, dup, "id", "emb", s"$base/grown", s"$base/x1")
+    }.getMessage.contains("duplicate id"))
+    val clash = Seq(1L -> Seq.fill(40)(0.1)).toDF("id", "emb")
+    assert(intercept[IllegalArgumentException] {
+      Sink.appendBqIndex(spark, clash, "id", "emb", s"$base/grown", s"$base/x2")
+    }.getMessage.contains("already exists"))
+    val ragged = Seq(2000L -> Seq.fill(8)(0.1)).toDF("id", "emb")
+    val e = intercept[Exception] {
+      Sink.appendBqIndex(spark, ragged, "id", "emb", s"$base/grown", s"$base/x3")
+    }
+    assert((e.getMessage != null && e.getMessage.contains("Dimension mismatch")) ||
+      (e.getCause != null && e.getCause.getMessage.contains("Dimension mismatch")))
+    // a legacy layout without bit_cut refuses by name
+    val legacyMeta = spark.read.parquet(s"$base/ix/meta").drop("bit_cut")
+    val legacy = s"$base/legacy"
+    spark.read.parquet(s"$base/ix/vectors")
+      .write.parquet(s"$legacy/vectors")
+    legacyMeta.write.parquet(s"$legacy/meta")
+    val fresh = Seq(3000L -> Seq.fill(40)(0.1)).toDF("id", "emb")
+    assert(intercept[IllegalArgumentException] {
+      Sink.appendBqIndex(spark, fresh, "id", "emb", legacy, s"$base/x4")
+    }.getMessage.contains("bit_cut"))
   }
 
   test("IVF+BQ index round-trip: byte-identical restore, identical search results") {
