@@ -2865,6 +2865,182 @@ object Similarity {
       .drop("rank0", "m", embCol)
   }
 
+  // ===== IVF+OPQ: the learned rotation composed with the routed
+  // residual-PQ family (FAISS's `OPQ16,IVF…,PQ16` index-factory
+  // string) =====
+
+  /** An IVF+PQ index built in ROTATED space plus the orthogonal
+    * rotation that maps queries into it. Where the m-byte code budget
+    * is squeezed hardest — the sharded/distributed builds — the
+    * rotation decorrelates the subspaces before the residual PQ
+    * encodes them, buying back ADC recall at identical bits/vector
+    * ([[CorpusIndexOpq]]'s argument; R orthogonal preserves dots,
+    * norms, and the unit sphere, so spherical cells, residuals, and
+    * every kernel contract carry over unchanged — the routing just
+    * happens in the rotated coordinates).
+    */
+  final case class CorpusIndexIvfOpq(
+      rot: Array[Double],
+      ivf: CorpusIndexIvfPq) extends Serializable {
+    def n: Int = ivf.n
+    def dim: Int = ivf.dim
+  }
+
+  /** Train rotation + routed index in one call: OPQ alternation on
+    * the strided sample ([[trainOpqRotation]]), rotate the pack once,
+    * then the standard [[quantizeIvfPq]] on the rotated pack.
+    */
+  def quantizeIvfOpq(
+      cx: CorpusIndex,
+      nCells: Int,
+      m: Int,
+      trainSample: Int = 16384,
+      iters: Int = 10,
+      opqIters: Int = 8,
+      withRerank: Boolean = true): CorpusIndexIvfOpq = {
+    require(m >= 1 && m <= cx.dim && cx.dim % m == 0,
+      s"m must divide dim: dim=${cx.dim}, m=$m")
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    require(trainSample >= 256, s"trainSample must be >= 256, got $trainSample")
+    val rot = trainOpqRotation(cx, m, trainSample, opqIters)
+    CorpusIndexIvfOpq(rot,
+      quantizeIvfPq(rotateIndex(cx, rot), nCells, m, trainSample, iters,
+        withRerank))
+  }
+
+  /** Per-query cosine top-k against an IVF+OPQ index — [[topkIvfPq]]'s
+    * exact contract with the query rotated into the index's space
+    * first (in-kernel, the [[topkOpq]] pattern).
+    */
+  def topkIvfOpq(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexIvfOpq,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0,
+      outputCol: String = "matches"): DataFrame = {
+    validateIvfPqArgs(corpus.ivf, k, nProbe, shortlist)
+    val spark = queries.sparkSession
+    topkIvfPqBc(queries, embCol, broadcastOf(spark, corpus.ivf), k, nProbe,
+      shortlist, outputCol,
+      rotBc = spark.sparkContext.broadcast(corpus.rot))
+  }
+
+  /** [[topkIvfOpq]] exploded to the flat (query, rank, index, score)
+    * shape of [[topkFlat]].
+    */
+  def topkIvfOpqFlat(
+      queries: DataFrame,
+      embCol: String,
+      corpus: CorpusIndexIvfOpq,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0): DataFrame =
+    flattenMatches(
+      topkIvfOpq(queries, embCol, corpus, k, nProbe, shortlist, "matches"),
+      embCol)
+
+  /** A sharded IVF+OPQ build: ONE corpus-wide rotation (every shard
+    * must rotate identically or the merge compares scores from
+    * different spaces) plus the standard sharded IVF+PQ build of the
+    * rotated corpus, with its routing identity.
+    */
+  final case class ShardedIvfOpqBuild(
+      rot: Array[Double],
+      build: ShardedIvfPqBuild) {
+    def shards: IndexedSeq[CorpusIndexIvfPq] = build.shards
+  }
+
+  /** Salt for the rotation-sample hash filter — decorrelates the
+    * sample from the `xxhash64(id) mod numShards` shard split (same
+    * hash function, different input).
+    */
+  private val OpqSampleSalt = 7919L
+
+  /** The SHARDED builders' rotation train set: a deterministic
+    * hash-filtered ~`trainSample`-row subset of the corpus, fetched
+    * by a pushed-down filter and collected (sample-bounded — the only
+    * raw vectors the rotation training ever holds). Hash-sampled
+    * rather than strided because a global stride needs a global
+    * row_number (one single-task exchange over every id at corpus
+    * scale); a hash subset is position-free, and under the hash-mod
+    * shard split every deterministic hash subset is equally
+    * representative. Both the collect-based and the distributed
+    * IVF+OPQ builders call THIS function with the same inputs, so
+    * their rotations are bit-identical by construction.
+    */
+  private[graft] def opqRotationSample(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      trainSample: Int,
+      totalN: Long): CorpusIndex = {
+    val keep = math.max(1L, totalN / trainSample)
+    collectCorpus(
+      corpus.filter(
+        pmod(xxhash64(col(idCol).cast(LongType) + lit(OpqSampleSalt)),
+          lit(keep)) === 0),
+      idCol, embCol)
+  }
+
+  /** [[buildIvfPqShardedWithLayout]] with an OPQ rotation in front:
+    * train R once on the hash-sampled corpus subset, then every shard
+    * collects, ROTATES its pack, and builds the standard IVF+PQ index
+    * in rotated space (concurrent priced collects unchanged). Serve
+    * with [[topkIvfOpqSharded]]; persist with
+    * [[graft.sources.Sink.writeIvfOpqShardedIndex]].
+    */
+  def buildIvfOpqShardedWithLayout(
+      corpus: DataFrame,
+      cIdCol: String,
+      cEmbCol: String,
+      numShards: Int,
+      nCells: Int,
+      m: Int,
+      trainSample: Int = 16384,
+      iters: Int = 10,
+      opqIters: Int = 8,
+      withRerank: Boolean = true,
+      parallelism: Int = 8,
+      maxInFlightBytes: Long = 0L): ShardedIvfOpqBuild = {
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    require(trainSample >= 256, s"trainSample must be >= 256, got $trainSample")
+    val totalN = corpus.count()
+    require(totalN > 0L, "Empty corpus")
+    val rot = trainOpqRotation(
+      opqRotationSample(corpus, cIdCol, cEmbCol, trainSample, totalN),
+      m, trainSample, opqIters)
+    ShardedIvfOpqBuild(rot,
+      buildIvfPqShardedWithLayout(corpus, cIdCol, cEmbCol, numShards,
+        nCells, m, trainSample, iters, withRerank, parallelism,
+        maxInFlightBytes, rot = rot))
+  }
+
+  /** Top-k cosine against a sharded IVF+OPQ index — the
+    * [[topkIvfPqSharded]] merge with every shard's kernel rotating
+    * the query first (ONE rotation broadcast shared by all shard
+    * partials; scores from all shards live in the same rotated space
+    * because the build used one corpus-wide R).
+    */
+  def topkIvfOpqSharded(
+      queries: DataFrame,
+      embCol: String,
+      qIdCol: String,
+      rot: Array[Double],
+      shards: Seq[CorpusIndexIvfPq],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val spark = queries.sparkSession
+    val rotBc = spark.sparkContext.broadcast(rot)
+    val partials = shards.map(ix =>
+      topkIvfPqFlatBc(queries, embCol, broadcastOf(spark, ix), k, nProbe,
+        shortlist, rotBc = rotBc).drop("rank"))
+    mergeShardPartials(partials, qIdCol, k, Metric.Cosine)
+  }
+
   /** Rotate a packed corpus: out-row = R·row, norms recomputed from
     * the rotated values (equal to the originals up to FP — the
     * quantizer trains on what it will decode). f32 mirror dropped:
@@ -2878,21 +3054,33 @@ object Similarity {
     val norms = new Array[Double](cx.n)
     val sqNorms = new Array[Double](cx.n)
     java.util.stream.IntStream.range(0, cx.n).parallel().forEach { i =>
-      val src = i * d
+      rotateRow(rot, cx.data, i * d, d, out, i * d)
       var sq = 0.0
       var r = 0
-      while (r < d) {
-        var acc = 0.0; var j = 0
-        val base = r * d
-        while (j < d) { acc += rot(base + j) * cx.data(src + j); j += 1 }
-        out(src + r) = acc
-        sq += acc * acc
-        r += 1
-      }
+      while (r < d) { val v = out(i * d + r); sq += v * v; r += 1 }
       sqNorms(i) = sq
       norms(i) = math.sqrt(sq)
     }
     CorpusIndex(cx.ids, out, null, cx.n, d, norms, sqNorms)
+  }
+
+  /** out-row = R·row at one offset — the per-row body of
+    * [[rotateIndex]], factored so the DISTRIBUTED IVF+OPQ builder's
+    * executor-side rotate runs literally the same arithmetic in the
+    * same order as the driver pack rotate (byte-parity by
+    * construction, the [[assignCell]]/[[sq8EncodeRow]] pattern).
+    */
+  private[graft] def rotateRow(
+      rot: Array[Double], data: Array[Double], off: Int, dim: Int,
+      out: Array[Double], outOff: Int): Unit = {
+    var r = 0
+    while (r < dim) {
+      var acc = 0.0; var j = 0
+      val base = r * dim
+      while (j < dim) { acc += rot(base + j) * data(off + j); j += 1 }
+      out(outOff + r) = acc
+      r += 1
+    }
   }
 
   /** The OPQ-NP alternation on the strided train sample: encode with
@@ -3601,9 +3789,14 @@ object Similarity {
       shortlist: Int = 0,
       outputCol: String = "matches",
       maskBc: Broadcast[Array[Boolean]] = null,
-      allowedCount: Int = -1): DataFrame = {
+      allowedCount: Int = -1,
+      rotBc: Broadcast[Array[Double]] = null): DataFrame = {
     val corpus = bc.value
     validateIvfPqArgs(corpus, k, nProbe, shortlist)
+    require(rotBc == null ||
+      rotBc.value.length == corpus.dim.toLong * corpus.dim,
+      s"rotation must be dim×dim = ${corpus.dim * corpus.dim} doubles, " +
+        s"got ${if (rotBc == null) 0 else rotBc.value.length}")
     val spark = queries.sparkSession
     val schema = queries.schema
     val embIdx = schema.fieldIndex(embCol)
@@ -3630,6 +3823,8 @@ object Similarity {
     val outRdd = InternalRowBridge.toInternalRdd(queries).mapPartitions { it =>
       val cx = bc.value
       val mask: Array[Boolean] = if (maskBc == null) null else maskBc.value
+      val rm = if (rotBc == null) null else rotBc.value
+      val qraw = if (rm == null) null else new Array[Double](cx.dim)
       val np = math.min(nProbe, cx.nCells)
       val sub = cx.dim / cx.m
       val lut = new Array[Float](cx.m * 256)
@@ -3650,12 +3845,26 @@ object Similarity {
             s"Dimension mismatch: query has ${emb.numElements()} elements, corpus has ${cx.dim}")
           var qSq = 0.0
           var d0 = 0
+          val fillInto = if (rm == null) qf else qraw
           if (embIsF32) {
             val fa = emb.toFloatArray()
-            while (d0 < cx.dim) { val v = fa(d0).toDouble; qf(d0) = v; qSq += v * v; d0 += 1 }
+            while (d0 < cx.dim) { val v = fa(d0).toDouble; fillInto(d0) = v; qSq += v * v; d0 += 1 }
           } else {
             val da = emb.toDoubleArray()
-            while (d0 < cx.dim) { val v = da(d0); qf(d0) = v; qSq += v * v; d0 += 1 }
+            while (d0 < cx.dim) { val v = da(d0); fillInto(d0) = v; qSq += v * v; d0 += 1 }
+          }
+          if (rm != null) {
+            // q ← R·q, then route + score in rotated space (the OPQ
+            // serve — [[topkPqImpl]]'s exact rotation pattern); qSq
+            // stays the RAW squared norm, which R preserves
+            var r0 = 0
+            while (r0 < cx.dim) {
+              var acc = 0.0; var j0 = 0
+              val base = r0 * cx.dim
+              while (j0 < cx.dim) { acc += rm(base + j0) * qraw(j0); j0 += 1 }
+              qf(r0) = acc
+              r0 += 1
+            }
           }
           val qNorm = math.sqrt(qSq)
           // centroid dots + top-nProbe probe set (ties to lowest cell)
@@ -3817,10 +4026,11 @@ object Similarity {
       nProbe: Int,
       shortlist: Int = 0,
       maskBc: Broadcast[Array[Boolean]] = null,
-      allowedCount: Int = -1): DataFrame =
+      allowedCount: Int = -1,
+      rotBc: Broadcast[Array[Double]] = null): DataFrame =
     flattenMatches(
       topkIvfPqBc(queries, embCol, bc, k, nProbe, shortlist, "matches",
-        maskBc, allowedCount), embCol)
+        maskBc, allowedCount, rotBc), embCol)
 
   private def flattenMatches(withMatches: DataFrame, embCol: String): DataFrame =
     withMatches
@@ -4050,7 +4260,8 @@ object Similarity {
       iters: Int = 10,
       withRerank: Boolean = true,
       parallelism: Int = 8,
-      maxInFlightBytes: Long = 0L): ShardedIvfPqBuild = {
+      maxInFlightBytes: Long = 0L,
+      rot: Array[Double] = null): ShardedIvfPqBuild = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val shardOf = pmod(xxhash64(col(cIdCol).cast(LongType)), lit(numShards))
@@ -4100,8 +4311,15 @@ object Similarity {
           scala.concurrent.Future {
             val price = priceOf(b)
             acquire(price)
+            // a non-null rot is the IVF+OPQ composition: rotate the
+            // shard's pack before the standard build (the rotated
+            // pack replaces the raw one inside the same priced task,
+            // so peak memory is unchanged up to the brief handoff)
             try collectCorpusOpt(corpus.filter(shardOf === b), cIdCol, cEmbCol)
-              .map(cx => quantizeIvfPq(cx, nCells, m, trainSample, iters, withRerank))
+              .map { cx0 =>
+                val cx = if (rot == null) cx0 else rotateIndex(cx0, rot)
+                quantizeIvfPq(cx, nCells, m, trainSample, iters, withRerank)
+              }
             finally release(price)
           }
         }

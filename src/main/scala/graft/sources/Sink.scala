@@ -750,15 +750,53 @@ object Sink {
     require(modulus >= shards.size,
       s"hash_modulus $modulus < ${shards.size} shard directories")
     publishAtomically(spark, path, overwrite) { tmp =>
+      writeIvfPqShardedInto(spark, shards, tmp, modulus, hashVals)
+    }
+  }
+
+  /** The sharded layout body (manifest + shard dirs) written into an
+    * already-owned tmp dir — shared by the plain persist and the
+    * IVF+OPQ persist (which adds `rot/` beside it inside ONE atomic
+    * publish).
+    */
+  private def writeIvfPqShardedInto(
+      spark: SparkSession,
+      shards: Seq[graft.operators.Similarity.CorpusIndexIvfPq],
+      tmp: String,
+      modulus: Int,
+      hashVals: Seq[Long]): Unit = {
+    import spark.implicits._
+    Seq((shards.size, shards.map(_.n.toLong).sum, "xxhash64_pmod",
+        modulus, hashVals))
+      .toDF("num_shards", "total_n", "shard_key",
+        "hash_modulus", "shard_hash_vals")
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
+    shards.zipWithIndex.foreach { case (ix, i) =>
+      writeIvfPqInto(spark, ix, f"$tmp/shard_$i%04d")
+    }
+  }
+
+  /** Persist a sharded IVF+OPQ build — the rotation (`rot/`, one meta
+    * row) beside the standard sharded layout, ONE atomic publish. The
+    * plain [[graft.sources.Source.readIvfPqShardedIndex]] REFUSES an
+    * index with a rotation (a rotation-unaware serve would silently
+    * return wrong neighbors — scores computed in unrotated space
+    * against rotated codebooks); read through
+    * [[graft.sources.Source.readIvfOpqShardedIndex]] and serve with
+    * [[graft.operators.Similarity.topkIvfOpqSharded]].
+    */
+  def writeIvfOpqShardedIndex(
+      spark: SparkSession,
+      build: graft.operators.Similarity.ShardedIvfOpqBuild,
+      path: String,
+      overwrite: Boolean = false): Unit = {
+    require(build.shards.nonEmpty, "Empty shard list")
+    publishAtomically(spark, path, overwrite) { tmp =>
       import spark.implicits._
-      Seq((shards.size, shards.map(_.n.toLong).sum, "xxhash64_pmod",
-          modulus, hashVals))
-        .toDF("num_shards", "total_n", "shard_key",
-          "hash_modulus", "shard_hash_vals")
-        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
-      shards.zipWithIndex.foreach { case (ix, i) =>
-        writeIvfPqInto(spark, ix, f"$tmp/shard_$i%04d")
-      }
+      Seq((build.shards.head.dim, build.rot.toSeq)).toDF("dim", "rot")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/rot")
+      writeIvfPqShardedInto(spark, build.shards, tmp,
+        build.build.hashModulus, build.build.shardHashVals)
     }
   }
 
@@ -889,7 +927,8 @@ object Sink {
       trainSample: Int = 16384,
       iters: Int = 10,
       withRerank: Boolean = true,
-      overwrite: Boolean = false): Unit = {
+      overwrite: Boolean = false,
+      rot: Array[Double] = null): Unit = {
     import graft.operators.Similarity
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
@@ -955,12 +994,25 @@ object Sink {
     val fetched = corpus
       .select(col(idCol).cast(LongType).as("id"), col(embCol).as("emb"))
       .join(broadcast(idsDf), "id").collect()
-    val embOf: Map[Long, Array[Double]] =
+    val embOfRaw: Map[Long, Array[Double]] =
       fetched.map(r => r.getLong(0) -> embDoubles(r.getSeq[Any](1))).toMap
-    val dim = embOf.head._2.length
-    embOf.valuesIterator.foreach(v => require(v.length == dim,
+    val dim = embOfRaw.head._2.length
+    embOfRaw.valuesIterator.foreach(v => require(v.length == dim,
       s"Dimension mismatch: corpus rows have $dim and ${v.length} elements"))
     require(m >= 1 && m <= dim && dim % m == 0, s"m must divide dim: dim=$dim, m=$m")
+    require(rot == null || rot.length == dim.toLong * dim,
+      s"rotation must be $dim×$dim, got ${if (rot == null) 0 else rot.length} values")
+    // a non-null rot is the IVF+OPQ composition: every vector rotates
+    // BEFORE unit-normalization/assignment/encoding — the same
+    // rotate-then-build order as the collect path's rotateIndex, via
+    // the shared per-row helper so the arithmetic is bit-identical
+    val embOf: Map[Long, Array[Double]] =
+      if (rot == null) embOfRaw
+      else embOfRaw.map { case (id, v) =>
+        val out = new Array[Double](dim)
+        Similarity.rotateRow(rot, v, 0, dim, out, 0)
+        id -> out
+      }
     val sub = dim / m
 
     // train per shard on the driver — sample-bounded work, through the
@@ -1021,16 +1073,25 @@ object Sink {
       if (!withRerank) models
       else {
         val bcM = sc.broadcast(models)
+        val bcRotB = if (rot == null) null else sc.broadcast(rot)
         try {
           val partials = withShard.select("shard", "emb").rdd.mapPartitions { it =>
             val ms = bcM.value
+            val rm = if (bcRotB == null) null else bcRotB.value
             val acc = scala.collection.mutable.Map.empty[Long, (Array[Double], Array[Double])]
             it.foreach { row =>
               val sh = row.getLong(0)
               val mdl = ms(sh)
-              val v = embDoubles(row.getSeq[Any](1))
-              if (v.length != dd) throw new IllegalArgumentException(
-                s"Dimension mismatch: corpus rows have $dd and ${v.length} elements")
+              val vRaw = embDoubles(row.getSeq[Any](1))
+              if (vRaw.length != dd) throw new IllegalArgumentException(
+                s"Dimension mismatch: corpus rows have $dd and ${vRaw.length} elements")
+              val v =
+                if (rm == null) vRaw
+                else {
+                  val out = new Array[Double](dd)
+                  graft.operators.Similarity.rotateRow(rm, vRaw, 0, dd, out, 0)
+                  out
+                }
               val u = unitVec(v)
               val cell = graft.operators.Similarity.assignCell(u, 0, mdl.centroids, mdl.k, dd)
               val (mn, mx) = acc.getOrElseUpdate(sh,
@@ -1071,21 +1132,30 @@ object Sink {
             }
             s -> mdl.copy(sq8Min = dimMin, sq8Scale = dimScale)
           }
-        } finally bcM.destroy()
+        } finally { bcM.destroy(); if (bcRotB != null) bcRotB.destroy() }
       }
 
     // pass 5: encode scan-stage, number by (shard | id) through the
     // one code-width exchange, land in the persisted layout
     val bcF = sc.broadcast(finalModels)
+    val bcRotE = if (rot == null) null else sc.broadcast(rot)
     try {
       val shardOut: Map[Long, Int] = shardVals.zipWithIndex.toMap
       publishAtomically(spark, path, overwrite) { tmp =>
+        import spark.implicits._
+        // the rotation rides the index (the writeIvfOpqShardedIndex
+        // layout) so the plain reader refuses and the OPQ reader +
+        // append path restore it
+        if (rot != null)
+          Seq((dd, rot.toSeq)).toDF("dim", "rot")
+            .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/rot")
         Seq((shardVals.size, counts.values.sum, "xxhash64_pmod",
             numShards, shardVals))
           .toDF("num_shards", "total_n", "shard_key",
             "hash_modulus", "shard_hash_vals")
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
-        val encoded = encodeWithModels(withShard, bcF, dd, m, sub, withRerank)
+        val encoded = encodeWithModels(withShard, bcF, dd, m, sub, withRerank,
+          bcRotE)
         val wIdx = Window.partitionBy("shard").orderBy("id")
         spark.createDataFrame(encoded, ivfPqEncSchema)
           .withColumn("idx", (row_number().over(wIdx) - 1).cast(IntegerType))
@@ -1114,7 +1184,47 @@ object Sink {
         }
         fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/__vectors__"), true)
       }
-    } finally bcF.destroy()
+    } finally { bcF.destroy(); if (bcRotE != null) bcRotE.destroy() }
+  }
+
+  /** [[writeIvfPqShardedIndexDistributed]] with an OPQ rotation in
+    * front — the 100 TB IVF+OPQ build: train R once on the
+    * hash-sampled subset (the SAME sample + training loop the
+    * collect-based [[graft.operators.Similarity
+    * .buildIvfOpqShardedWithLayout]] uses, so the two builders'
+    * rotations — and therefore their entire indexes — are
+    * bit-identical), then the standard distributed build with every
+    * vector rotated scan-stage before unit-normalization/assignment/
+    * encoding. Raw vectors still never collect and never shuffle;
+    * the rotation itself persists under `rot/` so the plain reader
+    * refuses and [[graft.sources.Source.readIvfOpqShardedIndex]]
+    * restores the serve pair.
+    */
+  def writeIvfOpqShardedIndexDistributed(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      numShards: Int,
+      nCells: Int,
+      m: Int,
+      path: String,
+      trainSample: Int = 16384,
+      iters: Int = 10,
+      opqIters: Int = 8,
+      withRerank: Boolean = true,
+      overwrite: Boolean = false): Unit = {
+    import graft.operators.Similarity
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    require(trainSample >= 256, s"trainSample must be >= 256, got $trainSample")
+    val totalN = corpus.count()
+    require(totalN > 0L, "Empty corpus")
+    val rot = Similarity.trainOpqRotation(
+      Similarity.opqRotationSample(corpus, idCol, embCol, trainSample, totalN),
+      m, trainSample, opqIters)
+    writeIvfPqShardedIndexDistributed(spark, corpus, idCol, embCol,
+      numShards, nCells, m, path, trainSample, iters, withRerank,
+      overwrite, rot)
   }
 
   /** Row shape the scan-stage IVF+PQ encode emits: the shard routing
@@ -1144,16 +1254,25 @@ object Sink {
   private def encodeWithModels(
       withShard: DataFrame,
       bcF: org.apache.spark.broadcast.Broadcast[Map[Long, IvfPqShardModel]],
-      dd: Int, mm: Int, subb: Int, wr: Boolean)
+      dd: Int, mm: Int, subb: Int, wr: Boolean,
+      rotBc: org.apache.spark.broadcast.Broadcast[Array[Double]] = null)
       : org.apache.spark.rdd.RDD[Row] =
     withShard.rdd.mapPartitions { it =>
       val ms = bcF.value
+      val rm = if (rotBc == null) null else rotBc.value
       it.map { row =>
         val sh = row.getLong(0); val id = row.getLong(1)
         val mdl = ms(sh)
-        val v = embDoubles(row.getSeq[Any](2))
-        if (v.length != dd) throw new IllegalArgumentException(
-          s"Dimension mismatch: corpus rows have $dd and ${v.length} elements")
+        val vRaw = embDoubles(row.getSeq[Any](2))
+        if (vRaw.length != dd) throw new IllegalArgumentException(
+          s"Dimension mismatch: corpus rows have $dd and ${vRaw.length} elements")
+        val v =
+          if (rm == null) vRaw
+          else {
+            val out = new Array[Double](dd)
+            graft.operators.Similarity.rotateRow(rm, vRaw, 0, dd, out, 0)
+            out
+          }
         val u = unitVec(v)
         val cell = graft.operators.Similarity.assignCell(u, 0, mdl.centroids, mdl.k, dd)
         val res = new Array[Double](dd)
@@ -1248,6 +1367,15 @@ object Sink {
       overwrite: Boolean = false): Unit = {
     import spark.implicits._
     requireEmbColType(newRows, embCol)
+    // an OPQ-rotated index appends fine — new rows must rotate with
+    // the STORED R before encoding (frozen like the codebooks), and
+    // the rotation is carried forward so the grown index serves
+    // through the same OPQ reader
+    val rotStored: Array[Double] =
+      if (graft.sources.Source.hasOpqRotation(spark, indexPath))
+        spark.read.parquet(s"$indexPath/rot").select("rot").head()
+          .getSeq[Double](0).toArray
+      else null
     val manifestDf = spark.read.parquet(s"$indexPath/manifest")
     val manifest = manifestDf.head()
     val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
@@ -1322,6 +1450,7 @@ object Sink {
 
     val sc = spark.sparkContext
     val bcF = sc.broadcast(models)
+    val bcRotA = if (rotStored == null) null else sc.broadcast(rotStored)
     try {
       publishAtomically(spark, outPath, overwrite) { tmp =>
         // carry the build's routing identity forward (old manifests
@@ -1333,7 +1462,8 @@ object Sink {
           .toDF("num_shards", "total_n", "shard_key",
             "hash_modulus", "shard_hash_vals")
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
-        val encoded = encodeWithModels(newNarrow, bcF, dd, mm, subb, withRerank)
+        val encoded = encodeWithModels(newNarrow, bcF, dd, mm, subb, withRerank,
+          bcRotA)
         val oldN: Map[Long, Int] = models.map { case (i, m) => i -> m.n }
         val wIdx = Window.partitionBy("shard").orderBy("id")
         val baseCol = element_at(
@@ -1386,8 +1516,16 @@ object Sink {
             oldTs.getFileSystem(conf), oldTs, fs,
             new org.apache.hadoop.fs.Path(s"$tmp/tombstones"), false, conf),
             s"could not carry $oldTs forward")
+        // carry the OPQ rotation forward: the grown index's geometry
+        // IS the stored rotation's
+        val oldRot = new org.apache.hadoop.fs.Path(s"$indexPath/rot")
+        if (oldRot.getFileSystem(conf).exists(oldRot))
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            oldRot.getFileSystem(conf), oldRot, fs,
+            new org.apache.hadoop.fs.Path(s"$tmp/rot"), false, conf),
+            s"could not carry $oldRot forward")
       }
-    } finally bcF.destroy()
+    } finally { bcF.destroy(); if (bcRotA != null) bcRotA.destroy() }
   }
 
   /** TOMBSTONE delete from a persisted sharded IVF+PQ index — the
@@ -1440,7 +1578,11 @@ object Sink {
         "tombstoned (double delete)")
     publishAtomically(spark, outPath, overwrite) { tmp =>
       val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
-      (Seq("manifest") ++ (0 until numShards).map(i => f"shard_$i%04d"))
+      val rotDirs =
+        if (graft.sources.Source.hasOpqRotation(spark, indexPath)) Seq("rot")
+        else Seq.empty[String]
+      (Seq("manifest") ++ rotDirs ++
+          (0 until numShards).map(i => f"shard_$i%04d"))
         .foreach { d =>
           val src = new org.apache.hadoop.fs.Path(s"$indexPath/$d")
           require(org.apache.hadoop.fs.FileUtil.copy(
@@ -1504,6 +1646,15 @@ object Sink {
       }
       manifestDf.withColumn("total_n", lit(liveTotal))
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
+      // the compacted index keeps its geometry: carry rot/ forward
+      if (graft.sources.Source.hasOpqRotation(spark, indexPath)) {
+        val src = new org.apache.hadoop.fs.Path(s"$indexPath/rot")
+        val fs2 = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          src.getFileSystem(conf), src, fs2,
+          new org.apache.hadoop.fs.Path(s"$tmp/rot"), false, conf),
+          s"could not carry $src forward")
+      }
     }
   }
 }

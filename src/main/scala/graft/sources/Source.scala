@@ -448,7 +448,43 @@ object Source {
         "readIvfPqShardedIndexWithTombstones and serve with " +
         "topkIvfPqShardedTombstoned, or rewrite with " +
         "Sink.compactIvfPqShardedIndex first")
+    // an OPQ-rotated index must not serve rotation-unaware either:
+    // unrotated queries against rotated codebooks are silently wrong
+    require(!hasOpqRotation(spark, path),
+      s"index at $path carries an OPQ rotation — read through " +
+        "readIvfOpqShardedIndex and serve with topkIvfOpqSharded")
     readIvfPqShardedIndexShards(spark, path)
+  }
+
+  /** Restore a sharded IVF+OPQ index persisted by
+    * [[graft.sources.Sink.writeIvfOpqShardedIndex]] — the rotation
+    * plus the byte-identical shards. Serve with
+    * [[graft.operators.Similarity.topkIvfOpqSharded]].
+    */
+  def readIvfOpqShardedIndex(
+      spark: SparkSession,
+      path: String): (Array[Double], IndexedSeq[graft.operators.Similarity.CorpusIndexIvfPq]) = {
+    require(hasOpqRotation(spark, path),
+      s"index at $path has no rot/ — it is a plain sharded IVF+PQ " +
+        "index; read through readIvfPqShardedIndex")
+    val ts = readIvfPqShardedIndexTombstones(spark, path)
+    require(ts.isEmpty,
+      s"index at $path carries ${ts.length} tombstoned ids — serve the " +
+        "shards with the deniedIds form after reading them, or compact first")
+    val rotRow = spark.read.parquet(s"$path/rot").select("dim", "rot").head()
+    val dim = rotRow.getInt(0)
+    val rot = rotRow.getSeq[Double](1).toArray
+    require(rot.length == dim.toLong * dim,
+      s"corrupt rot meta: dim=$dim but ${rot.length} rotation values")
+    val shards = readIvfPqShardedIndexShards(spark, path)
+    require(shards.forall(_.dim == dim),
+      s"corrupt index: rotation dim $dim != shard dim ${shards.map(_.dim).distinct}")
+    (rot, shards)
+  }
+
+  private[graft] def hasOpqRotation(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/rot")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Restore a sharded IVF+PQ index TOGETHER with its tombstone id
