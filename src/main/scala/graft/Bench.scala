@@ -80,7 +80,7 @@ object Bench {
     // round-15 BQ lifecycle gates: each builds at least one sharded
     // or flat BQ index (collect + quantize) before serving
     "ann_bq_sharded_recall", "ann_bq_waves_gate", "ann_bq_filtered_gate",
-    "ann_bq_append_gate", "ann_ivfopq_recall",
+    "ann_bq_append_gate", "ann_ivfopq_recall", "ann_bq_stream_waves_gate",
     // the memoized-input rows promoted to train-once in round 14
     "dedup_drop_best", "q_split_clusters")
 

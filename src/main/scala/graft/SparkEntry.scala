@@ -1889,6 +1889,70 @@ object SparkEntry {
         .toDF("n_queries", "stream_waves_parity_ok", "stream_waves_bounded_ok")
     }),
 
+    // STREAMING bounded sharded BQ serve gate (round 15, closing the
+    // BQ family's last lifecycle gap vs IVF+PQ): build + persist the
+    // sharded BQ index, TOMBSTONE a third (the serve reads shard dirs
+    // directly, bypassing the plain reader's refusal, so it must
+    // auto-apply the deny mask at wiring), replay the embeddings as a
+    // query stream, and pin: rows == the batch tombstoned serve, no
+    // deleted id ever served, and the per-invocation meter peak = one
+    // wave of DISK-LOADED shards (< Σ) with zero live bytes after.
+    "ann_bq_stream_waves_gate" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val shards = Similarity.buildBqSharded(q, "vec_id", "embedding",
+        numShards = 4)
+      val base = java.nio.file.Files
+        .createTempDirectory("gate-bq-stream-waves").toString
+      graft.sources.Sink.writeBqShardedIndex(s, shards, s"$base/ix")
+      graft.sources.Sink.deleteFromBqShardedIndex(s,
+        emb.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id",
+        s"$base/ix", s"$base/del")
+      val (dShards, ts) = graft.sources.Source
+        .readBqShardedIndexWithTombstones(s, s"$base/del")
+      val expected = Similarity.topkBqShardedTombstoned(
+          emb.select("vec_id", "embedding"), "vec_id", "embedding",
+          dShards, ts, 10, Metric.Cosine, shortlist = 200)
+        .select("vec_id", "rank", "index").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType)))
+      val results = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+      val meter = new Similarity.ShardedServeMeter
+      val writer = graft.streaming.EventStream.topkServeBqShardedWaves(
+        s.readStream.schema(embSchema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir),
+        "vec_id", "embedding", s"$base/del",
+        k = 10, metric = Metric.Cosine, shortlist = 200, waveSize = 2,
+        meter = meter) { (out, _) =>
+        val rows = out.select("vec_id", "rank", "index").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        results.synchronized { results ++= rows }
+        ()
+      }
+      val sq = writer.start()
+      try sq.processAllAvailable() finally sq.stop()
+      val per = graft.sources.Source
+        .readBqShardedIndexWithTombstones(s, s"$base/del")._1
+        .map(ix => org.apache.spark.util.SizeEstimator.estimate(ix))
+      val bounded = meter.peakLiveBroadcastBytes ==
+        per.grouped(2).map(_.sum).max &&
+        meter.peakLiveBroadcastBytes < per.sum &&
+        meter.liveBroadcastBytes == 0L
+      val subset = results.nonEmpty && results.forall(_._3 % 3 != 0)
+      Seq((q.count(), results.toSet == expected, bounded, subset))
+        .toDF("n_queries", "bq_stream_waves_parity_ok",
+          "bq_stream_waves_bounded_ok", "bq_stream_tombstone_ok")
+    }),
+
     // trained BPE tokenization (rows-only: the merge list is
     // deterministic but no SQL engine replays the greedy merge loop;
     // TextOpsSpec pins the hand-computed merge sequence, word
@@ -3868,6 +3932,13 @@ object SparkEntry {
       """SELECT count(*) AS n_queries,
         |       CAST(1 AS BOOLEAN) AS stream_waves_parity_ok,
         |       CAST(1 AS BOOLEAN) AS stream_waves_bounded_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_bq_stream_waves_gate" ->
+      """SELECT count(*) AS n_queries,
+        |       CAST(1 AS BOOLEAN) AS bq_stream_waves_parity_ok,
+        |       CAST(1 AS BOOLEAN) AS bq_stream_waves_bounded_ok,
+        |       CAST(1 AS BOOLEAN) AS bq_stream_tombstone_ok
         |FROM embeddings""".stripMargin,
 
     "ann_ivfsq8_recall" ->

@@ -1777,21 +1777,46 @@ object Similarity {
       allowedIds: Array[Long] = null,
       deniedIds: Array[Long] = null): DataFrame = {
     require(shards.nonEmpty, "Empty shard list")
+    topkBqWavesCore(queries, qIdCol, embCol, shards.map(sx => () => sx),
+      k, metric, shortlist, waveSize,
+      if (memoryPartials) ""
+      else resolveWaveScratch(queries.sparkSession.sparkContext.isLocal,
+        scratchDir),
+      meter, memoryPartials, allowedIds, deniedIds)
+  }
+
+  /** The BQ wave loop over shard PROVIDERS — the
+    * [[topkIvfPqWavesCore]] shape: a caller paging shards off a
+    * persisted layout (the streaming bounded serve) holds at most one
+    * wave's indexes on the driver, matching the executor-side
+    * broadcast bound.
+    */
+  private[graft] def topkBqWavesCore(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      shardProviders: Seq[() => CorpusIndexBq],
+      k: Int,
+      metric: Metric,
+      shortlist: Int,
+      waveSize: Int,
+      scratch: String,
+      meter: ShardedServeMeter,
+      memoryPartials: Boolean = false,
+      allowedIds: Array[Long] = null,
+      deniedIds: Array[Long] = null): DataFrame = {
     val spark = queries.sparkSession
     val q = queries.select(col(qIdCol), col(embCol))
     val order = if (metric.higherIsBetter)
       Seq(col("score").desc, col("index").asc)
     else Seq(col("score").asc, col("index").asc)
     topkShardedWavesCore[CorpusIndexBq](
-      spark, qIdCol, order, shards.map(sx => () => sx),
+      spark, qIdCol, order, shardProviders,
       maskOf = (sx, a, dny) => combinedMaskIds(sx.ids, a, dny),
       partialOf = (bc, maskBc, nAllowed) =>
         topkBqFlatBc(q, embCol, bc, k, metric, shortlist, maskBc, nAllowed)
           .drop("rank"),
-      k = k, waveSize = waveSize,
-      scratch =
-        if (memoryPartials) ""
-        else resolveWaveScratch(spark.sparkContext.isLocal, scratchDir),
+      k = k, waveSize = waveSize, scratch = scratch,
       meter = meter, memoryPartials = memoryPartials,
       allowedIds = allowedIds, deniedIds = deniedIds)
   }

@@ -385,30 +385,166 @@ object Sink {
       path: String,
       overwrite: Boolean = false): Unit =
     publishAtomically(spark, path, overwrite) { tmp =>
-      import spark.implicits._
-      val sq8 = bx.sq8
-      val bytesPerRow = 8L * bx.nWords + bx.dim
-      val slices = math.max(1, (bx.n.toLong * bytesPerRow / (64L << 20)).toInt)
-      val bc = spark.sparkContext.broadcast(bx)
-      try {
-        spark.sparkContext.parallelize(0 until bx.n, slices).map { j =>
-          val x = bc.value
-          (j, x.ids(j),
-            java.util.Arrays.copyOfRange(x.words, j * x.nWords, (j + 1) * x.nWords),
-            java.util.Arrays.copyOfRange(x.sq8.codes, j * x.dim, (j + 1) * x.dim),
-            x.sq8.norms(j), x.sq8.sqNorms(j))
-        }.toDF("idx", "id", "words", "code", "norm", "sq_norm")
-          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/vectors")
-      } finally bc.destroy()
-      // bit_cut is the frozen-threshold artifact [[appendBqIndex]]
-      // encodes against (appended LAST so readers by name are
-      // untouched)
-      Seq((bx.n, bx.dim, bx.nWords, bx.thresholds.toSeq,
-          sq8.dimMin.toSeq, sq8.dimScale.toSeq, bx.bitCut.toSeq))
-        .toDF("n", "dim", "n_words", "thresholds", "dim_min", "dim_scale",
-          "bit_cut")
-        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+      writeBqInto(spark, bx, tmp)
     }
+
+  /** The flat BQ layout body written into an already-owned dir —
+    * shared by [[writeBqIndex]] and [[writeBqShardedIndex]] (one
+    * shard dir each, inside the sharded publish).
+    */
+  private def writeBqInto(
+      spark: org.apache.spark.sql.SparkSession,
+      bx: graft.operators.Similarity.CorpusIndexBq,
+      tmp: String): Unit = {
+    import spark.implicits._
+    val sq8 = bx.sq8
+    val bytesPerRow = 8L * bx.nWords + bx.dim
+    val slices = math.max(1, (bx.n.toLong * bytesPerRow / (64L << 20)).toInt)
+    val bc = spark.sparkContext.broadcast(bx)
+    try {
+      spark.sparkContext.parallelize(0 until bx.n, slices).map { j =>
+        val x = bc.value
+        (j, x.ids(j),
+          java.util.Arrays.copyOfRange(x.words, j * x.nWords, (j + 1) * x.nWords),
+          java.util.Arrays.copyOfRange(x.sq8.codes, j * x.dim, (j + 1) * x.dim),
+          x.sq8.norms(j), x.sq8.sqNorms(j))
+      }.toDF("idx", "id", "words", "code", "norm", "sq_norm")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/vectors")
+    } finally bc.destroy()
+    // bit_cut is the frozen-threshold artifact [[appendBqIndex]]
+    // encodes against (appended LAST so readers by name are
+    // untouched)
+    Seq((bx.n, bx.dim, bx.nWords, bx.thresholds.toSeq,
+        sq8.dimMin.toSeq, sq8.dimScale.toSeq, bx.bitCut.toSeq))
+      .toDF("n", "dim", "n_words", "thresholds", "dim_min", "dim_scale",
+        "bit_cut")
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+  }
+
+  /** Persist a SHARDED BQ build ([[graft.operators.Similarity
+    * .buildBqSharded]]) — one [[writeBqIndex]]-layout dir per shard
+    * plus a manifest, the [[writeIvfPqShardedIndex]] shape: the
+    * long-running serving session this exists for restores shards
+    * one at a time (the wave/streaming serves page them) instead of
+    * re-collecting + re-binarizing a corpus per session. Serve with
+    * [[graft.operators.Similarity.topkBqShardedWaves]] or
+    * [[graft.streaming.EventStream.topkServeBqShardedWaves]].
+    */
+  def writeBqShardedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      shards: Seq[graft.operators.Similarity.CorpusIndexBq],
+      path: String,
+      overwrite: Boolean = false): Unit = {
+    require(shards.nonEmpty, "Empty shard list")
+    publishAtomically(spark, path, overwrite) { tmp =>
+      import spark.implicits._
+      Seq((shards.size, shards.map(_.n.toLong).sum, "xxhash64_pmod"))
+        .toDF("num_shards", "total_n", "shard_key")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
+      shards.zipWithIndex.foreach { case (sx, i) =>
+        writeBqInto(spark, sx, f"$tmp/shard_$i%04d")
+      }
+    }
+  }
+
+  /** TOMBSTONE delete from a persisted sharded BQ index — the
+    * [[deleteFromIvfPqShardedIndex]] contracts verbatim: metadata-only
+    * (file-level copy + the grown `tombstones/` id set), every
+    * deleted id must be stored, double-delete refused, the plain
+    * [[graft.sources.Source.readBqShardedIndex]] refuses a tombstoned
+    * index, serving applies the set as an always-on deny mask
+    * ([[graft.operators.Similarity.topkBqShardedTombstoned]] /
+    * the wave serves' `deniedIds`), and
+    * [[compactBqShardedIndex]] retires the masks.
+    */
+  def deleteFromBqShardedIndex(
+      spark: SparkSession,
+      deleteIds: DataFrame,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean = false): Unit = {
+    val manifest = spark.read.parquet(s"$indexPath/manifest").head()
+    val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
+    val del = deleteIds.select(col(idCol).cast(LongType).as("id"))
+      .na.drop().distinct()
+    require(del.limit(1).collect().nonEmpty, "empty delete set")
+    val storedIds = spark.read.parquet(
+      (0 until numShards).map(i => f"$indexPath/shard_$i%04d/vectors"): _*)
+      .select(col("id"))
+    val unknown = del.join(storedIds, Seq("id"), "left_anti").limit(1).collect()
+    require(unknown.isEmpty,
+      s"cannot delete id ${unknown.headOption.map(_.getLong(0)).getOrElse(-1L)}: " +
+        s"not stored in the index at $indexPath")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tsPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val hadTs = tsPath.getFileSystem(conf).exists(tsPath)
+    val existing =
+      if (hadTs) spark.read.parquet(tsPath.toString).select(col("id"))
+      else spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
+    val dbl = del.join(existing, Seq("id"), "left_semi").limit(1).collect()
+    require(dbl.isEmpty,
+      s"id ${dbl.headOption.map(_.getLong(0)).getOrElse(-1L)} is already " +
+        "tombstoned (double delete)")
+    publishAtomically(spark, outPath, overwrite) { tmp =>
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+      (Seq("manifest") ++ (0 until numShards).map(i => f"shard_$i%04d"))
+        .foreach { d =>
+          val src = new org.apache.hadoop.fs.Path(s"$indexPath/$d")
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            src.getFileSystem(conf), src, fs,
+            new org.apache.hadoop.fs.Path(s"$tmp/$d"), false, conf),
+            s"could not copy $src")
+        }
+      existing.unionAll(del).repartition(1)
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/tombstones")
+    }
+  }
+
+  /** Compact a tombstoned sharded BQ index — drop tombstoned rows,
+    * renumber pack positions contiguously in original order, shrink
+    * each shard meta's `n` and the manifest's `total_n`, emit NO
+    * tombstone set (the [[compactIvfPqShardedIndex]] contract; the
+    * frozen thresholds/grid/bit_cut are untouched — dropping rows
+    * never moves the cut, exactly like [[appendBqIndex]] never moves
+    * it when adding them).
+    */
+  def compactBqShardedIndex(
+      spark: SparkSession,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean = false): Unit = {
+    val manifestDf = spark.read.parquet(s"$indexPath/manifest")
+    val manifest = manifestDf.head()
+    val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tsPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    require(tsPath.getFileSystem(conf).exists(tsPath),
+      s"no tombstones at $indexPath — nothing to compact")
+    val ts = spark.read.parquet(tsPath.toString).select(col("id"))
+      .localCheckpoint(eager = true)
+    publishAtomically(spark, outPath, overwrite) { tmp =>
+      var liveTotal = 0L
+      (0 until numShards).foreach { i =>
+        val shardDir = f"shard_$i%04d"
+        val kept = spark.read.parquet(s"$indexPath/$shardDir/vectors")
+          .join(ts, Seq("id"), "left_anti")
+        val renumbered = kept
+          .withColumn("idx",
+            (row_number().over(Window.orderBy(col("idx"))) - 1)
+              .cast(IntegerType))
+        renumbered.write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"$tmp/$shardDir/vectors")
+        val liveN = spark.read.parquet(s"$tmp/$shardDir/vectors").count()
+        liveTotal += liveN
+        spark.read.parquet(s"$indexPath/$shardDir/meta")
+          .withColumn("n", lit(liveN).cast(IntegerType))
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/$shardDir/meta")
+      }
+      manifestDf.withColumn("total_n", lit(liveTotal))
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
+    }
+  }
 
   /** APPEND new rows to a persisted BQ index — the encode-only daily
     * ingest of the flat binary-quantized family (the

@@ -274,6 +274,60 @@ object Source {
         ids, codes, n, dim, dimMin, dimScale, norms, sqNorms))
   }
 
+  /** Restore a SHARDED BQ index persisted by
+    * [[graft.sources.Sink.writeBqShardedIndex]] — per-shard
+    * byte-identical restores, manifest-validated totals, and the
+    * tombstone refusal ([[readIvfPqShardedIndex]]'s contract: a
+    * deleted row must never serve through the plain reader).
+    */
+  def readBqShardedIndex(
+      spark: SparkSession,
+      path: String): IndexedSeq[graft.operators.Similarity.CorpusIndexBq] = {
+    val ts = readBqShardedIndexTombstones(spark, path)
+    require(ts.isEmpty,
+      s"index at $path carries ${ts.length} tombstoned ids — read through " +
+        "readBqShardedIndexWithTombstones and serve with " +
+        "topkBqShardedTombstoned, or rewrite with " +
+        "Sink.compactBqShardedIndex first")
+    readBqShardedIndexShards(spark, path)
+  }
+
+  /** Restore a sharded BQ index TOGETHER with its tombstone id set —
+    * the serve pair for [[graft.operators.Similarity
+    * .topkBqShardedTombstoned]] / the wave serves' `deniedIds`.
+    */
+  def readBqShardedIndexWithTombstones(
+      spark: SparkSession,
+      path: String): (IndexedSeq[graft.operators.Similarity.CorpusIndexBq], Array[Long]) =
+    (readBqShardedIndexShards(spark, path),
+      readBqShardedIndexTombstones(spark, path))
+
+  /** The tombstone id set of a persisted sharded BQ index — empty
+    * when `tombstones/` is absent.
+    */
+  def readBqShardedIndexTombstones(
+      spark: SparkSession, path: String): Array[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Array.empty[Long]
+    else spark.read.parquet(p.toString).select("id").collect().map(_.getLong(0))
+  }
+
+  private def readBqShardedIndexShards(
+      spark: SparkSession,
+      path: String): IndexedSeq[graft.operators.Similarity.CorpusIndexBq] = {
+    val meta = spark.read.parquet(s"$path/manifest").head()
+    val numShards = meta.getInt(meta.fieldIndex("num_shards"))
+    val totalN = meta.getLong(meta.fieldIndex("total_n"))
+    require(numShards >= 1, s"corrupt sharded index manifest: num_shards=$numShards")
+    val shards = (0 until numShards)
+      .map(i => readBqIndex(spark, f"$path/shard_$i%04d"))
+    val n = shards.map(_.n.toLong).sum
+    require(n == totalN,
+      s"corrupt sharded index: manifest total_n=$totalN but shards hold $n rows")
+    shards
+  }
+
   /** Restore a persisted PCA model byte-identically (see
     * [[graft.sources.Sink.writePcaModel]]).
     */

@@ -335,6 +335,72 @@ class SinkSpec extends AnyFunSuite {
     }.getMessage.contains("bit_cut"))
   }
 
+  test("sharded BQ persist + tombstone lifecycle: byte restore, masked == complement == compacted, refusals") {
+    import spark.implicits._
+    import graft.operators.{Metric, Similarity}
+    val rnd = new scala.util.Random(67)
+    val cDf = (0L until 400L).map(i => i -> Seq.fill(40)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    val qDf = (0L until 30L).map(i => i -> Seq.fill(40)(rnd.nextGaussian()))
+      .toDF("qid", "emb")
+    val shards = Similarity.buildBqSharded(cDf, "id", "emb", numShards = 3)
+    val base = Files.createTempDirectory("sink-bq-sharded").toString
+    Sink.writeBqShardedIndex(spark, shards, s"$base/ix")
+    val loaded = graft.sources.Source.readBqShardedIndex(spark, s"$base/ix")
+    assert(loaded.size == shards.size)
+    loaded.zip(shards).foreach { case (l, r) =>
+      assert(l.ids.sameElements(r.ids))
+      assert(l.words.sameElements(r.words))
+      assert(l.thresholds.sameElements(r.thresholds))
+      assert(l.bitCut.sameElements(r.bitCut))
+      assert(l.sq8.codes.sameElements(r.sq8.codes))
+      assert(l.sq8.norms.sameElements(r.sq8.norms))
+    }
+    // delete a third, metadata-only; plain reader refuses; masked
+    // serve == complement allow == compacted plain serve
+    Sink.deleteFromBqShardedIndex(spark,
+      cDf.filter(col("id") % 3 === 0).select("id"), "id",
+      s"$base/ix", s"$base/del")
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.Source.readBqShardedIndex(spark, s"$base/del")
+    }.getMessage.contains("tombstoned"))
+    val (dShards, ts) =
+      graft.sources.Source.readBqShardedIndexWithTombstones(spark, s"$base/del")
+    assert(ts.nonEmpty && ts.forall(_ % 3 == 0))
+    // shard bytes untouched by the delete
+    dShards.zip(loaded).foreach { case (l, r) =>
+      assert(l.words.sameElements(r.words) && l.ids.sameElements(r.ids))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "index", "score")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val masked = rows(Similarity.topkBqShardedTombstoned(qDf, "qid", "emb",
+      dShards, ts, 5, Metric.Cosine, shortlist = 150))
+    assert(masked.nonEmpty && masked.forall(_._3 % 3 != 0))
+    val complement = dShards.flatMap(_.ids).filter(_ % 3 != 0).toArray
+    assert(masked == rows(Similarity.topkBqShardedFiltered(qDf, "qid", "emb",
+      dShards, complement, 5, Metric.Cosine, shortlist = 150)))
+    Sink.compactBqShardedIndex(spark, s"$base/del", s"$base/comp")
+    val cShards = graft.sources.Source.readBqShardedIndex(spark, s"$base/comp")
+    assert(cShards.map(_.n.toLong).sum == loaded.map(_.n.toLong).sum - ts.length)
+    assert(masked == rows(Similarity.topkBqSharded(qDf, "qid", "emb",
+      cShards, 5, Metric.Cosine, shortlist = 150)))
+    // frozen cut identity survives compaction
+    cShards.zip(loaded).foreach { case (l, r) =>
+      assert(l.thresholds.sameElements(r.thresholds) &&
+        l.bitCut.sameElements(r.bitCut))
+    }
+    // double-delete and unknown-id refusals
+    assert(intercept[IllegalArgumentException] {
+      Sink.deleteFromBqShardedIndex(spark, Seq(0L).toDF("id"), "id",
+        s"$base/del", s"$base/x1")
+    }.getMessage.contains("already"))
+    assert(intercept[IllegalArgumentException] {
+      Sink.deleteFromBqShardedIndex(spark, Seq(99999L).toDF("id"), "id",
+        s"$base/ix", s"$base/x2")
+    }.getMessage.contains("not stored"))
+  }
+
   test("IVF+BQ index round-trip: byte-identical restore, identical search results") {
     import spark.implicits._
     import graft.operators.Similarity

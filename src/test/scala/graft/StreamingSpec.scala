@@ -607,6 +607,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.toSet == expected)
   }
 
+  test("BOUNDED streaming sharded BQ serve: wave-paged, one-wave peak, tombstones auto-applied") {
+    import graft.operators.{Metric, Similarity}
+    // the bit rung's long-running serving session: shards page off
+    // the persisted layout per micro-batch (rows == the batch
+    // all-resident sharded serve), the meter pins the one-wave bound,
+    // and a takedown-carrying index auto-applies its tombstones (this
+    // serve bypasses the plain reader's refusal, so the deny mask
+    // must be wired in, not opted into)
+    val emb = Tables.embeddings(spark, dir)
+    val corpusDf = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val shards = Similarity.buildBqSharded(corpusDf, "vec_id", "embedding",
+      numShards = 4)
+    val base = java.nio.file.Files
+      .createTempDirectory("serve-bq-waves").toString
+    graft.sources.Sink.writeBqShardedIndex(spark, shards, s"$base/ix")
+    // tombstone a third so the serve must deny-mask from wiring
+    graft.sources.Sink.deleteFromBqShardedIndex(spark,
+      emb.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id",
+      s"$base/ix", s"$base/del")
+    val (dShards, ts) = graft.sources.Source
+      .readBqShardedIndexWithTombstones(spark, s"$base/del")
+    val expected = Similarity.topkBqShardedTombstoned(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding", dShards,
+        ts, 5, Metric.Cosine, shortlist = 100)
+      .select("vec_id", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val results = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val meter = new Similarity.ShardedServeMeter
+    val writer = EventStream.topkServeBqShardedWaves(
+      spark.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir),
+      "vec_id", "embedding", s"$base/del",
+      k = 5, metric = Metric.Cosine, shortlist = 100, waveSize = 1,
+      residentShards = 2, meter = meter) { (out, _) =>
+      val batchRows = out.select("vec_id", "rank", "index").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      results.synchronized { results ++= batchRows }
+      ()
+    }
+    val q = writer.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(results.toSet == expected)
+    assert(results.nonEmpty)
+    assert(results.forall(_._3 % 3 != 0),
+      "tombstoned streaming BQ serve returned a deleted id")
+    val per = dShards.map(ix => org.apache.spark.util.SizeEstimator.estimate(ix))
+    assert(meter.peakLiveBroadcastBytes == per.max &&
+      meter.peakLiveBroadcastBytes < per.sum,
+      s"peak ${meter.peakLiveBroadcastBytes} vs per-shard $per")
+    assert(meter.liveBroadcastBytes == 0L)
+    assert(meter.pinnedShards == 2)
+  }
+
   test("watermark drops too-late events; in-watermark late arrivals still count") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
