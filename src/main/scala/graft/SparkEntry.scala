@@ -1902,11 +1902,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val q = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
-      val shards = Similarity.buildBqSharded(q, "vec_id", "embedding",
-        numShards = 4)
+      val build = Similarity.buildBqShardedWithLayout(q, "vec_id",
+        "embedding", numShards = 4)
       val base = java.nio.file.Files
         .createTempDirectory("gate-bq-stream-waves").toString
-      graft.sources.Sink.writeBqShardedIndex(s, shards, s"$base/ix")
+      graft.sources.Sink.writeBqShardedIndex(s, build, s"$base/ix",
+        overwrite = false)
       graft.sources.Sink.deleteFromBqShardedIndex(s,
         emb.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id",
         s"$base/ix", s"$base/del")

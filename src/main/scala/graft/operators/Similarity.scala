@@ -1264,8 +1264,36 @@ object Similarity {
       cIdCol: String,
       cEmbCol: String,
       numShards: Int,
-      maxInFlightBytes: Long = 0L): Seq[CorpusIndexBq] = {
-    val sq8s = buildSq8Sharded(corpus, cIdCol, cEmbCol, numShards, maxInFlightBytes)
+      maxInFlightBytes: Long = 0L): Seq[CorpusIndexBq] =
+    buildBqShardedWithLayout(corpus, cIdCol, cEmbCol, numShards,
+      maxInFlightBytes).shards
+
+  /** A sharded BQ build plus its ROUTING IDENTITY — the hash modulus
+    * and, per surviving shard directory, the raw
+    * `pmod(xxhash64(id), hashModulus)` value it holds (the
+    * [[ShardedIvfPqBuild]] shape: the shard list alone is ambiguous
+    * once empty hash shards were compacted away, and a persisted
+    * append must route new ids with the BUILD's split).
+    */
+  final case class ShardedBqBuild(
+      shards: IndexedSeq[CorpusIndexBq],
+      hashModulus: Int,
+      shardHashVals: IndexedSeq[Long])
+
+  /** [[buildBqSharded]], also returning which hash values survived
+    * the empty-shard compaction (see [[ShardedBqBuild]]).
+    */
+  def buildBqShardedWithLayout(
+      corpus: DataFrame,
+      cIdCol: String,
+      cEmbCol: String,
+      numShards: Int,
+      maxInFlightBytes: Long = 0L): ShardedBqBuild = {
+    val sq8Opts =
+      buildSq8ShardedOpt(corpus, cIdCol, cEmbCol, numShards, maxInFlightBytes)
+    val surviving = sq8Opts.zipWithIndex.collect { case (Some(s), b) => s -> b.toLong }
+    require(surviving.nonEmpty, "Empty corpus")
+    val sq8s = surviving.map(_._1)
     val dim = sq8s.head.dim
     val nTot = sq8s.map(_.n.toLong).sum
     val colSum = new Array[Long](dim)
@@ -1274,7 +1302,8 @@ object Similarity {
       var d = 0
       while (d < dim) { colSum(d) += cs(d); d += 1 }
     }
-    sq8s.map(bqFromSq8(_, colSum, nTot))
+    ShardedBqBuild(sq8s.map(bqFromSq8(_, colSum, nTot)).toIndexedSeq,
+      numShards, surviving.map(_._2).toIndexedSeq)
   }
 
   /** Merge per-shard [[topkBq]] serves into a global top-k — the
@@ -4183,7 +4212,22 @@ object Similarity {
       cIdCol: String,
       cEmbCol: String,
       numShards: Int,
-      maxInFlightBytes: Long = 0L): Seq[CorpusIndexSq8] = {
+      maxInFlightBytes: Long = 0L): Seq[CorpusIndexSq8] =
+    buildSq8ShardedOpt(corpus, cIdCol, cEmbCol, numShards,
+      maxInFlightBytes).flatten
+
+  /** [[buildSq8Sharded]] WITHOUT the empty-shard compaction — one
+    * `Option` per raw hash value, so derived builders
+    * ([[buildBqShardedWithLayout]]) can record which hash value each
+    * surviving shard directory holds (the routing identity appends
+    * need — the round-11 lesson the IVF+PQ family already carries).
+    */
+  private[graft] def buildSq8ShardedOpt(
+      corpus: DataFrame,
+      cIdCol: String,
+      cEmbCol: String,
+      numShards: Int,
+      maxInFlightBytes: Long = 0L): IndexedSeq[Option[CorpusIndexSq8]] = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val blockOf = pmod(xxhash64(col(cIdCol).cast(LongType)), lit(numShards))
     val budget =
@@ -4221,7 +4265,7 @@ object Similarity {
       }
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(fs),
-        scala.concurrent.duration.Duration.Inf).flatten
+        scala.concurrent.duration.Duration.Inf).toIndexedSeq
     } finally pool.shutdown()
   }
 

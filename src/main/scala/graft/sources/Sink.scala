@@ -434,17 +434,225 @@ object Sink {
       spark: org.apache.spark.sql.SparkSession,
       shards: Seq[graft.operators.Similarity.CorpusIndexBq],
       path: String,
-      overwrite: Boolean = false): Unit = {
+      overwrite: Boolean = false,
+      hashModulus: Int = 0,
+      shardHashVals: Seq[Long] = Nil): Unit = {
     require(shards.nonEmpty, "Empty shard list")
+    // identity default carries the same caveat as the IVF+PQ persist:
+    // correct only when no hash shard was compacted away at build —
+    // prefer the ShardedBqBuild overload, which carries the real
+    // layout
+    val modulus = if (hashModulus > 0) hashModulus else shards.size
+    if (hashModulus <= 0)
+      log.warn(s"writeBqShardedIndex: recording the IDENTITY routing layout " +
+        s"(hash_modulus=${shards.size}) — if this build compacted empty hash " +
+        "shards, appends will mis-route; pass the build's ShardedBqBuild " +
+        "or explicit hashModulus/shardHashVals")
+    val hashVals =
+      if (shardHashVals.nonEmpty) shardHashVals else shards.indices.map(_.toLong)
+    require(hashVals.size == shards.size,
+      s"shardHashVals has ${hashVals.size} entries for ${shards.size} shards")
+    require(modulus >= shards.size,
+      s"hash_modulus $modulus < ${shards.size} shard directories")
     publishAtomically(spark, path, overwrite) { tmp =>
       import spark.implicits._
-      Seq((shards.size, shards.map(_.n.toLong).sum, "xxhash64_pmod"))
-        .toDF("num_shards", "total_n", "shard_key")
+      Seq((shards.size, shards.map(_.n.toLong).sum, "xxhash64_pmod",
+          modulus, hashVals))
+        .toDF("num_shards", "total_n", "shard_key",
+          "hash_modulus", "shard_hash_vals")
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
       shards.zipWithIndex.foreach { case (sx, i) =>
         writeBqInto(spark, sx, f"$tmp/shard_$i%04d")
       }
     }
+  }
+
+  /** [[writeBqShardedIndex]] taking the build WITH its routing
+    * identity — the non-footgun persist for
+    * [[graft.operators.Similarity.buildBqShardedWithLayout]].
+    */
+  def writeBqShardedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      build: graft.operators.Similarity.ShardedBqBuild,
+      path: String,
+      overwrite: Boolean): Unit =
+    writeBqShardedIndex(spark, build.shards, path, overwrite,
+      build.hashModulus, build.shardHashVals)
+
+  /** APPEND new rows to a persisted SHARDED BQ index — the
+    * [[appendBqIndex]] encode (frozen corpus-global grid/thresholds/
+    * `bit_cut`, shard-INDEPENDENT because every BQ shard cuts on the
+    * same global threshold) composed with
+    * [[appendIvfPqShardedIndex]]'s routing/copy/publish contracts:
+    * new rows route to `pmod(xxhash64(id), hash_modulus)` (falling
+    * back to `hash mod num_dirs` for hash values whose shard was
+    * compacted away at build — any shard can encode any row, only
+    * the degenerate placement is approximate), old vectors are
+    * copied AS FILES, pack positions continue from each shard's old
+    * `n`, tombstones carry forward, and the grown index publishes
+    * atomically. Duplicate/clashing ids and dimension mismatches
+    * refuse by name.
+    */
+  def appendBqShardedIndex(
+      spark: SparkSession,
+      newRows: DataFrame,
+      idCol: String,
+      embCol: String,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean = false): Unit = {
+    import spark.implicits._
+    requireEmbColType(newRows, embCol)
+    val manifestDf = spark.read.parquet(s"$indexPath/manifest")
+    val manifest = manifestDf.head()
+    val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
+    val totalN = manifest.getLong(manifest.fieldIndex("total_n"))
+    val shardKey = manifest.getString(manifest.fieldIndex("shard_key"))
+    require(shardKey == "xxhash64_pmod",
+      s"cannot append to an index with shard key '$shardKey'")
+    val hashModulus = manifest.getInt(manifest.fieldIndex("hash_modulus"))
+    val hashVals = manifest.getSeq[Long](manifest.fieldIndex("shard_hash_vals"))
+    val built = hashVals.zipWithIndex.toMap
+    val dirOfHash: Map[Long, Long] = (0L until hashModulus.toLong)
+      .map(h => h -> built.getOrElse(h, (h % numShards).toInt).toLong).toMap
+    // the frozen encode artifacts are corpus-GLOBAL — every shard's
+    // meta carries the same grid/thresholds/cut (validated here so a
+    // corrupt mixed-grid index refuses instead of encoding wrong)
+    require(spark.read.parquet(s"$indexPath/shard_0000/meta")
+      .schema.fieldNames.contains("bit_cut"),
+      s"the BQ index at $indexPath predates the bit_cut meta column — " +
+        "appends need the frozen integer threshold; re-persist once to " +
+        "upgrade the layout")
+    def metaOf(i: Int) = spark.read.parquet(f"$indexPath/shard_$i%04d/meta")
+      .select("n", "dim", "n_words", "thresholds", "dim_min", "dim_scale",
+        "bit_cut").head()
+    val m0 = metaOf(0)
+    val dim = m0.getInt(1)
+    val nWords = m0.getInt(2)
+    val dimMin = m0.getSeq[Float](4).toArray
+    val dimScale = m0.getSeq[Float](5).toArray
+    val bitCut = m0.getSeq[Int](6).toArray
+    val oldN: Map[Int, Int] = (0 until numShards).map { i =>
+      val m = metaOf(i)
+      require(m.getSeq[Int](6) == m0.getSeq[Int](6) &&
+        m.getSeq[Double](3) == m0.getSeq[Double](3),
+        s"shard $i cuts on a different threshold than shard 0 — corrupt index")
+      i -> m.getInt(0)
+    }.toMap
+
+    val narrow = newRows.select(
+      element_at(typedLit(dirOfHash),
+        pmod(xxhash64(col(idCol).cast(LongType)), lit(hashModulus))
+          .cast(LongType)).as("shard"),
+      col(idCol).cast(LongType).as("id"),
+      col(embCol).as("emb"))
+    val dupIn = narrow.groupBy("id").count().filter(col("count") > 1)
+      .limit(1).collect()
+    require(dupIn.isEmpty,
+      s"duplicate id in append batch: ${dupIn.headOption.map(_.getLong(0)).getOrElse(-1L)}")
+    val storedIds = spark.read.parquet(
+      (0 until numShards).map(i => f"$indexPath/shard_$i%04d/vectors"): _*)
+      .select(col("id"))
+    val clash = narrow.select("id").join(storedIds, Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} already " +
+        s"exists in the index at $indexPath")
+    val newCounts: Map[Long, Long] = narrow.groupBy("shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val newTotal = newCounts.values.sum
+    (0 until numShards).foreach { i =>
+      val grown = oldN(i).toLong + newCounts.getOrElse(i.toLong, 0L)
+      require(grown <= Int.MaxValue && grown * nWords <= Int.MaxValue,
+        s"shard $i would grow to $grown rows — one shard must fit an index")
+    }
+
+    val dd = dim
+    val nW = nWords
+    val sc = spark.sparkContext
+    val bcG = sc.broadcast((dimMin, dimScale, bitCut))
+    try {
+      publishAtomically(spark, outPath, overwrite) { tmp =>
+        Seq((numShards, totalN + newTotal, shardKey, hashModulus, hashVals))
+          .toDF("num_shards", "total_n", "shard_key",
+            "hash_modulus", "shard_hash_vals")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
+        val encoded = narrow.rdd.mapPartitions { it =>
+          val (mn, scale, cut) = bcG.value
+          it.map { row =>
+            val v = embDoubles(row.getSeq[Any](2))
+            if (v.length != dd) throw new IllegalArgumentException(
+              s"Dimension mismatch: corpus rows have $dd and ${v.length} elements")
+            val codes = new Array[Byte](dd)
+            val sq = graft.operators.Similarity.sq8EncodeRow(
+              v, 0, dd, mn, scale, codes, 0)
+            val words = new Array[Long](nW)
+            var d = 0
+            while (d < dd) {
+              if ((codes(d) & 0xFF) >= cut(d)) words(d >>> 6) |= 1L << (d & 63)
+              d += 1
+            }
+            Row(row.getLong(0), row.getLong(1), words, codes,
+              math.sqrt(sq), sq)
+          }
+        }
+        val encSchema = StructType(Seq(
+          StructField("shard", LongType, nullable = false),
+          StructField("id", LongType, nullable = false),
+          StructField("words", ArrayType(LongType, containsNull = false),
+            nullable = false),
+          StructField("code", BinaryType, nullable = false),
+          StructField("norm", DoubleType, nullable = false),
+          StructField("sq_norm", DoubleType, nullable = false)))
+        val wIdx = Window.partitionBy("shard").orderBy("id")
+        val baseCol = element_at(
+          typedLit(oldN.map { case (i, n) => i.toLong -> n.toLong }),
+          col("shard"))
+        spark.createDataFrame(encoded, encSchema)
+          .withColumn("idx",
+            (baseCol + row_number().over(wIdx) - 1).cast(IntegerType))
+          .withColumn("shard_out", col("shard").cast(IntegerType))
+          .select("shard_out", "idx", "id", "words", "code", "norm", "sq_norm")
+          .write.partitionBy("shard_out").mode(SaveMode.ErrorIfExists)
+          .parquet(s"$tmp/__append__")
+        val conf = sc.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+        (0 until numShards).foreach { i =>
+          val shardDir = new org.apache.hadoop.fs.Path(f"$tmp/shard_$i%04d")
+          require(fs.mkdirs(shardDir), s"could not create $shardDir")
+          val oldVec = new org.apache.hadoop.fs.Path(f"$indexPath/shard_$i%04d/vectors")
+          val dstVec = new org.apache.hadoop.fs.Path(shardDir, "vectors")
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            oldVec.getFileSystem(conf), oldVec, fs, dstVec, false, conf),
+            s"could not copy $oldVec into $shardDir")
+          val part = new org.apache.hadoop.fs.Path(s"$tmp/__append__/shard_out=$i")
+          if (fs.exists(part)) {
+            fs.listStatus(part).foreach { st =>
+              val nm = st.getPath.getName
+              if (nm.startsWith("part-"))
+                require(fs.rename(st.getPath,
+                  new org.apache.hadoop.fs.Path(dstVec, s"append-$nm")),
+                  s"could not move ${st.getPath} into $dstVec")
+            }
+          }
+          Seq(((oldN(i) + newCounts.getOrElse(i.toLong, 0L)).toInt, dim,
+              nWords, m0.getSeq[Double](3), dimMin.toSeq, dimScale.toSeq,
+              bitCut.toSeq))
+            .toDF("n", "dim", "n_words", "thresholds", "dim_min",
+              "dim_scale", "bit_cut")
+            .write.mode(SaveMode.ErrorIfExists).parquet(s"$shardDir/meta")
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/__append__"), true)
+        // carry tombstones forward (re-adding a tombstoned id is
+        // refused by the stored-id clash above — compact to free it)
+        val oldTs = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+        if (oldTs.getFileSystem(conf).exists(oldTs))
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            oldTs.getFileSystem(conf), oldTs, fs,
+            new org.apache.hadoop.fs.Path(s"$tmp/tombstones"), false, conf),
+            s"could not carry $oldTs forward")
+      }
+    } finally bcG.destroy()
   }
 
   /** TOMBSTONE delete from a persisted sharded BQ index — the

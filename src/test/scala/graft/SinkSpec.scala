@@ -343,9 +343,11 @@ class SinkSpec extends AnyFunSuite {
       .toDF("id", "emb")
     val qDf = (0L until 30L).map(i => i -> Seq.fill(40)(rnd.nextGaussian()))
       .toDF("qid", "emb")
-    val shards = Similarity.buildBqSharded(cDf, "id", "emb", numShards = 3)
+    val build = Similarity.buildBqShardedWithLayout(cDf, "id", "emb",
+      numShards = 3)
+    val shards = build.shards
     val base = Files.createTempDirectory("sink-bq-sharded").toString
-    Sink.writeBqShardedIndex(spark, shards, s"$base/ix")
+    Sink.writeBqShardedIndex(spark, build, s"$base/ix", overwrite = false)
     val loaded = graft.sources.Source.readBqShardedIndex(spark, s"$base/ix")
     assert(loaded.size == shards.size)
     loaded.zip(shards).foreach { case (l, r) =>
@@ -399,6 +401,74 @@ class SinkSpec extends AnyFunSuite {
       Sink.deleteFromBqShardedIndex(spark, Seq(99999L).toDF("id"), "id",
         s"$base/ix", s"$base/x2")
     }.getMessage.contains("not stored"))
+  }
+
+  test("sharded BQ append: routed encode-only ingest, frozen global cut, old shards untouched") {
+    import spark.implicits._
+    import graft.operators.{Metric, Similarity}
+    val rnd = new scala.util.Random(77)
+    val all = (0L until 400L).map(i => i -> Seq.fill(40)(rnd.nextGaussian()))
+    val evens = all.filter(_._1 % 2 == 0)
+    val odds = all.filter(_._1 % 2 != 0)
+    val base = Files.createTempDirectory("sink-bq-shard-append").toString
+    val build = Similarity.buildBqShardedWithLayout(evens.toDF("id", "emb"),
+      "id", "emb", numShards = 3)
+    Sink.writeBqShardedIndex(spark, build, s"$base/ix", overwrite = false)
+    Sink.appendBqShardedIndex(spark, odds.toDF("id", "emb"), "id", "emb",
+      s"$base/ix", s"$base/grown")
+    val grown = graft.sources.Source.readBqShardedIndex(spark, s"$base/grown")
+    assert(grown.map(_.n).sum == 400)
+    // frozen cut identity on every shard
+    grown.foreach { sx =>
+      assert(sx.thresholds.sameElements(build.shards.head.thresholds))
+      assert(sx.bitCut.sameElements(build.shards.head.bitCut))
+    }
+    // old rows byte-identical at their original positions per shard
+    build.shards.zip(grown).foreach { case (old, g) =>
+      for (j <- 0 until old.n) {
+        assert(g.ids(j) == old.ids(j))
+        for (w <- 0 until old.nWords)
+          assert(g.words(j * g.nWords + w) == old.words(j * old.nWords + w))
+      }
+    }
+    // routing: each appended id landed on pmod(xxhash64(id), modulus)
+    val dirOf = build.shardHashVals.zipWithIndex.toMap
+    odds.map(_._1).foreach { id =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        id, org.apache.spark.sql.types.LongType, 42L)
+      val hv = ((h % 3) + 3) % 3
+      val expectShard = dirOf.getOrElse(hv, (hv % grown.size).toInt)
+      assert(grown(expectShard).ids.contains(id), s"id $id not in shard $expectShard")
+    }
+    // new rows encode against the frozen grid: spot-check one shard's
+    // appended block
+    val g0 = grown.head
+    val oddVecs = odds.toMap
+    for (j <- build.shards.head.n until g0.n) {
+      val v = oddVecs(g0.ids(j)).toArray
+      val expect = new Array[Byte](g0.dim)
+      Similarity.sq8EncodeRow(v, 0, g0.dim, g0.sq8.dimMin, g0.sq8.dimScale,
+        expect, 0)
+      for (d <- 0 until g0.dim)
+        assert(g0.sq8.codes(j * g0.dim + d) == expect(d), s"row $j dim $d")
+    }
+    // the grown index serves the whole corpus sanely
+    val qDf = all.toDF("qid", "emb")
+    val exact = Similarity.topkFlat(qDf, "emb",
+        Similarity.collectCorpus(all.toDF("id", "emb"), "id", "emb"),
+        5, Metric.Cosine)
+      .select("qid", "index").as[(Long, Long)].collect().toSet
+    val got = Similarity.topkBqSharded(qDf, "qid", "emb", grown, 5,
+        Metric.Cosine, shortlist = 150)
+      .select("qid", "index").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"grown sharded recall@5 = $recall%.4f")
+    assert(recall >= 0.7, s"recall $recall")
+    // clash refusal against stored ids
+    assert(intercept[IllegalArgumentException] {
+      Sink.appendBqShardedIndex(spark, Seq(1L -> Seq.fill(40)(0.1)).toDF("id", "emb"),
+        "id", "emb", s"$base/grown", s"$base/x1")
+    }.getMessage.contains("already exists"))
   }
 
   test("IVF+BQ index round-trip: byte-identical restore, identical search results") {

@@ -618,11 +618,12 @@ class StreamingSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, dir)
     val corpusDf = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
-    val shards = Similarity.buildBqSharded(corpusDf, "vec_id", "embedding",
-      numShards = 4)
+    val build = Similarity.buildBqShardedWithLayout(corpusDf, "vec_id",
+      "embedding", numShards = 4)
     val base = java.nio.file.Files
       .createTempDirectory("serve-bq-waves").toString
-    graft.sources.Sink.writeBqShardedIndex(spark, shards, s"$base/ix")
+    graft.sources.Sink.writeBqShardedIndex(spark, build, s"$base/ix",
+      overwrite = false)
     // tombstone a third so the serve must deny-mask from wiring
     graft.sources.Sink.deleteFromBqShardedIndex(spark,
       emb.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id",
