@@ -2263,8 +2263,35 @@ object Similarity {
       nCells: Int,
       trainSample: Int = 16384,
       iters: Int = 10,
-      maxInFlightBytes: Long = 0L): Seq[CorpusIndexIvfBq] = {
-    val sq8s = buildSq8Sharded(corpus, cIdCol, cEmbCol, numShards, maxInFlightBytes)
+      maxInFlightBytes: Long = 0L): Seq[CorpusIndexIvfBq] =
+    buildIvfBqShardedWithLayout(corpus, cIdCol, cEmbCol, numShards, nCells,
+      trainSample, iters, maxInFlightBytes).shards
+
+  /** A sharded IVF+BQ build plus its routing identity (the
+    * [[ShardedBqBuild]] / [[ShardedIvfPqBuild]] shape).
+    */
+  final case class ShardedIvfBqBuild(
+      shards: IndexedSeq[CorpusIndexIvfBq],
+      hashModulus: Int,
+      shardHashVals: IndexedSeq[Long])
+
+  /** [[buildIvfBqSharded]], also returning which hash values survived
+    * the empty-shard compaction.
+    */
+  def buildIvfBqShardedWithLayout(
+      corpus: DataFrame,
+      cIdCol: String,
+      cEmbCol: String,
+      numShards: Int,
+      nCells: Int,
+      trainSample: Int = 16384,
+      iters: Int = 10,
+      maxInFlightBytes: Long = 0L): ShardedIvfBqBuild = {
+    val sq8Opts =
+      buildSq8ShardedOpt(corpus, cIdCol, cEmbCol, numShards, maxInFlightBytes)
+    val surviving = sq8Opts.zipWithIndex.collect { case (Some(s), b) => s -> b.toLong }
+    require(surviving.nonEmpty, "Empty corpus")
+    val sq8s = surviving.map(_._1)
     val dim = sq8s.head.dim
     val nTot = sq8s.map(_.n.toLong).sum
     val colSum = new Array[Long](dim)
@@ -2273,7 +2300,59 @@ object Similarity {
       var d = 0
       while (d < dim) { colSum(d) += cs(d); d += 1 }
     }
-    sq8s.map(ivfBqFromSq8(_, nCells, trainSample, iters, colSum, nTot))
+    ShardedIvfBqBuild(
+      sq8s.map(ivfBqFromSq8(_, nCells, trainSample, iters, colSum, nTot))
+        .toIndexedSeq,
+      numShards, surviving.map(_._2).toIndexedSeq)
+  }
+
+  /** Drop TOMBSTONED rows from an IVF+BQ index — pure driver-side
+    * array surgery on a broadcast-sized shard (the compaction step of
+    * the persisted delete lifecycle): kept rows keep their original
+    * relative order, the CSR regroups through the same stable
+    * [[buildCsr]] the build used (so surviving members stay in
+    * original row order within each cell), the bit rows copy from
+    * their old CSR slots, and thresholds/grid/cut stay FROZEN —
+    * dropping rows never moves the integer threshold, the same
+    * invariant appends rely on. Serving the compacted index is
+    * bit-identical to the deny-masked serve of the input (bounded
+    * best-by-(hamming,id) selection is scan-order independent).
+    */
+  private[graft] def compactIvfBq(
+      ix: CorpusIndexIvfBq, sortedDeny: Array[Long]): CorpusIndexIvfBq = {
+    val keep = (0 until ix.n).filter(g =>
+      java.util.Arrays.binarySearch(sortedDeny, ix.ids(g)) < 0).toArray
+    require(keep.nonEmpty, "compaction would empty the shard")
+    val n2 = keep.length
+    // old row -> old CSR slot (invert cellMembers once)
+    val oldSlotOf = new Array[Int](ix.n)
+    var p = 0
+    while (p < ix.n) { oldSlotOf(ix.cellMembers(p)) = p; p += 1 }
+    val ids2 = keep.map(ix.ids)
+    val cellOf2 = keep.map(ix.cellOf)
+    val (cellStart2, cellMembers2) = buildCsr(cellOf2, ix.nCells)
+    val words2 = new Array[Long](n2 * ix.nWords)
+    var p2 = 0
+    while (p2 < n2) {
+      val oldSlot = oldSlotOf(keep(cellMembers2(p2)))
+      System.arraycopy(ix.words, oldSlot * ix.nWords,
+        words2, p2 * ix.nWords, ix.nWords)
+      p2 += 1
+    }
+    val codes2 = new Array[Byte](n2 * ix.dim)
+    val norms2 = new Array[Double](n2)
+    val sqNorms2 = new Array[Double](n2)
+    var j = 0
+    while (j < n2) {
+      System.arraycopy(ix.sq8.codes, keep(j) * ix.dim, codes2, j * ix.dim, ix.dim)
+      norms2(j) = ix.sq8.norms(keep(j))
+      sqNorms2(j) = ix.sq8.sqNorms(keep(j))
+      j += 1
+    }
+    CorpusIndexIvfBq(ids2, n2, ix.dim, ix.nCells, ix.centroids, words2,
+      ix.nWords, ix.thresholds, cellOf2, cellStart2, cellMembers2,
+      CorpusIndexSq8(ids2, codes2, n2, ix.dim, ix.sq8.dimMin,
+        ix.sq8.dimScale, norms2, sqNorms2))
   }
 
   /** Merge per-shard [[topkIvfBq]] serves — the [[topkBqSharded]]
@@ -2385,19 +2464,42 @@ object Similarity {
       allowedIds: Array[Long] = null,
       deniedIds: Array[Long] = null): DataFrame = {
     require(shards.nonEmpty, "Empty shard list")
+    topkIvfBqWavesCore(queries, qIdCol, embCol, shards.map(sx => () => sx),
+      k, nProbe, shortlist, waveSize,
+      if (memoryPartials) ""
+      else resolveWaveScratch(queries.sparkSession.sparkContext.isLocal,
+        scratchDir),
+      meter, memoryPartials, allowedIds, deniedIds)
+  }
+
+  /** The IVF+BQ wave loop over shard PROVIDERS (the
+    * [[topkBqWavesCore]] / [[topkIvfPqWavesCore]] shape — the
+    * streaming bounded serve pages persisted shards through this).
+    */
+  private[graft] def topkIvfBqWavesCore(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      shardProviders: Seq[() => CorpusIndexIvfBq],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      waveSize: Int,
+      scratch: String,
+      meter: ShardedServeMeter,
+      memoryPartials: Boolean = false,
+      allowedIds: Array[Long] = null,
+      deniedIds: Array[Long] = null): DataFrame = {
     val spark = queries.sparkSession
     val q = queries.select(col(qIdCol), col(embCol))
     topkShardedWavesCore[CorpusIndexIvfBq](
       spark, qIdCol, Seq(col("score").desc, col("index").asc),
-      shards.map(sx => () => sx),
+      shardProviders,
       maskOf = (sx, a, dny) => combinedMaskIds(sx.ids, a, dny),
       partialOf = (bc, maskBc, nAllowed) =>
         topkIvfBqFlatBc(q, embCol, bc, k, nProbe, shortlist, maskBc, nAllowed)
           .drop("rank"),
-      k = k, waveSize = waveSize,
-      scratch =
-        if (memoryPartials) ""
-        else resolveWaveScratch(spark.sparkContext.isLocal, scratchDir),
+      k = k, waveSize = waveSize, scratch = scratch,
       meter = meter, memoryPartials = memoryPartials,
       allowedIds = allowedIds, deniedIds = deniedIds)
   }

@@ -671,7 +671,24 @@ object Sink {
       idCol: String,
       indexPath: String,
       outPath: String,
-      overwrite: Boolean = false): Unit = {
+      overwrite: Boolean = false): Unit =
+    deleteFromShardedIndexCore(spark, deleteIds, idCol, indexPath, outPath,
+      overwrite)
+
+  /** The layout-generic tombstone delete: every sharded layout here
+    * stores one `id` column per row under `shard_NNNN/vectors` and a
+    * `num_shards` manifest, so the stored-id / double-delete
+    * refusals, the file-level copy, and the grown tombstone set are
+    * ONE implementation shared by the BQ and IVF+BQ deletes (the
+    * IVF+PQ delete keeps its own body for the OPQ `rot/` carry).
+    */
+  private def deleteFromShardedIndexCore(
+      spark: SparkSession,
+      deleteIds: DataFrame,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean): Unit = {
     val manifest = spark.read.parquet(s"$indexPath/manifest").head()
     val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
     val del = deleteIds.select(col(idCol).cast(LongType).as("id"))
@@ -905,28 +922,122 @@ object Sink {
       path: String,
       overwrite: Boolean = false): Unit =
     publishAtomically(spark, path, overwrite) { tmp =>
-      import spark.implicits._
-      val bytesPerRow = 8L * ix.nWords + ix.dim
-      val slices = math.max(1, (ix.n.toLong * bytesPerRow / (64L << 20)).toInt)
-      val bc = spark.sparkContext.broadcast(ix)
-      try {
-        spark.sparkContext.parallelize(0 until ix.n, slices).map { p =>
-          val x = bc.value
-          val g = x.cellMembers(p) // original row index at CSR slot p
-          (p, g, x.ids(g),
-            java.util.Arrays.copyOfRange(x.words, p * x.nWords, (p + 1) * x.nWords),
-            java.util.Arrays.copyOfRange(x.sq8.codes, g * x.dim, (g + 1) * x.dim),
-            x.sq8.norms(g), x.sq8.sqNorms(g))
-        }.toDF("slot", "row", "id", "words", "code", "norm", "sq_norm")
-          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/vectors")
-      } finally bc.destroy()
-      Seq((ix.n, ix.dim, ix.nWords, ix.nCells, ix.centroids.toSeq,
-          ix.thresholds.toSeq, ix.cellStart.toSeq,
-          ix.sq8.dimMin.toSeq, ix.sq8.dimScale.toSeq))
-        .toDF("n", "dim", "n_words", "n_cells", "centroids",
-          "thresholds", "cell_start", "dim_min", "dim_scale")
-        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+      writeIvfBqInto(spark, ix, tmp)
     }
+
+  /** The IVF+BQ layout body written into an already-owned dir —
+    * shared by [[writeIvfBqIndex]] and [[writeIvfBqShardedIndex]].
+    */
+  private def writeIvfBqInto(
+      spark: org.apache.spark.sql.SparkSession,
+      ix: graft.operators.Similarity.CorpusIndexIvfBq,
+      tmp: String): Unit = {
+    import spark.implicits._
+    val bytesPerRow = 8L * ix.nWords + ix.dim
+    val slices = math.max(1, (ix.n.toLong * bytesPerRow / (64L << 20)).toInt)
+    val bc = spark.sparkContext.broadcast(ix)
+    try {
+      spark.sparkContext.parallelize(0 until ix.n, slices).map { p =>
+        val x = bc.value
+        val g = x.cellMembers(p) // original row index at CSR slot p
+        (p, g, x.ids(g),
+          java.util.Arrays.copyOfRange(x.words, p * x.nWords, (p + 1) * x.nWords),
+          java.util.Arrays.copyOfRange(x.sq8.codes, g * x.dim, (g + 1) * x.dim),
+          x.sq8.norms(g), x.sq8.sqNorms(g))
+      }.toDF("slot", "row", "id", "words", "code", "norm", "sq_norm")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/vectors")
+    } finally bc.destroy()
+    Seq((ix.n, ix.dim, ix.nWords, ix.nCells, ix.centroids.toSeq,
+        ix.thresholds.toSeq, ix.cellStart.toSeq,
+        ix.sq8.dimMin.toSeq, ix.sq8.dimScale.toSeq))
+      .toDF("n", "dim", "n_words", "n_cells", "centroids",
+        "thresholds", "cell_start", "dim_min", "dim_scale")
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+  }
+
+  /** Persist a SHARDED IVF+BQ build — the [[writeBqShardedIndex]]
+    * shape over the routed rung (which the round-15 crossover probe
+    * measured as the 50–100M-rows-per-shard form): one
+    * [[writeIvfBqIndex]]-layout dir per shard plus a manifest
+    * carrying the routing identity. Serve with
+    * [[graft.operators.Similarity.topkIvfBqShardedWaves]] or
+    * [[graft.streaming.EventStream.topkServeIvfBqShardedWaves]].
+    */
+  def writeIvfBqShardedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      build: graft.operators.Similarity.ShardedIvfBqBuild,
+      path: String,
+      overwrite: Boolean = false): Unit = {
+    require(build.shards.nonEmpty, "Empty shard list")
+    require(build.shardHashVals.size == build.shards.size,
+      s"shardHashVals has ${build.shardHashVals.size} entries for " +
+        s"${build.shards.size} shards")
+    publishAtomically(spark, path, overwrite) { tmp =>
+      import spark.implicits._
+      Seq((build.shards.size, build.shards.map(_.n.toLong).sum,
+          "xxhash64_pmod", build.hashModulus, build.shardHashVals))
+        .toDF("num_shards", "total_n", "shard_key",
+          "hash_modulus", "shard_hash_vals")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
+      build.shards.zipWithIndex.foreach { case (sx, i) =>
+        writeIvfBqInto(spark, sx, f"$tmp/shard_$i%04d")
+      }
+    }
+  }
+
+  /** TOMBSTONE delete from a persisted sharded IVF+BQ index — the
+    * [[deleteFromBqShardedIndex]] contracts verbatim (a delete never
+    * touches the CSR — it is metadata-only; serving deny-masks the
+    * probed-cell scan via [[graft.operators.Similarity
+    * .topkIvfBqShardedTombstoned]] / the wave serves' `deniedIds`).
+    */
+  def deleteFromIvfBqShardedIndex(
+      spark: SparkSession,
+      deleteIds: DataFrame,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean = false): Unit =
+    deleteFromShardedIndexCore(spark, deleteIds, idCol, indexPath, outPath,
+      overwrite)
+
+  /** Compact a tombstoned sharded IVF+BQ index: driver-side array
+    * surgery per broadcast-sized shard ([[graft.operators.Similarity
+    * .compactIvfBq]] — kept rows keep their order, the CSR regroups
+    * stably, bit rows copy from their old slots, the frozen
+    * thresholds/grid never move), then one atomic re-publish with NO
+    * tombstone set. Serving the compacted index is bit-identical to
+    * the deny-masked serve of the input (SinkSpec pins it).
+    */
+  def compactIvfBqShardedIndex(
+      spark: SparkSession,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean = false): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tsPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    require(tsPath.getFileSystem(conf).exists(tsPath),
+      s"no tombstones at $indexPath — nothing to compact")
+    val (shards, ts) = graft.sources.Source
+      .readIvfBqShardedIndexWithTombstones(spark, indexPath)
+    val sorted = java.util.Arrays.copyOf(ts, ts.length)
+    java.util.Arrays.sort(sorted)
+    val manifest = spark.read.parquet(s"$indexPath/manifest").head()
+    val compacted = shards.map(sx =>
+      graft.operators.Similarity.compactIvfBq(sx, sorted))
+    publishAtomically(spark, outPath, overwrite) { tmp =>
+      import spark.implicits._
+      Seq((compacted.size, compacted.map(_.n.toLong).sum, "xxhash64_pmod",
+          manifest.getInt(manifest.fieldIndex("hash_modulus")),
+          manifest.getSeq[Long](manifest.fieldIndex("shard_hash_vals"))))
+        .toDF("num_shards", "total_n", "shard_key",
+          "hash_modulus", "shard_hash_vals")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
+      compacted.zipWithIndex.foreach { case (sx, i) =>
+        writeIvfBqInto(spark, sx, f"$tmp/shard_$i%04d")
+      }
+    }
+  }
 
   /** Persist a trained PCA model — the pretransform's train-once
     * artifact (same story as the SQ8/PQ codebooks: the distributed

@@ -328,6 +328,58 @@ object Source {
     shards
   }
 
+  /** Restore a SHARDED IVF+BQ index persisted by
+    * [[graft.sources.Sink.writeIvfBqShardedIndex]] — per-shard
+    * byte-identical restores, manifest-validated totals, tombstone
+    * refusal on the plain reader.
+    */
+  def readIvfBqShardedIndex(
+      spark: SparkSession,
+      path: String): IndexedSeq[graft.operators.Similarity.CorpusIndexIvfBq] = {
+    val ts = readIvfBqShardedIndexTombstones(spark, path)
+    require(ts.isEmpty,
+      s"index at $path carries ${ts.length} tombstoned ids — read through " +
+        "readIvfBqShardedIndexWithTombstones and serve with " +
+        "topkIvfBqShardedTombstoned, or rewrite with " +
+        "Sink.compactIvfBqShardedIndex first")
+    readIvfBqShardedIndexShards(spark, path)
+  }
+
+  /** Restore a sharded IVF+BQ index TOGETHER with its tombstone id
+    * set — the serve pair for the deny-masked forms.
+    */
+  def readIvfBqShardedIndexWithTombstones(
+      spark: SparkSession,
+      path: String): (IndexedSeq[graft.operators.Similarity.CorpusIndexIvfBq], Array[Long]) =
+    (readIvfBqShardedIndexShards(spark, path),
+      readIvfBqShardedIndexTombstones(spark, path))
+
+  /** The tombstone id set of a persisted sharded IVF+BQ index —
+    * empty when `tombstones/` is absent.
+    */
+  def readIvfBqShardedIndexTombstones(
+      spark: SparkSession, path: String): Array[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Array.empty[Long]
+    else spark.read.parquet(p.toString).select("id").collect().map(_.getLong(0))
+  }
+
+  private def readIvfBqShardedIndexShards(
+      spark: SparkSession,
+      path: String): IndexedSeq[graft.operators.Similarity.CorpusIndexIvfBq] = {
+    val meta = spark.read.parquet(s"$path/manifest").head()
+    val numShards = meta.getInt(meta.fieldIndex("num_shards"))
+    val totalN = meta.getLong(meta.fieldIndex("total_n"))
+    require(numShards >= 1, s"corrupt sharded index manifest: num_shards=$numShards")
+    val shards = (0 until numShards)
+      .map(i => readIvfBqIndex(spark, f"$path/shard_$i%04d"))
+    val n = shards.map(_.n.toLong).sum
+    require(n == totalN,
+      s"corrupt sharded index: manifest total_n=$totalN but shards hold $n rows")
+    shards
+  }
+
   /** Restore a persisted PCA model byte-identically (see
     * [[graft.sources.Sink.writePcaModel]]).
     */

@@ -652,6 +652,100 @@ object EventStream {
     }
   }
 
+  /** STREAMING bounded serve over a PERSISTED sharded IVF+BQ index —
+    * the [[topkServeBqShardedWaves]] shape for the ROUTED bit rung
+    * (the 50–100M-rows-per-shard form the round-15 crossover probe
+    * measured): wave paging, residency policy, per-invocation
+    * metering, `allowedIds` filters, and tombstones auto-applied
+    * from wiring time.
+    */
+  def topkServeIvfBqShardedWaves(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      indexPath: String,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      waveSize: Int = 2,
+      residentShards: Int = -1,
+      scratchDir: String = "",
+      residentBudgetBytes: Long = 0L,
+      meter: graft.operators.Similarity.ShardedServeMeter =
+        graft.operators.Similarity.ShardedServeStats.default,
+      allowedIds: Array[Long] = null)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Similarity
+    val spark = queries.sparkSession
+    require(waveSize >= 1, s"waveSize must be >= 1, got $waveSize")
+    require(residentShards >= -1,
+      s"residentShards must be >= 0, or -1 for budget-priced auto, got $residentShards")
+    val scratchRoot =
+      Similarity.resolveWaveScratch(spark.sparkContext.isLocal, scratchDir) +
+        s"/serve_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tombstones = {
+      val ts = graft.sources.Source
+        .readIvfBqShardedIndexTombstones(spark, indexPath)
+      if (ts.isEmpty) null else ts
+    }
+    val manifest = spark.read.parquet(s"$indexPath/manifest").head()
+    val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
+    require(numShards >= 1, s"corrupt sharded index manifest: num_shards=$numShards")
+    def shardDir(i: Int) = f"$indexPath/shard_$i%04d"
+    val pinned = new java.util.concurrent.ConcurrentHashMap[Int, Similarity.CorpusIndexIvfBq]
+    val resident: Int = {
+      var used = 0L
+      var n = 0
+      if (residentShards >= 0) {
+        val target = math.min(residentShards, numShards)
+        while (n < target) {
+          val ix = graft.sources.Source.readIvfBqIndex(spark, shardDir(n))
+          pinned.put(n, ix)
+          used += org.apache.spark.util.SizeEstimator.estimate(ix)
+          n += 1
+        }
+      } else {
+        val budget =
+          if (residentBudgetBytes > 0L) residentBudgetBytes
+          else math.max(64L << 20, Runtime.getRuntime.maxMemory() / 8)
+        var stop = false
+        while (n < numShards && !stop) {
+          val ix = graft.sources.Source.readIvfBqIndex(spark, shardDir(n))
+          val bytes = org.apache.spark.util.SizeEstimator.estimate(ix)
+          if (used + bytes <= budget) { pinned.put(n, ix); used += bytes; n += 1 }
+          else stop = true
+        }
+        log.info(s"auto shard residency: pinned $n/$numShards shards " +
+          s"($used bytes within budget $budget)")
+      }
+      meter.setPinned(n, used)
+      n
+    }
+    def shardAt(i: Int): Similarity.CorpusIndexIvfBq =
+      if (i < resident)
+        pinned.computeIfAbsent(i, _ => graft.sources.Source.readIvfBqIndex(spark, shardDir(i)))
+      else graft.sources.Source.readIvfBqIndex(spark, shardDir(i))
+    val providers = (0 until numShards).map(i => () => shardAt(i))
+    queries.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val batchScratch = s"$scratchRoot/batch_$batchId"
+      val pinnedBatch = batch.toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val merged = Similarity.topkIvfBqWavesCore(
+          pinnedBatch, qIdCol, embCol, providers,
+          k, nProbe, shortlist, waveSize, batchScratch, meter,
+          allowedIds = allowedIds, deniedIds = tombstones)
+        onBatch(merged, batchId)
+      } finally {
+        pinnedBatch.unpersist()
+        val p = new org.apache.hadoop.fs.Path(batchScratch)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        ()
+      }
+    }
+  }
+
   /** STREAMING top-k serving: an unbounded stream of query embeddings
     * scored per micro-batch against a STATIC broadcast corpus index —
     * the online form of [[graft.operators.Similarity.topkFlat]].

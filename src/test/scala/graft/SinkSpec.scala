@@ -403,6 +403,66 @@ class SinkSpec extends AnyFunSuite {
     }.getMessage.contains("not stored"))
   }
 
+  test("sharded IVF+BQ persist + tombstone lifecycle: byte restore, masked == complement == compacted") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(87)
+    // clustered so routing is meaningful
+    val centers = Array.fill(8, 24)(rnd.nextGaussian() * 3.0)
+    val cDf = (0L until 500L).map { i =>
+      i -> centers((i % 8).toInt).toSeq.map(_ + rnd.nextGaussian() * 0.3)
+    }.toDF("id", "emb")
+    val qDf = (0L until 40L).map { i =>
+      i -> centers((i % 8).toInt).toSeq.map(_ + rnd.nextGaussian() * 0.3)
+    }.toDF("qid", "emb")
+    val build = Similarity.buildIvfBqShardedWithLayout(cDf, "id", "emb",
+      numShards = 3, nCells = 4)
+    val base = Files.createTempDirectory("sink-ivfbq-sharded").toString
+    Sink.writeIvfBqShardedIndex(spark, build, s"$base/ix")
+    val loaded = graft.sources.Source.readIvfBqShardedIndex(spark, s"$base/ix")
+    assert(loaded.size == build.shards.size)
+    loaded.zip(build.shards).foreach { case (l, r) =>
+      assert(l.ids.sameElements(r.ids))
+      assert(l.words.sameElements(r.words))
+      assert(l.centroids.sameElements(r.centroids))
+      assert(l.cellStart.sameElements(r.cellStart))
+      assert(l.cellMembers.sameElements(r.cellMembers))
+      assert(l.thresholds.sameElements(r.thresholds))
+      assert(l.sq8.codes.sameElements(r.sq8.codes))
+    }
+    // delete a quarter; plain reader refuses; masked == complement ==
+    // compacted
+    Sink.deleteFromIvfBqShardedIndex(spark,
+      cDf.filter(col("id") % 4 === 0).select("id"), "id",
+      s"$base/ix", s"$base/del")
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.Source.readIvfBqShardedIndex(spark, s"$base/del")
+    }.getMessage.contains("tombstoned"))
+    val (dShards, ts) = graft.sources.Source
+      .readIvfBqShardedIndexWithTombstones(spark, s"$base/del")
+    assert(ts.nonEmpty && ts.forall(_ % 4 == 0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "index", "score")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val masked = rows(Similarity.topkIvfBqShardedTombstoned(qDf, "qid",
+      "emb", dShards, ts, 5, nProbe = 4, shortlist = 150))
+    assert(masked.nonEmpty && masked.forall(_._3 % 4 != 0))
+    val complement = dShards.flatMap(_.ids).filter(_ % 4 != 0).toArray
+    assert(masked == rows(Similarity.topkIvfBqShardedFiltered(qDf, "qid",
+      "emb", dShards, complement, 5, nProbe = 4, shortlist = 150)))
+    Sink.compactIvfBqShardedIndex(spark, s"$base/del", s"$base/comp")
+    val cShards = graft.sources.Source.readIvfBqShardedIndex(spark, s"$base/comp")
+    assert(cShards.map(_.n.toLong).sum ==
+      loaded.map(_.n.toLong).sum - ts.length)
+    assert(masked == rows(Similarity.topkIvfBqSharded(qDf, "qid", "emb",
+      cShards, 5, nProbe = 4, shortlist = 150)))
+    // frozen cut + geometry identity through compaction
+    cShards.zip(loaded).foreach { case (l, r) =>
+      assert(l.thresholds.sameElements(r.thresholds))
+      assert(l.centroids.sameElements(r.centroids))
+    }
+  }
+
   test("sharded BQ append: routed encode-only ingest, frozen global cut, old shards untouched") {
     import spark.implicits._
     import graft.operators.{Metric, Similarity}

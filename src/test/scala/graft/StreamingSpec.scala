@@ -665,6 +665,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(meter.pinnedShards == 2)
   }
 
+  test("BOUNDED streaming sharded IVF+BQ serve: wave-paged, one-wave peak, tombstones auto-applied") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val corpusDf = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val build = Similarity.buildIvfBqShardedWithLayout(corpusDf, "vec_id",
+      "embedding", numShards = 4, nCells = 4)
+    val base = java.nio.file.Files
+      .createTempDirectory("serve-ivfbq-waves").toString
+    graft.sources.Sink.writeIvfBqShardedIndex(spark, build, s"$base/ix")
+    graft.sources.Sink.deleteFromIvfBqShardedIndex(spark,
+      emb.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id",
+      s"$base/ix", s"$base/del")
+    val (dShards, ts) = graft.sources.Source
+      .readIvfBqShardedIndexWithTombstones(spark, s"$base/del")
+    val expected = Similarity.topkIvfBqShardedTombstoned(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding", dShards,
+        ts, 5, nProbe = 4, shortlist = 100)
+      .select("vec_id", "rank", "index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val results = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val meter = new Similarity.ShardedServeMeter
+    val writer = EventStream.topkServeIvfBqShardedWaves(
+      spark.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir),
+      "vec_id", "embedding", s"$base/del",
+      k = 5, nProbe = 4, shortlist = 100, waveSize = 1,
+      residentShards = 2, meter = meter) { (out, _) =>
+      val batchRows = out.select("vec_id", "rank", "index").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      results.synchronized { results ++= batchRows }
+      ()
+    }
+    val q = writer.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(results.toSet == expected)
+    assert(results.nonEmpty)
+    assert(results.forall(_._3 % 3 != 0),
+      "tombstoned streaming IVF+BQ serve returned a deleted id")
+    val per = dShards.map(ix => org.apache.spark.util.SizeEstimator.estimate(ix))
+    assert(meter.peakLiveBroadcastBytes == per.max &&
+      meter.peakLiveBroadcastBytes < per.sum)
+    assert(meter.liveBroadcastBytes == 0L)
+  }
+
   test("watermark drops too-late events; in-watermark late arrivals still count") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
