@@ -748,6 +748,64 @@ object ScaleSmoke {
       corpus.unpersist()
     }
 
+    // BQ APPEND at scale: the encode-only ingest vs the rebuild it
+    // replaces — build + persist the sharded BQ index on 90% of the
+    // corpus, then append the remaining 10% with the frozen
+    // grid/threshold/cut. The measured claim is COST (ingest should
+    // be a small fraction of the rebuild: one encode scan + file
+    // copies, no collect, no quantizer pass) plus a self-hit sanity
+    // over the appended rows. Opt-in:
+    //   SPARK_GRAFT_SMOKE_BQ_APPEND_DOCS=10000000 SPARK_DRIVER_MEM=100g \
+    //     SPARK_GRAFT_SMOKE_EMB_ONLY=1 sbt "runMain graft.ScaleSmoke"
+    val bqAppendDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_BQ_APPEND_DOCS", "0").toLong
+    if (bqAppendDocs > 0 && stageFilter.forall("bq append".contains)) {
+      val dim = 256
+      val blocks = 16
+      val nClusters = math.max(1L, bqAppendDocs / 10L).toInt
+      val baseN = bqAppendDocs * 9L / 10L
+      val full = synthEmbClustered(spark, bqAppendDocs, dim, nClusters, 0.5, 0L)
+        .select(col("doc_id"), col("vec").cast("array<float>").as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      full.count()
+      val baseDf = full.filter(col("doc_id") < baseN)
+      val ingest = full.filter(col("doc_id") >= baseN)
+      val root = java.nio.file.Files
+        .createTempDirectory("smoke-bq-append").toString
+      val t0 = System.nanoTime()
+      val build = Similarity.buildBqShardedWithLayout(baseDf, "doc_id", "vec",
+        blocks, maxInFlightBytes = 16L << 30)
+      graft.sources.Sink.writeBqShardedIndex(spark, build, s"$root/ix",
+        overwrite = false)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      println(f"bq append: base build+persist ($baseN x ${dim}d, $blocks shards): " +
+        f"$buildSec%.2f s")
+      System.gc(); Thread.sleep(2000); System.gc()
+      val t1 = System.nanoTime()
+      graft.sources.Sink.appendBqShardedIndex(spark, ingest, "doc_id", "vec",
+        s"$root/ix", s"$root/grown")
+      val appendSec = (System.nanoTime() - t1) / 1e9
+      println(f"bq append: encode-only ingest of ${bqAppendDocs - baseN} rows: " +
+        f"$appendSec%.2f s (${buildSec / appendSec}%.1fx cheaper than the " +
+        "base build+persist)")
+      // serve sanity: 200 appended rows, served as their own queries
+      // over the grown index, must self-hit at rank 1 (the appended
+      // bytes are real index content, not dead weight)
+      val grown = graft.sources.Source.readBqShardedIndex(spark, s"$root/grown")
+      require(grown.map(_.n.toLong).sum == bqAppendDocs,
+        s"grown index holds ${grown.map(_.n.toLong).sum} rows, expected $bqAppendDocs")
+      val qs = full.filter(col("doc_id") >= baseN && col("doc_id") < baseN + 200)
+        .select(col("doc_id").as("qid"), col("vec").cast("array<double>").as("vec"))
+      val top1 = Similarity.topkBqSharded(qs, "qid", "vec", grown, 1,
+          Metric.Cosine, shortlist = 64)
+        .select(col("qid"), col("index")).collect()
+      val selfHits = top1.count(r => r.getLong(0) == r.getLong(1))
+      println(f"bq append: appended-row self-hit@1 = ${selfHits}/200")
+      require(selfHits >= 198, s"appended rows not serving: $selfHits/200 self-hits")
+      stagesRan += 1
+      full.unpersist()
+      ()
+    }
+
     // IVF+PQ past the broadcast envelope (round-8 verdict #7): the 10M
     // ×256 composition point the blocked+SQ8 row already has. A 10M
     // f64 corpus is 20 GB — past the broadcast envelope AND past the
