@@ -4800,17 +4800,50 @@ object Similarity {
       meter: ShardedServeMeter,
       memoryPartials: Boolean = false,
       allowedIds: Array[Long] = null,
-      deniedIds: Array[Long] = null): DataFrame =
+      deniedIds: Array[Long] = null,
+      rotBc: Broadcast[Array[Double]] = null): DataFrame =
     topkShardedWavesCore[CorpusIndexIvfPq](
       queries.sparkSession, qIdCol,
       Seq(col("score").desc, col("index").asc), shardProviders,
       maskOf = (ix, a, dny) => combinedMaskIds(ix.ids, a, dny),
       partialOf = (bc, maskBc, nAllowed) =>
         topkIvfPqFlatBc(queries, embCol, bc, k, nProbe, shortlist,
-          maskBc, nAllowed).drop("rank"),
+          maskBc, nAllowed, rotBc).drop("rank"),
       k = k, waveSize = waveSize, scratch = scratch, meter = meter,
       memoryPartials = memoryPartials,
       allowedIds = allowedIds, deniedIds = deniedIds)
+
+  /** [[topkIvfPqShardedWaves]] for an IVF+OPQ build — every wave's
+    * kernel rotates the query with the ONE shared rotation broadcast
+    * (created here, destroyed after the waves materialize — the
+    * final merge reads the per-wave partials, never the rotation).
+    * Same bounded-memory, mask, and scratch contracts.
+    */
+  def topkIvfOpqShardedWaves(
+      queries: DataFrame,
+      embCol: String,
+      qIdCol: String,
+      rot: Array[Double],
+      shards: Seq[CorpusIndexIvfPq],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int = 0,
+      waveSize: Int = 2,
+      scratchDir: String = "",
+      meter: ShardedServeMeter = ShardedServeStats.default,
+      memoryPartials: Boolean = false,
+      allowedIds: Array[Long] = null,
+      deniedIds: Array[Long] = null): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val spark = queries.sparkSession
+    val rotBc = spark.sparkContext.broadcast(rot)
+    try topkIvfPqWavesCore(queries, embCol, qIdCol,
+      shards.map(ix => () => ix), k, nProbe, shortlist, waveSize,
+      if (memoryPartials) ""
+      else resolveWaveScratch(spark.sparkContext.isLocal, scratchDir),
+      meter, memoryPartials, allowedIds, deniedIds, rotBc)
+    finally rotBc.destroy()
+  }
 
   /** The index-family-agnostic wave loop — ONE machinery serves
     * IVF+PQ, BQ, and IVF+BQ shards ([[topkIvfPqShardedWaves]] /

@@ -484,6 +484,15 @@ object EventStream {
         .readIvfPqShardedIndexTombstones(spark, indexPath)
       if (ts.isEmpty) null else ts
     }
+    // an OPQ rotation is auto-applied the same way (this serve also
+    // bypasses the plain reader's rotation refusal — serving rotated
+    // codebooks against unrotated queries would be silently wrong):
+    // one long-lived broadcast for the stream's lifetime
+    val rotBc =
+      if (!graft.sources.Source.hasOpqRotation(spark, indexPath)) null
+      else spark.sparkContext.broadcast(
+        spark.read.parquet(s"$indexPath/rot").select("rot").head()
+          .getSeq[Double](0).toArray)
     // manifest read once at wiring time; shards page per wave
     val manifest = spark.read.parquet(s"$indexPath/manifest").head()
     val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
@@ -539,7 +548,7 @@ object EventStream {
         val merged = Similarity.topkIvfPqWavesCore(
           pinnedBatch, embCol, qIdCol, providers,
           k, nProbe, shortlist, waveSize, batchScratch, meter,
-          allowedIds = allowedIds, deniedIds = tombstones)
+          allowedIds = allowedIds, deniedIds = tombstones, rotBc = rotBc)
         onBatch(merged, batchId)
       } finally {
         pinnedBatch.unpersist()

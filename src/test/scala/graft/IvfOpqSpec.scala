@@ -156,6 +156,54 @@ class IvfOpqSpec extends AnyFunSuite {
     }.getMessage.contains("no rot/"))
   }
 
+  test("wave serve + streaming serve auto-apply the rotation") {
+    import graft.operators.Similarity
+    val rows = correlated(600, 32, seed = 261)
+    val cDf = rows.toDF("id", "emb")
+    val qDf = correlated(40, 32, seed = 262).toDF("qid", "emb")
+    val b = Similarity.buildIvfOpqShardedWithLayout(cDf, "id", "emb",
+      numShards = 3, nCells = 4, m = 8)
+    // wave serve == all-resident OPQ sharded serve, bounded peak
+    val expected = Similarity.topkIvfOpqSharded(qDf, "emb", "qid", b.rot,
+        b.shards, 5, nProbe = 4, shortlist = 60)
+      .select("qid", "rank", "index")
+      .as[(Long, Int, Long)].collect().toSet
+    val meter = new Similarity.ShardedServeMeter
+    val waved = Similarity.topkIvfOpqShardedWaves(qDf, "emb", "qid", b.rot,
+        b.shards, 5, nProbe = 4, shortlist = 60, waveSize = 1, meter = meter)
+      .select("qid", "rank", "index")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(waved == expected)
+    val per = b.shards.map(ix => org.apache.spark.util.SizeEstimator.estimate(ix))
+    assert(meter.peakLiveBroadcastBytes == per.max &&
+      meter.peakLiveBroadcastBytes < per.sum)
+    assert(meter.liveBroadcastBytes == 0L)
+    // the STREAMING persisted-index serve reads shard dirs directly,
+    // bypassing the reader's rotation refusal — it must auto-apply
+    // the stored rotation, or serving is silently wrong
+    val base = java.nio.file.Files.createTempDirectory("ivfopq-stream").toString
+    graft.sources.Sink.writeIvfOpqShardedIndex(spark, b, s"$base/ix")
+    // stream the queries through a memory-free file replay: write the
+    // query table as parquet and readStream it
+    qDf.write.parquet(s"$base/q")
+    val qSchema = spark.read.parquet(s"$base/q").schema
+    val results = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val writer = graft.streaming.EventStream.topkServeIvfPqShardedWaves(
+      spark.readStream.schema(qSchema).parquet(s"$base/q"),
+      "emb", "qid", s"$base/ix",
+      k = 5, nProbe = 4, shortlist = 60, waveSize = 2) { (out, _) =>
+      val batchRows = out.select("qid", "rank", "index").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      results.synchronized { results ++= batchRows }
+      ()
+    }
+    val sq = writer.start()
+    try sq.processAllAvailable() finally sq.stop()
+    assert(results.toSet == expected,
+      "streaming serve over an OPQ index diverged from the rotated batch serve")
+    assert(results.nonEmpty)
+  }
+
   test("lifecycle with a rotation: append rotates new rows and carries rot; delete/compact carry rot") {
     val rows = correlated(500, 32, seed = 251)
     val evens = rows.filter(_._1 % 2 == 0)
