@@ -604,9 +604,35 @@ object Source {
     */
   def readIvfPqShardedIndexWithTombstones(
       spark: SparkSession,
-      path: String): (IndexedSeq[graft.operators.Similarity.CorpusIndexIvfPq], Array[Long]) =
+      path: String): (IndexedSeq[graft.operators.Similarity.CorpusIndexIvfPq], Array[Long]) = {
+    // same rotation refusal as the plain reader — a tombstoned OPQ
+    // index served rotation-unaware is just as silently wrong
+    require(!hasOpqRotation(spark, path),
+      s"index at $path carries an OPQ rotation — read through " +
+        "readIvfOpqShardedIndexWithTombstones and serve with " +
+        "topkIvfOpqShardedWaves(deniedIds = ...)")
     (readIvfPqShardedIndexShards(spark, path),
       readIvfPqShardedIndexTombstones(spark, path))
+  }
+
+  /** Restore a sharded IVF+OPQ index TOGETHER with its tombstone id
+    * set — the serve pair for [[graft.operators.Similarity
+    * .topkIvfOpqShardedWaves]] with `deniedIds`.
+    */
+  def readIvfOpqShardedIndexWithTombstones(
+      spark: SparkSession,
+      path: String): (Array[Double], IndexedSeq[graft.operators.Similarity.CorpusIndexIvfPq], Array[Long]) = {
+    require(hasOpqRotation(spark, path),
+      s"index at $path has no rot/ — it is a plain sharded IVF+PQ " +
+        "index; read through readIvfPqShardedIndexWithTombstones")
+    val rotRow = spark.read.parquet(s"$path/rot").select("dim", "rot").head()
+    val dim = rotRow.getInt(0)
+    val rot = rotRow.getSeq[Double](1).toArray
+    require(rot.length == dim.toLong * dim,
+      s"corrupt rot meta: dim=$dim but ${rot.length} rotation values")
+    (rot, readIvfPqShardedIndexShards(spark, path),
+      readIvfPqShardedIndexTombstones(spark, path))
+  }
 
   /** The tombstone id set of a persisted sharded index — empty when
     * the `tombstones/` directory is absent (never-deleted index or

@@ -230,6 +230,20 @@ class IvfOpqSpec extends AnyFunSuite {
       Seq(1L, 3L, 5L).toDF("id"), "id", s"$base/grown", s"$base/del")
     val p = new org.apache.hadoop.fs.Path(s"$base/del/rot")
     assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    // the tombstoned-OPQ reader restores rot + shards + tombstones;
+    // the rotation-unaware tombstone reader refuses by name, and the
+    // deny-masked rotated serve never returns a deleted id
+    assert(intercept[IllegalArgumentException] {
+      Source.readIvfPqShardedIndexWithTombstones(spark, s"$base/del")
+    }.getMessage.contains("OPQ rotation"))
+    val (rotD2, shardsD2, tsD2) =
+      Source.readIvfOpqShardedIndexWithTombstones(spark, s"$base/del")
+    assert(rotD2.sameElements(rotG) && tsD2.sorted.toSeq == Seq(1L, 3L, 5L))
+    val denied = Similarity.topkIvfOpqShardedWaves(
+        odds.take(10).toDF("qid", "emb"), "emb", "qid", rotD2, shardsD2,
+        3, nProbe = 4, shortlist = 50, deniedIds = tsD2)
+      .select("qid", "index").as[(Long, Long)].collect()
+    assert(denied.nonEmpty && denied.forall(r => !Seq(1L, 3L, 5L).contains(r._2)))
     Sink.compactIvfPqShardedIndex(spark, s"$base/del", s"$base/comp")
     val (rotCp, shardsCp) = Source.readIvfOpqShardedIndex(spark, s"$base/comp")
     assert(rotCp.sameElements(rotG))
