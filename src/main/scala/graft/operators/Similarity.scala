@@ -1725,6 +1725,31 @@ object Similarity {
     mergeShardPartials(partials, qIdCol, k, metric)
   }
 
+  /** [[topkBqShardedFiltered]] with the allowed set as a one-column
+    * DataFrame — never collected ([[allowedMasksFromDfMulti]]).
+    */
+  def topkBqShardedFiltered(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      shards: Seq[CorpusIndexBq],
+      allowed: DataFrame,
+      allowedIdCol: String,
+      k: Int,
+      metric: Metric,
+      shortlist: Int): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val spark = queries.sparkSession
+    val masks = allowedMasksFromDfMulti(shards.map(_.ids), allowed, allowedIdCol)
+    val partials = shards.zip(masks).map { case (sx, (mask, nAllowed)) =>
+      topkBqFlatBc(queries.select(col(qIdCol), col(embCol)), embCol,
+          broadcastOf(spark, sx), k, metric, shortlist,
+          spark.sparkContext.broadcast(mask), nAllowed)
+        .drop("rank")
+    }
+    mergeShardPartials(partials, qIdCol, k, metric)
+  }
+
   /** [[topkBqSharded]] over an index with TOMBSTONED ids — the deny
     * form of [[topkBqShardedFiltered]] (the [[
     * topkIvfPqShardedTombstoned]] shape): each shard masks its
@@ -2408,6 +2433,32 @@ object Similarity {
     val sorted = sortedAllowed(allowedIds)
     val partials = shards.map { sx =>
       val (mask, nAllowed) = allowedMaskPresortedIds(sx.ids, sorted)
+      topkIvfBqFlatBc(queries.select(col(qIdCol), col(embCol)), embCol,
+          broadcastOf(spark, sx), k, nProbe, shortlist,
+          spark.sparkContext.broadcast(mask), nAllowed)
+        .drop("rank")
+    }
+    mergeShardPartials(partials, qIdCol, k, Metric.Cosine)
+  }
+
+  /** [[topkIvfBqShardedFiltered]] with the allowed set as a
+    * one-column DataFrame — never collected
+    * ([[allowedMasksFromDfMulti]]).
+    */
+  def topkIvfBqShardedFiltered(
+      queries: DataFrame,
+      qIdCol: String,
+      embCol: String,
+      shards: Seq[CorpusIndexIvfBq],
+      allowed: DataFrame,
+      allowedIdCol: String,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val spark = queries.sparkSession
+    val masks = allowedMasksFromDfMulti(shards.map(_.ids), allowed, allowedIdCol)
+    val partials = shards.zip(masks).map { case (sx, (mask, nAllowed)) =>
       topkIvfBqFlatBc(queries.select(col(qIdCol), col(embCol)), embCol,
           broadcastOf(spark, sx), k, nProbe, shortlist,
           spark.sparkContext.broadcast(mask), nAllowed)
@@ -3749,6 +3800,65 @@ object Similarity {
     * 12 B/corpus row of state the driver already holds, and the
     * executor-side binary search is unchanged.
     */
+  /** [[allowedMaskFromDfIds]] for MANY id arrays in ONE distributed
+    * pass — the sharded filtered serves' DataFrame overloads: the
+    * per-shard sorted ids + permutations concatenate into one
+    * broadcast (total size = the index's own id arrays, state the
+    * driver already holds), every allowed id binary-searches EVERY
+    * shard where it lives, and only matched (shard, position) pairs
+    * return through a distinct. One job for B shards instead of B
+    * jobs over the allowed set, and the allowed set itself is never
+    * collected, counted, or priced.
+    */
+  private[graft] def allowedMasksFromDfMulti(
+      idsPerShard: Seq[Array[Long]],
+      allowed: DataFrame,
+      allowedIdCol: String): Seq[(Array[Boolean], Int)] = {
+    val spark = allowed.sparkSession
+    import spark.implicits._
+    val nShards = idsPerShard.size
+    val sortedAll = new Array[Array[Long]](nShards)
+    val permAll = new Array[Array[Int]](nShards)
+    var si = 0
+    while (si < nShards) {
+      val ids = idsPerShard(si)
+      val orderBoxed = Array.range(0, ids.length).map(Integer.valueOf)
+      java.util.Arrays.sort(orderBoxed,
+        (a: Integer, b: Integer) => java.lang.Long.compare(ids(a), ids(b)))
+      val sIds = new Array[Long](ids.length)
+      val perm = new Array[Int](ids.length)
+      var i = 0
+      while (i < ids.length) {
+        perm(i) = orderBoxed(i); sIds(i) = ids(perm(i)); i += 1
+      }
+      sortedAll(si) = sIds; permAll(si) = perm
+      si += 1
+    }
+    val bc = spark.sparkContext.broadcast((sortedAll, permAll))
+    try {
+      val hits = allowed
+        .select(col(allowedIdCol).cast(LongType)).na.drop().as[Long]
+        .mapPartitions { iter =>
+          val (sAll, pAll) = bc.value
+          iter.flatMap { id =>
+            (0 until sAll.length).iterator.flatMap { s =>
+              val pos = java.util.Arrays.binarySearch(sAll(s), id)
+              if (pos >= 0) Iterator.single((s, pAll(s)(pos)))
+              else Iterator.empty
+            }
+          }
+        }
+        .distinct()
+        .collect()
+      val masks = idsPerShard.map(ids => new Array[Boolean](ids.length))
+      val counts = new Array[Int](nShards)
+      hits.foreach { case (s, p) =>
+        if (!masks(s)(p)) { masks(s)(p) = true; counts(s) += 1 }
+      }
+      masks.zipWithIndex.map { case (m, s) => (m, counts(s)) }
+    } finally { bc.destroy(); () }
+  }
+
   private[graft] def allowedMaskFromDfIds(
       ids: Array[Long],
       allowed: DataFrame,
@@ -4619,6 +4729,33 @@ object Similarity {
     unioned
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** [[topkIvfPqShardedFiltered]] with the allowed set as a
+    * one-column DataFrame — the allowed ids NEVER collect to the
+    * driver ([[allowedMasksFromDfMulti]]: one distributed pass builds
+    * every shard's mask), so a predicate over a 100 TB metadata
+    * table filters a sharded serve directly.
+    */
+  def topkIvfPqShardedFiltered(
+      queries: DataFrame,
+      embCol: String,
+      qIdCol: String,
+      shards: Seq[CorpusIndexIvfPq],
+      allowed: DataFrame,
+      allowedIdCol: String,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame = {
+    require(shards.nonEmpty, "Empty shard list")
+    val spark = queries.sparkSession
+    val masks = allowedMasksFromDfMulti(shards.map(_.ids), allowed, allowedIdCol)
+    val partials = shards.zip(masks).map { case (ix, (mask, nAllowed)) =>
+      topkIvfPqFlatBc(queries, embCol, broadcastOf(spark, ix), k, nProbe,
+          shortlist, spark.sparkContext.broadcast(mask), nAllowed)
+        .drop("rank")
+    }
+    mergeShardPartials(partials, qIdCol, k, Metric.Cosine)
   }
 
   /** Live/peak shard-broadcast accounting for

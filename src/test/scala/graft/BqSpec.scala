@@ -278,6 +278,13 @@ class BqSpec extends AnyFunSuite {
     val viaAllow = flatRows(Similarity.topkBqShardedFiltered(qDf, "qid",
       "emb", shards, live, 5, Metric.Cosine, shortlist = 200))
     assert(tombstoned == viaAllow)
+    // the DataFrame-allowed overload (one-pass multi-shard
+    // executor-side mask build, allowed set never collected) returns
+    // the identical rows
+    val viaDf = flatRows(Similarity.topkBqShardedFiltered(qDf, "qid",
+      "emb", shards, live.toSeq.toDF("id"), "id", 5, Metric.Cosine,
+      shortlist = 200))
+    assert(tombstoned == viaDf)
     // empty tombstone set serves identically to the plain sharded form
     val plain = flatRows(Similarity.topkBqSharded(qDf, "qid", "emb",
       shards, 5, Metric.Cosine, shortlist = 200))

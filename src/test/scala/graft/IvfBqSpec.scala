@@ -215,6 +215,11 @@ class IvfBqSpec extends AnyFunSuite {
     val viaAllow = flatRows(Similarity.topkIvfBqShardedFiltered(qDf,
       "qid", "emb", shards, live, 5, nProbe = 4, shortlist = 200))
     assert(tombstoned == viaAllow)
+    // DataFrame-allowed overload parity (multi-shard one-pass mask)
+    val viaDf = flatRows(Similarity.topkIvfBqShardedFiltered(qDf,
+      "qid", "emb", shards, live.toSeq.toDF("id"), "id", 5, nProbe = 4,
+      shortlist = 200))
+    assert(tombstoned == viaDf)
     // wave serve: waveSize-1 parity with the all-resident sharded form
     val plain = flatRows(Similarity.topkIvfBqSharded(qDf, "qid", "emb",
       shards, 5, nProbe = 4, shortlist = 200))

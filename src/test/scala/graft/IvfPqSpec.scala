@@ -359,6 +359,13 @@ class IvfPqSpec extends AnyFunSuite {
     assert(rows(Similarity.topkIvfPqShardedFiltered(qDf, "emb", "qid", shards,
         (0L until 600L).toArray, 5, nProbe = 4))
       == rows(Similarity.topkIvfPqSharded(qDf, "emb", "qid", shards, 5, nProbe = 4)))
+    // the DataFrame-allowed overload (one-pass multi-shard mask, ids
+    // never collected) returns the identical rows as the array form
+    import spark.implicits._
+    assert(rows(Similarity.topkIvfPqShardedFiltered(qDf, "emb", "qid", shards,
+        allowed.toSeq.toDF("id"), "id", 8, nProbe = 4, shortlist = 30))
+      == rows(Similarity.topkIvfPqShardedFiltered(qDf, "emb", "qid", shards,
+        allowed, 8, nProbe = 4, shortlist = 30)))
   }
 
   test("wave-served filtered search: row parity with the all-resident filtered form; peak stays one wave") {
