@@ -103,4 +103,55 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(buckets(v) == buckets(scaled))
     }
   }
+
+  test("wave serving is lossless over random shard/wave/mask geometries (BQ family)") {
+    // the property the whole bounded-memory story rests on: per-wave
+    // top-k cuts + the final re-rank reproduce the all-resident
+    // sharded serve EXACTLY, for any shard count, wave size, metric,
+    // and allow/deny mask combination — randomized (seeded) so the
+    // parity is not an artifact of one hand-picked geometry
+    import spark.implicits._
+    for (trial <- 1 to 10) {
+      val dim = 8 + rnd.nextInt(24)
+      val nC = 50 + rnd.nextInt(200)
+      val nQ = 5 + rnd.nextInt(15)
+      val k = 1 + rnd.nextInt(8)
+      val numShards = 1 + rnd.nextInt(5)
+      val waveSize = 1 + rnd.nextInt(numShards + 1)
+      val metric = Seq(Metric.Cosine, Metric.Dot, Metric.Euclidean)(trial % 3)
+      val shortlist = k + rnd.nextInt(nC)
+      val corpusDF = (0 until nC)
+        .map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+        .toDF("id", "emb")
+      val queriesDF = (0 until nQ)
+        .map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+        .toDF("qid", "emb")
+      val shards = Similarity.buildBqSharded(corpusDF, "id", "emb", numShards)
+      val allIds = shards.flatMap(_.ids)
+      // random allow/deny sets, independently present or absent
+      val allow =
+        if (rnd.nextBoolean()) allIds.filter(_ => rnd.nextDouble() < 0.6).toArray
+        else null
+      val deny =
+        if (rnd.nextBoolean()) allIds.filter(_ => rnd.nextDouble() < 0.2).toArray
+        else null
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "rank", "index", "score")
+          .as[(Long, Int, Long, Double)].collect().toSet
+      val effectiveAllow =
+        (if (allow == null) allIds else allow.toSeq)
+          .filter(id => deny == null || !deny.contains(id)).toArray
+      val expected = rows(Similarity.topkBqShardedFiltered(queriesDF, "qid",
+        "emb", shards, effectiveAllow, k, metric, shortlist))
+      val waved = rows(Similarity.topkBqShardedWaves(queriesDF, "qid",
+        "emb", shards, k, metric, shortlist, waveSize = waveSize,
+        meter = new Similarity.ShardedServeMeter,
+        allowedIds = allow, deniedIds = deny))
+      assert(waved == expected,
+        s"trial $trial: dim=$dim n=$nC shards=$numShards wave=$waveSize " +
+          s"metric=$metric k=$k shortlist=$shortlist " +
+          s"allow=${if (allow == null) -1 else allow.length} " +
+          s"deny=${if (deny == null) -1 else deny.length}")
+    }
+  }
 }
