@@ -3793,13 +3793,6 @@ object Similarity {
       allowedIdCol: String): (Array[Boolean], Int) =
     allowedMaskFromDfIds(corpus.ids, allowed, allowedIdCol)
 
-  /** [[allowedMaskFromDf]] over a bare id array. The ids are NOT
-    * assumed sorted: an APPENDED index's pack is old-rows-then-new
-    * (two sorted runs, not one), so the broadcast carries a sorted
-    * copy plus the permutation back to pack positions — still
-    * 12 B/corpus row of state the driver already holds, and the
-    * executor-side binary search is unchanged.
-    */
   /** [[allowedMaskFromDfIds]] for MANY id arrays in ONE distributed
     * pass — the sharded filtered serves' DataFrame overloads: the
     * per-shard sorted ids + permutations concatenate into one
@@ -3859,6 +3852,13 @@ object Similarity {
     } finally { bc.destroy(); () }
   }
 
+  /** [[allowedMaskFromDf]] over a bare id array. The ids are NOT
+    * assumed sorted: an APPENDED index's pack is old-rows-then-new
+    * (two sorted runs, not one), so the broadcast carries a sorted
+    * copy plus the permutation back to pack positions — still
+    * 12 B/corpus row of state the driver already holds, and the
+    * executor-side binary search is unchanged.
+    */
   private[graft] def allowedMaskFromDfIds(
       ids: Array[Long],
       allowed: DataFrame,

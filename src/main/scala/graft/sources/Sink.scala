@@ -563,7 +563,11 @@ object Sink {
     val newTotal = newCounts.values.sum
     (0 until numShards).foreach { i =>
       val grown = oldN(i).toLong + newCounts.getOrElse(i.toLong, 0L)
-      require(grown <= Int.MaxValue && grown * nWords <= Int.MaxValue,
+      // grown*dim guards the SQ8 code array read-back allocates (dim
+      // can be 64× nWords, so the words cap alone lets an append
+      // succeed whose restore would overflow Int)
+      require(grown <= Int.MaxValue && grown * nWords <= Int.MaxValue &&
+          grown * dim <= Int.MaxValue,
         s"shard $i would grow to $grown rows — one shard must fit an index")
     }
 
@@ -845,9 +849,14 @@ object Sink {
       s"id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} already " +
         s"exists in the index at $indexPath")
     val newN = narrow.count()
-    require(oldN + newN <= Int.MaxValue && (oldN + newN) * nWords.toLong <= Int.MaxValue,
-      s"index would grow to ${oldN + newN} rows × $nWords words — past the " +
-        "JVM array cap; shard the corpus (buildBqSharded) instead")
+    // the dim product guards the SQ8 code array read-back allocates
+    // (dim can be 64× nWords — see the sharded append's same cap)
+    require(oldN + newN <= Int.MaxValue &&
+        (oldN + newN) * nWords.toLong <= Int.MaxValue &&
+        (oldN + newN) * dim.toLong <= Int.MaxValue,
+      s"index would grow to ${oldN + newN} rows × $nWords words / $dim " +
+        "codes — past the JVM array cap; shard the corpus (buildBqSharded) " +
+        "instead")
 
     val dd = dim
     val nW = nWords

@@ -227,12 +227,29 @@ object Source {
     * [[graft.sources.Sink.writeBqIndex]] — byte-identical bits,
     * thresholds, and SQ8 envelope, so a serving session loads the
     * built index instead of re-collecting + re-binarizing.
+    *
+    * An index persisted BEFORE the `bit_cut` meta column still loads:
+    * the integer cut is re-derived from the restored SQ8 codes —
+    * the build's cut is ⌊Σ_j code(j,d) / n⌋ + 1 over exactly the
+    * stored codes ([[graft.operators.Similarity.bqFromSq8]]), and a
+    * pre-`bit_cut` index can never have been appended to (both append
+    * paths refuse the old layout by name), so the derivation
+    * reproduces the build's cut bit-for-bit for any single written
+    * index. The one approximate case is a pre-`bit_cut` index whose
+    * rows were later DROPPED by a sharded compaction (the meta is
+    * carried through, codes are not the build corpus anymore) — the
+    * derived cut is then the compacted corpus' own mean cut; the
+    * stored bits and f64 query thresholds are untouched either way,
+    * so serving is unaffected. Re-persist once with the current
+    * writer to upgrade the layout.
     */
   def readBqIndex(
       spark: SparkSession, path: String): graft.operators.Similarity.CorpusIndexBq = {
-    val meta = spark.read.parquet(s"$path/meta")
-      .select("n", "dim", "n_words", "thresholds", "dim_min", "dim_scale",
-        "bit_cut")
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val hasBitCut = metaDf.schema.fieldNames.contains("bit_cut")
+    val meta = metaDf
+      .selectExpr("n" :: "dim" :: "n_words" :: "thresholds" :: "dim_min" ::
+        "dim_scale" :: (if (hasBitCut) List("bit_cut") else Nil): _*)
       .head()
     val n = meta.getInt(0)
     val dim = meta.getInt(1)
@@ -240,13 +257,20 @@ object Source {
     val thresholds = meta.getSeq[Double](3).toArray
     val dimMin = meta.getSeq[Float](4).toArray
     val dimScale = meta.getSeq[Float](5).toArray
-    val bitCut = meta.getSeq[Int](6).toArray
+    val storedCut = if (hasBitCut) meta.getSeq[Int](6).toArray else null
     require(nWords == (dim + 63) >>> 6,
       s"corrupt index meta: dim=$dim implies ${(dim + 63) >>> 6} words, got $nWords")
     require(thresholds.length == dim && dimMin.length == dim &&
-      dimScale.length == dim && bitCut.length == dim,
+      dimScale.length == dim && (storedCut == null || storedCut.length == dim),
       s"corrupt index meta: dim=$dim but thresholds=${thresholds.length} " +
-        s"bounds=${dimMin.length}/${dimScale.length} bit_cut=${bitCut.length}")
+        s"bounds=${dimMin.length}/${dimScale.length}" +
+        (if (storedCut != null) s" bit_cut=${storedCut.length}" else ""))
+    // Long multiplies: an append that grew n past Int.MaxValue/dim
+    // must refuse by name here, not crash in new Array with a
+    // negative size (the append paths guard the same products)
+    require(n.toLong * nWords <= Int.MaxValue && n.toLong * dim <= Int.MaxValue,
+      s"index holds $n rows × $nWords words / $dim codes — past the JVM " +
+        "array cap; this index must be read as shards")
     val ids = new Array[Long](n)
     val words = new Array[Long](n * nWords)
     val codes = new Array[Byte](n * dim)
@@ -268,10 +292,21 @@ object Source {
       norms(j) = r.getDouble(4)
       sqNorms(j) = r.getDouble(5)
     }
+    val sq8 = graft.operators.Similarity.CorpusIndexSq8(
+      ids, codes, n, dim, dimMin, dimScale, norms, sqNorms)
+    val bitCut =
+      if (storedCut != null) storedCut
+      else {
+        // pre-bit_cut layout: re-derive the exact integer cut from the
+        // stored codes (see the scaladoc's exactness argument)
+        val colSum = graft.operators.Similarity.bqColSums(sq8)
+        val cut = new Array[Int](dim)
+        var d = 0
+        while (d < dim) { cut(d) = (colSum(d) / n + 1L).toInt; d += 1 }
+        cut
+      }
     graft.operators.Similarity.CorpusIndexBq(
-      ids, words, n, dim, nWords, thresholds, bitCut,
-      graft.operators.Similarity.CorpusIndexSq8(
-        ids, codes, n, dim, dimMin, dimScale, norms, sqNorms))
+      ids, words, n, dim, nWords, thresholds, bitCut, sq8)
   }
 
   /** Restore a SHARDED BQ index persisted by
@@ -320,12 +355,32 @@ object Source {
     val numShards = meta.getInt(meta.fieldIndex("num_shards"))
     val totalN = meta.getLong(meta.fieldIndex("total_n"))
     require(numShards >= 1, s"corrupt sharded index manifest: num_shards=$numShards")
+    val hasBitCut = spark.read.parquet(s"$path/shard_0000/meta")
+      .schema.fieldNames.contains("bit_cut")
     val shards = (0 until numShards)
       .map(i => readBqIndex(spark, f"$path/shard_$i%04d"))
     val n = shards.map(_.n.toLong).sum
     require(n == totalN,
       s"corrupt sharded index: manifest total_n=$totalN but shards hold $n rows")
-    shards
+    if (hasBitCut || numShards == 1) shards
+    else {
+      // pre-bit_cut SHARDED layout: each readBqIndex derived its own
+      // per-shard cut, but the build cut on the corpus-GLOBAL column
+      // totals — re-derive those exactly (integer sums over all
+      // shards' stored codes = the build corpus, since the old layout
+      // predates appends) and patch every shard with the global cut
+      val dim = shards.head.dim
+      val colSum = new Array[Long](dim)
+      shards.foreach { sx =>
+        val cs = graft.operators.Similarity.bqColSums(sx.sq8)
+        var d = 0
+        while (d < dim) { colSum(d) += cs(d); d += 1 }
+      }
+      val cut = new Array[Int](dim)
+      var d = 0
+      while (d < dim) { cut(d) = (colSum(d) / n + 1L).toInt; d += 1 }
+      shards.map(_.copy(bitCut = cut))
+    }
   }
 
   /** Restore a SHARDED IVF+BQ index persisted by

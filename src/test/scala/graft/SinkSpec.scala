@@ -333,6 +333,45 @@ class SinkSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Sink.appendBqIndex(spark, fresh, "id", "emb", legacy, s"$base/x4")
     }.getMessage.contains("bit_cut"))
+    // ...but the READER is not circular about it: the legacy index
+    // still loads, deriving the build's integer cut bit-for-bit from
+    // the stored codes (⌊Σcode/n⌋+1 over exactly the build corpus) —
+    // so the prescribed upgrade (read + re-persist once) works
+    val upgraded = graft.sources.Source.readBqIndex(spark, legacy)
+    assert(upgraded.bitCut.sameElements(built.bitCut))
+    assert(upgraded.words.sameElements(built.words))
+    Sink.writeBqIndex(spark, upgraded, s"$base/upgraded")
+    assert(graft.sources.Source.readBqIndex(spark, s"$base/upgraded")
+      .bitCut.sameElements(built.bitCut))
+  }
+
+  test("sharded BQ legacy layout (no bit_cut): reader derives the GLOBAL cut exactly") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(97)
+    val cDf = (0L until 300L).map(i => i -> Seq.fill(40)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    val build = Similarity.buildBqShardedWithLayout(cDf, "id", "emb",
+      numShards = 3)
+    val base = Files.createTempDirectory("sink-bq-legacy-sharded").toString
+    Sink.writeBqShardedIndex(spark, build, s"$base/ix", overwrite = false)
+    // strip bit_cut from every shard meta — the pre-round-15 layout
+    val legacy = s"$base/legacy"
+    spark.read.parquet(s"$base/ix/manifest").write.parquet(s"$legacy/manifest")
+    build.shards.indices.foreach { i =>
+      spark.read.parquet(f"$base/ix/shard_$i%04d/vectors")
+        .write.parquet(f"$legacy/shard_$i%04d/vectors")
+      spark.read.parquet(f"$base/ix/shard_$i%04d/meta").drop("bit_cut")
+        .write.parquet(f"$legacy/shard_$i%04d/meta")
+    }
+    val loaded = graft.sources.Source.readBqShardedIndex(spark, legacy)
+    // every shard must carry the corpus-GLOBAL cut (a per-shard
+    // derivation would differ shard to shard), equal to the build's
+    loaded.zip(build.shards).foreach { case (l, r) =>
+      assert(l.bitCut.sameElements(r.bitCut))
+      assert(l.words.sameElements(r.words))
+      assert(l.ids.sameElements(r.ids))
+    }
   }
 
   test("sharded BQ persist + tombstone lifecycle: byte restore, masked == complement == compacted, refusals") {
