@@ -81,6 +81,9 @@ object Bench {
     // or flat BQ index (collect + quantize) before serving
     "ann_bq_sharded_recall", "ann_bq_waves_gate", "ann_bq_filtered_gate",
     "ann_bq_append_gate", "ann_ivfopq_recall", "ann_bq_stream_waves_gate",
+    // round-16 lifecycle gates: distributed BQ build parity (builds
+    // the index TWICE — distributed + collect) and the IVF+BQ ingest
+    "ann_bq_dist_gate", "ann_ivfbq_append_gate",
     // the memoized-input rows promoted to train-once in round 14
     "dedup_drop_best", "q_split_clusters")
 

@@ -1242,6 +1242,45 @@ object SparkEntry {
         .select(col("n_queries"), recallAtLeast(0.85).as("bq_append_recall_ok"))
     }),
 
+    // DISTRIBUTED-BUILD gate (round-15 directive #1): the 100 TB
+    // build path for the measured-best rung — writeBqShardedIndex
+    // Distributed never collects a raw vector (grid = one min/max
+    // fold, bit_cut = exact integer column totals, encode =
+    // scan-stage through one code-width exchange), and the persisted
+    // result must restore BYTE-IDENTICAL to the collect-based
+    // buildBqShardedWithLayout: same ids/pack order, same bits, same
+    // SQ8 codes/norms, same frozen thresholds + integer cut, same
+    // routing-identity manifest. DuckDB pins the corpus count and the
+    // constant-TRUE boolean.
+    "ann_bq_dist_gate" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft-bq-dist").toString + "/ix"
+      graft.sources.Sink.writeBqShardedIndexDistributed(s, q,
+        "vec_id", "embedding", numShards = 4, path = ixDir)
+      val loaded = graft.sources.Source.readBqShardedIndex(s, ixDir)
+      val built = Similarity.buildBqShardedWithLayout(q, "vec_id",
+        "embedding", numShards = 4)
+      val man = s.read.parquet(s"$ixDir/manifest").head()
+      val parity = loaded.size == built.shards.size &&
+        man.getInt(man.fieldIndex("hash_modulus")) == built.hashModulus &&
+        man.getSeq[Long](man.fieldIndex("shard_hash_vals")) ==
+          built.shardHashVals &&
+        loaded.zip(built.shards).forall { case (l, b) =>
+          l.ids.sameElements(b.ids) && l.words.sameElements(b.words) &&
+            l.thresholds.sameElements(b.thresholds) &&
+            l.bitCut.sameElements(b.bitCut) &&
+            l.sq8.codes.sameElements(b.sq8.codes) &&
+            l.sq8.norms.sameElements(b.sq8.norms) &&
+            l.sq8.sqNorms.sameElements(b.sq8.sqNorms)
+        }
+      Seq((loaded.map(_.n.toLong).sum, parity))
+        .toDF("n_vectors", "bq_dist_parity_ok")
+    }),
+
     // OPQ-vs-PQ gate: dim-slice PQ wastes code budget when dimensions
     // are CORRELATED, and the raw embeddings are near-isotropic (the
     // emb_pca_gate rationale) — so the gate builds a deterministic
@@ -3839,6 +3878,10 @@ object SparkEntry {
 
     "ann_bq_append_gate" ->
       """SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS bq_append_recall_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_bq_dist_gate" ->
+      """SELECT count(*) AS n_vectors, CAST(1 AS BOOLEAN) AS bq_dist_parity_ok
         |FROM embeddings""".stripMargin,
 
     // n_allowed is DuckDB's own count of the filter population — the

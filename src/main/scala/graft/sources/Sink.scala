@@ -479,6 +479,213 @@ object Sink {
     writeBqShardedIndex(spark, build.shards, path, overwrite,
       build.hashModulus, build.shardHashVals)
 
+  /** Row shape the scan-stage BQ encode emits (shard routing key, id,
+    * packed bit words, SQ8 codes, dequantized norms) — shared by
+    * [[writeBqShardedIndexDistributed]]'s encode pass and
+    * [[appendBqShardedIndex]].
+    */
+  private val bqEncSchema = StructType(Seq(
+    StructField("shard", LongType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("words", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("code", BinaryType, nullable = false),
+    StructField("norm", DoubleType, nullable = false),
+    StructField("sq_norm", DoubleType, nullable = false)))
+
+  /** Build AND persist a sharded BQ index WITHOUT ever collecting the
+    * corpus — the 100 TB build path for the measured-best serving
+    * rung. [[graft.operators.Similarity.buildBqSharded]] funnels
+    * every raw vector through the driver (the priced concurrent
+    * collect of `buildSq8Sharded` — ~2 KB/vector through one JVM,
+    * 366.8 s for the round-15 9M-row smoke, impossible at corpus
+    * scale); this builder keeps the driver SAMPLE-FREE — nothing
+    * row-shaped ever reaches it:
+    *
+    *  1. per-(shard, id) counts (narrow agg: two longs a row) serve
+    *     the duplicate-id refusal and the per-shard size caps;
+    *  2. the corpus-global SQ8 grid is ONE distributed min/max fold
+    *     ([[graft.operators.Similarity.sq8GlobalBounds]] — the same
+    *     function the collect-based build derives its grid from, and
+    *     min/max are order-independent, so the grids are bit-equal);
+    *  3. the bit threshold is the corpus-global INTEGER column total
+    *     of the SQ8 codes — one more scan-stage fold of exact Long
+    *     sums (order-independent again), from which
+    *     `bit_cut = ⌊Σcode/n⌋+1` and the f64 query thresholds follow
+    *     by [[graft.operators.Similarity.bqFromSq8]]'s own
+    *     arithmetic;
+    *  4. one encode scan with the broadcast grid+cut — each row
+    *     leaves its executor as (bit words, SQ8 codes, norms), ~8×
+    *     narrower than the raw f64 vector — through ONE exchange
+    *     (partition by shard, `row_number` by id assigns the dense
+    *     pack position the persisted layout needs, matching the
+    *     collect path's id-ascending pack) straight into the
+    *     [[writeBqShardedIndex]] layout inside a single atomic
+    *     publish. Raw vectors never shuffle and never collect.
+    *
+    * The result restores through
+    * [[graft.sources.Source.readBqShardedIndex]] BYTE-IDENTICAL to
+    * `writeBqShardedIndex(buildBqShardedWithLayout(...))` (SinkSpec
+    * pins ids/words/codes/thresholds/bit_cut/norms equality; the
+    * driver gate `ann_bq_dist_gate` re-pins it per round), because
+    * every arithmetic step runs the same factored code on the same
+    * values — the only reductions are integer sums and min/max, both
+    * reduction-order-proof. Ids must be unique (they key the pack
+    * order); ragged dims throw the kernel's "Dimension mismatch";
+    * same shard split (`pmod(xxhash64(id), numShards)`), same
+    * skip-empty-shards compaction, same routing-identity manifest.
+    */
+  def writeBqShardedIndexDistributed(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      numShards: Int,
+      path: String,
+      overwrite: Boolean = false): Unit = {
+    import graft.operators.Similarity
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    requireEmbColType(corpus, embCol)
+    val sc = spark.sparkContext
+    val shardCol =
+      pmod(xxhash64(col(idCol).cast(LongType)), lit(numShards)).cast(LongType)
+    val narrow = corpus.select(shardCol.as("shard"),
+      col(idCol).cast(LongType).as("id"))
+    // ONE (shard, id) aggregation serves both the dup-id refusal and
+    // the per-shard counts (the writeIvfPqShardedIndexDistributed
+    // pass-1 shape: equal ids land in the same shard, so per-(shard,
+    // id) counts see every duplicate)
+    val perId = narrow.groupBy("shard", "id").count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts: Map[Long, Long] =
+      try {
+        val dupId = perId.filter(col("count") > 1).limit(1).collect()
+        require(dupId.isEmpty,
+          s"duplicate id in corpus: ${dupId.headOption.map(_.getLong(1)).getOrElse(-1L)}")
+        perId.groupBy("shard").agg(sum("count").as("count"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally { perId.unpersist(); () }
+    require(counts.nonEmpty, "Empty corpus")
+    val dim = corpus.select(col(embCol)).filter(col(embCol).isNotNull)
+      .head().getSeq[Any](0).length
+    val nWords = (dim + 63) >>> 6
+    counts.foreach { case (s, c) =>
+      require(c <= Int.MaxValue && c * nWords <= Int.MaxValue &&
+          c * dim <= Int.MaxValue,
+        s"shard $s holds $c rows × $nWords words / $dim codes — one shard " +
+          "must fit an index; raise numShards")
+    }
+    val nTot = counts.values.sum
+    // pass 2: the corpus-global SQ8 grid (shared fold — bit-equal to
+    // the collect-based build's grid)
+    val (gridMin, gridScale) = Similarity.sq8GlobalBounds(corpus, embCol, dim)
+    // pass 3: exact integer column totals of the SQ8 codes
+    val dd = dim
+    val proj = corpus.select(col(embCol))
+    val isF32 = proj.schema.head.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val bcGrid = sc.broadcast((gridMin, gridScale))
+    val colSum: Array[Long] =
+      try {
+        org.apache.spark.sql.graft.InternalRowBridge.toInternalRdd(proj)
+          .mapPartitions { it =>
+            val (mn, scl) = bcGrid.value
+            val acc = new Array[Long](dd)
+            val v = new Array[Double](dd)
+            val codes = new Array[Byte](dd)
+            it.foreach { row =>
+              val a = row.getArray(0)
+              require(a.numElements() == dd,
+                s"ragged embedding: ${a.numElements()} elements, corpus dim $dd")
+              var d = 0
+              while (d < dd) {
+                v(d) = if (isF32) a.getFloat(d).toDouble else a.getDouble(d)
+                d += 1
+              }
+              Similarity.sq8EncodeRow(v, 0, dd, mn, scl, codes, 0)
+              var d2 = 0
+              while (d2 < dd) { acc(d2) += (codes(d2) & 0xFF).toLong; d2 += 1 }
+            }
+            Iterator.single(acc)
+          }
+          .treeReduce { (a, b) =>
+            var d = 0
+            while (d < dd) { a(d) += b(d); d += 1 }
+            a
+          }
+      } finally bcGrid.destroy()
+    // bqFromSq8's own threshold arithmetic over the global totals
+    val bitCut = new Array[Int](dd)
+    val thresholds = new Array[Double](dd)
+    var d0 = 0
+    while (d0 < dd) {
+      bitCut(d0) = (colSum(d0) / nTot + 1L).toInt
+      thresholds(d0) = gridMin(d0) + (colSum(d0).toDouble / nTot) * gridScale(d0)
+      d0 += 1
+    }
+    // pass 4: encode scan-stage, number by (shard | id) through the
+    // one code-width exchange, land in the persisted layout
+    val shardVals: Seq[Long] = counts.keys.toSeq.sorted
+    val shardOut: Map[Long, Int] = shardVals.zipWithIndex.toMap
+    val nW = nWords
+    val bcEnc = sc.broadcast((gridMin, gridScale, bitCut))
+    try {
+      publishAtomically(spark, path, overwrite) { tmp =>
+        import spark.implicits._
+        Seq((shardVals.size, nTot, "xxhash64_pmod", numShards, shardVals))
+          .toDF("num_shards", "total_n", "shard_key",
+            "hash_modulus", "shard_hash_vals")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
+        val withShard = corpus.select(shardCol.as("shard"),
+          col(idCol).cast(LongType).as("id"), col(embCol).as("emb"))
+        val encoded = withShard.rdd.mapPartitions { it =>
+          val (mn, scl, cut) = bcEnc.value
+          it.map { row =>
+            val v = embDoubles(row.getSeq[Any](2))
+            if (v.length != dd) throw new IllegalArgumentException(
+              s"Dimension mismatch: corpus rows have $dd and ${v.length} elements")
+            val codes = new Array[Byte](dd)
+            val sq = Similarity.sq8EncodeRow(v, 0, dd, mn, scl, codes, 0)
+            val words = new Array[Long](nW)
+            var d = 0
+            while (d < dd) {
+              if ((codes(d) & 0xFF) >= cut(d)) words(d >>> 6) |= 1L << (d & 63)
+              d += 1
+            }
+            Row(row.getLong(0), row.getLong(1), words, codes, math.sqrt(sq), sq)
+          }
+        }
+        val wIdx = Window.partitionBy("shard").orderBy("id")
+        spark.createDataFrame(encoded, bqEncSchema)
+          .withColumn("idx", (row_number().over(wIdx) - 1).cast(IntegerType))
+          .withColumn("shard_out", element_at(typedLit(shardOut), col("shard")))
+          .select("shard_out", "idx", "id", "words", "code", "norm", "sq_norm")
+          .write.partitionBy("shard_out").mode(SaveMode.ErrorIfExists)
+          .parquet(s"$tmp/__vectors__")
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(sc.hadoopConfiguration)
+        shardVals.zipWithIndex.foreach { case (s, i) =>
+          val shardDir = new org.apache.hadoop.fs.Path(f"$tmp/shard_$i%04d")
+          require(fs.mkdirs(shardDir), s"could not create $shardDir")
+          val src = new org.apache.hadoop.fs.Path(s"$tmp/__vectors__/shard_out=$i")
+          require(fs.exists(src),
+            s"encode pass produced no partition for shard $s at $src")
+          require(fs.rename(src,
+            new org.apache.hadoop.fs.Path(shardDir, "vectors")),
+            s"could not move $src into $shardDir")
+          Seq((counts(s).toInt, dd, nW, thresholds.toSeq, gridMin.toSeq,
+              gridScale.toSeq, bitCut.toSeq))
+            .toDF("n", "dim", "n_words", "thresholds", "dim_min",
+              "dim_scale", "bit_cut")
+            .write.mode(SaveMode.ErrorIfExists).parquet(s"$shardDir/meta")
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/__vectors__"), true)
+      }
+    } finally bcEnc.destroy()
+  }
+
   /** APPEND new rows to a persisted SHARDED BQ index — the
     * [[appendBqIndex]] encode (frozen corpus-global grid/thresholds/
     * `bit_cut`, shard-INDEPENDENT because every BQ shard cuts on the
@@ -600,19 +807,11 @@ object Sink {
               math.sqrt(sq), sq)
           }
         }
-        val encSchema = StructType(Seq(
-          StructField("shard", LongType, nullable = false),
-          StructField("id", LongType, nullable = false),
-          StructField("words", ArrayType(LongType, containsNull = false),
-            nullable = false),
-          StructField("code", BinaryType, nullable = false),
-          StructField("norm", DoubleType, nullable = false),
-          StructField("sq_norm", DoubleType, nullable = false)))
         val wIdx = Window.partitionBy("shard").orderBy("id")
         val baseCol = element_at(
           typedLit(oldN.map { case (i, n) => i.toLong -> n.toLong }),
           col("shard"))
-        spark.createDataFrame(encoded, encSchema)
+        spark.createDataFrame(encoded, bqEncSchema)
           .withColumn("idx",
             (baseCol + row_number().over(wIdx) - 1).cast(IntegerType))
           .withColumn("shard_out", col("shard").cast(IntegerType))

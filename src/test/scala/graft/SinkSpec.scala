@@ -345,6 +345,69 @@ class SinkSpec extends AnyFunSuite {
       .bitCut.sameElements(built.bitCut))
   }
 
+  test("distributed sharded BQ build: byte-identical to the collect build") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(87)
+    val cDf = (0L until 400L).map(i => i -> Seq.fill(40)(rnd.nextGaussian()))
+      .toDF("id", "emb")
+    val base = Files.createTempDirectory("sink-bq-dist").toString
+    val build = Similarity.buildBqShardedWithLayout(cDf, "id", "emb",
+      numShards = 3)
+    Sink.writeBqShardedIndexDistributed(spark, cDf, "id", "emb",
+      numShards = 3, path = s"$base/dist")
+    val loaded = graft.sources.Source.readBqShardedIndex(spark, s"$base/dist")
+    assert(loaded.size == build.shards.size)
+    loaded.zip(build.shards).foreach { case (l, b) =>
+      assert(l.n == b.n && l.dim == b.dim && l.nWords == b.nWords)
+      assert(l.ids.sameElements(b.ids))
+      assert(l.words.sameElements(b.words))
+      assert(l.thresholds.sameElements(b.thresholds))
+      assert(l.bitCut.sameElements(b.bitCut))
+      assert(l.sq8.codes.sameElements(b.sq8.codes))
+      assert(l.sq8.dimMin.sameElements(b.sq8.dimMin))
+      assert(l.sq8.dimScale.sameElements(b.sq8.dimScale))
+      assert(l.sq8.norms.sameElements(b.sq8.norms))
+      assert(l.sq8.sqNorms.sameElements(b.sq8.sqNorms))
+    }
+    // routing-identity manifest matches the collect build's layout
+    val man = spark.read.parquet(s"$base/dist/manifest").head()
+    assert(man.getInt(man.fieldIndex("hash_modulus")) == build.hashModulus)
+    assert(man.getSeq[Long](man.fieldIndex("shard_hash_vals")) ==
+      build.shardHashVals)
+    // EMPTY hash shards compact away exactly like the collect build
+    // (5 ids over 8 hash values): surviving dirs + recorded hash vals
+    // must agree, and the appended-later routing therefore agrees too
+    val sparse = Seq(1L, 2L, 3L, 4L, 5L)
+      .map(i => i -> Seq.fill(40)(rnd.nextGaussian())).toDF("id", "emb")
+    val b2 = Similarity.buildBqShardedWithLayout(sparse, "id", "emb",
+      numShards = 8)
+    assert(b2.shards.size < 8, "fixture should leave empty hash shards")
+    Sink.writeBqShardedIndexDistributed(spark, sparse, "id", "emb",
+      numShards = 8, path = s"$base/dist2")
+    val man2 = spark.read.parquet(s"$base/dist2/manifest").head()
+    assert(man2.getInt(man2.fieldIndex("num_shards")) == b2.shards.size)
+    assert(man2.getSeq[Long](man2.fieldIndex("shard_hash_vals")) ==
+      b2.shardHashVals)
+    val loaded2 = graft.sources.Source.readBqShardedIndex(spark, s"$base/dist2")
+    loaded2.zip(b2.shards).foreach { case (l, b) =>
+      assert(l.ids.sameElements(b.ids) && l.words.sameElements(b.words) &&
+        l.sq8.codes.sameElements(b.sq8.codes))
+    }
+    // the encode-only append composes on the distributed layout
+    Sink.appendBqShardedIndex(spark,
+      Seq(100L -> Seq.fill(40)(0.1)).toDF("id", "emb"), "id", "emb",
+      s"$base/dist2", s"$base/dist2-grown")
+    assert(graft.sources.Source
+      .readBqShardedIndex(spark, s"$base/dist2-grown")
+      .map(_.n.toLong).sum == 6L)
+    // duplicate ids refuse by name (they key the pack order)
+    assert(intercept[IllegalArgumentException] {
+      Sink.writeBqShardedIndexDistributed(spark, cDf.unionAll(cDf.limit(1)),
+        "id", "emb", numShards = 3, path = s"$base/dup")
+    }.getMessage.contains("duplicate id"))
+  }
+
   test("sharded BQ legacy layout (no bit_cut): reader derives the GLOBAL cut exactly") {
     import spark.implicits._
     import graft.operators.Similarity
