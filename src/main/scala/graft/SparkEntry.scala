@@ -1281,6 +1281,47 @@ object SparkEntry {
         .toDF("n_vectors", "bq_dist_parity_ok")
     }),
 
+    // IVF+BQ APPEND gate (round-15 directive #2): ingest for the
+    // ROUTED bit rung — build + persist the sharded IVF+BQ index on
+    // HALF the corpus (even vec_ids), append the other half
+    // encode-only (frozen cells/grid/cut, CSR re-slotted, no raw
+    // vector collect), and the grown index must clear the recall
+    // floor vs brute force over the FULL corpus. Cells and grid were
+    // trained on half the data, so a pass proves correct routing +
+    // encode AND graceful frozen-model ingest — what a growing
+    // 50M-rows-per-shard corpus relies on between retrains. Floor
+    // measured (probe, round 16): 0.793 at sf0.01 / 0.786 at sf0.1
+    // with these parameters, pinned at 0.6 with margin. DuckDB pins
+    // the count and the constant-TRUE boolean.
+    "ann_ivfbq_append_gate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ivfbq-append").toString
+      val build = Similarity.buildIvfBqShardedWithLayout(
+        q.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        numShards = 4, nCells = 8)
+      graft.sources.Sink.writeIvfBqShardedIndex(s, build, s"$base/ix")
+      graft.sources.Sink.appendIvfBqShardedIndex(s,
+        q.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+        s"$base/ix", s"$base/grown")
+      val grown = graft.sources.Source.readIvfBqShardedIndex(s, s"$base/grown")
+      val brute = Similarity.topkFlat(q, "embedding", corpus(s, dir), 10,
+          Metric.Cosine)
+        .select(col("vec_id"), col("index"))
+        .localCheckpoint(eager = false)
+      val served = Similarity.topkIvfBqSharded(q, "vec_id", "embedding",
+        grown, 10, nProbe = 4, shortlist = 400)
+      brute
+        .join(served.select(col("vec_id"), col("index"), lit(1).as("hit")),
+          Seq("vec_id", "index"), "left")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count_distinct(col("vec_id")).as("n_queries"))
+        .select(col("n_queries"),
+          recallAtLeast(0.6).as("ivfbq_append_recall_ok"))
+    }),
+
     // OPQ-vs-PQ gate: dim-slice PQ wastes code budget when dimensions
     // are CORRELATED, and the raw embeddings are near-isotropic (the
     // emb_pca_gate rationale) — so the gate builds a deterministic
@@ -3882,6 +3923,11 @@ object SparkEntry {
 
     "ann_bq_dist_gate" ->
       """SELECT count(*) AS n_vectors, CAST(1 AS BOOLEAN) AS bq_dist_parity_ok
+        |FROM embeddings""".stripMargin,
+
+    "ann_ivfbq_append_gate" ->
+      """SELECT count(*) AS n_queries,
+        |       CAST(1 AS BOOLEAN) AS ivfbq_append_recall_ok
         |FROM embeddings""".stripMargin,
 
     // n_allowed is DuckDB's own count of the filter population — the

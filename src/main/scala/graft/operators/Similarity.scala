@@ -1905,6 +1905,11 @@ object Similarity {
                                   // linear sweep, measured at 10M)
       nWords: Int,
       thresholds: Array[Double],  // query-side sign cut
+      bitCut: Array[Int],         // the corpus-side cut in exact
+                                  // integer form (⌊Σcode/n⌋+1 over the
+                                  // build corpus, [[CorpusIndexBq]]'s
+                                  // field) — what an encode-only
+                                  // APPEND cuts new rows' bits on
       cellOf: Array[Int],
       cellStart: Array[Int],      // nCells + 1 CSR offsets
       cellMembers: Array[Int],    // n, row indices grouped by cell
@@ -1987,7 +1992,8 @@ object Similarity {
       p += 1
     }
     CorpusIndexIvfBq(sq8.ids, sq8.n, d, k, centFlat,
-      cellWords, bq.nWords, bq.thresholds, cellOf, cellStart, cellMembers, sq8)
+      cellWords, bq.nWords, bq.thresholds, bq.bitCut, cellOf, cellStart,
+      cellMembers, sq8)
   }
 
   /** Per-query cosine top-k against an IVF+BQ index: probe the
@@ -2375,7 +2381,7 @@ object Similarity {
       j += 1
     }
     CorpusIndexIvfBq(ids2, n2, ix.dim, ix.nCells, ix.centroids, words2,
-      ix.nWords, ix.thresholds, cellOf2, cellStart2, cellMembers2,
+      ix.nWords, ix.thresholds, ix.bitCut, cellOf2, cellStart2, cellMembers2,
       CorpusIndexSq8(ids2, codes2, n2, ix.dim, ix.sq8.dimMin,
         ix.sq8.dimScale, norms2, sqNorms2))
   }

@@ -1155,11 +1155,13 @@ object Sink {
       }.toDF("slot", "row", "id", "words", "code", "norm", "sq_norm")
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/vectors")
     } finally bc.destroy()
+    // bit_cut is the frozen-threshold artifact appendIvfBqShardedIndex
+    // encodes against (appended LAST so readers by name are untouched)
     Seq((ix.n, ix.dim, ix.nWords, ix.nCells, ix.centroids.toSeq,
         ix.thresholds.toSeq, ix.cellStart.toSeq,
-        ix.sq8.dimMin.toSeq, ix.sq8.dimScale.toSeq))
+        ix.sq8.dimMin.toSeq, ix.sq8.dimScale.toSeq, ix.bitCut.toSeq))
       .toDF("n", "dim", "n_words", "n_cells", "centroids",
-        "thresholds", "cell_start", "dim_min", "dim_scale")
+        "thresholds", "cell_start", "dim_min", "dim_scale", "bit_cut")
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
   }
 
@@ -1191,6 +1193,294 @@ object Sink {
         writeIvfBqInto(spark, sx, f"$tmp/shard_$i%04d")
       }
     }
+  }
+
+  /** APPEND new rows to a persisted SHARDED IVF+BQ index — the
+    * encode-only ingest for the ROUTED bit rung (the round-15
+    * crossover probe's recommendation from ~50M rows/shard up), so a
+    * user at the rung's own recommended scale no longer rebuilds the
+    * index per ingest batch. The [[appendBqShardedIndex]] contracts
+    * composed with the IVF structure:
+    *
+    *  - rows route to `pmod(xxhash64(id), hash_modulus)` through the
+    *    manifest's routing identity (compacted-away hash values fall
+    *    back to `hash mod num_dirs` — any shard can host any row:
+    *    the encode grid/cut are corpus-global and the cell is
+    *    assigned within whichever shard the row lands in);
+    *  - the SQ8 grid, f64 query thresholds, and integer `bit_cut`
+    *    are FROZEN (corpus-global, validated identical across shard
+    *    metas so a corrupt mixed-grid index refuses): new rows
+    *    SQ8-encode with clamping, bits cut at `code >= bit_cut` —
+    *    the build's exact integer contract;
+    *  - cells are FROZEN per shard: each new row dequantizes +
+    *    unit-normalizes with [[graft.operators.Similarity
+    *    .ivfBqFromSq8]]'s own arithmetic and assigns to the stored
+    *    centroids (strict-max dot, ties to the lowest cell — the
+    *    build's rule). NO re-clustering: moving a centroid would
+    *    re-route OLD rows (a rebuild, not an append);
+    *  - the CSR stays REAL: appended members land at the END of
+    *    their cell's bracket (old members keep their relative order
+    *    — the stable-CSR invariant compaction also preserves), which
+    *    shifts every later slot by the cells-before insert count, so
+    *    a touched shard's vectors rewrite through one scan-stage
+    *    slot remap (narrow code-width rows, never raw vectors);
+    *    UNTOUCHED shards copy as files, bytes identical;
+    *  - pack row indices continue from the shard's old `n` in batch
+    *    id order; meta rewrites `n` + `cell_start`; tombstones carry
+    *    forward; the grown index publishes atomically at `outPath`
+    *    (the source index is never mutated).
+    *
+    * Duplicate ids — within the batch or vs the store — and dim
+    * mismatches refuse by name. A pre-`bit_cut` IVF+BQ layout
+    * refuses by name with a NON-circular upgrade: the readers derive
+    * the cut ([[graft.sources.Source.readIvfBqShardedIndex]]), so
+    * read + re-persist once upgrades the layout. The result restores
+    * through the standard readers and serves like any built index
+    * (SinkSpec pins old-row byte identity, new-row re-encode
+    * equality, CSR validity, self-hit of appended rows, and the
+    * grown-corpus recall floor via `ann_ivfbq_append_gate`).
+    */
+  def appendIvfBqShardedIndex(
+      spark: SparkSession,
+      newRows: DataFrame,
+      idCol: String,
+      embCol: String,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean = false): Unit = {
+    import spark.implicits._
+    import graft.operators.Similarity
+    requireEmbColType(newRows, embCol)
+    val manifest = spark.read.parquet(s"$indexPath/manifest").head()
+    val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
+    val totalN = manifest.getLong(manifest.fieldIndex("total_n"))
+    val shardKey = manifest.getString(manifest.fieldIndex("shard_key"))
+    require(shardKey == "xxhash64_pmod",
+      s"cannot append to an index with shard key '$shardKey'")
+    val hashModulus = manifest.getInt(manifest.fieldIndex("hash_modulus"))
+    val hashVals = manifest.getSeq[Long](manifest.fieldIndex("shard_hash_vals"))
+    val built = hashVals.zipWithIndex.toMap
+    val dirOfHash: Map[Long, Long] = (0L until hashModulus.toLong)
+      .map(h => h -> built.getOrElse(h, (h % numShards).toInt).toLong).toMap
+    require(spark.read.parquet(s"$indexPath/shard_0000/meta")
+      .schema.fieldNames.contains("bit_cut"),
+      s"the IVF+BQ index at $indexPath predates the bit_cut meta column — " +
+        "appends need the frozen integer threshold; read it once through " +
+        "readIvfBqShardedIndex (which re-derives the cut) and re-persist " +
+        "with writeIvfBqShardedIndex to upgrade the layout")
+    final case class ShardMeta(
+        n: Int, dim: Int, nWords: Int, nCells: Int,
+        centroids: Array[Double], thresholds: Seq[Double],
+        cellStart: Array[Int], dimMin: Array[Float],
+        dimScale: Array[Float], bitCut: Array[Int])
+    def metaOf(i: Int): ShardMeta = {
+      val m = spark.read.parquet(f"$indexPath/shard_$i%04d/meta")
+        .select("n", "dim", "n_words", "n_cells", "centroids", "thresholds",
+          "cell_start", "dim_min", "dim_scale", "bit_cut").head()
+      ShardMeta(m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3),
+        m.getSeq[Double](4).toArray, m.getSeq[Double](5),
+        m.getSeq[Int](6).toArray, m.getSeq[Float](7).toArray,
+        m.getSeq[Float](8).toArray, m.getSeq[Int](9).toArray)
+    }
+    val metas: Map[Int, ShardMeta] = (0 until numShards).map(i => i -> metaOf(i)).toMap
+    val m0 = metas(0)
+    val dim = m0.dim
+    val nWords = m0.nWords
+    metas.foreach { case (i, m) =>
+      require(m.dim == dim && m.nWords == nWords &&
+          m.bitCut.sameElements(m0.bitCut) && m.thresholds == m0.thresholds &&
+          m.dimMin.sameElements(m0.dimMin) && m.dimScale.sameElements(m0.dimScale),
+        s"shard $i cuts on a different grid/threshold than shard 0 — corrupt index")
+    }
+
+    val narrow = newRows.select(
+      element_at(typedLit(dirOfHash),
+        pmod(xxhash64(col(idCol).cast(LongType)), lit(hashModulus))
+          .cast(LongType)).as("shard"),
+      col(idCol).cast(LongType).as("id"),
+      col(embCol).as("emb"))
+    val dupIn = narrow.groupBy("id").count().filter(col("count") > 1)
+      .limit(1).collect()
+    require(dupIn.isEmpty,
+      s"duplicate id in append batch: ${dupIn.headOption.map(_.getLong(0)).getOrElse(-1L)}")
+    val storedIds = spark.read.parquet(
+      (0 until numShards).map(i => f"$indexPath/shard_$i%04d/vectors"): _*)
+      .select(col("id"))
+    val clash = narrow.select("id").join(storedIds, Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} already " +
+        s"exists in the index at $indexPath")
+    val newCounts: Map[Long, Long] = narrow.groupBy("shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val newTotal = newCounts.values.sum
+    (0 until numShards).foreach { i =>
+      val grown = metas(i).n.toLong + newCounts.getOrElse(i.toLong, 0L)
+      require(grown <= Int.MaxValue && grown * nWords <= Int.MaxValue &&
+          grown * dim <= Int.MaxValue,
+        s"shard $i would grow to $grown rows — one shard must fit an index")
+    }
+
+    val dd = dim
+    val nW = nWords
+    val sc = spark.sparkContext
+    val bcG = sc.broadcast((m0.dimMin, m0.dimScale, m0.bitCut))
+    val bcCells = sc.broadcast(
+      metas.map { case (i, m) => i.toLong -> (m.centroids, m.nCells) })
+    try {
+      publishAtomically(spark, outPath, overwrite) { tmp =>
+        Seq((numShards, totalN + newTotal, shardKey, hashModulus, hashVals))
+          .toDF("num_shards", "total_n", "shard_key",
+            "hash_modulus", "shard_hash_vals")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
+        // scan-stage encode + frozen-cell assignment: raw vectors
+        // leave their executor as code-width rows
+        val encoded = narrow.rdd.mapPartitions { it =>
+          val (mn, scl, cut) = bcG.value
+          val cells = bcCells.value
+          it.map { row =>
+            val sh = row.getLong(0)
+            val v = embDoubles(row.getSeq[Any](2))
+            if (v.length != dd) throw new IllegalArgumentException(
+              s"Dimension mismatch: corpus rows have $dd and ${v.length} elements")
+            val codes = new Array[Byte](dd)
+            val sq = Similarity.sq8EncodeRow(v, 0, dd, mn, scl, codes, 0)
+            val nrm = math.sqrt(sq)
+            val words = new Array[Long](nW)
+            var d = 0
+            while (d < dd) {
+              if ((codes(d) & 0xFF) >= cut(d)) words(d >>> 6) |= 1L << (d & 63)
+              d += 1
+            }
+            // ivfBqFromSq8's decode + unit-normalize (zero-norm rows
+            // stay zero) then the build's strict-max assignment
+            val unit = new Array[Double](dd)
+            if (nrm > 1e-10) {
+              var d2 = 0
+              while (d2 < dd) {
+                unit(d2) = (mn(d2) + (codes(d2) & 0xFF) * scl(d2).toDouble) / nrm
+                d2 += 1
+              }
+            }
+            val (cents, k) = cells(sh)
+            val cell = Similarity.assignCell(unit, 0, cents, k, dd)
+            Row(sh, row.getLong(1), cell, words, codes, nrm, sq)
+          }
+        }
+        val encSchema = StructType(Seq(
+          StructField("shard", LongType, nullable = false),
+          StructField("id", LongType, nullable = false),
+          StructField("cell", IntegerType, nullable = false),
+          StructField("words", ArrayType(LongType, containsNull = false),
+            nullable = false),
+          StructField("code", BinaryType, nullable = false),
+          StructField("norm", DoubleType, nullable = false),
+          StructField("sq_norm", DoubleType, nullable = false)))
+        spark.createDataFrame(encoded, encSchema)
+          .withColumn("shard_out", col("shard").cast(IntegerType))
+          .write.partitionBy("shard_out").mode(SaveMode.ErrorIfExists)
+          .parquet(s"$tmp/__append__")
+        val conf = sc.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+        val vecCols = Seq("slot", "row", "id", "words", "code", "norm", "sq_norm")
+        val vecSchema = StructType(Seq(
+          StructField("slot", IntegerType, nullable = false),
+          StructField("row", IntegerType, nullable = false),
+          StructField("id", LongType, nullable = false),
+          StructField("words", ArrayType(LongType, containsNull = false),
+            nullable = false),
+          StructField("code", BinaryType, nullable = false),
+          StructField("norm", DoubleType, nullable = false),
+          StructField("sq_norm", DoubleType, nullable = false)))
+        (0 until numShards).foreach { i =>
+          val m = metas(i)
+          val shardDir = f"$tmp/shard_$i%04d"
+          val part = new org.apache.hadoop.fs.Path(s"$tmp/__append__/shard_out=$i")
+          val nNew = newCounts.getOrElse(i.toLong, 0L).toInt
+          if (nNew == 0) {
+            // untouched shard: bytes stay bytes
+            require(fs.mkdirs(new org.apache.hadoop.fs.Path(shardDir)),
+              s"could not create $shardDir")
+            Seq("vectors", "meta").foreach { d =>
+              val src = new org.apache.hadoop.fs.Path(f"$indexPath/shard_$i%04d/$d")
+              require(org.apache.hadoop.fs.FileUtil.copy(
+                src.getFileSystem(conf), src, fs,
+                new org.apache.hadoop.fs.Path(s"$shardDir/$d"), false, conf),
+                s"could not copy $src into $shardDir")
+            }
+          } else {
+            require(fs.exists(part),
+              s"encode pass produced no partition for shard $i at $part")
+            val batch = spark.read.parquet(part.toString)
+            // per-cell insert counts (≤ nCells rows to the driver)
+            val ins = new Array[Int](m.nCells)
+            batch.groupBy("cell").count().collect()
+              .foreach(r => ins(r.getInt(0)) = r.getLong(1).toInt)
+            val cumIns = new Array[Int](m.nCells + 1)
+            var c = 0
+            while (c < m.nCells) { cumIns(c + 1) = cumIns(c) + ins(c); c += 1 }
+            val newStart = new Array[Int](m.nCells + 1)
+            var c2 = 0
+            while (c2 <= m.nCells) {
+              newStart(c2) = m.cellStart(c2) + cumIns(c2); c2 += 1
+            }
+            // old members: slot shifts by the inserts into cells
+            // BEFORE theirs; row/id/bits/codes/norms byte-identical
+            val bcRemap = sc.broadcast((m.cellStart, cumIns))
+            try {
+              val oldRdd = spark.read
+                .parquet(f"$indexPath/shard_$i%04d/vectors")
+                .select(vecCols.map(col): _*).rdd.mapPartitions { it =>
+                  val (ost, cum) = bcRemap.value
+                  it.map { r =>
+                    val p = r.getInt(0)
+                    // bracket search: largest c with ost(c) <= p
+                    var lo = 0; var hi = ost.length - 1
+                    while (hi - lo > 1) {
+                      val mid = (lo + hi) >>> 1
+                      if (ost(mid) <= p) lo = mid else hi = mid
+                    }
+                    Row(p + cum(lo), r.getInt(1), r.getLong(2),
+                      r.getSeq[Long](3), r.get(4), r.getDouble(5),
+                      r.getDouble(6))
+                  }
+                }
+              val remappedOld = spark.createDataFrame(oldRdd, vecSchema)
+              // new members: row continues from old n in batch id
+              // order; slot lands at the END of the cell's new bracket
+              val endPlusCum: Map[Int, Int] = (0 until m.nCells)
+                .map(cc => cc -> (m.cellStart(cc + 1) + cumIns(cc))).toMap
+              val wId = Window.orderBy("id")
+              val wCell = Window.partitionBy("cell").orderBy("id")
+              val newMembers = batch
+                .withColumn("row",
+                  (lit(m.n) + row_number().over(wId) - 1).cast(IntegerType))
+                .withColumn("slot",
+                  (element_at(typedLit(endPlusCum), col("cell")) +
+                    row_number().over(wCell) - 1).cast(IntegerType))
+                .select(vecCols.map(col): _*)
+              remappedOld.unionAll(newMembers)
+                .write.mode(SaveMode.ErrorIfExists).parquet(s"$shardDir/vectors")
+            } finally bcRemap.destroy()
+            Seq(((m.n + nNew), dim, nWords, m.nCells, m.centroids.toSeq,
+                m.thresholds, newStart.toSeq, m.dimMin.toSeq,
+                m.dimScale.toSeq, m.bitCut.toSeq))
+              .toDF("n", "dim", "n_words", "n_cells", "centroids",
+                "thresholds", "cell_start", "dim_min", "dim_scale", "bit_cut")
+              .write.mode(SaveMode.ErrorIfExists).parquet(s"$shardDir/meta")
+          }
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/__append__"), true)
+        // carry tombstones forward (re-adding a tombstoned id is
+        // refused by the stored-id clash above — compact to free it)
+        val oldTs = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+        if (oldTs.getFileSystem(conf).exists(oldTs))
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            oldTs.getFileSystem(conf), oldTs, fs,
+            new org.apache.hadoop.fs.Path(s"$tmp/tombstones"), false, conf),
+            s"could not carry $oldTs forward")
+      }
+    } finally { bcG.destroy(); bcCells.destroy() }
   }
 
   /** TOMBSTONE delete from a persisted sharded IVF+BQ index — the

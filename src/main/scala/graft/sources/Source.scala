@@ -158,13 +158,19 @@ object Source {
   /** Restore an IVF+BQ index persisted by
     * [[graft.sources.Sink.writeIvfBqIndex]] — byte-identical bits (in
     * the sequential CSR-position layout), routing, thresholds, and
-    * SQ8 envelope.
+    * SQ8 envelope. A pre-`bit_cut` layout loads with the integer cut
+    * re-derived from the stored codes — [[readBqIndex]]'s exactness
+    * argument verbatim (exact unless the pre-`bit_cut` index was
+    * compacted; the sharded reader patches the corpus-GLOBAL cut).
     */
   def readIvfBqIndex(
       spark: SparkSession, path: String): graft.operators.Similarity.CorpusIndexIvfBq = {
-    val meta = spark.read.parquet(s"$path/meta")
-      .select("n", "dim", "n_words", "n_cells", "centroids",
-        "thresholds", "cell_start", "dim_min", "dim_scale")
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val hasBitCut = metaDf.schema.fieldNames.contains("bit_cut")
+    val meta = metaDf
+      .selectExpr("n" :: "dim" :: "n_words" :: "n_cells" :: "centroids" ::
+        "thresholds" :: "cell_start" :: "dim_min" :: "dim_scale" ::
+        (if (hasBitCut) List("bit_cut") else Nil): _*)
       .head()
     val n = meta.getInt(0)
     val dim = meta.getInt(1)
@@ -175,8 +181,14 @@ object Source {
     val cellStart = meta.getSeq[Int](6).toArray
     val dimMin = meta.getSeq[Float](7).toArray
     val dimScale = meta.getSeq[Float](8).toArray
+    val storedCut = if (hasBitCut) meta.getSeq[Int](9).toArray else null
+    require(storedCut == null || storedCut.length == dim,
+      s"corrupt index meta: dim=$dim but bit_cut=${storedCut.length}")
     require(nWords == (dim + 63) >>> 6,
       s"corrupt index meta: dim=$dim implies ${(dim + 63) >>> 6} words, got $nWords")
+    require(n.toLong * nWords <= Int.MaxValue && n.toLong * dim <= Int.MaxValue,
+      s"index holds $n rows × $nWords words / $dim codes — past the JVM " +
+        "array cap; this index must be read as shards")
     require(centroids.length == nCells.toLong * dim && thresholds.length == dim &&
         cellStart.length == nCells + 1 && cellStart(nCells) == n,
       s"corrupt index meta: n=$n dim=$dim nCells=$nCells but " +
@@ -216,11 +228,20 @@ object Source {
       cellOf(cellMembers(p2)) = cell
       p2 += 1
     }
+    val sq8 = graft.operators.Similarity.CorpusIndexSq8(
+      ids, codes, n, dim, dimMin, dimScale, norms, sqNorms)
+    val bitCut =
+      if (storedCut != null) storedCut
+      else {
+        val colSum = graft.operators.Similarity.bqColSums(sq8)
+        val cut = new Array[Int](dim)
+        var d = 0
+        while (d < dim) { cut(d) = (colSum(d) / n + 1L).toInt; d += 1 }
+        cut
+      }
     graft.operators.Similarity.CorpusIndexIvfBq(
-      ids, n, dim, nCells, centroids, words, nWords, thresholds,
-      cellOf, cellStart, cellMembers,
-      graft.operators.Similarity.CorpusIndexSq8(
-        ids, codes, n, dim, dimMin, dimScale, norms, sqNorms))
+      ids, n, dim, nCells, centroids, words, nWords, thresholds, bitCut,
+      cellOf, cellStart, cellMembers, sq8)
   }
 
   /** Restore a binary-quantized index persisted by
@@ -427,12 +448,30 @@ object Source {
     val numShards = meta.getInt(meta.fieldIndex("num_shards"))
     val totalN = meta.getLong(meta.fieldIndex("total_n"))
     require(numShards >= 1, s"corrupt sharded index manifest: num_shards=$numShards")
+    val hasBitCut = spark.read.parquet(s"$path/shard_0000/meta")
+      .schema.fieldNames.contains("bit_cut")
     val shards = (0 until numShards)
       .map(i => readIvfBqIndex(spark, f"$path/shard_$i%04d"))
     val n = shards.map(_.n.toLong).sum
     require(n == totalN,
       s"corrupt sharded index: manifest total_n=$totalN but shards hold $n rows")
-    shards
+    if (hasBitCut || numShards == 1) shards
+    else {
+      // pre-bit_cut sharded layout: patch the corpus-GLOBAL cut (the
+      // readBqShardedIndexShards derivation verbatim — the build cut
+      // on global column totals, and the old layout predates appends)
+      val dim = shards.head.dim
+      val colSum = new Array[Long](dim)
+      shards.foreach { sx =>
+        val cs = graft.operators.Similarity.bqColSums(sx.sq8)
+        var d = 0
+        while (d < dim) { colSum(d) += cs(d); d += 1 }
+      }
+      val cut = new Array[Int](dim)
+      var d = 0
+      while (d < dim) { cut(d) = (colSum(d) / n + 1L).toInt; d += 1 }
+      shards.map(_.copy(bitCut = cut))
+    }
   }
 
   /** Restore a persisted PCA model byte-identically (see

@@ -561,8 +561,150 @@ class SinkSpec extends AnyFunSuite {
     // frozen cut + geometry identity through compaction
     cShards.zip(loaded).foreach { case (l, r) =>
       assert(l.thresholds.sameElements(r.thresholds))
+      assert(l.bitCut.sameElements(r.bitCut))
       assert(l.centroids.sameElements(r.centroids))
     }
+  }
+
+  test("sharded IVF+BQ append: routed encode-only ingest, frozen cells/grid/cut, CSR stays real") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(117)
+    val all = (0L until 400L).map(i => i -> Seq.fill(40)(rnd.nextGaussian()))
+    val evens = all.filter(_._1 % 2 == 0)
+    val odds = all.filter(_._1 % 2 != 0)
+    val base = Files.createTempDirectory("sink-ivfbq-append").toString
+    val build = Similarity.buildIvfBqShardedWithLayout(evens.toDF("id", "emb"),
+      "id", "emb", numShards = 3, nCells = 4)
+    Sink.writeIvfBqShardedIndex(spark, build, s"$base/ix")
+    Sink.appendIvfBqShardedIndex(spark, odds.toDF("id", "emb"), "id", "emb",
+      s"$base/ix", s"$base/grown")
+    val grown = graft.sources.Source.readIvfBqShardedIndex(spark, s"$base/grown")
+    assert(grown.map(_.n).sum == 400)
+    def slotOf(ix: Similarity.CorpusIndexIvfBq): Array[Int] = {
+      val s = new Array[Int](ix.n)
+      var p = 0
+      while (p < ix.n) { s(ix.cellMembers(p)) = p; p += 1 }
+      s
+    }
+    build.shards.zip(grown).foreach { case (old, g) =>
+      // frozen artifacts: grid, cut, thresholds, centroids, nCells
+      assert(g.thresholds.sameElements(old.thresholds))
+      assert(g.bitCut.sameElements(old.bitCut))
+      assert(g.centroids.sameElements(old.centroids))
+      assert(g.nCells == old.nCells)
+      assert(g.sq8.dimMin.sameElements(old.sq8.dimMin))
+      assert(g.sq8.dimScale.sameElements(old.sq8.dimScale))
+      // CSR is REAL after the append: brackets monotone, members
+      // grouped, and within a cell old members precede new in the
+      // build's stable g-ascending order
+      for (c <- 0 until g.nCells) {
+        assert(g.cellStart(c) <= g.cellStart(c + 1))
+        var prev = -1
+        for (p <- g.cellStart(c) until g.cellStart(c + 1)) {
+          assert(g.cellOf(g.cellMembers(p)) == c, s"slot $p not in cell $c")
+          assert(g.cellMembers(p) > prev,
+            s"cell $c members not g-ascending at slot $p")
+          prev = g.cellMembers(p)
+        }
+      }
+      // old rows: ids/codes/norms/cells byte-identical at their
+      // original row indices; bits byte-identical through each
+      // index's own slot map
+      val oldSlot = slotOf(old); val newSlot = slotOf(g)
+      for (j <- 0 until old.n) {
+        assert(g.ids(j) == old.ids(j))
+        assert(g.cellOf(j) == old.cellOf(j))
+        for (d <- 0 until old.dim)
+          assert(g.sq8.codes(j * g.dim + d) == old.sq8.codes(j * old.dim + d))
+        assert(g.sq8.norms(j) == old.sq8.norms(j))
+        for (w <- 0 until old.nWords)
+          assert(g.words(newSlot(j) * g.nWords + w) ==
+            old.words(oldSlot(j) * old.nWords + w), s"row $j word $w")
+      }
+      // new rows: id-ascending after the old block; codes = frozen-
+      // grid encode; bits = code >= cut at their CSR slots; cell =
+      // the build's own strict-max assignment over frozen centroids
+      val oddVecs = odds.toMap
+      assert((old.n until g.n).map(g.ids).toSeq == (old.n until g.n).map(g.ids).sorted)
+      for (j <- old.n until g.n) {
+        val v = oddVecs(g.ids(j)).toArray
+        val expect = new Array[Byte](g.dim)
+        val sq = Similarity.sq8EncodeRow(v, 0, g.dim, g.sq8.dimMin,
+          g.sq8.dimScale, expect, 0)
+        val nrm = math.sqrt(sq)
+        for (d <- 0 until g.dim)
+          assert(g.sq8.codes(j * g.dim + d) == expect(d), s"row $j dim $d")
+        assert(g.sq8.sqNorms(j) == sq)
+        val unit = new Array[Double](g.dim)
+        if (nrm > 1e-10)
+          for (d <- 0 until g.dim)
+            unit(d) = (g.sq8.dimMin(d) + (expect(d) & 0xFF) *
+              g.sq8.dimScale(d).toDouble) / nrm
+        assert(g.cellOf(j) ==
+          Similarity.assignCell(unit, 0, g.centroids, g.nCells, g.dim),
+          s"row $j cell")
+        for (d <- 0 until g.dim) {
+          val bit = (g.words(newSlot(j) * g.nWords + (d >>> 6)) >>> (d & 63)) & 1L
+          val expBit = if ((expect(d) & 0xFF) >= g.bitCut(d)) 1L else 0L
+          assert(bit == expBit, s"row $j dim $d bit")
+        }
+      }
+    }
+    // appended rows hit themselves at rank 1 (all cells probed)
+    val qOdds = odds.toDF("qid", "emb")
+    val top1 = Similarity.topkIvfBqSharded(qOdds, "qid", "emb", grown,
+        k = 1, nProbe = 4, shortlist = 50)
+      .select("qid", "index").as[(Long, Long)].collect()
+    assert(top1.length == odds.size && top1.forall { case (q, ix) => q == ix })
+    // a second 1-row append leaves two shards on the untouched
+    // file-copy path and still restores consistently
+    Sink.appendIvfBqShardedIndex(spark,
+      Seq(1000L -> Seq.fill(40)(0.2)).toDF("id", "emb"), "id", "emb",
+      s"$base/grown", s"$base/grown2")
+    assert(graft.sources.Source.readIvfBqShardedIndex(spark, s"$base/grown2")
+      .map(_.n).sum == 401)
+    // refusals: dup in batch, clash with stored, pre-bit_cut layout
+    val dup = Seq(2000L -> Seq.fill(40)(0.1), 2000L -> Seq.fill(40)(0.2))
+      .toDF("id", "emb")
+    assert(intercept[IllegalArgumentException] {
+      Sink.appendIvfBqShardedIndex(spark, dup, "id", "emb",
+        s"$base/grown", s"$base/x1")
+    }.getMessage.contains("duplicate id"))
+    assert(intercept[IllegalArgumentException] {
+      Sink.appendIvfBqShardedIndex(spark,
+        Seq(1L -> Seq.fill(40)(0.1)).toDF("id", "emb"), "id", "emb",
+        s"$base/grown", s"$base/x2")
+    }.getMessage.contains("already exists"))
+    val legacy = s"$base/legacy"
+    spark.read.parquet(s"$base/ix/manifest").write.parquet(s"$legacy/manifest")
+    build.shards.indices.foreach { i =>
+      spark.read.parquet(f"$base/ix/shard_$i%04d/vectors")
+        .write.parquet(f"$legacy/shard_$i%04d/vectors")
+      spark.read.parquet(f"$base/ix/shard_$i%04d/meta").drop("bit_cut")
+        .write.parquet(f"$legacy/shard_$i%04d/meta")
+    }
+    assert(intercept[IllegalArgumentException] {
+      Sink.appendIvfBqShardedIndex(spark,
+        Seq(3000L -> Seq.fill(40)(0.1)).toDF("id", "emb"), "id", "emb",
+        legacy, s"$base/x3")
+    }.getMessage.contains("bit_cut"))
+    // ...and the legacy layout still READS, with the global cut
+    // derived exactly — the upgrade path the refusal prescribes
+    val upgraded = graft.sources.Source.readIvfBqShardedIndex(spark, legacy)
+    upgraded.zip(build.shards).foreach { case (l, r) =>
+      assert(l.bitCut.sameElements(r.bitCut))
+      assert(l.words.sameElements(r.words))
+    }
+    // tombstones carry forward through the append
+    Sink.deleteFromIvfBqShardedIndex(spark, Seq(1L).toDF("id"), "id",
+      s"$base/grown", s"$base/del")
+    Sink.appendIvfBqShardedIndex(spark,
+      Seq(4000L -> Seq.fill(40)(0.3)).toDF("id", "emb"), "id", "emb",
+      s"$base/del", s"$base/del-grown")
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.Source.readIvfBqShardedIndex(spark, s"$base/del-grown")
+    }.getMessage.contains("tombstoned"))
   }
 
   test("sharded BQ append: routed encode-only ingest, frozen global cut, old shards untouched") {
@@ -655,6 +797,7 @@ class SinkSpec extends AnyFunSuite {
     assert(loaded.cellOf.sameElements(built.cellOf))
     assert(loaded.cellStart.sameElements(built.cellStart))
     assert(loaded.cellMembers.sameElements(built.cellMembers))
+    assert(loaded.bitCut.sameElements(built.bitCut))
     assert(loaded.sq8.codes.sameElements(built.sq8.codes))
     assert(loaded.sq8.norms.sameElements(built.sq8.norms))
     def res(cx: Similarity.CorpusIndexIvfBq) =
