@@ -1036,18 +1036,7 @@ object Sink {
 
     val narrow = newRows.select(
       col(idCol).cast(LongType).as("id"), col(embCol).as("emb"))
-    // id hygiene: unique within the batch, disjoint from the index
-    val dupIn = narrow.groupBy("id").count().filter(col("count") > 1)
-      .limit(1).collect()
-    require(dupIn.isEmpty,
-      s"duplicate id in append batch: ${dupIn.headOption.map(_.getLong(0)).getOrElse(-1L)}")
-    val storedIds = spark.read.parquet(s"$indexPath/vectors").select(col("id"))
-    val clash = narrow.select("id").join(storedIds, Seq("id"), "left_semi")
-      .limit(1).collect()
-    require(clash.isEmpty,
-      s"id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} already " +
-        s"exists in the index at $indexPath")
-    val newN = narrow.count()
+    val newN = requireFreshAppendIds(narrow, s"$indexPath/vectors", indexPath)
     // the dim product guards the SQ8 code array read-back allocates
     // (dim can be 64× nWords — see the sharded append's same cap)
     require(oldN + newN <= Int.MaxValue &&
@@ -1088,24 +1077,8 @@ object Sink {
           StructField("code", BinaryType, nullable = false),
           StructField("norm", DoubleType, nullable = false),
           StructField("sq_norm", DoubleType, nullable = false)))
-        spark.createDataFrame(encoded, encSchema)
-          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/__append__")
-        val conf = spark.sparkContext.hadoopConfiguration
-        val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
-        val oldVec = new org.apache.hadoop.fs.Path(s"$indexPath/vectors")
-        val dstVec = new org.apache.hadoop.fs.Path(s"$tmp/vectors")
-        require(org.apache.hadoop.fs.FileUtil.copy(
-          oldVec.getFileSystem(conf), oldVec, fs, dstVec, false, conf),
-          s"could not copy $oldVec into $tmp")
-        val appDir = new org.apache.hadoop.fs.Path(s"$tmp/__append__")
-        fs.listStatus(appDir).foreach { st =>
-          val nm = st.getPath.getName
-          if (nm.startsWith("part-"))
-            require(fs.rename(st.getPath,
-              new org.apache.hadoop.fs.Path(dstVec, s"append-$nm")),
-              s"could not move ${st.getPath} into $dstVec")
-        }
-        fs.delete(appDir, true)
+        copyVectorsWithAppend(spark, tmp, s"$indexPath/vectors",
+          spark.createDataFrame(encoded, encSchema))
         Seq(((oldN + newN).toInt, dim, nWords, thresholds,
             dimMin.toSeq, dimScale.toSeq, bitCut.toSeq))
           .toDF("n", "dim", "n_words", "thresholds", "dim_min", "dim_scale",
@@ -1113,6 +1086,294 @@ object Sink {
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
       }
     } finally bcG.destroy()
+  }
+
+  /** Id hygiene shared by every flat encode-only append: refuse
+    * duplicate ids within the batch and ids already present in the
+    * stored index (ids key an index — a silent double-insert would
+    * corrupt every downstream dedup/join on the serve results).
+    * Returns the batch size (the one `count()` the caps need).
+    */
+  private def requireFreshAppendIds(
+      narrow: DataFrame, storedVectorsDir: String, indexPath: String): Long = {
+    val spark = narrow.sparkSession
+    val dupIn = narrow.groupBy("id").count().filter(col("count") > 1)
+      .limit(1).collect()
+    require(dupIn.isEmpty,
+      s"duplicate id in append batch: ${dupIn.headOption.map(_.getLong(0)).getOrElse(-1L)}")
+    val storedIds = spark.read.parquet(storedVectorsDir).select(col("id"))
+    val clash = narrow.select("id").join(storedIds, Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} already " +
+        s"exists in the index at $indexPath")
+    narrow.count()
+  }
+
+  /** The shared tail of every flat encode-only append: old vectors
+    * COPY AS FILES (their bytes are already right — no decode, no
+    * re-encode, no shuffle), the encoded batch lands beside them as
+    * `append-part-*` files in `destDir/vectors`. `destDir` is inside
+    * an in-flight atomic publish, so a crash mid-copy leaves no torn
+    * state at any readable path.
+    */
+  private def copyVectorsWithAppend(
+      spark: SparkSession, destDir: String, srcVectorsDir: String,
+      appendDf: DataFrame): Unit = {
+    appendDf.write.mode(SaveMode.ErrorIfExists).parquet(s"$destDir/__append__")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(conf)
+    val oldVec = new org.apache.hadoop.fs.Path(srcVectorsDir)
+    val dstVec = new org.apache.hadoop.fs.Path(s"$destDir/vectors")
+    require(org.apache.hadoop.fs.FileUtil.copy(
+      oldVec.getFileSystem(conf), oldVec, fs, dstVec, false, conf),
+      s"could not copy $oldVec into $destDir")
+    val appDir = new org.apache.hadoop.fs.Path(s"$destDir/__append__")
+    fs.listStatus(appDir).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("part-"))
+        require(fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dstVec, s"append-$nm")),
+          s"could not move ${st.getPath} into $dstVec")
+    }
+    fs.delete(appDir, true)
+  }
+
+  /** APPEND new rows to a persisted flat SQ8 index — the
+    * [[appendBqIndex]] contract for the plain scalar-quantized rung:
+    * the per-dim grid is FROZEN (new rows encode against the stored
+    * bounds, outliers clamp to the grid edge), old vectors copy as
+    * files, the batch encodes scan-stage with pack positions
+    * continuing from the stored `n`, and the grown index publishes
+    * atomically at `outPath`. Duplicate ids (within the batch or vs
+    * the index) and dimension mismatches refuse by name. The result
+    * reads back through [[graft.sources.Source.readSq8Index]]
+    * byte-identical on old rows and encode-exact on new ones
+    * (SinkSpec pins both against the driver quantizer).
+    */
+  def appendSq8Index(
+      spark: SparkSession,
+      newRows: DataFrame,
+      idCol: String,
+      embCol: String,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean = false): Unit = {
+    import spark.implicits._
+    requireEmbColType(newRows, embCol)
+    val meta = spark.read.parquet(s"$indexPath/meta")
+      .select("n", "dim", "dim_min", "dim_scale").head()
+    val oldN = meta.getInt(0)
+    val dim = meta.getInt(1)
+    val dimMin = meta.getSeq[Float](2).toArray
+    val dimScale = meta.getSeq[Float](3).toArray
+    val narrow = newRows.select(
+      col(idCol).cast(LongType).as("id"), col(embCol).as("emb"))
+    val newN = requireFreshAppendIds(narrow, s"$indexPath/vectors", indexPath)
+    require(oldN + newN <= Int.MaxValue &&
+        (oldN + newN) * dim.toLong <= Int.MaxValue,
+      s"index would grow to ${oldN + newN} rows × $dim codes — past the " +
+        "JVM array cap; shard the corpus (buildSq8Sharded) instead")
+    val dd = dim
+    val bcG = spark.sparkContext.broadcast((dimMin, dimScale))
+    try {
+      publishAtomically(spark, outPath, overwrite) { tmp =>
+        val encoded = narrow.orderBy("id").rdd.zipWithIndex.mapPartitions { it =>
+          val (mn, sc) = bcG.value
+          it.map { case (row, i) =>
+            val v = embDoubles(row.getSeq[Any](1))
+            if (v.length != dd) throw new IllegalArgumentException(
+              s"Dimension mismatch: corpus rows have $dd and ${v.length} elements")
+            val codes = new Array[Byte](dd)
+            val sq = graft.operators.Similarity.sq8EncodeRow(
+              v, 0, dd, mn, sc, codes, 0)
+            Row(oldN + i.toInt, row.getLong(0), codes, math.sqrt(sq), sq)
+          }
+        }
+        val encSchema = StructType(Seq(
+          StructField("idx", IntegerType, nullable = false),
+          StructField("id", LongType, nullable = false),
+          StructField("code", BinaryType, nullable = false),
+          StructField("norm", DoubleType, nullable = false),
+          StructField("sq_norm", DoubleType, nullable = false)))
+        copyVectorsWithAppend(spark, tmp, s"$indexPath/vectors",
+          spark.createDataFrame(encoded, encSchema))
+        Seq(((oldN + newN).toInt, dim, dimMin.toSeq, dimScale.toSeq))
+          .toDF("n", "dim", "dim_min", "dim_scale")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+      }
+    } finally bcG.destroy()
+  }
+
+  /** The PQ append body written into an already-owned dir — shared by
+    * [[appendPqIndex]] (destDir = the publish tmp) and
+    * [[appendOpqIndex]] (destDir = `tmp/pq`, with the frozen learned
+    * rotation applied to each new row first, exactly where the build
+    * applies it: PQ codes, PQ norms, and the SQ8 rerank sidecar are
+    * all computed in ROTATED space, matching `quantizeOpq`'s
+    * `quantizePq(rotateIndex(...))` composition).
+    *
+    * The effective codebook count `k` matters: `quantizePq` trains
+    * `k = min(256, n)` centroids and leaves the rest of the 256-slot
+    * block zero — encoding a new row against an untrained zero
+    * centroid would silently corrupt its code. A build's meta doesn't
+    * record k, but its build-time `n` does (k = min(256, build n)),
+    * and every append REWRITES meta with the grown n — so the first
+    * append derives k from the stored build n and persists it as a
+    * trailing `pq_k` meta column (readers are positional over the
+    * first six columns, untouched); later appends read it back.
+    */
+  private def appendPqInto(
+      spark: SparkSession,
+      narrow: DataFrame,
+      newN: Long,
+      pqPath: String,
+      destDir: String,
+      rot: Option[Array[Double]]): Unit = {
+    import spark.implicits._
+    val metaDf = spark.read.parquet(s"$pqPath/meta")
+    val meta = metaDf.head()
+    val oldN = meta.getInt(0)
+    val dim = meta.getInt(1)
+    val m = meta.getInt(2)
+    val codebooks = meta.getSeq[Float](3).toArray
+    val sq8Min = if (meta.isNullAt(4)) None else Some(meta.getSeq[Float](4).toArray)
+    val sq8Scale = if (meta.isNullAt(5)) None else Some(meta.getSeq[Float](5).toArray)
+    val k =
+      if (metaDf.schema.fieldNames.contains("pq_k"))
+        meta.getInt(metaDf.schema.fieldIndex("pq_k"))
+      else math.max(1, math.min(256, oldN))
+    require(oldN + newN <= Int.MaxValue &&
+        (oldN + newN) * m.toLong <= Int.MaxValue &&
+        (sq8Min.isEmpty || (oldN + newN) * dim.toLong <= Int.MaxValue),
+      s"index would grow to ${oldN + newN} rows × $m codes / $dim rerank " +
+        "codes — past the JVM array cap; shard the corpus " +
+        "(buildIvfPqSharded) instead")
+    val dd = dim
+    val mm = m
+    val subv = dim / m
+    val kk = k
+    val bcE = spark.sparkContext.broadcast(
+      (codebooks, sq8Min.orNull, sq8Scale.orNull, rot.orNull))
+    try {
+      val encoded = narrow.orderBy("id").rdd.zipWithIndex.mapPartitions { it =>
+        val (cb, s8mn, s8sc, rt) = bcE.value
+        it.map { case (row, i) =>
+          val raw = embDoubles(row.getSeq[Any](1))
+          if (raw.length != dd) throw new IllegalArgumentException(
+            s"Dimension mismatch: corpus rows have $dd and ${raw.length} elements")
+          val v =
+            if (rt == null) raw
+            else {
+              val o = new Array[Double](dd)
+              graft.operators.Similarity.rotateRow(rt, raw, 0, dd, o, 0)
+              o
+            }
+          val pqc = new Array[Byte](mm)
+          graft.operators.Similarity.pqEncodeRow(
+            v, 0, dd, mm, subv, kk, cb, pqc, 0)
+          // PQ norms are EXACT (from the uncompressed row, f32-stored)
+          // while the sidecar's are the dequantized-grid values —
+          // quantizePq's exact split, replicated
+          var sq = 0.0
+          var d = 0
+          while (d < dd) { sq += v(d) * v(d); d += 1 }
+          if (s8mn != null) {
+            val c8 = new Array[Byte](dd)
+            val sq8 = graft.operators.Similarity.sq8EncodeRow(
+              v, 0, dd, s8mn, s8sc, c8, 0)
+            Row(oldN + i.toInt, row.getLong(0), pqc,
+              math.sqrt(sq).toFloat, sq.toFloat, c8, math.sqrt(sq8), sq8)
+          } else
+            Row(oldN + i.toInt, row.getLong(0), pqc,
+              math.sqrt(sq).toFloat, sq.toFloat, null, null, null)
+        }
+      }
+      val encSchema = StructType(Seq(
+        StructField("idx", IntegerType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("code", BinaryType, nullable = false),
+        StructField("norm", FloatType, nullable = false),
+        StructField("sq_norm", FloatType, nullable = false),
+        StructField("sq8_code", BinaryType, nullable = true),
+        StructField("sq8_norm", DoubleType, nullable = true),
+        StructField("sq8_sq_norm", DoubleType, nullable = true)))
+      copyVectorsWithAppend(spark, destDir, s"$pqPath/vectors",
+        spark.createDataFrame(encoded, encSchema))
+      Seq(((oldN + newN).toInt, dim, m, codebooks.toSeq,
+          sq8Min.map(_.toSeq), sq8Scale.map(_.toSeq), k))
+        .toDF("n", "dim", "m", "codebooks", "sq8_dim_min", "sq8_dim_scale",
+          "pq_k")
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$destDir/meta")
+    } finally bcE.destroy()
+  }
+
+  /** APPEND new rows to a persisted flat PQ index — the
+    * [[appendBqIndex]] contract for the product-quantized rung: the
+    * trained codebooks (and the SQ8 rerank grid, when the index
+    * carries one) are FROZEN, new rows encode to their nearest
+    * trained centroid per subspace with the build's own strict-`<`
+    * tie rule, old vectors copy as files, and the grown index
+    * publishes atomically at `outPath`. Codebooks are intentionally
+    * NOT re-trained: moving a centroid would change OLD rows'
+    * decode (a rebuild, not an append); re-train on a schedule.
+    * Reads back through [[graft.sources.Source.readPqIndex]].
+    */
+  def appendPqIndex(
+      spark: SparkSession,
+      newRows: DataFrame,
+      idCol: String,
+      embCol: String,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean = false): Unit = {
+    requireEmbColType(newRows, embCol)
+    val narrow = newRows.select(
+      col(idCol).cast(LongType).as("id"), col(embCol).as("emb"))
+    val newN = requireFreshAppendIds(narrow, s"$indexPath/vectors", indexPath)
+    publishAtomically(spark, outPath, overwrite) { tmp =>
+      appendPqInto(spark, narrow, newN, indexPath, tmp, None)
+    }
+  }
+
+  /** APPEND new rows to a persisted flat OPQ index — [[appendPqIndex]]
+    * with the index's learned rotation applied to each new row first
+    * (frozen like the codebooks: re-learning the rotation would
+    * re-align every OLD row's space — a rebuild). The rotation block
+    * copies through unchanged; the wrapped PQ payload grows by the
+    * encode-only contract. Reads back through
+    * [[graft.sources.Source.readOpqIndex]].
+    */
+  def appendOpqIndex(
+      spark: SparkSession,
+      newRows: DataFrame,
+      idCol: String,
+      embCol: String,
+      indexPath: String,
+      outPath: String,
+      overwrite: Boolean = false): Unit = {
+    requireEmbColType(newRows, embCol)
+    val rotMeta = spark.read.parquet(s"$indexPath/rot")
+      .select("dim", "rot").head()
+    val dim = rotMeta.getInt(0)
+    val rot = rotMeta.getSeq[Double](1).toArray
+    require(rot.length == dim.toLong * dim,
+      s"corrupt OPQ rotation: dim=$dim but ${rot.length} values")
+    val narrow = newRows.select(
+      col(idCol).cast(LongType).as("id"), col(embCol).as("emb"))
+    val newN =
+      requireFreshAppendIds(narrow, s"$indexPath/pq/vectors", indexPath)
+    publishAtomically(spark, outPath, overwrite) { tmp =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+      val srcRot = new org.apache.hadoop.fs.Path(s"$indexPath/rot")
+      require(org.apache.hadoop.fs.FileUtil.copy(
+        srcRot.getFileSystem(conf), srcRot, fs,
+        new org.apache.hadoop.fs.Path(s"$tmp/rot"), false, conf),
+        s"could not copy $srcRot into $tmp")
+      appendPqInto(spark, narrow, newN, s"$indexPath/pq", s"$tmp/pq",
+        Some(rot))
+    }
   }
 
   /** Persist an IVF+BQ index — centroids + CSR routing + the

@@ -1408,6 +1408,248 @@ class SinkSpec extends AnyFunSuite {
     assert(backLean.codes.sameElements(lean.codes))
   }
 
+  test("appendSq8Index: encode-only ingest on the frozen grid, old bytes untouched, refusals") {
+    import spark.implicits._
+    import graft.operators.{Metric, Similarity}
+    val rnd = new scala.util.Random(61)
+    val all = (0L until 300L).map(i => i -> Seq.fill(40)(rnd.nextGaussian()))
+    val evens = all.filter(_._1 % 2 == 0)
+    val odds = all.filter(_._1 % 2 != 0)
+    val base = Files.createTempDirectory("sink-sq8-append").toString
+    val built = Similarity.collectCorpusSq8(evens.toDF("id", "emb"), "id", "emb")
+    Sink.writeSq8Index(spark, built, s"$base/ix")
+    Sink.appendSq8Index(spark, odds.toDF("id", "emb"), "id", "emb",
+      s"$base/ix", s"$base/grown")
+    val grown = graft.sources.Source.readSq8Index(spark, s"$base/grown")
+    assert(grown.n == built.n + odds.size)
+    // the grid is frozen — an append must never move the bounds
+    assert(grown.dimMin.sameElements(built.dimMin))
+    assert(grown.dimScale.sameElements(built.dimScale))
+    // old rows byte-identical at their original pack positions
+    for (j <- 0 until built.n) {
+      assert(grown.ids(j) == built.ids(j))
+      for (d <- 0 until built.dim)
+        assert(grown.codes(j * grown.dim + d) == built.codes(j * built.dim + d))
+      assert(grown.norms(j) == built.norms(j))
+      assert(grown.sqNorms(j) == built.sqNorms(j))
+    }
+    // new rows: id-ascending after the old block, codes + dequantized
+    // norms = the driver quantizer against the FROZEN grid, exactly
+    val oddVecs = odds.toMap
+    assert((built.n until grown.n).map(grown.ids).toSeq == odds.map(_._1).sorted)
+    for (j <- built.n until grown.n) {
+      val v = oddVecs(grown.ids(j)).toArray
+      val expect = new Array[Byte](grown.dim)
+      val sq = Similarity.sq8EncodeRow(v, 0, grown.dim,
+        grown.dimMin, grown.dimScale, expect, 0)
+      for (d <- 0 until grown.dim)
+        assert(grown.codes(j * grown.dim + d) == expect(d), s"row $j dim $d")
+      assert(grown.sqNorms(j) == sq)
+      assert(grown.norms(j) == math.sqrt(sq))
+    }
+    // the grown index serves the whole corpus (grid trained on half —
+    // clamped outliers degrade gracefully)
+    val q = all.toDF("qid", "emb")
+    val cxAll = Similarity.collectCorpus(all.toDF("id", "emb"), "id", "emb")
+    val exact = Similarity.topkFlat(q, "emb", cxAll, 5, Metric.Cosine)
+      .select("qid", "index").as[(Long, Long)].collect().toSet
+    val got = Similarity.topkSq8Flat(q, "emb", grown, 5, Metric.Cosine)
+      .select("qid", "index").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"grown-index recall@5 = $recall%.4f")
+    assert(recall >= 0.8, s"recall $recall")
+    // refusals: dup within batch, clash with stored, dim mismatch
+    val dup = Seq(1000L -> Seq.fill(40)(0.1), 1000L -> Seq.fill(40)(0.2))
+      .toDF("id", "emb")
+    assert(intercept[IllegalArgumentException] {
+      Sink.appendSq8Index(spark, dup, "id", "emb", s"$base/grown", s"$base/x1")
+    }.getMessage.contains("duplicate id"))
+    val clash = Seq(1L -> Seq.fill(40)(0.1)).toDF("id", "emb")
+    assert(intercept[IllegalArgumentException] {
+      Sink.appendSq8Index(spark, clash, "id", "emb", s"$base/grown", s"$base/x2")
+    }.getMessage.contains("already exists"))
+    val ragged = Seq(2000L -> Seq.fill(8)(0.1)).toDF("id", "emb")
+    val e = intercept[Exception] {
+      Sink.appendSq8Index(spark, ragged, "id", "emb", s"$base/grown", s"$base/x3")
+    }
+    assert((e.getMessage != null && e.getMessage.contains("Dimension mismatch")) ||
+      (e.getCause != null && e.getCause.getMessage.contains("Dimension mismatch")))
+  }
+
+  test("appendPqIndex: frozen codebooks, effective k persists across appends, sidecar parity") {
+    import spark.implicits._
+    import graft.operators.{Metric, Similarity}
+    val rnd = new scala.util.Random(67)
+    val all = (0L until 300L).map(i => i -> Seq.fill(40)(rnd.nextGaussian()))
+    val evens = all.filter(_._1 % 2 == 0) // 150 rows → trained k = 150 < 256
+    val odds = all.filter(_._1 % 2 != 0)
+    val base = Files.createTempDirectory("sink-pq-append").toString
+    val built = Similarity.collectCorpusPq(evens.toDF("id", "emb"), "id", "emb", m = 8)
+    Sink.writePqIndex(spark, built, s"$base/ix")
+    Sink.appendPqIndex(spark, odds.toDF("id", "emb"), "id", "emb",
+      s"$base/ix", s"$base/grown")
+    val grown = graft.sources.Source.readPqIndex(spark, s"$base/grown")
+    assert(grown.n == built.n + odds.size)
+    assert(grown.codebooks.sameElements(built.codebooks))
+    assert(grown.sq8.get.dimMin.sameElements(built.sq8.get.dimMin))
+    assert(grown.sq8.get.dimScale.sameElements(built.sq8.get.dimScale))
+    // old rows byte-identical (PQ codes, f32 norms, SQ8 sidecar)
+    for (j <- 0 until built.n) {
+      assert(grown.ids(j) == built.ids(j))
+      for (s <- 0 until built.m)
+        assert(grown.codes(j * grown.m + s) == built.codes(j * built.m + s))
+      assert(grown.norms(j) == built.norms(j))
+      assert(grown.sqNorms(j) == built.sqNorms(j))
+      for (d <- 0 until built.dim)
+        assert(grown.sq8.get.codes(j * grown.dim + d) ==
+          built.sq8.get.codes(j * built.dim + d))
+      assert(grown.sq8.get.norms(j) == built.sq8.get.norms(j))
+    }
+    // the build trained k = min(256, 150) = 150 centroids; the grown
+    // meta's n is 300, so k is only recoverable because the append
+    // persisted it — assert the trailing pq_k column directly
+    val metaK = spark.read.parquet(s"$base/grown/meta")
+      .select("pq_k").head().getInt(0)
+    assert(metaK == math.min(256, built.n), s"pq_k $metaK")
+    // new rows: nearest TRAINED centroid per subspace (k=150 — a
+    // 256-slot scan would hit untrained zero centroids), norms from
+    // the raw row (f32), sidecar codes from the frozen grid
+    val oddVecs = odds.toMap
+    val sub = grown.dim / grown.m
+    for (j <- built.n until grown.n) {
+      val v = oddVecs(grown.ids(j)).toArray
+      val expect = new Array[Byte](grown.m)
+      Similarity.pqEncodeRow(v, 0, grown.dim, grown.m, sub,
+        math.min(256, built.n), grown.codebooks, expect, 0)
+      for (s <- 0 until grown.m)
+        assert(grown.codes(j * grown.m + s) == expect(s), s"row $j sub $s")
+      var sq = 0.0
+      for (d <- 0 until grown.dim) sq += v(d) * v(d)
+      assert(grown.sqNorms(j) == sq.toFloat)
+      assert(grown.norms(j) == math.sqrt(sq).toFloat)
+      val exp8 = new Array[Byte](grown.dim)
+      val sq8 = Similarity.sq8EncodeRow(v, 0, grown.dim,
+        grown.sq8.get.dimMin, grown.sq8.get.dimScale, exp8, 0)
+      for (d <- 0 until grown.dim)
+        assert(grown.sq8.get.codes(j * grown.dim + d) == exp8(d), s"row $j dim $d")
+      assert(grown.sq8.get.sqNorms(j) == sq8)
+    }
+    // a SECOND append must read pq_k back (min(256, grown 300) = 256
+    // would be wrong) and encode with the build's 150
+    val extra = (1000L until 1010L).map(i => i -> Seq.fill(40)(rnd.nextGaussian()))
+    Sink.appendPqIndex(spark, extra.toDF("id", "emb"), "id", "emb",
+      s"$base/grown", s"$base/grown2")
+    val grown2 = graft.sources.Source.readPqIndex(spark, s"$base/grown2")
+    assert(spark.read.parquet(s"$base/grown2/meta")
+      .select("pq_k").head().getInt(0) == math.min(256, built.n))
+    val extraVecs = extra.toMap
+    for (j <- grown.n until grown2.n) {
+      val v = extraVecs(grown2.ids(j)).toArray
+      val expect = new Array[Byte](grown2.m)
+      Similarity.pqEncodeRow(v, 0, grown2.dim, grown2.m, sub,
+        math.min(256, built.n), grown2.codebooks, expect, 0)
+      for (s <- 0 until grown2.m)
+        assert(grown2.codes(j * grown2.m + s) == expect(s), s"row $j sub $s")
+    }
+    // the grown index serves the whole corpus through the rerank path
+    val q = all.toDF("qid", "emb")
+    val cxAll = Similarity.collectCorpus(all.toDF("id", "emb"), "id", "emb")
+    val exact = Similarity.topkFlat(q, "emb", cxAll, 5, Metric.Cosine)
+      .select("qid", "index").as[(Long, Long)].collect().toSet
+    val got = Similarity.topkPqFlat(q, "emb", grown, 5, Metric.Cosine,
+        shortlist = 100)
+      .select("qid", "index").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"grown-index recall@5 = $recall%.4f")
+    assert(recall >= 0.7, s"recall $recall")
+    // a lean (no-rerank) index appends with the sidecar staying absent
+    val lean = built.copy(sq8 = None)
+    Sink.writePqIndex(spark, lean, s"$base/lean")
+    Sink.appendPqIndex(spark, odds.toDF("id", "emb"), "id", "emb",
+      s"$base/lean", s"$base/lean-grown")
+    val leanGrown = graft.sources.Source.readPqIndex(spark, s"$base/lean-grown")
+    assert(leanGrown.sq8.isEmpty && leanGrown.n == built.n + odds.size)
+    // refusals: dup within batch, clash with stored
+    val dup = Seq(5000L -> Seq.fill(40)(0.1), 5000L -> Seq.fill(40)(0.2))
+      .toDF("id", "emb")
+    assert(intercept[IllegalArgumentException] {
+      Sink.appendPqIndex(spark, dup, "id", "emb", s"$base/grown", s"$base/x1")
+    }.getMessage.contains("duplicate id"))
+    val clash = Seq(1L -> Seq.fill(40)(0.1)).toDF("id", "emb")
+    assert(intercept[IllegalArgumentException] {
+      Sink.appendPqIndex(spark, clash, "id", "emb", s"$base/grown", s"$base/x2")
+    }.getMessage.contains("already exists"))
+  }
+
+  test("appendOpqIndex: frozen rotation applied before the frozen codebooks, byte parity") {
+    import spark.implicits._
+    import graft.operators.{Metric, Similarity}
+    val rnd = new scala.util.Random(71)
+    val all = (0L until 300L).map(i => i -> Seq.fill(40)(rnd.nextGaussian()))
+    val evens = all.filter(_._1 % 2 == 0)
+    val odds = all.filter(_._1 % 2 != 0)
+    val base = Files.createTempDirectory("sink-opq-append").toString
+    val built = Similarity.collectCorpusOpq(evens.toDF("id", "emb"), "id", "emb", m = 8)
+    Sink.writeOpqIndex(spark, built, s"$base/ix")
+    Sink.appendOpqIndex(spark, odds.toDF("id", "emb"), "id", "emb",
+      s"$base/ix", s"$base/grown")
+    val grown = graft.sources.Source.readOpqIndex(spark, s"$base/grown")
+    assert(grown.n == built.n + odds.size)
+    // the learned rotation is frozen and copied through byte-for-byte
+    assert(grown.rot.sameElements(built.rot))
+    assert(grown.pq.codebooks.sameElements(built.pq.codebooks))
+    // old rows of the wrapped PQ payload byte-identical
+    for (j <- 0 until built.n) {
+      assert(grown.pq.ids(j) == built.pq.ids(j))
+      for (s <- 0 until built.pq.m)
+        assert(grown.pq.codes(j * grown.pq.m + s) == built.pq.codes(j * built.pq.m + s))
+      assert(grown.pq.norms(j) == built.pq.norms(j))
+      for (d <- 0 until built.dim)
+        assert(grown.pq.sq8.get.codes(j * grown.dim + d) ==
+          built.pq.sq8.get.codes(j * built.dim + d))
+    }
+    // new rows: ROTATE first (the build quantizes rotated data), then
+    // the PQ append arithmetic — codes, f32 norms, and sidecar all in
+    // rotated space
+    val oddVecs = odds.toMap
+    val sub = grown.dim / grown.pq.m
+    val k = math.min(256, built.n)
+    for (j <- built.n until grown.n) {
+      val raw = oddVecs(grown.pq.ids(j)).toArray
+      val v = new Array[Double](grown.dim)
+      Similarity.rotateRow(grown.rot, raw, 0, grown.dim, v, 0)
+      val expect = new Array[Byte](grown.pq.m)
+      Similarity.pqEncodeRow(v, 0, grown.dim, grown.pq.m, sub, k,
+        grown.pq.codebooks, expect, 0)
+      for (s <- 0 until grown.pq.m)
+        assert(grown.pq.codes(j * grown.pq.m + s) == expect(s), s"row $j sub $s")
+      var sq = 0.0
+      for (d <- 0 until grown.dim) sq += v(d) * v(d)
+      assert(grown.pq.sqNorms(j) == sq.toFloat)
+      val exp8 = new Array[Byte](grown.dim)
+      Similarity.sq8EncodeRow(v, 0, grown.dim,
+        grown.pq.sq8.get.dimMin, grown.pq.sq8.get.dimScale, exp8, 0)
+      for (d <- 0 until grown.dim)
+        assert(grown.pq.sq8.get.codes(j * grown.dim + d) == exp8(d), s"row $j dim $d")
+    }
+    // the grown index serves the whole corpus
+    val q = all.toDF("qid", "emb")
+    val cxAll = Similarity.collectCorpus(all.toDF("id", "emb"), "id", "emb")
+    val exact = Similarity.topkFlat(q, "emb", cxAll, 5, Metric.Cosine)
+      .select("qid", "index").as[(Long, Long)].collect().toSet
+    val got = Similarity.topkOpqFlat(q, "emb", grown, 5, Metric.Cosine,
+        shortlist = 100)
+      .select("qid", "index").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"grown-index recall@5 = $recall%.4f")
+    assert(recall >= 0.7, s"recall $recall")
+    // refusal: clash against the wrapped payload's stored ids
+    val clash = Seq(1L -> Seq.fill(40)(0.1)).toDF("id", "emb")
+    assert(intercept[IllegalArgumentException] {
+      Sink.appendOpqIndex(spark, clash, "id", "emb", s"$base/grown", s"$base/x1")
+    }.getMessage.contains("already exists"))
+  }
+
   test("writeZOrdered: a two-dimensional box filter touches fewer files than natural order") {
     import org.apache.spark.sql.functions._
     // 256×256 grid of (a, b) points, 64 files each layout
