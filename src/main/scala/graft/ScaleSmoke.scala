@@ -806,6 +806,150 @@ object ScaleSmoke {
       ()
     }
 
+    // IVF+BQ END-TO-END at the rung's own recommended scale (round-16
+    // verdict #3): the crossover probe measured the SCAN KERNELS at
+    // 10M/50M/100M rows per shard, but the recommendation ("IVF+BQ
+    // from ~50M rows/shard up") had never been driven through the
+    // REAL serve path — distributed collect-free build → persisted
+    // layout → wave paging (one shard resident at a time) → popcount
+    // + SQ8-rerank serve with all its job floors. This stage is that
+    // path, parameterized so three geometries tell the whole story:
+    //
+    //   - DOCS=9000000  DIM=256 SHARDS=16 — the round-15 collect
+    //     build's exact geometry: re-cuts the 10M build point through
+    //     writeBqShardedIndexDistributed (verdict #1's done
+    //     condition) and re-reads the flat-serve band.
+    //   - DOCS=100000000 DIM=128 SHARDS=8 — 12.5M rows/shard, near
+    //     the 128-dim PER-SHARD CAP: a shard's SQ8 envelope is one
+    //     JVM byte array, so rows/shard ≤ 2^31/dim ≈ 16.7M at 128
+    //     dims — at this dim the "50M rows/shard" regime is
+    //     UNREACHABLE by construction (the append caps refuse it by
+    //     name) and this point measures the routed-vs-flat question
+    //     inside the reachable band at 100M total rows.
+    //   - DOCS=100000000 DIM=40 SHARDS=2 — 50M rows/shard WITHIN the
+    //     cap (50M×40 = 2.0e9 < 2^31): the probe's recommended-scale
+    //     regime, end to end.
+    //
+    // Ground truth is the FLAT wave serve over the same persisted
+    // shards (both sides rerank identically on the shortlist, so the
+    // overlap isolates what routing loses — the probe's own
+    // methodology). Opt-in:
+    //   SPARK_GRAFT_SMOKE_IVFBQ_E2E_DOCS=100000000 \
+    //     SPARK_GRAFT_SMOKE_IVFBQ_E2E_DIM=40 \
+    //     SPARK_GRAFT_SMOKE_IVFBQ_E2E_SHARDS=2 SPARK_DRIVER_MEM=100g \
+    //     SPARK_GRAFT_SMOKE_EMB_ONLY=1 sbt "runMain graft.ScaleSmoke"
+    val ivfbqE2eDocs =
+      sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFBQ_E2E_DOCS", "0").toLong
+    if (ivfbqE2eDocs > 0 && stageFilter.forall("ivfbq e2e".contains)) {
+      val dim = sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFBQ_E2E_DIM", "128").toInt
+      val numShards =
+        sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFBQ_E2E_SHARDS", "8").toInt
+      val nCells =
+        sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFBQ_E2E_NCELLS", "256").toInt
+      val shortlist =
+        sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFBQ_E2E_SHORTLIST", "512").toInt
+      val nProbes = sys.env.getOrElse("SPARK_GRAFT_SMOKE_IVFBQ_E2E_NPROBES",
+        "16,4").split(",").map(_.trim.toInt).toSeq
+      require(ivfbqE2eDocs / numShards * dim.toLong < Int.MaxValue.toLong,
+        s"~${ivfbqE2eDocs / numShards} rows/shard × $dim dims exceeds the " +
+          "per-shard envelope cap (2^31 bytes) — raise SHARDS or drop DIM")
+      val nClusters = math.max(1L, ivfbqE2eDocs / 10L).toInt
+      // NOT persisted: at 100M×128 the f32 corpus is ~51 GB — the
+      // synth is deterministic hash math, so the distributed builder's
+      // multiple passes just recompute it (~seconds per pass on 32
+      // cores, cheaper than paging 51 GB through the block manager)
+      val corpus = synthEmbClustered(spark, ivfbqE2eDocs, dim, nClusters, 0.5, 0L)
+        .select(col("doc_id"), col("vec").cast("array<float>").as("vec"))
+      val root = java.nio.file.Files
+        .createTempDirectory("smoke-ivfbq-e2e").toString
+      val t0 = System.nanoTime()
+      graft.sources.Sink.writeBqShardedIndexDistributed(spark, corpus,
+        "doc_id", "vec", numShards, s"$root/bq")
+      println(f"ivfbq e2e: DISTRIBUTED bq build+persist ($ivfbqE2eDocs x " +
+        f"${dim}d, $numShards shards, collect-free): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val queries = synthEmbClustered(spark, 1000L, dim, nClusters, 0.5,
+          1000000000L)
+        .select(col("doc_id").as("qid"),
+          col("vec").cast("array<double>").as("vec")).cache()
+      queries.count()
+      val manifest = spark.read.parquet(s"$root/bq/manifest").head()
+      val nDirs = manifest.getInt(manifest.fieldIndex("num_shards"))
+      val hashModulus = manifest.getInt(manifest.fieldIndex("hash_modulus"))
+      val hashVals = manifest.getSeq[Long](manifest.fieldIndex("shard_hash_vals"))
+      def bqDir(i: Int) = f"$root/bq/shard_$i%04d"
+      val scratch = Similarity.resolveWaveScratch(isLocal = true, "")
+      // FLAT serve: wave paging off the persisted layout, ONE shard
+      // resident at a time — the bounded-memory path a 100 TB serve
+      // session runs, not an all-resident shortcut
+      System.gc(); Thread.sleep(2000); System.gc()
+      val t1 = System.nanoTime()
+      val flatRows = Similarity.topkBqWavesCore(queries, "qid", "vec",
+          (0 until nDirs).map(i => () =>
+            graft.sources.Source.readBqIndex(spark, bqDir(i))),
+          10, Metric.Cosine, shortlist, waveSize = 1, scratch,
+          Similarity.ShardedServeStats.default)
+        .select(col("qid"), col("index")).collect()
+      val flatSec = (System.nanoTime() - t1) / 1e9
+      val flat = flatRows.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      println(f"ivfbq e2e: FLAT wave serve (1k q, shortlist $shortlist/shard, " +
+        f"waveSize 1): $flatSec%.2f s")
+      // derive the ROUTED index from the SAME persisted envelopes —
+      // two paged passes (global integer column totals, then
+      // decode-from-envelope cell training per shard) — and persist
+      // it with the bq layout's own routing identity
+      val t2 = System.nanoTime()
+      val colSum = new Array[Long](dim)
+      var nTotal = 0L
+      for (i <- 0 until nDirs) {
+        val sx = graft.sources.Source.readBqIndex(spark, bqDir(i))
+        val cs = Similarity.bqColSums(sx.sq8)
+        var d = 0
+        while (d < dim) { colSum(d) += cs(d); d += 1 }
+        nTotal += sx.n
+      }
+      val ivfShards = (0 until nDirs).map { i =>
+        val sx = graft.sources.Source.readBqIndex(spark, bqDir(i))
+        Similarity.ivfBqFromSq8(sx.sq8, nCells, colSumGlobal = colSum,
+          nTotal = nTotal)
+      }
+      graft.sources.Sink.writeIvfBqShardedIndex(spark,
+        Similarity.ShardedIvfBqBuild(ivfShards, hashModulus,
+          hashVals.toIndexedSeq),
+        s"$root/ivfbq")
+      println(f"ivfbq e2e: ivf+bq derive+persist from the persisted envelopes " +
+        f"($nCells cells/shard): ${(System.nanoTime() - t2) / 1e9}%.2f s")
+      def ivfDir(i: Int) = f"$root/ivfbq/shard_$i%04d"
+      for (npr <- nProbes) {
+        System.gc(); Thread.sleep(2000); System.gc()
+        val t3 = System.nanoTime()
+        val gotRows = Similarity.topkIvfBqWavesCore(queries, "qid", "vec",
+            (0 until nDirs).map(i => () =>
+              graft.sources.Source.readIvfBqIndex(spark, ivfDir(i))),
+            10, npr, shortlist, waveSize = 1, scratch,
+            Similarity.ShardedServeStats.default)
+          .select(col("qid"), col("index")).collect()
+        val routedSec = (System.nanoTime() - t3) / 1e9
+        val got = gotRows.map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+        val hits = flat.map { case (q, ts) =>
+          (ts & got.getOrElse(q, Set.empty)).size }.sum
+        val nFlat = flat.map(_._2.size).sum
+        val r = hits.toDouble / nFlat
+        println(f"ivfbq e2e: ROUTED wave serve (1k q, nProbe $npr/$nCells, " +
+          f"shortlist $shortlist/shard, waveSize 1): $routedSec%.2f s " +
+          f"(${flatSec / routedSec}%.2fx vs flat); routing recall@10 = $r%.4f")
+        // the deepest probe must reproduce the flat serve closely —
+        // a routing regression craters this, clustering drift doesn't
+        if (npr == nProbes.max)
+          require(r >= 0.9, f"ivfbq e2e routing recall floor: $r%.4f < 0.9")
+      }
+      stagesRan += 1
+      queries.unpersist()
+      ()
+    }
+
     // IVF+PQ past the broadcast envelope (round-8 verdict #7): the 10M
     // ×256 composition point the blocked+SQ8 row already has. A 10M
     // f64 corpus is 20 GB — past the broadcast envelope AND past the
