@@ -5025,7 +5025,11 @@ object Similarity {
     val sortedDeny = if (deniedIds == null) null else sortedAllowed(deniedIds)
     val memParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     waves.zipWithIndex.foreach { case (wave, wi) =>
-      val sized = wave.map { load =>
+      // a wave's shards are ALL live at once by definition (the peak
+      // bound is the wave, not one shard), so loading them
+      // concurrently (guide §2.6 — independent read jobs overlap)
+      // changes wall time, never the memory bound
+      val sized = graft.sources.Par.shards(wave) { load =>
         val ix = load()
         ix -> org.apache.spark.util.SizeEstimator.estimate(ix)
       }

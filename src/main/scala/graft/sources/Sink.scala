@@ -461,7 +461,7 @@ object Sink {
         .toDF("num_shards", "total_n", "shard_key",
           "hash_modulus", "shard_hash_vals")
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
-      shards.zipWithIndex.foreach { case (sx, i) =>
+      Par.shards(shards.zipWithIndex) { case (sx, i) =>
         writeBqInto(spark, sx, f"$tmp/shard_$i%04d")
       }
     }
@@ -666,7 +666,7 @@ object Sink {
           .parquet(s"$tmp/__vectors__")
         val fs = new org.apache.hadoop.fs.Path(tmp)
           .getFileSystem(sc.hadoopConfiguration)
-        shardVals.zipWithIndex.foreach { case (s, i) =>
+        Par.shards(shardVals.zipWithIndex) { case (s, i) =>
           val shardDir = new org.apache.hadoop.fs.Path(f"$tmp/shard_$i%04d")
           require(fs.mkdirs(shardDir), s"could not create $shardDir")
           val src = new org.apache.hadoop.fs.Path(s"$tmp/__vectors__/shard_out=$i")
@@ -820,7 +820,8 @@ object Sink {
           .parquet(s"$tmp/__append__")
         val conf = sc.hadoopConfiguration
         val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
-        (0 until numShards).foreach { i =>
+        // per-shard copy/move/meta tails are independent — guide §2.6
+        Par.shards(0 until numShards) { i =>
           val shardDir = new org.apache.hadoop.fs.Path(f"$tmp/shard_$i%04d")
           require(fs.mkdirs(shardDir), s"could not create $shardDir")
           val oldVec = new org.apache.hadoop.fs.Path(f"$indexPath/shard_$i%04d/vectors")
@@ -916,14 +917,13 @@ object Sink {
         "tombstoned (double delete)")
     publishAtomically(spark, outPath, overwrite) { tmp =>
       val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
-      (Seq("manifest") ++ (0 until numShards).map(i => f"shard_$i%04d"))
-        .foreach { d =>
-          val src = new org.apache.hadoop.fs.Path(s"$indexPath/$d")
-          require(org.apache.hadoop.fs.FileUtil.copy(
-            src.getFileSystem(conf), src, fs,
-            new org.apache.hadoop.fs.Path(s"$tmp/$d"), false, conf),
-            s"could not copy $src")
-        }
+      Par.shards(Seq("manifest") ++ (0 until numShards).map(i => f"shard_$i%04d")) { d =>
+        val src = new org.apache.hadoop.fs.Path(s"$indexPath/$d")
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          src.getFileSystem(conf), src, fs,
+          new org.apache.hadoop.fs.Path(s"$tmp/$d"), false, conf),
+          s"could not copy $src")
+      }
       existing.unionAll(del).repartition(1)
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/tombstones")
     }
@@ -952,8 +952,10 @@ object Sink {
     val ts = spark.read.parquet(tsPath.toString).select(col("id"))
       .localCheckpoint(eager = true)
     publishAtomically(spark, outPath, overwrite) { tmp =>
-      var liveTotal = 0L
-      (0 until numShards).foreach { i =>
+      // per-shard compactions are independent (distinct source and
+      // destination dirs; the tombstone set is an eager checkpoint) —
+      // fanned out per guide §2.6 so the B small rewrite jobs overlap
+      val liveTotal = Par.shards(0 until numShards) { i =>
         val shardDir = f"shard_$i%04d"
         val kept = spark.read.parquet(s"$indexPath/$shardDir/vectors")
           .join(ts, Seq("id"), "left_anti")
@@ -964,11 +966,11 @@ object Sink {
         renumbered.write.mode(SaveMode.ErrorIfExists)
           .parquet(s"$tmp/$shardDir/vectors")
         val liveN = spark.read.parquet(s"$tmp/$shardDir/vectors").count()
-        liveTotal += liveN
         spark.read.parquet(s"$indexPath/$shardDir/meta")
           .withColumn("n", lit(liveN).cast(IntegerType))
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/$shardDir/meta")
-      }
+        liveN
+      }.sum
       manifestDf.withColumn("total_n", lit(liveTotal))
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
     }
@@ -1450,7 +1452,7 @@ object Sink {
         .toDF("num_shards", "total_n", "shard_key",
           "hash_modulus", "shard_hash_vals")
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
-      build.shards.zipWithIndex.foreach { case (sx, i) =>
+      Par.shards(build.shards.zipWithIndex) { case (sx, i) =>
         writeIvfBqInto(spark, sx, f"$tmp/shard_$i%04d")
       }
     }
@@ -1653,7 +1655,8 @@ object Sink {
           StructField("code", BinaryType, nullable = false),
           StructField("norm", DoubleType, nullable = false),
           StructField("sq_norm", DoubleType, nullable = false)))
-        (0 until numShards).foreach { i =>
+        // per-shard remap/copy/meta tails are independent — guide §2.6
+        Par.shards(0 until numShards) { i =>
           val m = metas(i)
           val shardDir = f"$tmp/shard_$i%04d"
           val part = new org.apache.hadoop.fs.Path(s"$tmp/__append__/shard_out=$i")
@@ -1792,7 +1795,7 @@ object Sink {
         .toDF("num_shards", "total_n", "shard_key",
           "hash_modulus", "shard_hash_vals")
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
-      compacted.zipWithIndex.foreach { case (sx, i) =>
+      Par.shards(compacted.zipWithIndex) { case (sx, i) =>
         writeIvfBqInto(spark, sx, f"$tmp/shard_$i%04d")
       }
     }
@@ -1985,7 +1988,7 @@ object Sink {
       .toDF("num_shards", "total_n", "shard_key",
         "hash_modulus", "shard_hash_vals")
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
-    shards.zipWithIndex.foreach { case (ix, i) =>
+    Par.shards(shards.zipWithIndex) { case (ix, i) =>
       writeIvfPqInto(spark, ix, f"$tmp/shard_$i%04d")
     }
   }
@@ -2380,7 +2383,7 @@ object Sink {
           .parquet(s"$tmp/__vectors__")
         val fs = new org.apache.hadoop.fs.Path(tmp)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        shardVals.zipWithIndex.foreach { case (s, i) =>
+        Par.shards(shardVals.zipWithIndex) { case (s, i) =>
           val mdl = finalModels(s)
           val shardDir = new org.apache.hadoop.fs.Path(f"$tmp/shard_$i%04d")
           require(fs.mkdirs(shardDir), s"could not create $shardDir")
@@ -2692,7 +2695,8 @@ object Sink {
           .parquet(s"$tmp/__append__")
         val conf = sc.hadoopConfiguration
         val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
-        (0 until numShards).foreach { i =>
+        // per-shard copy/move/meta tails are independent — guide §2.6
+        Par.shards(0 until numShards) { i =>
           val mdl = models(i.toLong)
           val shardDir = new org.apache.hadoop.fs.Path(f"$tmp/shard_$i%04d")
           require(fs.mkdirs(shardDir), s"could not create $shardDir")
@@ -2795,15 +2799,14 @@ object Sink {
       val rotDirs =
         if (graft.sources.Source.hasOpqRotation(spark, indexPath)) Seq("rot")
         else Seq.empty[String]
-      (Seq("manifest") ++ rotDirs ++
-          (0 until numShards).map(i => f"shard_$i%04d"))
-        .foreach { d =>
-          val src = new org.apache.hadoop.fs.Path(s"$indexPath/$d")
-          require(org.apache.hadoop.fs.FileUtil.copy(
-            src.getFileSystem(conf), src, fs,
-            new org.apache.hadoop.fs.Path(s"$tmp/$d"), false, conf),
-            s"could not copy $src")
-        }
+      Par.shards(Seq("manifest") ++ rotDirs ++
+          (0 until numShards).map(i => f"shard_$i%04d")) { d =>
+        val src = new org.apache.hadoop.fs.Path(s"$indexPath/$d")
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          src.getFileSystem(conf), src, fs,
+          new org.apache.hadoop.fs.Path(s"$tmp/$d"), false, conf),
+          s"could not copy $src")
+      }
       existing.unionAll(del).repartition(1)
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/tombstones")
     }
@@ -2836,8 +2839,8 @@ object Sink {
     val ts = spark.read.parquet(tsPath.toString).select(col("id"))
       .localCheckpoint(eager = true)
     publishAtomically(spark, outPath, overwrite) { tmp =>
-      var liveTotal = 0L
-      (0 until numShards).foreach { i =>
+      // independent per-shard rewrites fanned out per guide §2.6
+      val liveTotal = Par.shards(0 until numShards) { i =>
         val shardDir = f"shard_$i%04d"
         val kept = spark.read.parquet(s"$indexPath/$shardDir/vectors")
           .join(ts, Seq("id"), "left_anti")
@@ -2851,13 +2854,13 @@ object Sink {
         renumbered.write.mode(SaveMode.ErrorIfExists)
           .parquet(s"$tmp/$shardDir/vectors")
         val liveN = spark.read.parquet(s"$tmp/$shardDir/vectors").count()
-        liveTotal += liveN
         // meta rewritten by NAME so both build-written (8-col) and
         // append-written (9-col, k_pq) schemas survive unchanged
         spark.read.parquet(s"$indexPath/$shardDir/meta")
           .withColumn("n", lit(liveN).cast(IntegerType))
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/$shardDir/meta")
-      }
+        liveN
+      }.sum
       manifestDf.withColumn("total_n", lit(liveTotal))
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/manifest")
       // the compacted index keeps its geometry: carry rot/ forward

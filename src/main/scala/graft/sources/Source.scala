@@ -378,8 +378,9 @@ object Source {
     require(numShards >= 1, s"corrupt sharded index manifest: num_shards=$numShards")
     val hasBitCut = spark.read.parquet(s"$path/shard_0000/meta")
       .schema.fieldNames.contains("bit_cut")
-    val shards = (0 until numShards)
-      .map(i => readBqIndex(spark, f"$path/shard_$i%04d"))
+    // independent per-shard restores fanned out per guide §2.6
+    val shards = Par.shards(0 until numShards)(
+      i => readBqIndex(spark, f"$path/shard_$i%04d"))
     val n = shards.map(_.n.toLong).sum
     require(n == totalN,
       s"corrupt sharded index: manifest total_n=$totalN but shards hold $n rows")
@@ -450,8 +451,9 @@ object Source {
     require(numShards >= 1, s"corrupt sharded index manifest: num_shards=$numShards")
     val hasBitCut = spark.read.parquet(s"$path/shard_0000/meta")
       .schema.fieldNames.contains("bit_cut")
-    val shards = (0 until numShards)
-      .map(i => readIvfBqIndex(spark, f"$path/shard_$i%04d"))
+    // independent per-shard restores fanned out per guide §2.6
+    val shards = Par.shards(0 until numShards)(
+      i => readIvfBqIndex(spark, f"$path/shard_$i%04d"))
     val n = shards.map(_.n.toLong).sum
     require(n == totalN,
       s"corrupt sharded index: manifest total_n=$totalN but shards hold $n rows")
@@ -751,8 +753,9 @@ object Source {
     val numShards = meta.getInt(meta.fieldIndex("num_shards"))
     val totalN = meta.getLong(meta.fieldIndex("total_n"))
     require(numShards >= 1, s"corrupt sharded index manifest: num_shards=$numShards")
-    val shards = (0 until numShards)
-      .map(i => readIvfPqIndex(spark, f"$path/shard_$i%04d"))
+    // independent per-shard restores fanned out per guide §2.6
+    val shards = Par.shards(0 until numShards)(
+      i => readIvfPqIndex(spark, f"$path/shard_$i%04d"))
     val n = shards.map(_.n.toLong).sum
     require(n == totalN,
       s"corrupt sharded index: manifest total_n=$totalN but shards hold $n rows")
