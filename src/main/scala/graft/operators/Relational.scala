@@ -736,7 +736,16 @@ object Relational {
       .select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"))
       .distinct()
-    candLong.union(candShort).distinct()
+    // NO distinct over the union: the two branches are provably
+    // DISJOINT — every candLong pair has BOTH strings ≥ minLen (both
+    // sides come from `long`), while every candShort pair contains at
+    // least one string < minLen (one side always comes from `short`;
+    // the least/greatest swap reorders ids, never membership) — so no
+    // (id1, id2) can appear in both, and each branch is already
+    // internally distinct. The union-level distinct re-shuffled the
+    // ENTIRE candidate set (10M rows at the sf0.1 bench point for
+    // 19.5k verified pairs) to deduplicate nothing.
+    candLong.union(candShort)
   }
 
   /** FUZZY self-join (entity resolution): all pairs of rows whose

@@ -38,9 +38,76 @@ object GateProbe {
     gates.foreach {
       case "ivfpq_delete" => ivfpqDelete(spark, sfDir)
       case "bq_stream_waves" => bqStreamWaves(spark, sfDir)
+      case "fuzzy" => fuzzy(spark, sfDir)
+      case "fuzzy2" => fuzzy2(spark, sfDir)
+      case "cc" => cc(spark, sfDir)
       case g => println(s"[gate-phase] unknown gate: $g")
     }
     spark.stop()
+  }
+
+  private def fuzzy(s: SparkSession, dir: String): Unit = {
+    println("[gate-phase] == q_fuzzy_join phases ==")
+    val c = graft.Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("id"),
+        lower(col("c_name")).as("name"))
+    t("candidates only") {
+      graft.operators.Relational.fuzzyJoinCandidates(
+        c, "id", "name", maxDist = 1, q = 3, maxGramDf = 20000).count()
+    }
+    t("full pairs (cand + verify)") {
+      graft.operators.Relational.fuzzyJoinPairs(
+        c, "id", "name", maxDist = 1).count()
+    }
+  }
+
+  private def fuzzy2(s: SparkSession, dir: String): Unit = {
+    import graft.functions.TextFunctions.charShingles
+    println("[gate-phase] == fuzzy candidate volumetrics (maxDist=1, q=3) ==")
+    val (q, maxDist) = (3, 1)
+    val base = graft.Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("id"),
+        lower(col("c_name")).as("s"))
+      .withColumn("len", length(col("s")))
+    val minLen = q * (maxDist + 1)
+    val long = base.filter(col("len") >= minLen)
+    val sh = long.select(col("id"), explode(charShingles(col("s"), q)).as("g"))
+    println(s"[gate-phase] n=${base.count()} sh_rows=${sh.count()}")
+    val dfs = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("g").asc)
+    val prefix = sh.join(dfs, Seq("g"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= q * maxDist + 1)
+      .join(long.select(col("id"), col("len")), Seq("id"))
+      .select(col("id"), col("g"), col("len"))
+    println(s"[gate-phase] prefix_rows=${prefix.count()}")
+    val fanout = prefix.groupBy("g").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).head().getLong(0)
+    println(s"[gate-phase] prefix_selfjoin_fanout=$fanout")
+    val candPre = prefix.select(col("id").as("id1"), col("g"), col("len").as("l1"))
+      .join(prefix.select(col("id").as("id2"), col("g"), col("len").as("l2")), Seq("g"))
+      .filter(col("id1") < col("id2") && abs(col("l1") - col("l2")) <= maxDist)
+    println(s"[gate-phase] cand_rows_pre_distinct=${candPre.count()}")
+    println(s"[gate-phase] cand_rows_distinct=${candPre.select("id1", "id2").distinct().count()}")
+  }
+
+  private def cc(s: SparkSession, dir: String): Unit = {
+    println("[gate-phase] == dedup_clusters phases ==")
+    val docs = graft.Tables.documents(s, dir).filter(col("doc_id") < 500)
+    val pairs = t("ngram pairs (count)") {
+      val p = graft.operators.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.7)
+      p.count(); p
+    }
+    t("clusterPairs (min-label CC)") {
+      graft.operators.Dedup.clusterPairs(
+        docs.select("doc_id"), "doc_id", pairs).count()
+    }
+    t("clusterPairsStars") {
+      graft.operators.Dedup.clusterPairsStars(
+        docs.select("doc_id"), "doc_id", pairs).count()
+    }
   }
 
   private def ivfpqDelete(s: SparkSession, dir: String): Unit = {
