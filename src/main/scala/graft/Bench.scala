@@ -280,6 +280,11 @@ object Bench {
   private[graft] val trainOnceQueries: Set[String] = Set(
     "q_dsir_weights", "q_dsir_sample", "text_perplexity", "text_perplexity2",
     "text_bm25", "dedup_drop_best", "q_split_clusters",
+    // round 16: the stars row joined the memoized-pair convention
+    // (it prices the STARS algorithm; dedup_clusters still prices the
+    // live pairs→CC composition) and sorts FIRST of the three
+    // dropPairs500 consumers, so its rep 1 pays the pair derivation
+    "dedup_clusters_stars",
     "dedup_minhash_recall", "dedup_minhash_recall08",
     "dedup_incremental_recall",
     // shares bm25StatsCache with text_bm25 and sorts FIRST, so it is

@@ -592,11 +592,17 @@ object SparkEntry {
     }),
 
     // same clustering via alternating large-star/small-star — the
-    // diameter-independent 100 TB path; must equal the same oracle
+    // diameter-independent 100 TB path; must equal the same oracle.
+    // Takes the MEMOIZED pair set (the dedup_drop_best convention,
+    // round-14 verdict #5 family): this row exists to price the STARS
+    // algorithm against the min-label row, and `dedup_clusters`
+    // already prices the same pairs→CC composition end to end — a
+    // second live derivation of the identical deterministic pair set
+    // measured scaffolding, not the operator (round 16).
     "dedup_clusters_stars" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       Dedup.clusterPairsStars(docs.select("doc_id"), "doc_id",
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7))
+        dropPairs500(s, dir))
     }),
 
     // the end-to-end "dedupe this corpus" composition: pairs →

@@ -63,8 +63,9 @@ object GateProbe {
 
   private def fuzzy2(s: SparkSession, dir: String): Unit = {
     import graft.functions.TextFunctions.charShingles
-    println("[gate-phase] == fuzzy candidate volumetrics (maxDist=1, q=3) ==")
-    val (q, maxDist) = (3, 1)
+    val q = sys.env.getOrElse("FUZZY_Q", "3").toInt
+    val maxDist = 1
+    println(s"[gate-phase] == fuzzy candidate volumetrics (maxDist=1, q=$q) ==")
     val base = graft.Tables.customer(s, dir)
       .select(col("c_custkey").cast("long").as("id"),
         lower(col("c_name")).as("s"))
