@@ -739,7 +739,8 @@ object Sink {
     val dimMin = m0.getSeq[Float](4).toArray
     val dimScale = m0.getSeq[Float](5).toArray
     val bitCut = m0.getSeq[Int](6).toArray
-    val oldN: Map[Int, Int] = (0 until numShards).map { i =>
+    // independent per-shard meta reads fanned out per guide §2.6
+    val oldN: Map[Int, Int] = Par.shards(0 until numShards) { i =>
       val m = metaOf(i)
       require(m.getSeq[Int](6) == m0.getSeq[Int](6) &&
         m.getSeq[Double](3) == m0.getSeq[Double](3),
@@ -1545,7 +1546,9 @@ object Sink {
         m.getSeq[Int](6).toArray, m.getSeq[Float](7).toArray,
         m.getSeq[Float](8).toArray, m.getSeq[Int](9).toArray)
     }
-    val metas: Map[Int, ShardMeta] = (0 until numShards).map(i => i -> metaOf(i)).toMap
+    // independent per-shard meta reads fanned out per guide §2.6
+    val metas: Map[Int, ShardMeta] =
+      Par.shards(0 until numShards)(i => i -> metaOf(i)).toMap
     val m0 = metas(0)
     val dim = m0.dim
     val nWords = m0.nWords
@@ -2233,8 +2236,12 @@ object Sink {
     val sub = dim / m
 
     // train per shard on the driver — sample-bounded work, through the
-    // SAME loops the collect-based build runs
-    val models: Map[Long, IvfPqShardModel] = shardVals.map { s =>
+    // SAME loops the collect-based build runs. Shard trainings are
+    // independent pure computations over the shared read-only sample
+    // map, so they fan out like the collect build's concurrent shard
+    // builds (round-9 verdict #1; per-shard results are bit-identical
+    // regardless of scheduling)
+    val models: Map[Long, IvfPqShardModel] = Par.shards(shardVals) { s =>
       val n = counts(s).toInt
       val k = kOf(s)
       val ids1 = sampleIds(s, step1(s)); val sn1 = ids1.length
@@ -2620,7 +2627,8 @@ object Sink {
         (0L until hashModulus.toLong)
           .map(h => h -> built.getOrElse(h, (h % numShards).toInt)).toMap
       } else (0L until hashModulus.toLong).map(h => h -> h.toInt).toMap
-    val models: Map[Long, IvfPqShardModel] = (0 until numShards).map { i =>
+    // independent per-shard model reads fanned out per guide §2.6
+    val models: Map[Long, IvfPqShardModel] = Par.shards(0 until numShards) { i =>
       i.toLong -> readShardModel(spark, f"$indexPath/shard_$i%04d")
     }.toMap
     // dim falls out of each shard's centroid block; m does not
