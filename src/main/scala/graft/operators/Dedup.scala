@@ -522,9 +522,16 @@ object Dedup {
   def clusterPairs(ids: DataFrame, idCol: String, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // materialize the (usually expensive) pair graph once, and
     // truncate label lineage each round — otherwise round i replays
-    // every previous round's join on top of the pair generation
+    // every previous round's join on top of the pair generation.
+    // PRE-PARTITIONED on the loop's join key (id2): the checkpoint
+    // preserves its partitioning, so every round's edges⋈labels join
+    // reuses this one exchange instead of re-shuffling the (biggest)
+    // edge side per round — guide §2.4, two operations keyed the same
+    // way share one exchange; labels already arrive partitioned by id
+    // from the previous round's groupBy
     val edges = pairs.select(col("id1"), col("id2"))
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .repartition(col("id2"))
       .localCheckpoint()
     // SEEDED at the one-hop neighborhood minimum: round 1 of the loop
     // would compute exactly min(self, direct neighbors) from identity
