@@ -898,23 +898,33 @@ object Sink {
     val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
     val del = deleteIds.select(col(idCol).cast(LongType).as("id"))
       .na.drop().distinct()
-    require(del.limit(1).collect().nonEmpty, "empty delete set")
     val storedIds = spark.read.parquet(
       (0 until numShards).map(i => f"$indexPath/shard_$i%04d/vectors"): _*)
       .select(col("id"))
-    val unknown = del.join(storedIds, Seq("id"), "left_anti").limit(1).collect()
-    require(unknown.isEmpty,
-      s"cannot delete id ${unknown.headOption.map(_.getLong(0)).getOrElse(-1L)}: " +
-        s"not stored in the index at $indexPath")
     val conf = spark.sparkContext.hadoopConfiguration
     val tsPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
     val hadTs = tsPath.getFileSystem(conf).exists(tsPath)
     val existing =
       if (hadTs) spark.read.parquet(tsPath.toString).select(col("id"))
       else spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
-    val dbl = del.join(existing, Seq("id"), "left_semi").limit(1).collect()
-    require(dbl.isEmpty,
-      s"id ${dbl.headOption.map(_.getLong(0)).getOrElse(-1L)} is already " +
+    // ONE validation job for all three refusal contracts (empty set /
+    // unknown id / double delete) — they were three sequential
+    // actions, each re-scanning the delete set; stored and tombstone
+    // ids are unique by the index contract, so the left joins
+    // preserve the delete-set cardinality exactly
+    val chk = del
+      .join(storedIds.withColumn("__stored", lit(1)), Seq("id"), "left")
+      .join(existing.withColumn("__ts", lit(1)), Seq("id"), "left")
+      .agg(count(lit(1)).as("n"),
+        min(when(col("__stored").isNull, col("id"))).as("unknown"),
+        min(when(col("__ts").isNotNull, col("id"))).as("dbl"))
+      .head()
+    require(chk.getLong(0) > 0L, "empty delete set")
+    require(chk.isNullAt(1),
+      s"cannot delete id ${chk.getLong(1)}: " +
+        s"not stored in the index at $indexPath")
+    require(chk.isNullAt(2),
+      s"id ${chk.getLong(2)} is already " +
         "tombstoned (double delete)")
     publishAtomically(spark, outPath, overwrite) { tmp =>
       val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
@@ -2784,23 +2794,33 @@ object Sink {
     val numShards = manifest.getInt(manifest.fieldIndex("num_shards"))
     val del = deleteIds.select(col(idCol).cast(LongType).as("id"))
       .na.drop().distinct()
-    require(del.limit(1).collect().nonEmpty, "empty delete set")
     val storedIds = spark.read.parquet(
       (0 until numShards).map(i => f"$indexPath/shard_$i%04d/vectors"): _*)
       .select(col("id"))
-    val unknown = del.join(storedIds, Seq("id"), "left_anti").limit(1).collect()
-    require(unknown.isEmpty,
-      s"cannot delete id ${unknown.headOption.map(_.getLong(0)).getOrElse(-1L)}: " +
-        s"not stored in the index at $indexPath")
     val conf = spark.sparkContext.hadoopConfiguration
     val tsPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
     val hadTs = tsPath.getFileSystem(conf).exists(tsPath)
     val existing =
       if (hadTs) spark.read.parquet(tsPath.toString).select(col("id"))
       else spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
-    val dbl = del.join(existing, Seq("id"), "left_semi").limit(1).collect()
-    require(dbl.isEmpty,
-      s"id ${dbl.headOption.map(_.getLong(0)).getOrElse(-1L)} is already " +
+    // ONE validation job for all three refusal contracts (empty set /
+    // unknown id / double delete) — they were three sequential
+    // actions, each re-scanning the delete set; stored and tombstone
+    // ids are unique by the index contract, so the left joins
+    // preserve the delete-set cardinality exactly
+    val chk = del
+      .join(storedIds.withColumn("__stored", lit(1)), Seq("id"), "left")
+      .join(existing.withColumn("__ts", lit(1)), Seq("id"), "left")
+      .agg(count(lit(1)).as("n"),
+        min(when(col("__stored").isNull, col("id"))).as("unknown"),
+        min(when(col("__ts").isNotNull, col("id"))).as("dbl"))
+      .head()
+    require(chk.getLong(0) > 0L, "empty delete set")
+    require(chk.isNullAt(1),
+      s"cannot delete id ${chk.getLong(1)}: " +
+        s"not stored in the index at $indexPath")
+    require(chk.isNullAt(2),
+      s"id ${chk.getLong(2)} is already " +
         "tombstoned (double delete)")
     publishAtomically(spark, outPath, overwrite) { tmp =>
       val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
