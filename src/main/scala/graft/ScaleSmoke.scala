@@ -950,6 +950,50 @@ object ScaleSmoke {
       ()
     }
 
+    // Sharded-compact scale leg (round-17, verdict #1's done
+    // condition): compaction renumbers each shard's live pack
+    // positions — previously through a single-partition global-orderBy
+    // window (the whole shard through ONE task regardless of cores),
+    // now a map-only dropped-offset renumber (zero shuffle). sf0.1 is
+    // job-floor bound, so the phase's core scaling is only measurable
+    // at a 10M+ point; this stage isolates build / tombstone / compact
+    // walls. Opt-in:
+    //   SPARK_GRAFT_SMOKE_COMPACT_DOCS=10000000 SPARK_DRIVER_MEM=32g \
+    //     SPARK_GRAFT_SMOKE_EMB_ONLY=1 sbt "runMain graft.ScaleSmoke"
+    val compactDocs =
+      sys.env.getOrElse("SPARK_GRAFT_SMOKE_COMPACT_DOCS", "0").toLong
+    if (compactDocs > 0 && stageFilter.forall("sharded compact".contains)) {
+      val dim = sys.env.getOrElse("SPARK_GRAFT_SMOKE_COMPACT_DIM", "128").toInt
+      val numShards =
+        sys.env.getOrElse("SPARK_GRAFT_SMOKE_COMPACT_SHARDS", "4").toInt
+      val nClusters = math.max(1L, compactDocs / 10L).toInt
+      val corpus = synthEmbClustered(spark, compactDocs, dim, nClusters, 0.5, 0L)
+        .select(col("doc_id"), col("vec").cast("array<float>").as("vec"))
+      val root = java.nio.file.Files
+        .createTempDirectory("smoke-compact").toString
+      val tb = System.nanoTime()
+      graft.sources.Sink.writeBqShardedIndexDistributed(spark, corpus,
+        "doc_id", "vec", numShards, s"$root/bq")
+      println(f"sharded compact: distributed bq build+persist ($compactDocs x " +
+        f"${dim}d, $numShards shards): ${(System.nanoTime() - tb) / 1e9}%.2f s")
+      val td = System.nanoTime()
+      graft.sources.Sink.deleteFromBqShardedIndex(spark,
+        corpus.select("doc_id").filter(col("doc_id") % 10 === 0), "doc_id",
+        s"$root/bq", s"$root/del")
+      println(f"sharded compact: tombstone 10%% of ids: " +
+        f"${(System.nanoTime() - td) / 1e9}%.2f s")
+      System.gc(); Thread.sleep(2000); System.gc()
+      val tc = System.nanoTime()
+      graft.sources.Sink.compactBqShardedIndex(spark, s"$root/del", s"$root/comp")
+      println(f"sharded compact: COMPACT (drop 10%%, renumber, republish): " +
+        f"${(System.nanoTime() - tc) / 1e9}%.2f s")
+      val live = spark.read.parquet(s"$root/comp/manifest").head()
+      println(s"sharded compact: live total_n=" +
+        s"${live.get(live.fieldIndex("total_n"))}")
+      stagesRan += 1
+      ()
+    }
+
     // IVF+PQ past the broadcast envelope (round-8 verdict #7): the 10M
     // ×256 composition point the blocked+SQ8 row already has. A 10M
     // f64 corpus is 20 GB — past the broadcast envelope AND past the

@@ -30,7 +30,18 @@ private[graft] object Par {
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(fs),
           scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
+      } finally {
+        // drain in-flight tasks BEFORE propagating a failure:
+        // Future.sequence throws on the first failed task while
+        // others still run, and a caller's cleanup (e.g.
+        // publishAtomically's tmp-dir delete) must not race them —
+        // a still-running shard write could recreate the deleted
+        // dir. shutdown() alone is non-blocking; await termination
+        // so the scaladoc's drain claim holds on the failure path.
+        pool.shutdown()
+        pool.awaitTermination(Long.MaxValue, java.util.concurrent.TimeUnit.NANOSECONDS)
+        ()
+      }
     }
   }
 }

@@ -968,14 +968,32 @@ object Sink {
       // fanned out per guide §2.6 so the B small rewrite jobs overlap
       val liveTotal = Par.shards(0 until numShards) { i =>
         val shardDir = f"shard_$i%04d"
-        val kept = spark.read.parquet(s"$indexPath/$shardDir/vectors")
-          .join(ts, Seq("id"), "left_anti")
-        val renumbered = kept
-          .withColumn("idx",
-            (row_number().over(Window.orderBy(col("idx"))) - 1)
-              .cast(IntegerType))
+        val vecs = spark.read.parquet(s"$indexPath/$shardDir/vectors")
+        // pack positions are contiguous 0..n-1 per shard, so a kept
+        // row's new position is its old one minus the count of
+        // dropped positions below it — a MAP-ONLY renumber (zero
+        // shuffle; the previous global-orderBy window funneled the
+        // whole shard through one task, guide §2). The dropped set
+        // is bounded by the tombstone batch, read off a two-column
+        // pruned scan.
+        val dropped = vecs.select("id", "idx")
+          .join(ts, Seq("id"), "left_semi")
+          .select("idx").collect().map(_.getInt(0)).sorted
+        val bcDropped = spark.sparkContext.broadcast(dropped)
+        val newIdx = udf { (p: Int) =>
+          val d = bcDropped.value
+          var lo = 0; var hi = d.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (d(mid) < p) lo = mid + 1 else hi = mid
+          }
+          p - lo
+        }.asNonNullable()
+        val renumbered = vecs.join(ts, Seq("id"), "left_anti")
+          .withColumn("idx", newIdx(col("idx")))
         renumbered.write.mode(SaveMode.ErrorIfExists)
           .parquet(s"$tmp/$shardDir/vectors")
+        bcDropped.destroy()
         val liveN = spark.read.parquet(s"$tmp/$shardDir/vectors").count()
         spark.read.parquet(s"$indexPath/$shardDir/meta")
           .withColumn("n", lit(liveN).cast(IntegerType))
@@ -1727,15 +1745,26 @@ object Sink {
               // order; slot lands at the END of the cell's new bracket
               val endPlusCum: Map[Int, Int] = (0 until m.nCells)
                 .map(cc => cc -> (m.cellStart(cc + 1) + cumIns(cc))).toMap
-              val wId = Window.orderBy("id")
               val wCell = Window.partitionBy("cell").orderBy("id")
-              val newMembers = batch
-                .withColumn("row",
-                  (lit(m.n) + row_number().over(wId) - 1).cast(IntegerType))
+              // dense corpus row numbers via a distributed sort +
+              // zipWithIndex (the flat appends' idiom) — the previous
+              // global-orderBy window funneled the whole batch
+              // through one task (guide §2); ids are unique (enforced
+              // above) so the range sort is a total, deterministic
+              // order
+              val slotted = batch
                 .withColumn("slot",
                   (element_at(typedLit(endPlusCum), col("cell")) +
                     row_number().over(wCell) - 1).cast(IntegerType))
-                .select(vecCols.map(col): _*)
+                .select(col("slot"), col("id"), col("words"), col("code"),
+                  col("norm"), col("sq_norm"))
+                .orderBy("id")
+              val baseN = m.n
+              val newRdd = slotted.rdd.zipWithIndex.map { case (r, j) =>
+                Row(r.getInt(0), (baseN + j).toInt, r.getLong(1),
+                  r.getSeq[Long](2), r.get(3), r.getDouble(4), r.getDouble(5))
+              }
+              val newMembers = spark.createDataFrame(newRdd, vecSchema)
               remappedOld.unionAll(newMembers)
                 .write.mode(SaveMode.ErrorIfExists).parquet(s"$shardDir/vectors")
             } finally bcRemap.destroy()
@@ -2870,17 +2899,31 @@ object Sink {
       // independent per-shard rewrites fanned out per guide §2.6
       val liveTotal = Par.shards(0 until numShards) { i =>
         val shardDir = f"shard_$i%04d"
-        val kept = spark.read.parquet(s"$indexPath/$shardDir/vectors")
-          .join(ts, Seq("id"), "left_anti")
-        // renumber pack positions contiguously in original order; a
-        // shard is broadcast-sized by contract, so the single-shard
-        // window is bounded by what serving already holds in memory
-        val renumbered = kept
-          .withColumn("idx",
-            (row_number().over(Window.orderBy(col("idx"))) - 1)
-              .cast(IntegerType))
+        val vecs = spark.read.parquet(s"$indexPath/$shardDir/vectors")
+        // renumber pack positions contiguously in original order:
+        // positions are 0..n-1 per shard, so a kept row's new
+        // position is its old one minus the dropped positions below
+        // it — a MAP-ONLY renumber (zero shuffle; the previous
+        // global-orderBy window funneled the whole shard through one
+        // task, guide §2). Dropped set bounded by the tombstone batch.
+        val dropped = vecs.select("id", "idx")
+          .join(ts, Seq("id"), "left_semi")
+          .select("idx").collect().map(_.getInt(0)).sorted
+        val bcDropped = spark.sparkContext.broadcast(dropped)
+        val newIdx = udf { (p: Int) =>
+          val d = bcDropped.value
+          var lo = 0; var hi = d.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (d(mid) < p) lo = mid + 1 else hi = mid
+          }
+          p - lo
+        }.asNonNullable()
+        val renumbered = vecs.join(ts, Seq("id"), "left_anti")
+          .withColumn("idx", newIdx(col("idx")))
         renumbered.write.mode(SaveMode.ErrorIfExists)
           .parquet(s"$tmp/$shardDir/vectors")
+        bcDropped.destroy()
         val liveN = spark.read.parquet(s"$tmp/$shardDir/vectors").count()
         // meta rewritten by NAME so both build-written (8-col) and
         // append-written (9-col, k_pq) schemas survive unchanged
