@@ -523,15 +523,17 @@ object Dedup {
     // materialize the (usually expensive) pair graph once, and
     // truncate label lineage each round — otherwise round i replays
     // every previous round's join on top of the pair generation.
-    // PRE-PARTITIONED on the loop's join key (id2): the checkpoint
-    // preserves its partitioning, so every round's edges⋈labels join
-    // reuses this one exchange instead of re-shuffling the (biggest)
-    // edge side per round — guide §2.4, two operations keyed the same
-    // way share one exchange; labels already arrive partitioned by id
-    // from the previous round's groupBy
+    // NOT pre-partitioned on the join key: a round-16 attempt added
+    // `repartition(col("id2"))` here hoping every round's
+    // edges⋈labels join would reuse that one exchange, but the
+    // checkpoint surfaces to the optimizer as a plain
+    // `Scan ExistingRDD … UnknownPartitioning(0)` under AQE
+    // (plans/r17/cc_round2_plan_probe.txt: round-2's final plan
+    // re-exchanges the edge side either way), so the repartition was
+    // a pure extra full shuffle of the loop's biggest frame —
+    // reverted, round-17.
     val edges = pairs.select(col("id1"), col("id2"))
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .repartition(col("id2"))
       .localCheckpoint()
     // SEEDED at the one-hop neighborhood minimum: round 1 of the loop
     // would compute exactly min(self, direct neighbors) from identity
