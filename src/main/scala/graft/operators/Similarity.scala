@@ -1831,12 +1831,14 @@ object Similarity {
       allowedIds: Array[Long] = null,
       deniedIds: Array[Long] = null): DataFrame = {
     require(shards.nonEmpty, "Empty shard list")
+    val memParts =
+      memoryPartialsDefault(queries.sparkSession, memoryPartials, scratchDir)
     topkBqWavesCore(queries, qIdCol, embCol, shards.map(sx => () => sx),
       k, metric, shortlist, waveSize,
-      if (memoryPartials) ""
+      if (memParts) ""
       else resolveWaveScratch(queries.sparkSession.sparkContext.isLocal,
         scratchDir),
-      meter, memoryPartials, allowedIds, deniedIds)
+      meter, memParts, allowedIds, deniedIds)
   }
 
   /** The BQ wave loop over shard PROVIDERS — the
@@ -2521,12 +2523,14 @@ object Similarity {
       allowedIds: Array[Long] = null,
       deniedIds: Array[Long] = null): DataFrame = {
     require(shards.nonEmpty, "Empty shard list")
+    val memParts =
+      memoryPartialsDefault(queries.sparkSession, memoryPartials, scratchDir)
     topkIvfBqWavesCore(queries, qIdCol, embCol, shards.map(sx => () => sx),
       k, nProbe, shortlist, waveSize,
-      if (memoryPartials) ""
+      if (memParts) ""
       else resolveWaveScratch(queries.sparkSession.sparkContext.isLocal,
         scratchDir),
-      meter, memoryPartials, allowedIds, deniedIds)
+      meter, memParts, allowedIds, deniedIds)
   }
 
   /** The IVF+BQ wave loop over shard PROVIDERS (the
@@ -4872,11 +4876,13 @@ object Similarity {
       allowedIds: Array[Long] = null,
       deniedIds: Array[Long] = null): DataFrame = {
     require(shards.nonEmpty, "Empty shard list")
+    val memParts =
+      memoryPartialsDefault(queries.sparkSession, memoryPartials, scratchDir)
     topkIvfPqWavesCore(queries, embCol, qIdCol, shards.map(ix => () => ix),
       k, nProbe, shortlist, waveSize,
-      if (memoryPartials) ""
+      if (memParts) ""
       else resolveWaveScratch(queries.sparkSession.sparkContext.isLocal, scratchDir),
-      meter, memoryPartials, allowedIds, deniedIds)
+      meter, memParts, allowedIds, deniedIds)
   }
 
   /** Scratch-dir policy for the wave server (see
@@ -4885,6 +4891,23 @@ object Similarity {
     * because a driver-local path is not a shared filesystem there.
     * Factored pure so the refusal is unit-testable without a cluster.
     */
+  /** Default partial-persistence policy for the wave serves: an
+    * explicit `memoryPartials = true` always wins; otherwise a
+    * DEFAULT-scratch caller in LOCAL mode gets the in-memory partial
+    * path too — the one-process block manager is exactly as durable
+    * as the driver-local temp dir the default scratch would resolve
+    * to, and it skips a parquet write+read per wave (the overhead the
+    * round-12/13 A/B isolated). An explicit `scratchDir` pins the
+    * durable parquet path — the cluster contract — and is never
+    * overridden. (round-17, guide §1.2/§2.4: same bytes decided, two
+    * fewer materialization round-trips per wave.)
+    */
+  private[graft] def memoryPartialsDefault(
+      spark: org.apache.spark.sql.SparkSession,
+      memoryPartials: Boolean,
+      scratchDir: String): Boolean =
+    memoryPartials || (scratchDir.isEmpty && spark.sparkContext.isLocal)
+
   private[graft] def resolveWaveScratch(isLocal: Boolean, scratchDir: String): String =
     if (scratchDir.nonEmpty) scratchDir
     else {
@@ -4979,12 +5002,13 @@ object Similarity {
       deniedIds: Array[Long] = null): DataFrame = {
     require(shards.nonEmpty, "Empty shard list")
     val spark = queries.sparkSession
+    val memParts = memoryPartialsDefault(spark, memoryPartials, scratchDir)
     val rotBc = spark.sparkContext.broadcast(rot)
     try topkIvfPqWavesCore(queries, embCol, qIdCol,
       shards.map(ix => () => ix), k, nProbe, shortlist, waveSize,
-      if (memoryPartials) ""
+      if (memParts) ""
       else resolveWaveScratch(spark.sparkContext.isLocal, scratchDir),
-      meter, memoryPartials, allowedIds, deniedIds, rotBc)
+      meter, memParts, allowedIds, deniedIds, rotBc)
     finally rotBc.destroy()
   }
 

@@ -472,7 +472,15 @@ object EventStream {
     require(waveSize >= 1, s"waveSize must be >= 1, got $waveSize")
     require(residentShards >= -1,
       s"residentShards must be >= 0, or -1 for budget-priced auto, got $residentShards")
-    val scratchRoot =
+    // default-scratch local-mode serves keep per-wave partials as
+    // eager localCheckpoints instead of parquet scratch (the
+    // [[graft.operators.Similarity.memoryPartialsDefault]] policy:
+    // two fewer materialization round-trips per wave, same shard
+    // residency bound; an explicit scratchDir pins the durable
+    // cluster path)
+    val memParts = Similarity.memoryPartialsDefault(spark,
+      memoryPartials = false, scratchDir = scratchDir)
+    val scratchRoot = if (memParts) "" else
       Similarity.resolveWaveScratch(spark.sparkContext.isLocal, scratchDir) +
         s"/serve_${java.util.UUID.randomUUID().toString.take(8)}"
     // tombstones read once at wiring time and applied as an always-on
@@ -538,7 +546,7 @@ object EventStream {
       else graft.sources.Source.readIvfPqIndex(spark, shardDir(i))
     val providers = (0 until numShards).map(i => () => shardAt(i))
     queries.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-      val batchScratch = s"$scratchRoot/batch_$batchId"
+      val batchScratch = if (memParts) "" else s"$scratchRoot/batch_$batchId"
       // every wave is its own action over the micro-batch plan;
       // without a persist each wave would RE-SCAN the source offsets
       // (⌈B/waveSize⌉ scans per batch)
@@ -548,12 +556,15 @@ object EventStream {
         val merged = Similarity.topkIvfPqWavesCore(
           pinnedBatch, embCol, qIdCol, providers,
           k, nProbe, shortlist, waveSize, batchScratch, meter,
+          memoryPartials = memParts,
           allowedIds = allowedIds, deniedIds = tombstones, rotBc = rotBc)
         onBatch(merged, batchId)
       } finally {
         pinnedBatch.unpersist()
-        val p = new org.apache.hadoop.fs.Path(batchScratch)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        if (!memParts) {
+          val p = new org.apache.hadoop.fs.Path(batchScratch)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        }
         ()
       }
     }
@@ -594,7 +605,11 @@ object EventStream {
     require(waveSize >= 1, s"waveSize must be >= 1, got $waveSize")
     require(residentShards >= -1,
       s"residentShards must be >= 0, or -1 for budget-priced auto, got $residentShards")
-    val scratchRoot =
+    // default-scratch local-mode serves keep per-wave partials in
+    // memory ([[graft.operators.Similarity.memoryPartialsDefault]])
+    val memParts = Similarity.memoryPartialsDefault(spark,
+      memoryPartials = false, scratchDir = scratchDir)
+    val scratchRoot = if (memParts) "" else
       Similarity.resolveWaveScratch(spark.sparkContext.isLocal, scratchDir) +
         s"/serve_${java.util.UUID.randomUUID().toString.take(8)}"
     val tombstones = {
@@ -643,19 +658,22 @@ object EventStream {
       else graft.sources.Source.readBqIndex(spark, shardDir(i))
     val providers = (0 until numShards).map(i => () => shardAt(i))
     queries.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-      val batchScratch = s"$scratchRoot/batch_$batchId"
+      val batchScratch = if (memParts) "" else s"$scratchRoot/batch_$batchId"
       val pinnedBatch = batch.toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val merged = Similarity.topkBqWavesCore(
           pinnedBatch, qIdCol, embCol, providers,
           k, metric, shortlist, waveSize, batchScratch, meter,
+          memoryPartials = memParts,
           allowedIds = allowedIds, deniedIds = tombstones)
         onBatch(merged, batchId)
       } finally {
         pinnedBatch.unpersist()
-        val p = new org.apache.hadoop.fs.Path(batchScratch)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        if (!memParts) {
+          val p = new org.apache.hadoop.fs.Path(batchScratch)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        }
         ()
       }
     }
@@ -690,7 +708,11 @@ object EventStream {
     require(waveSize >= 1, s"waveSize must be >= 1, got $waveSize")
     require(residentShards >= -1,
       s"residentShards must be >= 0, or -1 for budget-priced auto, got $residentShards")
-    val scratchRoot =
+    // default-scratch local-mode serves keep per-wave partials in
+    // memory ([[graft.operators.Similarity.memoryPartialsDefault]])
+    val memParts = Similarity.memoryPartialsDefault(spark,
+      memoryPartials = false, scratchDir = scratchDir)
+    val scratchRoot = if (memParts) "" else
       Similarity.resolveWaveScratch(spark.sparkContext.isLocal, scratchDir) +
         s"/serve_${java.util.UUID.randomUUID().toString.take(8)}"
     val tombstones = {
@@ -737,19 +759,22 @@ object EventStream {
       else graft.sources.Source.readIvfBqIndex(spark, shardDir(i))
     val providers = (0 until numShards).map(i => () => shardAt(i))
     queries.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-      val batchScratch = s"$scratchRoot/batch_$batchId"
+      val batchScratch = if (memParts) "" else s"$scratchRoot/batch_$batchId"
       val pinnedBatch = batch.toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val merged = Similarity.topkIvfBqWavesCore(
           pinnedBatch, qIdCol, embCol, providers,
           k, nProbe, shortlist, waveSize, batchScratch, meter,
+          memoryPartials = memParts,
           allowedIds = allowedIds, deniedIds = tombstones)
         onBatch(merged, batchId)
       } finally {
         pinnedBatch.unpersist()
-        val p = new org.apache.hadoop.fs.Path(batchScratch)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        if (!memParts) {
+          val p = new org.apache.hadoop.fs.Path(batchScratch)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        }
         ()
       }
     }

@@ -214,10 +214,28 @@ object GateProbe {
       results.synchronized { results ++= rows }
       ()
     }
+    // per-batch duration breakdown straight from the streaming
+    // engine: triggerExecution = whole batch, with addBatch (the
+    // foreachBatch body), getBatch/latestOffset (source), walCommit/
+    // commitOffsets (offset+commit logs), queryPlanning
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs
+        println(s"[gate-phase]   batch ${e.progress.batchId} rows=" +
+          s"${e.progress.numInputRows} durationMs=$d")
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
     t("stream replay") {
       val sq = writer.start()
       try sq.processAllAvailable() finally sq.stop()
     }
+    s.streams.removeListener(listener)
     t("size estimate (bounded check)") {
       graft.sources.Source
         .readBqShardedIndexWithTombstones(s, s"$base/del")._1
