@@ -40,6 +40,8 @@ object GateProbe {
       case "fuzzy" => fuzzy(spark, sfDir)
       case "fuzzy2" => fuzzy2(spark, sfDir)
       case "cc" => cc(spark, sfDir)
+      case "paras" => paras(spark, sfDir)
+      case "curate" => curate(spark, sfDir)
       case g => println(s"[gate-phase] unknown gate: $g")
     }
     spark.stop()
@@ -107,6 +109,75 @@ object GateProbe {
     t("clusterPairsStars") {
       graft.operators.Dedup.clusterPairsStars(
         docs.select("doc_id"), "doc_id", pairs).count()
+    }
+  }
+
+  /** dedup_paragraphs_near_recall phase breakdown (round-17 verdict
+    * #6): planted corpus → paragraph explode → minhash pipeline —
+    * which stage owns the 4.6 s?
+    */
+  private def paras(s: SparkSession, dir: String): Unit = {
+    println("[gate-phase] == dedup_paragraphs_near_recall phases ==")
+    val d = graft.Tables.documents(s, dir)
+    val g = floor(col("doc_id") / 2).cast("long").cast("string")
+    def para(word: String) = concat(
+      lit("notice "), md5(g), lit(" "),
+      md5(concat(g, lit("b"))), lit(" "),
+      md5(concat(g, lit("c"))),
+      lit(s" $word shared closing words"))
+    val variant = when(pmod(col("doc_id"), lit(2)) === 0,
+      para("with")).otherwise(para("plus"))
+    val planted = d.select(col("doc_id"),
+      concat(col("text"), lit("\n\n"), variant).as("text"))
+    t("planted corpus count") { planted.count() }
+    val paras = planted
+      .select(col("doc_id").cast("long").as("id"),
+        posexplode(split(col("text"), "\n{2,}", -1)).as(Seq("pos", "p")))
+      .filter(length(trim(col("p"))) >= 30)
+    t("paragraph explode count") { paras.count() }
+    t("minhash signatures (over paras)") {
+      graft.operators.Dedup.minhashSignatures(
+        paras.select((shiftLeft(col("id"), 20).bitwiseOR(col("pos"))).as("pid"),
+          col("p")), "pid", "p")
+        .agg(max(hash(col("sig")))).head()
+    }
+    t("minhashPairs (band+verify)") {
+      graft.operators.Dedup.minhashPairs(
+        paras.select((shiftLeft(col("id"), 20).bitwiseOR(col("pos"))).as("pid"),
+          col("p")), "pid", "p", threshold = 0.7).count()
+    }
+    t("full paragraphNearDupPairs") {
+      graft.operators.TextAnalysis.paragraphNearDupPairs(
+        planted, "doc_id", "text", threshold = 0.7).count()
+    }
+    t("full declared query") {
+      graft.SparkEntry.queries("dedup_paragraphs_near_recall")(s, dir).count()
+    }
+  }
+
+  /** curate_full phase breakdown (round-17 verdict #6): pair graph →
+    * CC dedup → gates+split — which stage owns the 5.0 s?
+    */
+  private def curate(s: SparkSession, dir: String): Unit = {
+    println("[gate-phase] == curate_full phases ==")
+    val docs = graft.Tables.documents(s, dir).filter(col("doc_id") < 500)
+    val pairs = t("ngramJaccardPairs count") {
+      val p = graft.operators.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.7)
+      p.count(); p
+    }
+    t("dropDuplicatesByPairs (pairs re-derived + CC)") {
+      graft.operators.Dedup.dropDuplicatesByPairs(docs, "doc_id",
+        graft.operators.Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.7)).count()
+    }
+    t("gates+split on pre-deduped (isolated)") {
+      val deduped = graft.operators.Dedup.dropDuplicatesByPairs(docs, "doc_id", pairs)
+        .localCheckpoint()
+      graft.operators.Curate.gateDocs(deduped, "doc_id").count()
+    }
+    t("full curate_full") {
+      graft.operators.Curate.curateFull(s, dir).count()
     }
   }
 
