@@ -425,18 +425,22 @@ object ScaleSmoke {
       names.unpersist()
     }
 
-    // Fan-out REFUSAL point (round-12 verdict #2): at ≥1M the dense
-    // zero-padded keyspace must trip the priced candidate guard (cap =
-    // maxCandidates / (n·(q·d+1)) — at 1M that's df>1000, and every
-    // rarest digit-gram carries df ~6000), and it must trip in the
-    // time of the PRICING stages (shingle+df+window), never the
-    // quadratic self-join. Opt-in:
+    // Fan-out REFUSAL point (round-12 verdict #2, corpus reshaped in
+    // round 17): the d=1 path now blocks on 1-DELETION NEIGHBORHOODS,
+    // under which the old zero-padded sequential keyspace is
+    // legitimately computable (deletion-key df ≈ the true near-dup
+    // family size, ~10-20 there), so the refusal point uses a corpus
+    // with genuinely QUADRATIC families — 1M strings over 1000
+    // distinct values (family 1000 ≫ the priced cap
+    // maxCandidates / Σ(len+1) ≈ 300) — and must trip the guard in
+    // the time of the PRICING stages, never the quadratic self-join.
+    // Opt-in:
     //   SPARK_GRAFT_SMOKE_FUZZY_REFUSE=1000000 sbt "runMain graft.ScaleSmoke"
     val fuzzyRefuseN = sys.env.getOrElse("SPARK_GRAFT_SMOKE_FUZZY_REFUSE", "0").toLong
     if (fuzzyRefuseN > 0) {
       import graft.operators.Relational
       val dense = spark.range(fuzzyRefuseN).select(col("id"),
-        concat(lit("doc-"), lpad(col("id").cast("string"), 8, "0")).as("s")).cache()
+        concat(lit("doc-"), lpad((col("id") % 1000).cast("string"), 8, "0")).as("s")).cache()
       dense.count()
       timed(s"fuzzy-join dense-keyspace REFUSAL ($fuzzyRefuseN strings, default budget)") {
         val refused =

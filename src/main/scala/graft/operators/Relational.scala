@@ -646,6 +646,88 @@ object Relational {
     import graft.functions.TextFunctions.charShingles
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("len", length(col("s")))
+    // maxDist = 1 takes the 1-DELETION-NEIGHBORHOOD path (FastSS,
+    // Bocek et al. '07 / SymSpell — public literature): see
+    // [[deletionCandidates]]. Measured at the sf0.1 bench point the
+    // gram path's 22M-row prefix self-join → 10.1M distinct
+    // candidates collapses to ~0.3M deletion-key rows → candidates ≈
+    // the true-pair volume; the positional Ed-Join filter was the
+    // measured-dead alternative (93.9% of the fan-out passes it on
+    // the zero-padded keyspace — plans/r17). q is a gram-path
+    // parameter and is ignored here.
+    if (maxDist == 1) deletionCandidates(base, maxGramDf, maxCandidates)
+    else gramCandidates(base, maxDist, q, maxGramDf, maxCandidates)
+  }
+
+  /** Candidates within edit distance 1 via 1-deletion neighborhoods
+    * (FastSS / SymSpell): two strings are within levenshtein 1 IFF
+    * their {s} ∪ {s minus one char} key sets intersect —
+    *   dist 0 shares s itself; an insert/delete pair shares the
+    *   shorter string; a substitution at position i shares the
+    *   deletion of position i — so the equi-join on deletion keys is
+    * LOSSLESS, and (unlike gram blocking) the key is almost the whole
+    * string, so a key's df is the size of an actual near-dup family
+    * rather than a gram's corpus frequency. False positives (pairs at
+    * distance 2 sharing a variant, e.g. "abx"/"ayb" via "ab") are
+    * removed by the caller's levenshtein verify, exactly like gram
+    * candidates. Same priced runaway guard as the gram path: a
+    * SELECTED key's df above cap = maxCandidates / Σ(len+1) refuses
+    * in-plan by name (Σ df² ≤ cap · Σ df keeps `maxCandidates` a hard
+    * ceiling); an explicit maxGramDf overrides the derivation.
+    */
+  private def deletionCandidates(
+      base: DataFrame,
+      maxGramDf: Int,
+      maxCandidates: Long): DataFrame = {
+    // {s} ∪ deletion variants, distinct per string (duplicate
+    // variants from repeated adjacent chars dedup at the source);
+    // null strings generate no keys and no pairs, the empty string's
+    // neighborhood is itself. SQL substring/length count characters,
+    // matching the levenshtein verify.
+    val keys = base.filter(col("s").isNotNull)
+      .select(col("id"), explode(
+        when(col("len") === 0, array(col("s")))
+          .otherwise(array_distinct(concat(array(col("s")), expr(
+            "transform(sequence(1, len), " +
+              "i -> concat(substring(s, 1, i-1), substring(s, i+1, len)))"))))
+        ).as("k"))
+    val delCap: Long =
+      if (maxGramDf > 0) maxGramDf.toLong
+      else {
+        val totalKeyRows = math.max(1L, keys.count())
+        math.max(256L, maxCandidates / totalKeyRows)
+      }
+    val kdf = keys.groupBy("k").agg(count(lit(1)).as("df"))
+    val delGuardMsg = concat(
+      lit("fuzzy join candidate runaway: deletion key '"), col("k"),
+      lit("' indexes "), col("df"),
+      lit(s" strings (> cap $delCap, up to df² candidate pairs from " +
+        "this key alone; cap = maxCandidates / Σ(len+1)). That many " +
+        "strings sit within one edit of a single variant — pre-block " +
+        "on another key or raise maxGramDf/maxCandidates if the " +
+        "quadratic cost is intended"))
+    // the guard wraps the join key itself so column pruning can never
+    // drop it (the gram path's convention)
+    val keyed = keys.join(kdf, Seq("k"))
+      .select(col("id"),
+        when(col("df") > delCap, raise_error(delGuardMsg))
+          .otherwise(col("k")).as("k"))
+    keyed.select(col("id").as("id1"), col("k"))
+      .join(keyed.select(col("id").as("id2"), col("k")), Seq("k"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** The gram-blocking (Ed-Join) candidate path for maxDist ≥ 2 —
+    * the pre-round-17 [[fuzzyJoinCandidates]] body, unchanged.
+    */
+  private def gramCandidates(
+      base: DataFrame,
+      maxDist: Int,
+      q: Int,
+      maxGramDf: Int,
+      maxCandidates: Long): DataFrame = {
+    import graft.functions.TextFunctions.charShingles
     // PRICED per-gram cap: Σ pdf² (the candidate volume) is bounded by
     // max_pdf · Σ pdf ≤ cap · n·(q·maxDist+1), so cap =
     // maxCandidates / (n·(q·maxDist+1)) makes `maxCandidates` a hard

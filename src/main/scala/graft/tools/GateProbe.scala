@@ -39,6 +39,7 @@ object GateProbe {
       case "bq_stream_waves" => bqStreamWaves(spark, sfDir)
       case "fuzzy" => fuzzy(spark, sfDir)
       case "fuzzy2" => fuzzy2(spark, sfDir)
+      case "fuzzy3" => fuzzy3(spark, sfDir)
       case "cc" => cc(spark, sfDir)
       case "paras" => paras(spark, sfDir)
       case "curate" => curate(spark, sfDir)
@@ -92,6 +93,48 @@ object GateProbe {
       .filter(col("id1") < col("id2") && abs(col("l1") - col("l2")) <= maxDist)
     println(s"[gate-phase] cand_rows_pre_distinct=${candPre.count()}")
     println(s"[gate-phase] cand_rows_distinct=${candPre.select("id1", "id2").distinct().count()}")
+  }
+
+  /** Positional Ed-Join filter selectivity (round-17 verdict #5): if
+    * candidate pairs' shared prefix grams sit at positions differing
+    * by > maxDist, the positional filter would cut the fan-out before
+    * the distinct; on the zero-padded fixed-width name keyspace the
+    * prediction is that positions align and the filter passes ~all of
+    * it. Measures pass-rate on min-occurrence positions (the lossless
+    * variant can only pass MORE).
+    */
+  private def fuzzy3(s: SparkSession, dir: String): Unit = {
+    import graft.functions.TextFunctions.charShingles
+    val q = 3; val maxDist = 1
+    println(s"[gate-phase] == fuzzy positional-filter selectivity (q=$q, d=$maxDist) ==")
+    val base = graft.Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("id"),
+        lower(col("c_name")).as("s"))
+      .withColumn("len", length(col("s")))
+    val minLen = q * (maxDist + 1)
+    val long = base.filter(col("len") >= minLen)
+    // distinct grams with their FIRST occurrence position (1-based)
+    val sh = long.select(col("id"), col("s"), col("len"),
+        explode(charShingles(col("s"), q)).as("g"))
+      .withColumn("p", expr("locate(g, s)"))
+    val dfs = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("g").asc)
+    val prefix = sh.join(dfs, Seq("g"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= q * maxDist + 1)
+      .select(col("id"), col("g"), col("len"), col("p"))
+    val candPre = prefix.select(col("id").as("id1"), col("g"),
+        col("len").as("l1"), col("p").as("p1"))
+      .join(prefix.select(col("id").as("id2"), col("g"),
+        col("len").as("l2"), col("p").as("p2")), Seq("g"))
+      .filter(col("id1") < col("id2") && abs(col("l1") - col("l2")) <= maxDist)
+    val stats = candPre.agg(count(lit(1)).as("all"),
+      count(when(abs(col("p1") - col("p2")) <= maxDist, 1)).as("pass"))
+      .head()
+    val all = stats.getLong(0); val pass = stats.getLong(1)
+    println(f"[gate-phase] fan-out rows=$all pass_positional=$pass " +
+      f"(${100.0 * pass / math.max(1L, all)}%.1f%% pass rate)")
   }
 
   private def cc(s: SparkSession, dir: String): Unit = {

@@ -193,6 +193,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzyJoinPairs d=1: deletion-neighborhood edge cases (empty/1-char/null strings)") {
+    import spark.implicits._
+    // the deletion path owns ALL lengths at d=1 (the gram path's
+    // short-string band branch no longer applies there): empty string
+    // neighborhood is itself, null generates no keys
+    val df = Seq((0L, ""), (1L, "a"), (2L, "b"), (3L, "ab"),
+      (4L, null.asInstanceOf[String])).toDF("id", "s")
+    val got = Relational.fuzzyJoinPairs(df, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: ""~"a"=1, ""~"b"=1, "a"~"b"=1, "a"~"ab"=1,
+    // "b"~"ab"=1; ""~"ab"=2 (absent); null pairs with nothing
+    assert(got == Set((0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 1L),
+      (1L, 3L, 1L), (2L, 3L, 1L)), got.toString)
+  }
+
   test("fuzzyJoinPairs: dense-keyspace runaway refuses with a named error (round-12 verdict #2)") {
     import spark.implicits._
     def rootMsg(t: Throwable): String = {
@@ -201,9 +216,10 @@ class RelationalSpec extends AnyFunSuite {
       while (cur.getCause != null) { cur = cur.getCause; sb.append(" | ").append(Option(cur.getMessage).getOrElse("")) }
       sb.toString
     }
-    // LONG-string density: 60 near-identical strings — every prefix
-    // gram indexes most of the corpus, so a cap of 10 must refuse
-    // in-plan, naming the gram, not shuffle ~60² candidates
+    // d=1 density (deletion-neighborhood path, round 17): 60
+    // near-identical strings all collide on the shared deletion
+    // variant, so a cap of 10 must refuse in-plan, naming the KEY,
+    // not shuffle ~60² candidates
     val dense = (0L until 60L).map(i => (i, s"aaaaaaaaaaaa${i % 3}"))
       .toDF("id", "s")
     val exLong = intercept[Exception] {
@@ -211,17 +227,25 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(rootMsg(exLong).contains("fuzzy join candidate runaway"), rootMsg(exLong))
     assert(rootMsg(exLong).contains("maxGramDf"), rootMsg(exLong))
-    // SHORT-string band blowup: 60 two-char codes land in one length
-    // block — the "band is tiny" assumption is about length
-    // diversity, not row counts, and must also refuse
+    assert(rootMsg(exLong).contains("deletion key"), rootMsg(exLong))
+    // SHORT-string band blowup on the GRAM path (maxDist ≥ 2): 60
+    // two-char codes land in one length block — the "band is tiny"
+    // assumption is about length diversity, not row counts, and must
+    // also refuse
     val codes = (0L until 60L).map(i => (i, f"${('a' + (i % 26).toInt).toChar}${('a' + (i / 26).toInt).toChar}"))
       .toDF("id", "s")
     val exShort = intercept[Exception] {
-      Relational.fuzzyJoinPairs(codes, "id", "s", maxDist = 1, maxGramDf = 10).collect()
+      Relational.fuzzyJoinPairs(codes, "id", "s", maxDist = 2, maxGramDf = 10).collect()
     }
     assert(rootMsg(exShort).contains("fuzzy join candidate runaway"), rootMsg(exShort))
     assert(rootMsg(exShort).contains("length band"), rootMsg(exShort))
-    // raising the cap clears both refusals and yields exact results
+    // the d=1 deletion path also refuses the degenerate code corpus
+    // (single-char keys index ~26 codes each, over a cap of 10)
+    val exCodes1 = intercept[Exception] {
+      Relational.fuzzyJoinPairs(codes, "id", "s", maxDist = 1, maxGramDf = 10).collect()
+    }
+    assert(rootMsg(exCodes1).contains("fuzzy join candidate runaway"), rootMsg(exCodes1))
+    // raising the cap clears the refusals and yields exact results
     val ok = Relational.fuzzyJoinPairs(codes, "id", "s", maxDist = 1, maxGramDf = 1000)
     assert(ok.count() > 0)
   }
