@@ -109,6 +109,12 @@ object Retrieval {
               "must list each candidate at most once"))))
           .otherwise(col("rrf")))
       .drop("_rrf_n", "_rrf_nlists")
+    // SINGLE-PARTITION window by design when there are no query
+    // columns: the fused frame is bounded by Σ|rankings| — shortlists
+    // (top-N per retriever) by contract, never a corpus-scale frame.
+    // Feeding corpus-scale rankings through the no-query-column form
+    // would serialize here; partition such inputs by a query key
+    // instead (round-16 advisor note).
     val w =
       if (queryCols.isEmpty) Window.orderBy(col("rrf").desc, col(idCol).asc)
       else Window.partitionBy(queryCols.map(col): _*)

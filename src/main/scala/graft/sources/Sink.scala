@@ -911,20 +911,29 @@ object Sink {
     // unknown id / double delete) — they were three sequential
     // actions, each re-scanning the delete set; stored and tombstone
     // ids are unique by the index contract, so the left joins
-    // preserve the delete-set cardinality exactly
+    // preserve the delete-set cardinality exactly. That uniqueness is
+    // VERIFIED, not assumed (round-16 advisor): `del` is distinct, so
+    // any join-row multiplication (n > distinct n) can only come from
+    // a duplicated stored/tombstone id — a corrupt index — and
+    // refuses by name instead of silently passing the count checks.
     val chk = del
       .join(storedIds.withColumn("__stored", lit(1)), Seq("id"), "left")
       .join(existing.withColumn("__ts", lit(1)), Seq("id"), "left")
       .agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("nd"),
         min(when(col("__stored").isNull, col("id"))).as("unknown"),
         min(when(col("__ts").isNotNull, col("id"))).as("dbl"))
       .head()
     require(chk.getLong(0) > 0L, "empty delete set")
-    require(chk.isNullAt(1),
-      s"cannot delete id ${chk.getLong(1)}: " +
-        s"not stored in the index at $indexPath")
+    require(chk.getLong(0) == chk.getLong(1),
+      s"corrupt index at $indexPath: a stored or tombstone id is " +
+        s"duplicated (delete validation saw ${chk.getLong(0)} rows for " +
+        s"${chk.getLong(1)} distinct delete ids)")
     require(chk.isNullAt(2),
-      s"id ${chk.getLong(2)} is already " +
+      s"cannot delete id ${chk.getLong(2)}: " +
+        s"not stored in the index at $indexPath")
+    require(chk.isNullAt(3),
+      s"id ${chk.getLong(3)} is already " +
         "tombstoned (double delete)")
     publishAtomically(spark, outPath, overwrite) { tmp =>
       val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
@@ -2836,20 +2845,29 @@ object Sink {
     // unknown id / double delete) — they were three sequential
     // actions, each re-scanning the delete set; stored and tombstone
     // ids are unique by the index contract, so the left joins
-    // preserve the delete-set cardinality exactly
+    // preserve the delete-set cardinality exactly. That uniqueness is
+    // VERIFIED, not assumed (round-16 advisor): `del` is distinct, so
+    // any join-row multiplication (n > distinct n) can only come from
+    // a duplicated stored/tombstone id — a corrupt index — and
+    // refuses by name instead of silently passing the count checks.
     val chk = del
       .join(storedIds.withColumn("__stored", lit(1)), Seq("id"), "left")
       .join(existing.withColumn("__ts", lit(1)), Seq("id"), "left")
       .agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("nd"),
         min(when(col("__stored").isNull, col("id"))).as("unknown"),
         min(when(col("__ts").isNotNull, col("id"))).as("dbl"))
       .head()
     require(chk.getLong(0) > 0L, "empty delete set")
-    require(chk.isNullAt(1),
-      s"cannot delete id ${chk.getLong(1)}: " +
-        s"not stored in the index at $indexPath")
+    require(chk.getLong(0) == chk.getLong(1),
+      s"corrupt index at $indexPath: a stored or tombstone id is " +
+        s"duplicated (delete validation saw ${chk.getLong(0)} rows for " +
+        s"${chk.getLong(1)} distinct delete ids)")
     require(chk.isNullAt(2),
-      s"id ${chk.getLong(2)} is already " +
+      s"cannot delete id ${chk.getLong(2)}: " +
+        s"not stored in the index at $indexPath")
+    require(chk.isNullAt(3),
+      s"id ${chk.getLong(3)} is already " +
         "tombstoned (double delete)")
     publishAtomically(spark, outPath, overwrite) { tmp =>
       val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)

@@ -1652,8 +1652,13 @@ class SinkSpec extends AnyFunSuite {
 
   test("writeZOrdered: a two-dimensional box filter touches fewer files than natural order") {
     import org.apache.spark.sql.functions._
-    // 256×256 grid of (a, b) points, 64 files each layout
-    val grid = spark.range(256L * 256)
+    // 256×256 grid of (a, b) points, 64 files each layout. The range's
+    // slice count is PINNED: suites share one getOrCreate session, so
+    // defaultParallelism is whichever suite's master won the race
+    // (local[2] vs local[4]) — and repartitionByRange's sampled
+    // boundaries, hence the file layout this test asserts on, depend
+    // on the input partitioning.
+    val grid = spark.range(0L, 256L * 256, 1L, 4)
       .select((col("id") % 256).as("a"),
         floor(col("id") / 256).cast("long").as("b"))
     val zOut = tmpDir("sink-zorder")
@@ -1662,18 +1667,25 @@ class SinkSpec extends AnyFunSuite {
     // natural layout: row-major order (sorted by a then b)
     grid.repartitionByRange(64, col("a"), col("b"))
       .sortWithinPartitions("a", "b").write.parquet(natOut)
+    // TILE-ALIGNED 32×32 box ([96,127]²): its z-range is one
+    // contiguous 4096-value block (the zValue tile-contiguity
+    // property), so it spans ⌈4096/1024⌉ ≈ 4-5 z-files regardless of
+    // where the range-exchange's sampled boundaries land — those
+    // boundaries jitter with the shared test JVM's RDD-id counter
+    // (RangePartitioner seeds its reservoir with rdd.id), which made
+    // an unaligned box read 4–8 files depending on suite order.
+    // Row-major order smears the same box across all 8 a-stripe files
+    // deterministically.
     def filesTouched(path: String): Long =
       spark.read.parquet(path)
-        .filter(col("a").between(100, 131) && col("b").between(100, 131))
+        .filter(col("a").between(96, 127) && col("b").between(96, 127))
         .select(input_file_name()).distinct().count()
     val (zf, nf) = (filesTouched(zOut), filesTouched(natOut))
-    // the 32×32 box is 1/64 of the space: z-order confines it to a few
-    // tiles; row-major order smears it across every a-stripe it spans
     assert(zf < nf, s"z-order should touch fewer files: z=$zf natural=$nf")
-    assert(zf <= 8, s"box should land in few z files, got $zf")
+    assert(zf <= 6, s"aligned box should land in few z files, got $zf")
     // both layouts return the identical rows
     val zRows = spark.read.parquet(zOut)
-      .filter(col("a").between(100, 131) && col("b").between(100, 131)).count()
+      .filter(col("a").between(96, 127) && col("b").between(96, 127)).count()
     assert(zRows == 32L * 32)
   }
 }
