@@ -10,7 +10,8 @@ import graft.operators.{Metric, Similarity}
   * SparkEntry gate bodies phase for phase; used to decide WHERE the
   * optimization effort goes (guide §1 — measure first). Usage:
   *   runMain graft.tools.GateProbe <sfDir> <gate>[,gate…]
-  * gates: ivfpq_delete, bq_stream_waves, fuzzy, fuzzy2, cc
+  * gates: ivfpq_delete, bq_stream_waves, fuzzy, fuzzy2, fuzzy3, cc,
+  * paras, curate
   */
 object GateProbe {
   private def t[A](label: String)(body: => A): A = {
